@@ -14,7 +14,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Wipe stale per-query subdirs from earlier runs (renamed/removed
+    // queries would otherwise linger and confuse the compare harness).
+    val out = new java.io.File(outDir)
+    if (out.isDirectory) out.listFiles.foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles.foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -24,12 +24,28 @@ object Globs {
         case '*' => sb.append(any).append('*')
         case '?' => sb.append(any)
         case '[' =>
-          val j = glob.indexOf(']', i + 1)
+          // fnmatch.translate's scan: a leading `!` negates; a `]` directly
+          // after `[` or `[!` is a literal member, so the closing bracket
+          // search starts past it (patterns `[]]` and `[!]x]` are valid).
+          var k = i + 1
+          if (k < glob.length && glob.charAt(k) == '!') k += 1
+          if (k < glob.length && glob.charAt(k) == ']') k += 1
+          val j = glob.indexOf(']', k)
           if (j < 0) { sb.append("\\["); }
           else {
             val body0 = glob.substring(i + 1, j)
-            val body = if (body0.startsWith("!")) "^" + body0.drop(1) else body0
-            sb.append('[').append(body.replace("\\", "\\\\")).append(']')
+            val neg = body0.startsWith("!")
+            val body1 = if (neg) body0.drop(1) else body0
+            // Escape metacharacters inside the class so Java regex and RE2
+            // (the DuckDB oracle) agree: `\ ] [ &` always; `^` is escaped
+            // because fnmatch treats a non-leading-`!` caret as literal.
+            val esc = body1.flatMap {
+              case c @ ('\\' | ']' | '[' | '&' | '^') => s"\\$c"
+              case c => c.toString
+            }
+            sb.append('[')
+            if (neg) sb.append('^')
+            sb.append(esc).append(']')
             i = j
           }
         case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb.append('\\').append(c)

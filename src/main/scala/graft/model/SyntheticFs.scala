@@ -27,8 +27,10 @@ object SyntheticFs {
   /** File rows (one per lineitem). Hidden-file and skip-pattern variants
     * are carved out by key arithmetic so filters have targets:
     * orderkey%97==0 → dot-prefixed name; partkey%89==0 → `.tmp` extension.
-    * orderkey%5==0 → mtime shifted +25y into the present (recent-format
-    * timestamps for the find-ls parser).
+    * orderkey%5==0 → mtime placed within ~5 months before [[lastSeen]]
+    * ("recent" rows: `find -ls` prints these as `MMM d HH:mm`, exercising
+    * the parser's year-inference path P2); the rest keep their 1990s
+    * shipdate ("old" rows: `MMM d YYYY` format).
     */
   def files(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
@@ -45,16 +47,19 @@ object SyntheticFs {
       .withColumn("ext",
         when(col("l_partkey") % 89 === 0, lit("tmp"))
           .otherwise(lower(concat(col("l_returnflag"), col("l_linestatus")))))
+      // partkey/suppkey uniquify the name: (okey, lineno) alone collides in
+      // the generated data, and a filesystem path must be a unique key.
       .withColumn("name",
         concat(
           when(col("l_orderkey") % 97 === 0, lit(".")).otherwise(lit("")),
-          lit("l"), col("l_linenumber"), lit("."), col("ext")))
+          lit("l"), col("l_linenumber"), lit("-"), col("l_partkey"),
+          lit("-"), col("l_suppkey"), lit("."), col("ext")))
       .withColumn("filepath", concat(col("dir"), lit("/"), col("name")))
       .withColumn("size_bytes",
         floor(col("l_extendedprice") * 100).cast("long"))
       .withColumn("modified_time",
         when(col("l_orderkey") % 5 === 0,
-          col("l_shipdate") + expr("INTERVAL 25 YEARS"))
+          expr(s"$lastSeen - make_dt_interval(CAST(l_orderkey % 150 + 1 AS INT))"))
           .otherwise(col("l_shipdate")))
     base.select(
       sha2(expr("substring(filepath, 2)"), 256).as("id"),
@@ -135,12 +140,13 @@ object SyntheticFs {
 
   val sqlCtes: String =
     s"""fs_base AS (
-       |  SELECT l_orderkey, l_linenumber,
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |    '/' || lower(n_name) || '/c' || c_custkey || '/o' || o_orderkey AS dir,
        |    CASE WHEN l_partkey % 89 = 0 THEN 'tmp'
        |         ELSE lower(l_returnflag || l_linestatus) END AS ext,
        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS size_bytes,
-       |    CASE WHEN l_orderkey % 5 = 0 THEN l_shipdate + INTERVAL 25 YEAR
+       |    CASE WHEN l_orderkey % 5 = 0
+       |         THEN $lastSeen - (l_orderkey % 150 + 1) * INTERVAL 1 DAY
        |         ELSE l_shipdate END AS modified_time
        |  FROM lineitem
        |  JOIN orders ON l_orderkey = o_orderkey
@@ -150,7 +156,8 @@ object SyntheticFs {
        |fs_named AS (
        |  SELECT *,
        |    CASE WHEN l_orderkey % 97 = 0 THEN '.' ELSE '' END
-       |      || 'l' || l_linenumber || '.' || ext AS name
+       |      || 'l' || l_linenumber || '-' || l_partkey || '-' || l_suppkey
+       |      || '.' || ext AS name
        |  FROM fs_base
        |),
        |fs_files AS (

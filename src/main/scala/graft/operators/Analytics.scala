@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -14,40 +14,52 @@ import graft.Tables
   *
   * Scale notes (100 TB): q1 is a pure map-side-combinable aggregation (6
   * groups — partial aggregation collapses each partition to ≤6 rows before
-  * the 1-stage shuffle). q3/q5 join fact tables on their natural keys;
-  * dimension sides (region/nation/customer/supplier at TPC-H proportions)
-  * are broadcast — no shuffle of lineitem except the final small group-by.
+  * the 1-stage shuffle). q3/q5 join fact tables on their natural keys.
+  * Only genuinely bounded dimensions (region = 5 rows, nation = 25 rows)
+  * carry a broadcast hint; customer/supplier grow with scale factor, so
+  * their join strategy is left to Catalyst/AQE (shuffle hash join on the
+  * fact side at large SF, auto-broadcast at small SF).
+  *
+  * Money columns are DOUBLE in the parquet; double sums are
+  * partition-order-dependent, so every money aggregate first casts to
+  * DECIMAL(12,2) (exact, order-independent), then rounds, then casts the
+  * final value back to DOUBLE so Spark and the DuckDB oracle emit the same
+  * bits regardless of parallelism.
   */
 object Analytics {
+
+  private def dec(c: String): Column = col(c).cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(12,2)")
 
   /** TPC-H Q1-style pricing summary (A1-A4). */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
+    val n = count(lit(1))
     li.filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(sum(dec("l_quantity")), 2).cast("double").as("sum_qty"),
+        round(sum(dec("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+        round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec("l_extendedprice") * (one - dec("l_discount")) *
+          (one + dec("l_tax"))), 2).cast("double").as("sum_charge"),
+        round(sum(dec("l_quantity")).cast("double") / n, 4).as("avg_qty"),
+        round(sum(dec("l_extendedprice")).cast("double") / n, 4).as("avg_price"),
+        round(sum(dec("l_discount")).cast("double") / n, 4).as("avg_disc"),
+        n.as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -55,8 +67,9 @@ object Analytics {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style top-k revenue orders (J4-style equi-join chain + top-k
-    * W3 analog). customer is broadcast; lineitem⋈orders shuffles once on
-    * the order key.
+    * W3 analog). customer is unbounded (grows with SF) so it gets no
+    * broadcast hint — AQE picks the strategy; lineitem⋈orders shuffles
+    * once on the order key and top-k compiles to TakeOrderedAndProject.
     */
   def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer")
@@ -66,10 +79,10 @@ object Analytics {
     val li = Tables(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -77,7 +90,7 @@ object Analytics {
 
   val q3Sql: String =
     """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -89,9 +102,10 @@ object Analytics {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-style local-supplier revenue by nation: 6-way join where
-    * every dimension side is broadcast; the only big shuffle is
-    * lineitem⋈orders on the order key.
+  /** TPC-H Q5-style local-supplier revenue by nation. Only the genuinely
+    * bounded dimensions (nation = 25 rows, region = 5 rows) are broadcast;
+    * customer/supplier scale with SF, so AQE chooses their join strategy.
+    * The only guaranteed big shuffle is lineitem⋈orders on the order key.
     */
   def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer")
@@ -103,20 +117,20 @@ object Analytics {
     val nat = Tables(spark, sfDir, "nation")
     val reg = Tables(spark, sfDir, "region").filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("n_name"))
   }
 
   val q5Sql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

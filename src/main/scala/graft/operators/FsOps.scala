@@ -1,0 +1,501 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Globs, SizeFormat}
+import graft.model.SyntheticFs
+
+/** The reference's filesystem-indexer operator surface (SURVEY.md §2),
+  * re-expressed as Spark DataFrame programs over the deterministic
+  * [[SyntheticFs]] tables, each with a DuckDB oracle statement.
+  *
+  * Reference citations are per-query; the underlying dataflow is
+  * scanner/scanner.py + database/db_duckdb.py + elasticsearch/
+  * elasticsearch_integration.py of dmcp718/fs-indexer-elasticsearch.
+  *
+  * Scale notes (100 TB): every query here is shuffle-minimal —
+  * aggregations are map-side combinable, merges/deletions are single
+  * hash-shuffles on the natural key, and the directory rollup ships in two
+  * forms: the reference's theta-join shape (only safe when the dir side is
+  * bounded — here restricted to depth-1 dirs, broadcast) and the
+  * ancestor-explode + equi-join rewrite that is O(files × depth) and
+  * partitions cleanly at any scale. The only intentionally-global windows
+  * are the point-lookup/pagination parity ops, flagged inline.
+  */
+object FsOps {
+
+  // -------------------------------------------------------------------- //
+  // A2/A3: scalar SUM + GROUP BY COUNT (db_duckdb.py:342-356)            //
+  // -------------------------------------------------------------------- //
+
+  /** A3 + A2: per-type counts and byte totals, map-side combinable. */
+  def typeCounts(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.entries(spark, sfDir)
+      .groupBy("type")
+      .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"))
+      .orderBy("type")
+
+  val typeCountsSql: String = SyntheticFs.withCtes(
+    """SELECT type, count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes
+      |FROM fs_entries GROUP BY type ORDER BY type""".stripMargin)
+
+  /** A2 + A1: whole-index totals (db_duckdb.py:342-349). */
+  def totalSize(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.entries(spark, sfDir)
+      .agg(sum("size_bytes").as("total_bytes"), count(lit(1)).as("n"))
+
+  val totalSizeSql: String = SyntheticFs.withCtes(
+    """SELECT CAST(sum(size_bytes) AS BIGINT) AS total_bytes, count(*) AS n
+      |FROM fs_entries""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // P6/F9: extension extraction histogram (scanner.py:166)               //
+  // -------------------------------------------------------------------- //
+
+  def extHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.entries(spark, sfDir)
+      .filter(col("type") === "file")
+      .groupBy("extension")
+      .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"))
+      .orderBy(col("n").desc, col("extension"))
+
+  val extHistogramSql: String = SyntheticFs.withCtes(
+    """SELECT extension, count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes
+      |FROM fs_entries WHERE type = 'file'
+      |GROUP BY extension ORDER BY n DESC, extension""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // P3/P4: hidden-file + glob skip-pattern filter (scanner.py:71-97,     //
+  // 131-133; config/indexer-config.yaml:121-152)                         //
+  // -------------------------------------------------------------------- //
+
+  /** Default-ish skip list; `*.tmp` and dot-files exist in SyntheticFs. */
+  val skipPatterns: Seq[String] =
+    Seq(".git", "node_modules", "__pycache__", "*.tmp", ".DS_Store")
+
+  /** Same regex drives the Spark filter and the DuckDB oracle (Java regex
+    * and RE2 agree on this subset — no lookaround, no inline flags beyond
+    * `(?s)`/`(?:)`). At scale this predicate is additionally pushed into
+    * the listing source so skipped subtrees are never walked
+    * ([[graft.sources.FsListing]]).
+    */
+  val hiddenRe = "(^|/)\\."
+
+  def skipFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val skip = Globs.skipRegex(skipPatterns)
+    SyntheticFs.entries(spark, sfDir)
+      .filter(!col("filepath").rlike(skip) && !col("filepath").rlike(hiddenRe))
+      .groupBy("type")
+      .agg(count(lit(1)).as("n"), sum("size_bytes").as("bytes"))
+      .orderBy("type")
+  }
+
+  val skipFilterSql: String = {
+    val skip = Globs.skipRegex(skipPatterns)
+    SyntheticFs.withCtes(
+      s"""SELECT type, count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes
+         |FROM fs_entries
+         |WHERE NOT regexp_matches(filepath, '$skip')
+         |  AND NOT regexp_matches(filepath, '($hiddenRe)')
+         |GROUP BY type ORDER BY type""".stripMargin)
+  }
+
+  // -------------------------------------------------------------------- //
+  // F3: format_size top-N (utils/size_formatter.py:1-25; W2/W3 limit)    //
+  // -------------------------------------------------------------------- //
+
+  def sizeFormatTop(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.entries(spark, sfDir)
+      .filter(col("type") === "file")
+      .orderBy(col("size_bytes").desc, col("relative_path"))
+      .limit(20)
+      .select(col("relative_path"), col("size_bytes"),
+        SizeFormat.format_size(col("size_bytes")).as("size_h"))
+
+  val sizeFormatTopSql: String = SyntheticFs.withCtes(
+    s"""SELECT relative_path, size_bytes,
+       |  ${SizeFormat.duckdbExpr("size_bytes")} AS size_h
+       |FROM fs_entries WHERE type = 'file'
+       |ORDER BY size_bytes DESC, relative_path LIMIT 20""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // P7: point lookup (scanner.py:492-497). The global-min window is the  //
+  // parity shape; a real deployment filters on a literal key, which       //
+  // prunes to one partition via parquet min/max stats.                    //
+  // -------------------------------------------------------------------- //
+
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy()
+    SyntheticFs.entries(spark, sfDir)
+      .withColumn("mn", min("relative_path").over(w))
+      .filter(col("relative_path") === col("mn"))
+      .drop("mn")
+  }
+
+  val pointLookupSql: String = SyntheticFs.withCtes(
+    """SELECT * FROM fs_entries
+      |WHERE relative_path = (SELECT min(relative_path) FROM fs_entries)""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // A5: removed-in-last-cleanup via scalar MAX subquery                  //
+  // (scanner.py:519-535)                                                 //
+  // -------------------------------------------------------------------- //
+
+  def removedLastCleanup(spark: SparkSession, sfDir: String): DataFrame = {
+    val varied = SyntheticFs.files(spark, sfDir)
+      .withColumn("ls2",
+        when(col("l_orderkey") % 13 === 0,
+          expr(s"${SyntheticFs.lastSeen} - INTERVAL 7 DAYS"))
+          .otherwise(expr(SyntheticFs.lastSeen)))
+    varied
+      .withColumn("mx", max("ls2").over(Window.partitionBy()))
+      .filter(col("ls2") < col("mx"))
+      .select("relative_path")
+      .orderBy("relative_path")
+  }
+
+  val removedLastCleanupSql: String = SyntheticFs.withCtes(
+    s""", a5 AS (
+       |  SELECT relative_path,
+       |    CASE WHEN l_orderkey % 13 = 0
+       |         THEN ${SyntheticFs.lastSeen} - INTERVAL 7 DAY
+       |         ELSE ${SyntheticFs.lastSeen} END AS ls2
+       |  FROM fs_files)
+       |SELECT relative_path FROM a5
+       |WHERE ls2 < (SELECT max(ls2) FROM a5)
+       |ORDER BY relative_path""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // A7/F18: DISTINCT + unnest of an array literal                        //
+  // (lucidlink/directory_size.py:41-43)                                  //
+  // -------------------------------------------------------------------- //
+
+  def distinctUnnest(spark: SparkSession, sfDir: String): DataFrame =
+    spark.range(1)
+      .select(explode(array(
+        lit("/projects"), lit("/media"), lit("/projects"), lit("/archive/2024")))
+        .as("directory_path"))
+      .distinct()
+      .orderBy("directory_path")
+
+  val distinctUnnestSql: String =
+    """SELECT DISTINCT unnest(['/projects','/media','/projects','/archive/2024']) AS directory_path
+      |ORDER BY directory_path""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // J3: directory-size rollup — THE flagship aggregation                 //
+  // (elasticsearch_integration.py:128-151, directory_size.py:39-60)      //
+  // -------------------------------------------------------------------- //
+
+  /** J3 scalable form: explode each file's ancestor-prefix chain and
+    * equi-join — O(files × depth) work, hash-partitioned on the prefix,
+    * no theta join anywhere. This is the 100 TB plan: the explode factor
+    * is bounded by tree depth and the groupBy is map-side combinable.
+    */
+  def dirRollupExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = SyntheticFs.entries(spark, sfDir)
+    val ancestors = expr(
+      """transform(sequence(1, size(split(substring(filepath, 2), '/')) - 1),
+        |  i -> concat('/', array_join(slice(split(substring(filepath, 2), '/'), 1, i), '/')))""".stripMargin)
+    val perDir = e.filter(col("type") === "file")
+      .select(explode(ancestors).as("directory_path"), col("size_bytes"))
+      .groupBy("directory_path")
+      .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
+    e.filter(col("type") === "directory")
+      .select(col("filepath").as("directory_path"))
+      .join(perDir, Seq("directory_path"), "left")
+      .select(col("directory_path"),
+        coalesce(col("sz"), lit(0L)).cast("long").as("total_size"),
+        coalesce(col("fc"), lit(0L)).as("file_count"))
+      .orderBy("directory_path")
+  }
+
+  val dirRollupExplodeSql: String = SyntheticFs.withCtes(
+    """, anc AS (
+      |  SELECT unnest(list_transform(
+      |           generate_series(1, len(parts) - 1),
+      |           i -> '/' || array_to_string(parts[1:i], '/'))) AS directory_path,
+      |         size_bytes
+      |  FROM (SELECT string_split(relative_path, '/') AS parts, size_bytes
+      |        FROM fs_entries WHERE type = 'file')),
+      |roll AS (
+      |  SELECT directory_path, CAST(sum(size_bytes) AS BIGINT) AS sz,
+      |         count(*) AS fc
+      |  FROM anc GROUP BY directory_path)
+      |SELECT d.filepath AS directory_path,
+      |       coalesce(r.sz, 0) AS total_size,
+      |       coalesce(r.fc, 0) AS file_count
+      |FROM fs_entries d LEFT JOIN roll r ON d.filepath = r.directory_path
+      |WHERE d.type = 'directory'
+      |ORDER BY directory_path""".stripMargin)
+
+  /** J3 reference-shape form: LEFT theta-join on the path prefix with
+    * conditional SUM, exactly elasticsearch_integration.py:128-151 — kept
+    * faithful but restricted to depth-1 directories so the broadcast
+    * nested-loop stays bounded (25 dirs here). At scale this shape is only
+    * safe when the dir side is small; [[dirRollupExplode]] is the default.
+    */
+  def dirRollupTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = SyntheticFs.entries(spark, sfDir)
+    val d1 = e.filter(col("type") === "directory" &&
+        length(col("filepath")) - length(regexp_replace(col("filepath"), "/", "")) === 1)
+      .select(col("filepath").as("dpath"))
+    val f = e.select(col("filepath").as("fpath"), col("type").as("ftype"),
+      col("size_bytes").as("fsize"))
+    broadcast(d1)
+      .join(f, col("fpath") === col("dpath") ||
+        col("fpath").startsWith(concat(col("dpath"), lit("/"))), "left")
+      .groupBy(col("dpath"))
+      .agg(
+        coalesce(sum(when(col("ftype") === "file", col("fsize"))), lit(0L))
+          .cast("long").as("total_size"),
+        sum(when(col("ftype") === "file", 1L).otherwise(0L)).as("file_count"))
+      .select(col("dpath").as("directory_path"), col("total_size"),
+        col("file_count"))
+      .orderBy("directory_path")
+  }
+
+  val dirRollupThetaSql: String = SyntheticFs.withCtes(
+    """SELECT d.filepath AS directory_path,
+      |  CAST(coalesce(sum(CASE WHEN f.type = 'file' THEN f.size_bytes END), 0) AS BIGINT) AS total_size,
+      |  CAST(sum(CASE WHEN f.type = 'file' THEN 1 ELSE 0 END) AS BIGINT) AS file_count
+      |FROM fs_entries d
+      |LEFT JOIN fs_entries f
+      |  ON f.filepath = d.filepath OR f.filepath LIKE d.filepath || '/%'
+      |WHERE d.type = 'directory'
+      |  AND length(d.filepath) - length(replace(d.filepath, '/', '')) = 1
+      |GROUP BY d.filepath
+      |ORDER BY directory_path""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // J1: scan-batch conditional merge (scanner.py:225-244) — update only  //
+  // when the incoming mtime is strictly newer.                           //
+  // J2: INSERT OR REPLACE last-writer-wins (db_duckdb.py:242-245).       //
+  // Both land as one hash-shuffle on the merge key (window dedup).       //
+  // -------------------------------------------------------------------- //
+
+  /** Rescan batch: every orderkey%7 file comes back newer and bigger. */
+  private def rescanBatch(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.files(spark, sfDir).select(
+      col("relative_path"),
+      when(col("l_orderkey") % 7 === 0, col("size_bytes") + 777)
+        .otherwise(col("size_bytes")).as("size_bytes"),
+      when(col("l_orderkey") % 7 === 0,
+        col("modified_time") + expr("INTERVAL 5 DAYS"))
+        .otherwise(col("modified_time")).as("modified_time"))
+
+  private val rescanBatchCte =
+    """batch AS (
+      |  SELECT relative_path,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN size_bytes + 777 ELSE size_bytes END AS size_bytes,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN modified_time + INTERVAL 5 DAY ELSE modified_time END AS modified_time
+      |  FROM fs_files)""".stripMargin
+
+  private def mergeWith(spark: SparkSession, sfDir: String,
+      batchWinsTies: Boolean): DataFrame = {
+    val existing = SyntheticFs.files(spark, sfDir)
+      .select(col("relative_path"), col("size_bytes"), col("modified_time"))
+      .withColumn("tag", lit(0))
+    val batch = rescanBatch(spark, sfDir).withColumn("tag", lit(1))
+    val tieOrder = if (batchWinsTies) col("tag").desc else col("tag").asc
+    val w = Window.partitionBy("relative_path")
+      .orderBy(col("modified_time").desc, tieOrder)
+    existing.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("relative_path", "size_bytes", "modified_time")
+      .orderBy("relative_path")
+  }
+
+  /** J1: conditional merge — existing row survives mtime ties. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    mergeWith(spark, sfDir, batchWinsTies = false)
+
+  /** J2: last-writer-wins — the batch row always replaces on conflict. */
+  def mergeReplace(spark: SparkSession, sfDir: String): DataFrame =
+    mergeWith(spark, sfDir, batchWinsTies = true)
+
+  private def mergeSql(tieOrder: String): String = SyntheticFs.withCtes(
+    s""", $rescanBatchCte,
+       |unioned AS (
+       |  SELECT relative_path, size_bytes, modified_time, 0 AS tag FROM fs_files
+       |  UNION ALL
+       |  SELECT relative_path, size_bytes, modified_time, 1 AS tag FROM batch),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY relative_path
+       |      ORDER BY modified_time DESC, tag $tieOrder) AS rn
+       |  FROM unioned)
+       |SELECT relative_path, size_bytes, modified_time
+       |FROM ranked WHERE rn = 1 ORDER BY relative_path""".stripMargin)
+
+  val mergeUpsertSql: String = mergeSql("ASC")
+  val mergeReplaceSql: String = mergeSql("DESC")
+
+  // -------------------------------------------------------------------- //
+  // J6/SO2: deletion anti-join (scanner.py:447-454) and                  //
+  // J7/SO1: deletion set-difference (elasticsearch_integration.py:514)   //
+  // -------------------------------------------------------------------- //
+
+  /** J6: rows in the index whose path vanished from the current scan
+    * (orderkey%11 files "deleted on disk"), via left_anti — one shuffle
+    * on the key, no driver-side set.
+    */
+  def deletions(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexed = SyntheticFs.files(spark, sfDir)
+    val current = indexed.filter(col("l_orderkey") % 11 =!= 0)
+      .select("relative_path")
+    indexed.join(current, Seq("relative_path"), "left_anti")
+      .select("relative_path")
+      .orderBy("relative_path")
+  }
+
+  val deletionsSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path FROM fs_files
+      |WHERE relative_path NOT IN (
+      |  SELECT relative_path FROM fs_files WHERE l_orderkey % 11 <> 0)
+      |ORDER BY relative_path""".stripMargin)
+
+  /** J7: same reconciliation expressed as an id set-difference
+    * (`except` ≙ the reference's Python set subtraction).
+    */
+  def deletionsIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val indexed = SyntheticFs.files(spark, sfDir)
+    val esIds = indexed.select("id")
+    val currentIds = indexed.filter(col("l_orderkey") % 11 =!= 0).select("id")
+    esIds.except(currentIds).orderBy("id")
+  }
+
+  val deletionsIdsSql: String = SyntheticFs.withCtes(
+    """SELECT id FROM (
+      |  SELECT id FROM fs_files
+      |  EXCEPT
+      |  SELECT id FROM fs_files WHERE l_orderkey % 11 <> 0)
+      |ORDER BY id""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // J4 + F3/F11/F15/F16: the ES-document enrichment join                 //
+  // (elasticsearch_integration.py:354-400) — the reference's most        //
+  // complex query plan (SURVEY.md §3.2).                                 //
+  // -------------------------------------------------------------------- //
+
+  def esDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = SyntheticFs.entries(spark, sfDir)
+    val links = SyntheticFs.directLinks(spark, sfDir)
+      .select(col("file_id"), col("direct_link").as("dl"))
+    val sizes = dirRollupExplode(spark, sfDir)
+      .select(col("directory_path"), col("total_size"))
+    e.join(links, col("id") === col("file_id"), "left")
+      .join(sizes, col("filepath") === col("directory_path"), "left")
+      .select(
+        col("relative_path"),
+        col("name"),
+        col("type"),
+        when(col("type") === "directory", coalesce(col("total_size"), lit(0L)))
+          .otherwise(col("size_bytes")).as("size_final"),
+        coalesce(col("dl"), lit("")).as("direct_link"),
+        date_format(col("modified_time"), "yyyy-MM-dd'T'HH:mm:ss")
+          .as("modified_iso"))
+      .withColumn("size_h", SizeFormat.format_size(col("size_final")))
+      .orderBy("relative_path")
+  }
+
+  val esDocsSql: String = SyntheticFs.withCtes(
+    s""", anc AS (
+       |  SELECT unnest(list_transform(
+       |           generate_series(1, len(parts) - 1),
+       |           i -> '/' || array_to_string(parts[1:i], '/'))) AS directory_path,
+       |         size_bytes
+       |  FROM (SELECT string_split(relative_path, '/') AS parts, size_bytes
+       |        FROM fs_entries WHERE type = 'file')),
+       |roll AS (
+       |  SELECT directory_path, CAST(sum(size_bytes) AS BIGINT) AS total_size
+       |  FROM anc GROUP BY directory_path),
+       |docs AS (
+       |  SELECT e.relative_path, e.name, e.type,
+       |    CASE WHEN e.type = 'directory' THEN coalesce(r.total_size, 0)
+       |         ELSE e.size_bytes END AS size_final,
+       |    coalesce(l.direct_link, '') AS direct_link,
+       |    strftime(e.modified_time, '%Y-%m-%dT%H:%M:%S') AS modified_iso
+       |  FROM fs_entries e
+       |  LEFT JOIN fs_links l ON e.id = l.file_id
+       |  LEFT JOIN roll r ON e.filepath = r.directory_path)
+       |SELECT *, ${SizeFormat.duckdbExpr("size_final")} AS size_h
+       |FROM docs ORDER BY relative_path""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // J5 + P8 + W1: stale-links incremental work queue with pagination     //
+  // (direct_links.py:206-233)                                            //
+  // -------------------------------------------------------------------- //
+
+  /** Files whose direct link is missing or older than the file's mtime,
+    * newest first, page 2 (rows 101-200). The global row_number window is
+    * the LIMIT/OFFSET parity shape; at scale pagination would be keyset-
+    * based (`WHERE modified_time < last_seen_ts`), which needs no global
+    * sort.
+    */
+  def staleLinks(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = SyntheticFs.files(spark, sfDir)
+    val links = SyntheticFs.directLinks(spark, sfDir)
+      .select("file_id", "last_updated")
+    val w = Window.orderBy(col("modified_time").desc, col("relative_path"))
+    f.join(links, col("id") === col("file_id"), "left")
+      .filter(col("file_id").isNull || col("last_updated") < col("modified_time"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 100 && col("rn") <= 200)
+      .select(col("relative_path"), col("modified_time"),
+        col("file_id").isNull.as("is_missing"))
+      .orderBy("relative_path")
+  }
+
+  val staleLinksSql: String = SyntheticFs.withCtes(
+    """, pending AS (
+      |  SELECT f.relative_path, f.modified_time, l.file_id,
+      |    row_number() OVER (ORDER BY f.modified_time DESC, f.relative_path) AS rn
+      |  FROM fs_files f
+      |  LEFT JOIN fs_links l ON f.id = l.file_id
+      |  WHERE l.file_id IS NULL OR l.last_updated < f.modified_time)
+      |SELECT relative_path, modified_time, (file_id IS NULL) AS is_missing
+      |FROM pending WHERE rn > 100 AND rn <= 200
+      |ORDER BY relative_path""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_type_counts" -> typeCounts,
+    "fs_total_size" -> totalSize,
+    "fs_ext_histogram" -> extHistogram,
+    "fs_skip_filter" -> skipFilter,
+    "fs_size_format" -> sizeFormatTop,
+    "fs_point_lookup" -> pointLookup,
+    "fs_removed_last_cleanup" -> removedLastCleanup,
+    "fs_distinct_unnest" -> distinctUnnest,
+    "fs_dir_rollup_explode" -> dirRollupExplode,
+    "fs_dir_rollup_theta" -> dirRollupTheta,
+    "fs_merge_upsert" -> mergeUpsert,
+    "fs_merge_replace" -> mergeReplace,
+    "fs_deletions" -> deletions,
+    "fs_deletions_ids" -> deletionsIds,
+    "fs_es_docs" -> esDocs,
+    "fs_stale_links" -> staleLinks)
+
+  def oracleSql: Map[String, String] = Map(
+    "fs_type_counts" -> typeCountsSql,
+    "fs_total_size" -> totalSizeSql,
+    "fs_ext_histogram" -> extHistogramSql,
+    "fs_skip_filter" -> skipFilterSql,
+    "fs_size_format" -> sizeFormatTopSql,
+    "fs_point_lookup" -> pointLookupSql,
+    "fs_removed_last_cleanup" -> removedLastCleanupSql,
+    "fs_distinct_unnest" -> distinctUnnestSql,
+    "fs_dir_rollup_explode" -> dirRollupExplodeSql,
+    "fs_dir_rollup_theta" -> dirRollupThetaSql,
+    "fs_merge_upsert" -> mergeUpsertSql,
+    "fs_merge_replace" -> mergeReplaceSql,
+    "fs_deletions" -> deletionsSql,
+    "fs_deletions_ids" -> deletionsIdsSql,
+    "fs_es_docs" -> esDocsSql,
+    "fs_stale_links" -> staleLinksSql)
+}
