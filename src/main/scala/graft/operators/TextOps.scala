@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data text pipeline over the `documents` table: exact dedup,
+  * token/quality/language statistics, fingerprinting, and near-duplicate
+  * detection (MinHash-LSH, SimHash, blocked n-gram Jaccard).
+  *
+  * Everything is built from codegen'd higher-order functions
+  * (`transform`/`filter`/`aggregate`) — no UDFs — and every hash is
+  * sha2/sha256 so the DuckDB oracle computes bit-identical values.
+  *
+  * Scale notes (100 TB of text):
+  *  - exact dedup is a hash-groupBy: map-side combinable, one shuffle on
+  *    the 256-bit digest (effectively unskewed keys);
+  *  - MinHash-LSH is banded: candidate pairs only ever meet through an
+  *    equi-join on a band key, never an all-pairs product. Band keys are
+  *    uniform hashes → no join skew; signature computation is
+  *    embarrassingly parallel per row;
+  *  - the Jaccard verifier re-joins shingle sets by doc id (here they are
+  *    simply carried — at real scale you'd join back to avoid shuffling
+  *    wide arrays through the band join);
+  *  - blocked n-gram Jaccard bounds the quadratic term to one block
+  *    (`source`), the standard all-pairs-within-partition compromise.
+  */
+object TextOps {
+
+  // Shared expression fragments (Spark SQL / DuckDB SQL mirrors).
+  private val toks = "split(text, ' ')"
+  private val dToks = s"array_distinct($toks)"
+  /** Distinct word-3-gram shingles. */
+  private val shingles =
+    s"""array_distinct(transform(sequence(1, size($toks) - 2),
+       |  i -> array_join(slice($toks, i, 3), ' ')))""".stripMargin
+  private val duckToks = "string_split(text, ' ')"
+  private val duckShingles =
+    s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
+       |  i -> array_to_string($duckToks[i:i+2], ' ')))""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Exact deduplication: sha2 over a normalized key, keep min doc_id.    //
+  // Normalization = first-8-token prefix (simulates boilerplate dups in  //
+  // the synthetic corpus, which has no full-text duplicates).            //
+  // -------------------------------------------------------------------- //
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("text_hash",
+        sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("text_hash")
+
+  val dedupExactSql: String =
+    s"""SELECT sha256(array_to_string($duckToks[1:8], ' ')) AS text_hash,
+       |  min(doc_id) AS keep_id, count(*) AS dup_count
+       |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Token statistics (token counting for a BPE-ish budget estimate).     //
+  // -------------------------------------------------------------------- //
+
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        expr(s"aggregate(transform($toks, t -> length(t)), 0, (a, x) -> a + x)")
+          .as("token_chars"))
+      .withColumn("avg_token_len",
+        round(col("token_chars").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  len($duckToks) AS n_tokens,
+       |  length(text) AS n_chars_calc,
+       |  CAST(list_sum(list_transform($duckToks, t -> length(t))) AS INT) AS token_chars,
+       |  round(CAST(list_sum(list_transform($duckToks, t -> length(t))) AS DOUBLE)
+       |        / len($duckToks), 4) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Quality scoring: stopword ratio + length saturation.                 //
+  // -------------------------------------------------------------------- //
+
+  private val stopList = "'the','a','of','to','and','in','is','on','for','with'"
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")) +
+          lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 4))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id, n_tokens, n_stop,
+       |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |  round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+       |      + 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 4) AS quality
+       |FROM (SELECT doc_id, len($duckToks) AS n_tokens,
+       |        len(list_filter($duckToks, t -> t IN ($stopList))) AS n_stop
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Language ID: marker-word hit counts + argmax (n-gram-free heuristic; //
+  // deterministic and oracle-able, unlike a model-based LID).            //
+  // -------------------------------------------------------------------- //
+
+  private val enM = "'the','and','of','is','in','to','a'"
+  private val frM = "'le','la','et','les','des','une'"
+  private val deM = "'der','die','und','das','ist','nicht'"
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"size(filter($toks, t -> t IN ($enM)))").as("en_hits"),
+        expr(s"size(filter($toks, t -> t IN ($frM)))").as("fr_hits"),
+        expr(s"size(filter($toks, t -> t IN ($deM)))").as("de_hits"))
+      .withColumn("pred",
+        when(col("en_hits") >= col("fr_hits") &&
+          col("en_hits") >= col("de_hits"), lit("en"))
+          .when(col("fr_hits") >= col("de_hits"), lit("fr"))
+          .otherwise(lit("de")))
+      .orderBy("doc_id")
+
+  val langIdSql: String =
+    s"""SELECT doc_id, en_hits, fr_hits, de_hits,
+       |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+       |       WHEN fr_hits >= de_hits THEN 'fr'
+       |       ELSE 'de' END AS pred
+       |FROM (SELECT doc_id,
+       |        len(list_filter($duckToks, t -> t IN ($enM))) AS en_hits,
+       |        len(list_filter($duckToks, t -> t IN ($frM))) AS fr_hits,
+       |        len(list_filter($duckToks, t -> t IN ($deM))) AS de_hits
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Document fingerprint: digest of the sorted distinct shingle set      //
+  // (content-defined identity that survives token reordering).           //
+  // -------------------------------------------------------------------- //
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        sha2(expr(s"array_join(array_sort($shingles), '|')"), 256)
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  sha256(array_to_string(list_sort($duckShingles), '|')) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // MinHash-LSH near-duplicate pairs: 12 seeded sha2 min-hashes over     //
+  // 3-gram shingles, 4 bands × 3 rows, candidate pairs via band-key      //
+  // equi-join, verified with exact Jaccard ≥ 0.3. Min-hash values are    //
+  // fixed-width hex prefixes compared lexicographically — a valid        //
+  // uniform hash family that both engines order identically.            //
+  // -------------------------------------------------------------------- //
+
+  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(shingles).as("sh"))
+    val sigs = sh.withColumn("sig", expr(
+      """transform(sequence(0, 11),
+        |  s -> array_min(transform(sh,
+        |         v -> substring(sha2(concat(cast(s AS string), ':', v), 256), 1, 12))))""".stripMargin))
+    val bands = sigs.select(col("doc_id"), col("sh"), explode(expr(
+      """transform(sequence(0, 3),
+        |  b -> concat(cast(b AS string), ':', element_at(sig, b*3 + 1),
+        |              element_at(sig, b*3 + 2), element_at(sig, b*3 + 3)))""".stripMargin))
+      .as("band_key"))
+    val a = bands.select(col("band_key"), col("doc_id").as("a_id"),
+      col("sh").as("a_sh"))
+    val b = bands.select(col("band_key"), col("doc_id").as("b_id"),
+      col("sh").as("b_sh"))
+    a.join(b, Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("jac", round(
+        expr("size(array_intersect(a_sh, b_sh))").cast("double") /
+          expr("size(array_union(a_sh, b_sh))"), 4))
+      .filter(col("jac") >= 0.3)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  val minhashNearDupSql: String =
+    s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, s,
+       |    list_transform(generate_series(0, 11),
+       |      sd -> list_min(list_transform(s,
+       |              v -> substr(sha256(sd || ':' || v), 1, 12)))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, s,
+       |    unnest(list_transform(generate_series(0, 3),
+       |      b -> b || ':' || sig[b*3 + 1] || sig[b*3 + 2] || sig[b*3 + 3])) AS band_key
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(x.s, y.s))), 4) AS jac
+       |  FROM cand
+       |  JOIN sh x ON x.doc_id = a_id
+       |  JOIN sh y ON y.doc_id = b_id)
+       |SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // SimHash: 16-bit fingerprint — per-bit majority vote over sha2 bits   //
+  // of the distinct token set. Integer arithmetic end-to-end.            //
+  // -------------------------------------------------------------------- //
+
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(0, 15), 0, (acc, j) -> acc +
+           |  CASE WHEN aggregate($dToks, 0, (a2, t) -> a2 +
+           |    (2 * (shiftright(instr('0123456789abcdef',
+           |       substring(sha2(t, 256), (j div 4) + 1, 1)) - 1, j % 4) % 2) - 1)) > 0
+           |  THEN shiftleft(1, j) ELSE 0 END)""".stripMargin).as("simhash"))
+      .orderBy("doc_id")
+
+  val simhashSql: String =
+    s"""SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(0, 15), j ->
+       |    CASE WHEN list_sum(list_transform(list_distinct($duckToks), t ->
+       |      2 * (((strpos('0123456789abcdef',
+       |         substr(sha256(t), (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1) - 1)) > 0
+       |    THEN 1 << j ELSE 0 END)) AS INT) AS simhash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Blocked n-gram (1-gram) Jaccard: all pairs within a `source` block.  //
+  // -------------------------------------------------------------------- //
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), expr(dToks).as("s"))
+    val a = t.select(col("source"), col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = t.select(col("source"), col("doc_id").as("b_id"), col("s").as("b_s"))
+    a.join(b, Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jac", round(
+        expr("size(array_intersect(a_s, b_s))").cast("double") /
+          expr("size(array_union(a_s, b_s))"), 4))
+      .filter(col("jac") >= 0.6)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, source, list_distinct($duckToks) AS s
+       |           FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+       |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_dedup_exact" -> dedupExact,
+    "docs_token_stats" -> tokenStats,
+    "docs_quality" -> qualityScore,
+    "docs_lang_id" -> langId,
+    "docs_fingerprint" -> fingerprint,
+    "docs_minhash_neardup" -> minhashNearDup,
+    "docs_simhash" -> simhash,
+    "docs_ngram_jaccard" -> ngramJaccard)
+
+  def oracleSql: Map[String, String] = Map(
+    "docs_dedup_exact" -> dedupExactSql,
+    "docs_token_stats" -> tokenStatsSql,
+    "docs_quality" -> qualityScoreSql,
+    "docs_lang_id" -> langIdSql,
+    "docs_fingerprint" -> fingerprintSql,
+    "docs_minhash_neardup" -> minhashNearDupSql,
+    "docs_simhash" -> simhashSql,
+    "docs_ngram_jaccard" -> ngramJaccardSql)
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Two paths, per the standard ANN ladder:
+  *  - [[topkBrute]]: exact brute-force cosine top-k — one streaming pass,
+  *    O(N·d) multiply-adds, the query vector broadcast; the correct
+  *    baseline and the recall oracle for any approximate variant.
+  *  - [[topkBucketed]]: sign-quantized bucket pruning (an IVF/LSH-shaped
+  *    coarse quantizer over the leading dimensions, deterministic so the
+  *    DuckDB oracle can mirror it). Only the query's bucket is scanned —
+  *    at 100 TB the bucket id is the partition key, so pruning happens at
+  *    the parquet-partition level and non-matching files are never read.
+  *
+  * All arithmetic is double-precision with a fixed left-to-right fold so
+  * Spark and DuckDB produce bit-identical sums (no UDF, codegen'd
+  * higher-order functions only).
+  */
+object VectorOps {
+
+  /** Left-fold dot product of two float-array columns, in double. */
+  private def dot(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with(cast($a AS array<double>), cast($b AS array<double>),
+       |  (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)""".stripMargin)
+
+  private def duckDot(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+
+  private def cosine: Column =
+    round(dot("embedding", "qe") /
+      (sqrt(dot("embedding", "embedding")) * sqrt(dot("qe", "qe"))), 4)
+
+  private val duckCosine: String =
+    s"""round(${duckDot("embedding", "qe")} /
+       |  (sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("qe", "qe")})), 4)""".stripMargin
+
+  /** Exact cosine top-k for the query vector (vec_id = 0). */
+  def topkBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cosine.as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val topkBruteSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label, $duckCosine AS cos_sim
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Sign bucket over the three leading dimensions (deterministic coarse
+    * quantizer: 8 cells).
+    */
+  private def bucket(c: String): Column = expr(
+    s"""(CASE WHEN element_at($c, 1) > 0 THEN 4 ELSE 0 END) +
+       |(CASE WHEN element_at($c, 2) > 0 THEN 2 ELSE 0 END) +
+       |(CASE WHEN element_at($c, 3) > 0 THEN 1 ELSE 0 END)""".stripMargin)
+
+  private def duckBucket(c: String): String =
+    s"""((CASE WHEN $c[1] > 0 THEN 4 ELSE 0 END) +
+       |(CASE WHEN $c[2] > 0 THEN 2 ELSE 0 END) +
+       |(CASE WHEN $c[3] > 0 THEN 1 ELSE 0 END))""".stripMargin
+
+  /** Approximate top-k: scan only the query's sign-bucket. */
+  def topkBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), bucket("embedding").as("qbkt"))
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("bkt", bucket("embedding"))
+      .join(broadcast(q), col("bkt") === col("qbkt"))
+      .select(col("vec_id"), col("label"), cosine.as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val topkBucketedSql: String =
+    s"""WITH q AS (SELECT embedding AS qe, ${duckBucket("embedding")} AS qbkt
+       |           FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label, $duckCosine AS cos_sim
+       |FROM embeddings, q
+       |WHERE vec_id <> 0 AND ${duckBucket("embedding")} = qbkt
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_brute" -> topkBrute,
+    "ann_topk_bucketed" -> topkBucketed)
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_topk_brute" -> topkBruteSql,
+    "ann_topk_bucketed" -> topkBucketedSql)
+}
