@@ -1,24 +1,81 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+
+/** Benchmark main: runs the headline queries on `$SPARK_GRAFT_SF_DIR`,
+  * prints ONE JSON line (and mirrors it to `target/bench.json`).
+  *
+  * Methodology (round-1 verdict fixes): each query is fully materialized
+  * by aggregating a 64-bit hash of every output column (so no projection
+  * can be dead-code-eliminated, unlike `.count()`), run once for warmup
+  * (codegen + shuffle-file effects) and once timed; the timed run's
+  * seconds are reported.
+  */
 object Bench {
+
+  /** Representative slice: relational aggs/joins, the flagship rollup +
+    * merge + enrichment, dedup/near-dup, ANN, and event windows.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "fs_dir_rollup_explode", "fs_merge_upsert", "fs_es_docs",
+    "fs_deletions", "fs_stale_links",
+    "docs_dedup_exact", "docs_minhash_neardup",
+    "ann_topk_brute", "events_hourly_window")
+
+  /** Force full evaluation; returns a checksum so results can't be
+    * skipped and runs can be compared across rounds.
+    */
+  private def checksum(df: DataFrame): Long = {
+    // XOR-fold (order-independent, can't overflow under ANSI arithmetic).
+    val row = df
+      .select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
+      val fn = qs(name)
+      val r = try {
+        checksum(fn(spark, sfDir)) // warmup: codegen, broadcast, shuffle
+        val t0 = System.nanoTime()
+        val chk = checksum(fn(spark, sfDir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        Right((sec, chk))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Left(e)
+      }
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (n, Right((s, _))) => n -> s }
+    val qJson = ok.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failed = results.collect { case (n, Left(_)) => s""""$n"""" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"sf":"$sfDir"}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -24,6 +24,24 @@ object SyntheticFs {
   val lastSeen = "TIMESTAMP '2026-08-01 00:00:00'"
   val dirMtime = "TIMESTAMP '2025-01-01 00:00:00'"
 
+  /** The synthetic fs is the *input* table of every fs operator (the
+    * reference reads its `files` table from DuckDB storage, it does not
+    * re-derive it per query). Persist the derived frames once per
+    * (session, sfDir) so benchmarks measure the operator, not the
+    * fixture's 4-way derivation join, and multi-use plans (e.g. es_docs =
+    * entries ⋈ links ⋈ rollup(entries)) scan the input once.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cachedDf(key: String, spark: SparkSession)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((spark, key), {
+      val df = build
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
   /** File rows (one per lineitem). Hidden-file and skip-pattern variants
     * are carved out by key arithmetic so filters have targets:
     * orderkey%97==0 → dot-prefixed name; partkey%89==0 → `.tmp` extension.
@@ -32,7 +50,10 @@ object SyntheticFs {
     * the parser's year-inference path P2); the rest keep their 1990s
     * shipdate ("old" rows: `MMM d YYYY` format).
     */
-  def files(spark: SparkSession, sfDir: String): DataFrame = {
+  def files(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDf(s"files@$sfDir", spark) { filesUncached(spark, sfDir) }
+
+  private def filesUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
     val ord = Tables(spark, sfDir, "orders")
     val cust = Tables(spark, sfDir, "customer")
@@ -110,8 +131,10 @@ object SyntheticFs {
 
   /** files ∪ dirs with the canonical FsEntry column set. */
   def entries(spark: SparkSession, sfDir: String): DataFrame =
-    files(spark, sfDir).select(FsEntry.columns.map(col): _*)
-      .union(dirs(spark, sfDir))
+    cachedDf(s"entries@$sfDir", spark) {
+      files(spark, sfDir).select(FsEntry.columns.map(col): _*)
+        .union(dirs(spark, sfDir))
+    }
 
   /** Synthetic direct_links table (FIXTURES.md §A2): one link per order
     * (linenumber 1) for every third order; every sixth order's link is

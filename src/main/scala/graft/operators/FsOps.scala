@@ -193,14 +193,23 @@ object FsOps {
     * equi-join — O(files × depth) work, hash-partitioned on the prefix,
     * no theta join anywhere. This is the 100 TB plan: the explode factor
     * is bounded by tree depth and the groupBy is map-side combinable.
+    *
+    * The ancestor at depth k is `substring_index(filepath, '/', k+1)`
+    * (leading '/' makes field 1 empty), so the whole chain is
+    * `explode(sequence(...))` + substring_index — plain codegen'd
+    * expressions, no array higher-order functions (which fall out of
+    * whole-stage codegen and cost ~3× on the hot path).
     */
   def dirRollupExplode(spark: SparkSession, sfDir: String): DataFrame = {
     val e = SyntheticFs.entries(spark, sfDir)
-    val ancestors = expr(
-      """transform(sequence(1, size(split(substring(filepath, 2), '/')) - 1),
-        |  i -> concat('/', array_join(slice(split(substring(filepath, 2), '/'), 1, i), '/')))""".stripMargin)
+    val depth = length(col("filepath")) -
+      length(regexp_replace(col("filepath"), "/", ""))
     val perDir = e.filter(col("type") === "file")
-      .select(explode(ancestors).as("directory_path"), col("size_bytes"))
+      .select(col("filepath"), col("size_bytes"), depth.as("d"))
+      .select(explode(expr("sequence(2, d)")).as("k"), col("filepath"),
+        col("size_bytes"))
+      .select(expr("substring_index(filepath, '/', k)")
+        .as("directory_path"), col("size_bytes"))
       .groupBy("directory_path")
       .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
     e.filter(col("type") === "directory")
