@@ -29,13 +29,17 @@ object FindLsParser {
     * 11+ are rejoined).
     */
   def parse(lines: DataFrame, now: Column): DataFrame = {
+    // try_element_at: malformed short lines yield nulls (dropped at the
+    // end) instead of ANSI index errors.
     val toks = split(trim(col("line")), "\\s+")
-    val perms = element_at(toks, 3)
-    val sizeTok = element_at(toks, 7)
-    val mon = element_at(toks, 8)
-    val day = element_at(toks, 9)
-    val timeOrYear = element_at(toks, 10)
-    val path = array_join(slice(toks, 11, Int.MaxValue), " ")
+    val perms = try_element_at(toks, lit(3))
+    val sizeTok = try_element_at(toks, lit(7))
+    val mon = try_element_at(toks, lit(8))
+    val day = try_element_at(toks, lit(9))
+    val timeOrYear = try_element_at(toks, lit(10))
+    // finite length: slice's start+length arithmetic overflows with
+    // Int.MaxValue, silently yielding an empty array for 12+-token lines
+    val path = array_join(slice(toks, 11, 1 << 20), " ")
 
     // P2: two formats. Recent lines carry HH:MM; try current year first,
     // roll back one year if the result is in the future.

@@ -305,16 +305,10 @@ object FsOps {
   private def mergeWith(spark: SparkSession, sfDir: String,
       batchWinsTies: Boolean): DataFrame = {
     val existing = SyntheticFs.files(spark, sfDir)
-      .select(col("relative_path"), col("size_bytes"), col("modified_time"))
-      .withColumn("tag", lit(0))
-    val batch = rescanBatch(spark, sfDir).withColumn("tag", lit(1))
-    val tieOrder = if (batchWinsTies) col("tag").desc else col("tag").asc
-    val w = Window.partitionBy("relative_path")
-      .orderBy(col("modified_time").desc, tieOrder)
-    existing.unionByName(batch)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
       .select("relative_path", "size_bytes", "modified_time")
+    val batch = rescanBatch(spark, sfDir)
+    Merge.merge(existing, batch, "relative_path", "modified_time",
+        batchWinsTies)
       .orderBy("relative_path")
   }
 

@@ -1,0 +1,84 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Merge
+
+/** S9: the index store — the reference's embedded-DuckDB `files` table
+  * (database/db_duckdb.py:104-268) re-expressed as snapshot-versioned
+  * Parquet with an atomically-swapped pointer file.
+  *
+  * Plain Parquet has no ACID upsert, so each merge writes a NEW snapshot
+  * directory and then swaps `CURRENT` via an atomic rename — readers
+  * always see a complete snapshot (SURVEY.md §7.4 risk 1; matches the
+  * reference's effectively-full-rescan model). Old snapshots are pruned
+  * on swap, keeping the latest `keep`.
+  *
+  * Scale notes: a snapshot write is a normal distributed Parquet write
+  * (partitionable by e.g. first path segment); the merge is [[Merge]]'s
+  * single key shuffle; nothing is collected to the driver.
+  */
+final class ParquetIndex(root: String, keep: Int = 2) {
+
+  private val pointer = Paths.get(root, "CURRENT")
+
+  def currentId: Option[String] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+  def read(spark: SparkSession): Option[DataFrame] =
+    currentId.map(id => spark.read.parquet(s"$root/snap-$id"))
+
+  /** Write `df` as the new current snapshot; returns the snapshot id. */
+  def write(df: DataFrame): String = {
+    val id = java.util.UUID.randomUUID().toString.take(8) +
+      "-" + System.currentTimeMillis()
+    df.write.mode("overwrite").parquet(s"$root/snap-$id")
+    val tmp = Paths.get(root, s".CURRENT.tmp-$id")
+    Files.writeString(tmp, id)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    prune(id)
+    id
+  }
+
+  /** J1/J2: merge a scan batch into the current snapshot. */
+  def upsert(spark: SparkSession, batch: DataFrame, keyCol: String,
+      tsCol: String, batchWinsTies: Boolean = false): String =
+    read(spark) match {
+      case None => write(batch)
+      case Some(cur) =>
+        write(Merge.merge(cur, batch, keyCol, tsCol, batchWinsTies))
+    }
+
+  /** J6/ST3: drop rows whose key vanished from the current scan; returns
+    * the new snapshot id (left_semi keeps only still-present keys).
+    */
+  def reconcile(spark: SparkSession, scanKeys: DataFrame,
+      keyCol: String): Option[String] =
+    read(spark).map { cur =>
+      write(cur.join(scanKeys.select(keyCol).distinct(), Seq(keyCol),
+        "left_semi"))
+    }
+
+  private def prune(latest: String): Unit = {
+    val dir = Paths.get(root)
+    val snaps = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snap-"))
+      .toSeq
+      .sortBy(p => p.getFileName.toString.split("-").last.toLongOption
+        .getOrElse(0L))
+    snaps.dropRight(keep).foreach { p =>
+      if (p.getFileName.toString != s"snap-$latest") deleteRec(p)
+    }
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRec)
+    Files.deleteIfExists(p): Unit
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sinks.ParquetIndex
+
+/** Structured-Streaming formulations of the reference's incremental
+  * behaviors (SURVEY.md §2.8):
+  *
+  *  - ST1/ST2: the producer-thread + bounded-queue + 100k-row batch
+  *    triggers (scanner.py:312-320, 364-403) become a streaming source
+  *    consumed in micro-batches; backpressure is Spark's own.
+  *  - ST3: snapshot reconciliation stays a batch anti-join between scans
+  *    ([[ParquetIndex.reconcile]]); [[indexContinuously]] shows the
+  *    foreachBatch path that lands each micro-batch through the same J1
+  *    merge the batch pipeline uses.
+  *  - Event-time windows + watermark (engine capability beyond the
+  *    reference's surface): [[hourlyCounts]].
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour counts with a 2-hour watermark (late data beyond
+    * the watermark is dropped; state is bounded).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+
+  /** ST2: continuous indexing — each micro-batch of scan entries is
+    * merged (J1) into the Parquet snapshot index.
+    */
+  def indexContinuously(
+      entries: DataFrame,
+      index: ParquetIndex,
+      keyCol: String,
+      tsCol: String,
+      checkpointDir: String): StreamingQuery =
+    entries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        index.upsert(batch.sparkSession, batch, keyCol, tsCol): Unit
+      }
+      .start()
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+
+/** J1/J2 merge semantics (scanner.py:225-244 conditional update;
+  * db_duckdb.py:242-245 INSERT OR REPLACE) + idempotence.
+  */
+class MergeSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def df(rows: (String, Long, Timestamp)*) = {
+    import spark.implicits._
+    rows.toDF("key", "size", "mtime")
+  }
+
+  private val existing = df(
+    ("k1", 10L, ts("2020-01-01 00:00:00")),
+    ("k2", 20L, ts("2020-01-02 00:00:00")))
+
+  private val batch = df(
+    ("k1", 11L, ts("2021-06-01 00:00:00")), // strictly newer → wins
+    ("k2", 99L, ts("2020-01-02 00:00:00")), // same mtime, new size
+    ("k3", 30L, ts("2022-01-01 00:00:00"))) // brand new → inserted
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getTimestamp(2))).toSet
+
+  test("J1 conditional merge: existing row survives an mtime tie") {
+    val out = rows(Merge.merge(existing, batch, "key", "mtime",
+      batchWinsTies = false))
+    assert(out == Set(
+      ("k1", 11L, ts("2021-06-01 00:00:00")),
+      ("k2", 20L, ts("2020-01-02 00:00:00")),
+      ("k3", 30L, ts("2022-01-01 00:00:00"))))
+  }
+
+  test("J2 last-writer-wins: batch row replaces on tie") {
+    val out = rows(Merge.merge(existing, batch, "key", "mtime",
+      batchWinsTies = true))
+    assert(out(("k2", 99L, ts("2020-01-02 00:00:00"))))
+  }
+
+  test("merge is idempotent: re-applying the same batch changes nothing") {
+    val once = Merge.merge(existing, batch, "key", "mtime", false)
+    val twice = Merge.merge(once, batch, "key", "mtime", false)
+    assert(rows(once) == rows(twice))
+  }
+
+  test("schema mismatch is rejected") {
+    import spark.implicits._
+    val bad = Seq(("k1", 1L)).toDF("key", "size")
+    assertThrows[IllegalArgumentException] {
+      Merge.merge(existing, bad, "key", "mtime", false)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sinks
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+
+/** Snapshot store round-trip: write → upsert (J1) → reconcile (J6) →
+  * pointer swap + pruning (db_duckdb.py behavior re-expressed on
+  * immutable Parquet).
+  */
+class ParquetIndexSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def df(rows: (String, Long, Timestamp)*) = {
+    import spark.implicits._
+    rows.toDF("key", "size", "mtime")
+  }
+
+  test("write → upsert → reconcile round-trip") {
+    val root = Files.createTempDirectory("pidx").toString
+    val idx = new ParquetIndex(root)
+    assert(idx.read(spark).isEmpty)
+
+    idx.write(df(
+      ("k1", 1L, ts("2020-01-01 00:00:00")),
+      ("k2", 2L, ts("2020-01-02 00:00:00"))))
+    assert(idx.read(spark).get.count() == 2)
+
+    // J1: k2 comes back newer, k3 is new, k1 untouched
+    idx.upsert(spark, df(
+      ("k2", 22L, ts("2021-01-01 00:00:00")),
+      ("k3", 3L, ts("2021-01-01 00:00:00"))), "key", "mtime")
+    val afterUpsert = idx.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(afterUpsert == Set(("k1", 1L), ("k2", 22L), ("k3", 3L)))
+
+    // J6: k1 vanished from the scan
+    idx.reconcile(spark, df(
+      ("k2", 0L, ts("2021-01-01 00:00:00")),
+      ("k3", 0L, ts("2021-01-01 00:00:00"))), "key")
+    val afterRec = idx.read(spark).get.collect()
+      .map(_.getString(0)).toSet
+    assert(afterRec == Set("k2", "k3"))
+  }
+
+  test("pointer always names a complete snapshot; old snaps pruned") {
+    val root = Files.createTempDirectory("pidx2").toString
+    val idx = new ParquetIndex(root, keep = 2)
+    val id1 = idx.write(df(("a", 1L, ts("2020-01-01 00:00:00"))))
+    val id2 = idx.write(df(("b", 2L, ts("2020-01-01 00:00:00"))))
+    val id3 = idx.write(df(("c", 3L, ts("2020-01-01 00:00:00"))))
+    assert(idx.currentId.contains(id3))
+    val snaps = new java.io.File(root).list().filter(_.startsWith("snap-"))
+    assert(snaps.toSet == Set(s"snap-$id2", s"snap-$id3"))
+    assert(id1 != id2)
+  }
+}

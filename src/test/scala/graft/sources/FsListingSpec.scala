@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpecBase
+
+/** Listing-source behavior per the reference's scanner contract
+  * (tests/scanner/test_parallel_scanner.py:49-99): skip-pattern
+  * exclusion, hidden-file filtering, field contract, subtree pruning.
+  */
+class FsListingSpec extends SparkSpecBase {
+
+  private def mkTree(): Path = {
+    val root = Files.createTempDirectory("fslisting")
+    Files.createDirectories(root.resolve("a"))
+    Files.createDirectories(root.resolve("b/c"))
+    Files.createDirectories(root.resolve(".git"))
+    Files.createDirectories(root.resolve("node_modules/pkg"))
+    Files.writeString(root.resolve("a/f1.txt"), "hello")
+    Files.writeString(root.resolve("a/.hidden.txt"), "shh")
+    Files.writeString(root.resolve(".git/config"), "x")
+    Files.writeString(root.resolve("node_modules/pkg/x.js"), "x")
+    Files.writeString(root.resolve("b/c/f2.tmp"), "tmp")
+    Files.writeString(root.resolve("b/f3.log"), "log")
+    root
+  }
+
+  test("skip patterns and hidden files are pruned during the walk") {
+    val root = mkTree()
+    val got = FsListing.list(spark, root.toString,
+        skipPatterns = Seq(".git", "node_modules", "*.tmp"))
+      .collect()
+      .map(r => (r.getAs[String]("filepath"), r.getAs[String]("entry_type")))
+      .toSet
+    assert(got == Set(
+      ("/a", "directory"), ("/b", "directory"), ("/b/c", "directory"),
+      ("/a/f1.txt", "file"), ("/b/f3.log", "file")))
+  }
+
+  test("includeHidden surfaces dot entries") {
+    val root = mkTree()
+    val got = FsListing.list(spark, root.toString, includeHidden = true)
+      .collect().map(_.getAs[String]("filepath")).toSet
+    assert(got.contains("/a/.hidden.txt"))
+    assert(got.contains("/.git/config"))
+  }
+
+  test("field contract: sizes, depth, names") {
+    val root = mkTree()
+    val rows = FsListing.list(spark, root.toString).collect()
+      .map(r => r.getAs[String]("filepath") ->
+        ((r.getAs[String]("name"), r.getAs[Long]("size_bytes"),
+          r.getAs[Int]("depth"))))
+      .toMap
+    assert(rows("/a/f1.txt") == (("f1.txt", 5L, 2)))
+    assert(rows("/b/c") == (("c", 0L, 2)))
+    assert(rows("/b/c/f2.tmp") == (("f2.tmp", 3L, 3)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpecBase
+import graft.sinks.ParquetIndex
+
+case class Ev(ts: Timestamp, event_type: String)
+case class Entry(key: String, size: Long, mtime: Timestamp)
+
+/** ST1/ST2 micro-batch semantics: windowed event-time aggregation with a
+  * watermark, and continuous indexing through the same J1 merge the
+  * batch pipeline uses (foreachBatch ≙ the reference's 100k-row batch
+  * flushes, main.py:273-295).
+  */
+class EventsStreamSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly windowed counts emit once the watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventsStream.hourlyCounts(ms.toDF())
+      .writeStream.format("memory").queryName("hc")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 00:05:00"), "click"),
+        Ev(ts("2024-01-01 00:40:00"), "click"),
+        Ev(ts("2024-01-01 00:59:00"), "view"))
+      q.processAllAvailable()
+      // watermark hasn't passed hour-0's end yet → nothing emitted
+      assert(spark.table("hc").count() == 0)
+      // an event 3h later pushes the watermark (2h) past hour-0
+      ms.addData(Ev(ts("2024-01-01 03:30:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("hc").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (ts("2024-01-01 00:00:00"), "click", 2L),
+        (ts("2024-01-01 00:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("continuous indexing merges each micro-batch into the snapshot") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("stream-idx").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val idx = new ParquetIndex(root)
+    val ms = MemoryStream[Entry]
+    val q = EventsStream.indexContinuously(ms.toDF(), idx, "key", "mtime",
+      ckpt)
+    try {
+      ms.addData(Entry("k1", 1L, ts("2020-01-01 00:00:00")),
+        Entry("k2", 2L, ts("2020-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(idx.read(spark).get.count() == 2)
+      ms.addData(Entry("k2", 22L, ts("2021-01-01 00:00:00")),
+        Entry("k3", 3L, ts("2021-01-01 00:00:00")))
+      q.processAllAvailable()
+      val got = idx.read(spark).get.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("k1", 1L), ("k2", 22L), ("k3", 3L)))
+    } finally q.stop()
+  }
+}
