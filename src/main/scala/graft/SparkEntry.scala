@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ FsOps.queries ++ EventsOps.queries ++
-      TextOps.queries ++ VectorOps.queries ++ IngestOps.queries
+      TextOps.queries ++ VectorOps.queries ++ IngestOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ FsOps.oracleSql ++ EventsOps.oracleSql ++
-      TextOps.oracleSql ++ VectorOps.oracleSql ++ IngestOps.oracleSql
+      TextOps.oracleSql ++ VectorOps.oracleSql ++ IngestOps.oracleSql ++
+      MultimodalOps.oracleSql
 }

@@ -465,6 +465,67 @@ object FsOps {
       |ORDER BY relative_path""".stripMargin)
 
   // -------------------------------------------------------------------- //
+  // A6/F17: DISTINCT link projection (elasticsearch_integration.py:      //
+  // 475-482) — the pre-enrichment link dedup.                            //
+  // -------------------------------------------------------------------- //
+
+  def linksDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.directLinks(spark, sfDir)
+      .filter(col("file_id").isNotNull)
+      .select("file_id", "direct_link", "link_type")
+      .distinct()
+      .orderBy("file_id")
+
+  val linksDistinctSql: String = SyntheticFs.withCtes(
+    """SELECT DISTINCT file_id, direct_link, link_type
+      |FROM fs_links WHERE file_id IS NOT NULL
+      |ORDER BY file_id""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // F1/F2: both id dialects — sha256(relative_path) and the composite    //
+  // sha256(path:size:mtime) (scanner.py:99-108, 288-290).                //
+  // -------------------------------------------------------------------- //
+
+  def compositeIds(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.files(spark, sfDir)
+      .select(
+        col("relative_path"),
+        sha2(col("relative_path"), 256).as("id_path"),
+        sha2(concat_ws(":", col("relative_path"),
+          col("size_bytes").cast("string"),
+          unix_timestamp(col("modified_time")).cast("string")), 256)
+          .as("id_composite"))
+      .orderBy("relative_path")
+      .limit(1000)
+
+  val compositeIdsSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path,
+      |  sha256(relative_path) AS id_path,
+      |  sha256(relative_path || ':' || CAST(size_bytes AS VARCHAR) || ':'
+      |    || CAST(epoch_ms(modified_time) // 1000 AS VARCHAR)) AS id_composite
+      |FROM fs_files ORDER BY relative_path LIMIT 1000""".stripMargin)
+
+  // -------------------------------------------------------------------- //
+  // P8/F13: link-cache staleness window (direct_links.py:117-122 —       //
+  // `last_updated > now - INTERVAL 1 HOUR`), with a fixed `now` so both  //
+  // engines agree.                                                       //
+  // -------------------------------------------------------------------- //
+
+  def linkCacheFresh(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.directLinks(spark, sfDir)
+      .filter(col("last_updated") >
+        expr(s"${SyntheticFs.lastSeen} - INTERVAL 1 HOUR"))
+      .groupBy("link_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("link_type")
+
+  val linkCacheFreshSql: String = SyntheticFs.withCtes(
+    s"""SELECT link_type, count(*) AS n
+       |FROM fs_links
+       |WHERE last_updated > ${SyntheticFs.lastSeen} - INTERVAL 1 HOUR
+       |GROUP BY link_type ORDER BY link_type""".stripMargin)
+
+  // -------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_type_counts" -> typeCounts,
@@ -482,7 +543,10 @@ object FsOps {
     "fs_deletions" -> deletions,
     "fs_deletions_ids" -> deletionsIds,
     "fs_es_docs" -> esDocs,
-    "fs_stale_links" -> staleLinks)
+    "fs_stale_links" -> staleLinks,
+    "fs_links_distinct" -> linksDistinct,
+    "fs_composite_ids" -> compositeIds,
+    "fs_link_cache_fresh" -> linkCacheFresh)
 
   def oracleSql: Map[String, String] = Map(
     "fs_type_counts" -> typeCountsSql,
@@ -500,5 +564,8 @@ object FsOps {
     "fs_deletions" -> deletionsSql,
     "fs_deletions_ids" -> deletionsIdsSql,
     "fs_es_docs" -> esDocsSql,
-    "fs_stale_links" -> staleLinksSql)
+    "fs_stale_links" -> staleLinksSql,
+    "fs_links_distinct" -> linksDistinctSql,
+    "fs_composite_ids" -> compositeIdsSql,
+    "fs_link_cache_fresh" -> linkCacheFreshSql)
 }

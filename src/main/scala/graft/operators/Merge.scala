@@ -28,10 +28,10 @@ object Merge {
       tsCol: String,
       batchWinsTies: Boolean): DataFrame = {
     val cols = existing.columns.toSeq
-    require(batch.columns.toSeq == cols,
-      s"schema mismatch: ${cols} vs ${batch.columns.toSeq}")
+    require(batch.columns.toSet == cols.toSet,
+      s"schema mismatch: ${cols.sorted} vs ${batch.columns.toSeq.sorted}")
     val tagged = existing.withColumn("__tag", lit(0))
-      .unionByName(batch.withColumn("__tag", lit(1)))
+      .unionByName(batch.select(cols.map(col): _*).withColumn("__tag", lit(1)))
     val tieOrder = if (batchWinsTies) col("__tag").desc else col("__tag").asc
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, tieOrder)
     tagged

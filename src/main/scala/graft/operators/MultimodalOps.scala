@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample plumbing.
+  *
+  * The actual media decode is STUBBED (this container ships no imaging
+  * libraries): [[decodeMetaStub]] derives a deterministic fake
+  * width/height/codec from the leading bytes, standing in for a real
+  * header parse. Everything around the stub — the binary column, the
+  * metadata struct schema, stride-based frame sampling, per-blob digests
+  * and byte statistics — is real, distributed, codegen'd Spark.
+  *
+  * Scale notes: blobs never leave the executor (digest/stats reduce to
+  * scalars per row); frame sampling is a per-row `transform`, no
+  * shuffle; a real pipeline would partition by content-defined buckets
+  * of the digest so downstream dedup joins are balanced.
+  */
+object MultimodalOps {
+
+  /** Deterministic stand-in for an image-header parse: real decode would
+    * go through an imaging library here (unavailable in this
+    * environment); the schema and call shape are what a swap-in needs.
+    */
+  def decodeMetaStub(bin: Column): Column = struct(
+    (pmod(crc32(bin), lit(1920)) + 1).cast("int").as("width"),
+    (pmod(crc32(bin) * 7, lit(1080)) + 1).cast("int").as("height"),
+    when(octet_length(bin) % 2 === 0, "rgb8").otherwise("yuv420")
+      .as("codec"))
+
+  /** Stride-sampled "frames": every `stride`-th byte starts a frame of
+    * `frameLen` bytes (the real frame grab swaps in here; the array-of-
+    * binary schema and bounds logic is the production plumbing). NOTE:
+    * Spark's `sequence(1, n)` DESCENDS when n < 1, so the count is
+    * clamped and sliced to stay empty-safe for tiny blobs.
+    */
+  def frameSample(binCol: String, stride: Int, frameLen: Int): Column =
+    expr(s"""slice(
+      |  transform(sequence(1, greatest(int(octet_length($binCol) / $stride), 1)),
+      |    i -> substring($binCol, (i - 1) * $stride + 1, $frameLen)),
+      |  1, int(octet_length($binCol) / $stride))""".stripMargin)
+
+  /** Declared query: treat each document's text bytes as an opaque blob
+    * and compute the binary-side statistics a media pipeline needs —
+    * size, content digest, head bytes, and a stride-32 sample checksum
+    * (all DuckDB-mirrorable, so the blob plumbing is oracle-checked).
+    */
+  def binaryStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("blob")).as("n_bytes"),
+        sha2(col("blob"), 256).as("digest"),
+        lower(hex(expr("substring(blob, 1, 8)"))).as("head_hex"),
+        expr("""CASE WHEN octet_length(blob) < 32 THEN 0 ELSE aggregate(
+          |  transform(sequence(1, int(octet_length(blob) / 32)),
+          |            i -> ascii(substring(text, i * 32, 1))),
+          |  0, (a, x) -> a + x) END""".stripMargin).as("sample_sum"))
+      .orderBy("doc_id")
+
+  val binaryStatsSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS digest,
+      |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    generate_series(1, length(text) // 32),
+      |    i -> ord(substr(text, i * 32, 1)))), 0) AS INT) AS sample_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_stats" -> binaryStats)
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_binary_stats" -> binaryStatsSql)
+}

@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SizeFormat
+import graft.sinks.{EsSink, ParquetIndex}
+import graft.sources.FsListing
+import graft.stats.RunStats
+
+/** Pipeline configuration — the reference's indexer-config.yaml surface
+  * (config/indexer-config.yaml: root_path, mode, skip_patterns,
+  * batch sizes, ES index). Parsed from `key=value` lines by
+  * [[IndexerConfig.load]] (no YAML dependency in a zero-egress build;
+  * the keys match the reference's).
+  */
+final case class IndexerConfig(
+    rootPath: String,
+    indexRoot: String,
+    mode: String = "elasticsearch", // or "index-only" (main.py:60-62)
+    skipPatterns: Seq[String] = IndexerConfig.defaultSkips,
+    includeHidden: Boolean = false,
+    esIndex: String = "files",
+    esBatchSize: Int = 1000)
+
+object IndexerConfig {
+  /** Reference defaults (config/indexer-config.yaml:121-152, abridged). */
+  val defaultSkips: Seq[String] = Seq(
+    ".git", ".svn", "node_modules", "__pycache__", ".DS_Store",
+    "*.tmp", "*.swp", "*.lock")
+
+  def load(lines: Seq[String]): IndexerConfig = {
+    val kv = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap
+    IndexerConfig(
+      rootPath = kv.getOrElse("root_path",
+        sys.error("root_path is required")),
+      indexRoot = kv.getOrElse("index_root",
+        sys.error("index_root is required")),
+      mode = kv.getOrElse("mode", "elasticsearch"),
+      skipPatterns = kv.get("skip_patterns")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultSkips),
+      includeHidden = kv.get("include_hidden").exists(_.toBoolean),
+      esIndex = kv.getOrElse("es_index", "files"),
+      esBatchSize = kv.get("es_batch_size").map(_.toInt).getOrElse(1000))
+  }
+}
+
+final case class RunReport(
+    stats: RunStats.Stats,
+    indexed: Long, esFailed: Long, removed: Long, snapshotId: String)
+
+/** The full pipeline lifecycle (SURVEY.md §3.1, main.py:245-365):
+  * scan → normalize → merge into the index → reconcile deletions →
+  * (elasticsearch mode) enrich with directory sizes and publish.
+  *
+  * Every stage is a DataFrame program: the scan streams out of
+  * [[FsListing]]'s per-partition iterators, the merge/reconcile are
+  * single key-shuffles ([[ParquetIndex]]), the rollup is the
+  * ancestor-explode aggregation, and the ES publish is a
+  * `foreachPartition` bulk sink. Nothing materializes on the driver but
+  * the run counters (collected via `observe`, A8).
+  */
+final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport]) {
+
+  /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1). */
+  private def normalize(listing: DataFrame): DataFrame = listing.select(
+    sha2(expr("substring(filepath, 2)"), 256).as("id"),
+    col("name"),
+    expr("substring(filepath, 2)").as("relative_path"),
+    col("filepath"),
+    when(col("entry_type") === "file", col("size_bytes")).as("size_bytes"),
+    col("modified_time"),
+    col("modified_time").as("creation_time"),
+    col("entry_type").as("type"),
+    lower(regexp_extract(col("name"), "\\.([^./]+)$", 1)).as("extension"),
+    lit("").as("checksum"),
+    lit("").as("direct_link"),
+    current_timestamp().as("last_seen"))
+
+  /** Ancestor-explode dir-size rollup over an entry frame (J3). */
+  private def dirSizes(entries: DataFrame): DataFrame = {
+    val perDir = entries.filter(col("type") === "file")
+      .withColumn("d", length(col("filepath")) -
+        length(regexp_replace(col("filepath"), "/", "")))
+      .select(explode(expr("sequence(2, d)")).as("k"), col("filepath"),
+        col("size_bytes"))
+      .select(expr("substring_index(filepath, '/', k)").as("filepath"),
+        col("size_bytes"))
+      .groupBy("filepath")
+      .agg(sum("size_bytes").as("total_size"))
+    perDir
+  }
+
+  def run(spark: SparkSession): RunReport = {
+    val t0 = System.nanoTime()
+    val listing = FsListing.list(spark, cfg.rootPath, cfg.skipPatterns,
+      cfg.includeHidden)
+    val (observedListing, obs) = RunStats.observed(listing)
+    val entries = normalize(observedListing)
+
+    // J1 merge + J6 reconcile: the new scan is the truth for both
+    // updates and deletions (reference scan loop + cleanup).
+    val idx = new ParquetIndex(cfg.indexRoot)
+    val previous = idx.read(spark)
+    // localCheckpoint: the deletion set must be materialized NOW — it is
+    // a lazy plan over the previous snapshot, whose files are pruned once
+    // the new snapshots land (deltas are small; cutting lineage here is
+    // cheap even at scale).
+    val removedIds: DataFrame = (previous match {
+      case Some(prev) =>
+        prev.join(entries, Seq("relative_path"), "left_anti").select("id")
+      case None => spark.emptyDataFrame.withColumn("id", lit(""))
+        .limit(0).select("id")
+    }).localCheckpoint(true)
+    val removedCount = removedIds.count()
+    val snapId = idx.upsert(spark, entries, "relative_path",
+      "modified_time")
+    idx.reconcile(spark, entries.select("relative_path"), "relative_path")
+
+    // ES publish (elasticsearch mode): enrichment join + formatting
+    // (J4/F3/F11) then bulk index; deletions → bulk delete (S11).
+    val (indexed, esFailed) = (cfg.mode, transport) match {
+      case ("elasticsearch", Some(t)) =>
+        val sink = new EsSink(t, cfg.esBatchSize)
+        val current = idx.read(spark).get
+        val sizes = dirSizes(current)
+          .withColumnRenamed("filepath", "dp")
+        val docs = current
+          .join(sizes, col("filepath") === col("dp"), "left")
+          .select(
+            col("id"), col("relative_path"), col("name"), col("type"),
+            when(col("type") === "directory",
+              coalesce(col("total_size"), lit(0L)))
+              .otherwise(col("size_bytes")).as("size_bytes"),
+            date_format(col("modified_time"), "yyyy-MM-dd'T'HH:mm:ss")
+              .as("modified_time"))
+          .withColumn("size", SizeFormat.format_size(col("size_bytes")))
+        val s = sink.bulkIndex(docs, cfg.esIndex, "id")
+        if (removedCount > 0) sink.bulkDelete(removedIds, cfg.esIndex, "id")
+        (s.indexed, s.failed)
+      case _ => (0L, 0L) // index-only
+    }
+
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    RunReport(RunStats.collect(obs, elapsed), indexed, esFailed,
+      removedCount, snapId)
+  }
+}
+
+/** CLI entry point: `graft.pipeline.IndexerCli <config-file>` or
+  * `root_path=... index_root=... [mode=index-only]` args directly.
+  */
+object IndexerCli {
+  def main(args: Array[String]): Unit = {
+    val lines =
+      if (args.length == 1 && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(args(0))))
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(args(0))).toArray(Array.empty[String]).toSeq
+      else args.toSeq
+    val cfg = IndexerConfig.load(lines)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // ST4: graceful shutdown — stop cleanly on SIGTERM/SIGINT.
+    sys.addShutdownHook { spark.stop() }
+    val transport =
+      sys.env.get("GRAFT_ES_URL").map(EsSink.http)
+    val report = new Indexer(cfg, transport).run(spark)
+    println(report.stats.summary +
+      s"; es indexed=${report.indexed} failed=${report.esFailed}" +
+      s" removed=${report.removed} snapshot=${report.snapshotId}")
+    spark.stop()
+  }
+}

@@ -60,8 +60,11 @@ final class ParquetIndex(root: String, keep: Int = 2) {
   def reconcile(spark: SparkSession, scanKeys: DataFrame,
       keyCol: String): Option[String] =
     read(spark).map { cur =>
+      import org.apache.spark.sql.functions.col
+      // re-select the original column order (a USING join moves the key
+      // column first, which would flip the stored schema between runs)
       write(cur.join(scanKeys.select(keyCol).distinct(), Seq(keyCol),
-        "left_semi"))
+        "left_semi").select(cur.columns.map(col).toIndexedSeq: _*))
     }
 
   private def prune(latest: String): Unit = {

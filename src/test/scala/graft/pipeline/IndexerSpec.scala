@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpecBase
+import graft.sinks.TransportProbe
+
+/** End-to-end pipeline lifecycle (main.py:245-365 parity): scan → merge
+  * → reconcile → publish, in both modes, with re-run update/delete
+  * semantics.
+  */
+class IndexerSpec extends SparkSpecBase {
+
+  private def mkTree(): Path = {
+    val root = Files.createTempDirectory("idxr")
+    Files.createDirectories(root.resolve("proj/sub"))
+    Files.createDirectories(root.resolve(".git"))
+    Files.writeString(root.resolve("proj/a.txt"), "aaaa")
+    Files.writeString(root.resolve("proj/sub/b.log"), "bb")
+    Files.writeString(root.resolve("proj/c.tmp"), "tmp!")
+    Files.writeString(root.resolve(".git/conf"), "x")
+    root
+  }
+
+  test("index-only mode: scan lands in the parquet snapshot") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxstore").toString
+    val cfg = IndexerConfig(root.toString, idxRoot, mode = "index-only")
+    val report = new Indexer(cfg, None).run(spark)
+
+    assert(report.stats.files == 2) // a.txt + b.log (.tmp/.git skipped)
+    assert(report.stats.dirs == 2)  // proj, proj/sub
+    assert(report.stats.bytes == 6)
+    assert(report.indexed == 0 && report.removed == 0)
+
+    val snap = new graft.sinks.ParquetIndex(idxRoot).read(spark).get
+    val paths = snap.collect().map(_.getAs[String]("relative_path")).toSet
+    assert(paths == Set("proj", "proj/sub", "proj/a.txt", "proj/sub/b.log"))
+    val exts = snap.collect().map(r =>
+      r.getAs[String]("relative_path") -> r.getAs[String]("extension")).toMap
+    assert(exts("proj/a.txt") == "txt")
+  }
+
+  test("elasticsearch mode publishes docs and deletes removed files") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxstore2").toString
+    TransportProbe.reset()
+    val cfg = IndexerConfig(root.toString, idxRoot)
+    val r1 = new Indexer(cfg, Some(TransportProbe.transport)).run(spark)
+    assert(r1.indexed == 4 && r1.esFailed == 0) // 2 files + 2 dirs
+
+    // delete one file, touch another, re-run
+    Files.delete(root.resolve("proj/sub/b.log"))
+    Files.writeString(root.resolve("proj/a.txt"), "aaaaaaaa")
+    TransportProbe.reset()
+    val r2 = new Indexer(cfg, Some(TransportProbe.transport)).run(spark)
+    assert(r2.removed >= 1) // b.log gone (its dir may empty out too)
+    val snap = new graft.sinks.ParquetIndex(idxRoot).read(spark).get
+    val sizes = snap.collect().map(r =>
+      r.getAs[String]("relative_path") -> r.getAs[Long]("size_bytes")).toMap
+    assert(sizes("proj/a.txt") == 8L)
+    assert(!sizes.contains("proj/sub/b.log"))
+    // directory size enrichment reached the sink payloads
+    import scala.jdk.CollectionConverters._
+    val sent = TransportProbe.calls.asScala.flatten.mkString("\n")
+    assert(sent.contains("\"size\":"))
+  }
+
+  test("config surface parses key=value lines with reference keys") {
+    val cfg = IndexerConfig.load(Seq(
+      "# comment", "root_path=/data", "index_root=/idx",
+      "mode=index-only", "skip_patterns=.git,*.bak",
+      "es_batch_size=500"))
+    assert(cfg.rootPath == "/data" && cfg.mode == "index-only")
+    assert(cfg.skipPatterns == Seq(".git", "*.bak"))
+    assert(cfg.esBatchSize == 500)
+  }
+}
