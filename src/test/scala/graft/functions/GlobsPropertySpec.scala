@@ -26,11 +26,12 @@ class GlobsPropertySpec extends AnyFunSuite {
   private val glob: Gen[String] =
     Gen.listOfN(6, piece).map(_.mkString)
       .suchThat(g => g.nonEmpty && !g.contains("**"))
+  // Candidates are single path SEGMENTS (no '/'): fnmatch is a string
+  // matcher whose wildcards/classes can match '/', nio's never do — the
+  // dialects only agree where '/' cannot occur, which is exactly the
+  // segment-mode use.
   private val candidate: Gen[String] =
-    Gen.listOfN(6, Gen.frequency(6 -> litChar, 1 -> Gen.const('/')))
-      .map(_.mkString)
-      .suchThat(s => s.nonEmpty && !s.startsWith("/") && !s.endsWith("/") &&
-        !s.contains("//"))
+    Gen.listOfN(6, litChar).map(_.mkString).suchThat(_.nonEmpty)
 
   test("segment-mode translate matches java.nio glob semantics") {
     val fs = FileSystems.getDefault
