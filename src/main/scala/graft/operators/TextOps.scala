@@ -174,24 +174,37 @@ object TextOps {
   // -------------------------------------------------------------------- //
 
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSeeds = 12
     val sh = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), expr(shingles).as("sh"))
-    val sigs = sh.withColumn("sig", expr(
-      """transform(sequence(0, 11),
-        |  s -> array_min(transform(sh,
-        |         v -> substring(sha2(concat(cast(s AS string), ':', v), 256), 1, 12))))""".stripMargin))
-    val bands = sigs.select(col("doc_id"), col("sh"), explode(expr(
-      """transform(sequence(0, 3),
-        |  b -> concat(cast(b AS string), ':', element_at(sig, b*3 + 1),
-        |              element_at(sig, b*3 + 2), element_at(sig, b*3 + 3)))""".stripMargin))
-      .as("band_key"))
-    val a = bands.select(col("band_key"), col("doc_id").as("a_id"),
-      col("sh").as("a_sh"))
-    val b = bands.select(col("band_key"), col("doc_id").as("b_id"),
-      col("sh").as("b_sh"))
-    a.join(b, Seq("band_key"))
+    // Signature computation stays in whole-stage codegen: explode the
+    // shingle set once, compute the 12 seeded hashes as plain columns
+    // (array higher-order functions are interpreted — ~3× slower here),
+    // then 12 map-side-combinable min-aggregates per doc.
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("v"))
+    val hashed = exploded.select(col("doc_id") +: (0 until nSeeds).map(s =>
+      substring(sha2(concat(lit(s.toString), lit(":"), col("v")), 256),
+        1, 12).as(s"h$s")): _*)
+    val sigs = hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until nSeeds).map(s => min(col(s"h$s")).as(s"m$s")): _*)
+    // 4 bands × 3 rows; candidates meet only through the band-key
+    // equi-join. Shingle arrays are re-joined by id AFTER banding so the
+    // wide arrays never shuffle through the band join (the shape that
+    // matters at scale).
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until 4).map(bnd => concat(lit(bnd.toString), lit(":"),
+        col(s"m${bnd * 3}"), col(s"m${bnd * 3 + 1}"),
+        col(s"m${bnd * 3 + 2}"))): _*)).as("band_key"))
+    val cand = bands.select(col("band_key"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band_key"), col("doc_id").as("b_id")),
+        Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jac", round(
         expr("size(array_intersect(a_sh, b_sh))").cast("double") /
           expr("size(array_union(a_sh, b_sh))"), 4))
