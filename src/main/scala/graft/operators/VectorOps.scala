@@ -91,11 +91,48 @@ object VectorOps {
        |WHERE vec_id <> 0 AND ${duckBucket("embedding")} = qbkt
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs: candidates meet only inside
+    * a sign-bucket (the LSH blocking key — at scale the partition key),
+    * then exact cosine ≥ threshold verifies. No global all-pairs product
+    * anywhere: the quadratic term is bounded per bucket.
+    */
+  def cosineNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucket("embedding").as("bkt"))
+    val a = emb.select(col("bkt"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"))
+    val b = emb.select(col("bkt"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(dot("ea", "eb") /
+          (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb"))), 4))
+      .filter(col("cos_sim") >= 0.2)
+      .select("a_id", "b_id", "cos_sim")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val duckPairCosine: String =
+    s"""round(${duckDot("a.embedding", "b.embedding")} /
+       |  (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+       |   sqrt(${duckDot("b.embedding", "b.embedding")})), 4)""".stripMargin
+
+  val cosineNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             ${duckBucket("embedding")} AS bkt FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $duckPairCosine AS cos_sim
+       |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |WHERE $duckPairCosine >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> topkBrute,
-    "ann_topk_bucketed" -> topkBucketed)
+    "ann_topk_bucketed" -> topkBucketed,
+    "ann_cosine_neardup" -> cosineNearDup)
 
   def oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
-    "ann_topk_bucketed" -> topkBucketedSql)
+    "ann_topk_bucketed" -> topkBucketedSql,
+    "ann_cosine_neardup" -> cosineNearDupSql)
 }

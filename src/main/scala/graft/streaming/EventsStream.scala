@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
 
 import graft.sinks.ParquetIndex
 
@@ -31,6 +32,37 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"))
+
+  /** Streaming exact-dedup with custom state (ST3's stateful shape +
+    * the training-pipeline dedup applied to a stream): the first record
+    * for each key passes through, later duplicates are dropped. State is
+    * one boolean per key with a processing-time TTL so it cannot grow
+    * unboundedly (`flatMapGroupsWithState`, the Spark-native form of the
+    * reference's seen-set at lucidlink_api.py:43,150-152).
+    */
+  def dedupStream(spark: SparkSession, keyed: Dataset[(String, String)],
+      ttlMs: Long = 0L): Dataset[(String, String)] = {
+    import spark.implicits._
+    // ttlMs > 0 bounds state with a processing-time timeout (production
+    // knob). NOTE: with a timeout registered the engine schedules
+    // continuous timeout-check batches, which livelocks
+    // processAllAvailable-style draining — tests use ttlMs = 0.
+    val timeout = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(String, String)],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            rows.take(1)
+          }
+      }
+  }
 
   /** ST2: continuous indexing — each micro-batch of scan entries is
     * merged (J1) into the Parquet snapshot index.

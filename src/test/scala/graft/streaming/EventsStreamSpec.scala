@@ -46,6 +46,25 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateful stream dedup passes first occurrence only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val q = EventsStream.dedupStream(spark, ms.toDS())
+      .toDF("key", "payload")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(("k1", "first"), ("k1", "dup-same-batch"), ("k2", "x"))
+      q.processAllAvailable()
+      ms.addData(("k1", "dup-later-batch"), ("k3", "y"))
+      q.processAllAvailable()
+      val got = spark.table("dedup").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("k1", "first"), ("k2", "x"), ("k3", "y")))
+    } finally q.stop()
+  }
+
   test("continuous indexing merges each micro-batch into the snapshot") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
