@@ -80,13 +80,59 @@ object EventsOps {
       |           '%Y-%m-%dT%H:%M:%S') AS ts_iso
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Sessionization via gap detection: a new session starts after a
+    * >30-minute silence per user (lag + running sum — the classic
+    * windowed-analytics formulation; Spark's `session_window` gives the
+    * same result but is not DuckDB-mirrorable value-for-value).
+    * Partitioned by user: the window shuffle is one hash exchange on
+    * user_id, no global ordering anywhere.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    Tables(spark, sfDir, "events")
+      .withColumn("gap",
+        when(col("ts").cast("long") -
+          lag(col("ts").cast("long"), 1).over(byUser) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_ms(ts) // 1000
+      |           - lag(epoch_ms(ts) // 1000) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000) AS duration_s
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
-    "events_epoch_roundtrip" -> epochRoundtrip)
+    "events_epoch_roundtrip" -> epochRoundtrip,
+    "events_sessionize" -> sessionize)
 
   def oracleSql: Map[String, String] = Map(
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
-    "events_epoch_roundtrip" -> epochRoundtripSql)
+    "events_epoch_roundtrip" -> epochRoundtripSql,
+    "events_sessionize" -> sessionizeSql)
 }

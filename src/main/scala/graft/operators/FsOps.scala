@@ -526,6 +526,40 @@ object FsOps {
        |GROUP BY link_type ORDER BY link_type""".stripMargin)
 
   // -------------------------------------------------------------------- //
+  // W3: full-text search surrogate — the reference's ES multi_match     //
+  // with field boosts `name^3, filepath^2` (elasticsearch_integration   //
+  // .py:277-296). In-engine parity: term-hit scoring with the same      //
+  // boosts, top-k by score (ES relevance itself stays in the ES sink).  //
+  // -------------------------------------------------------------------- //
+
+  def searchTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("tmp", "germany")
+    val score = terms.map { t =>
+      (when(col("name").contains(t), 3).otherwise(0)) +
+        (when(col("filepath").contains(t), 2).otherwise(0))
+    }.reduce(_ + _)
+    SyntheticFs.entries(spark, sfDir)
+      .withColumn("score", score)
+      .filter(col("score") > 0)
+      .select("relative_path", "name", "score")
+      .orderBy(col("score").desc, col("relative_path"))
+      .limit(50)
+  }
+
+  val searchTopkSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path, name,
+      |  (CASE WHEN contains(name, 'tmp') THEN 3 ELSE 0 END
+      |   + CASE WHEN contains(filepath, 'tmp') THEN 2 ELSE 0 END
+      |   + CASE WHEN contains(name, 'germany') THEN 3 ELSE 0 END
+      |   + CASE WHEN contains(filepath, 'germany') THEN 2 ELSE 0 END) AS score
+      |FROM fs_entries
+      |WHERE (CASE WHEN contains(name, 'tmp') THEN 3 ELSE 0 END
+      |   + CASE WHEN contains(filepath, 'tmp') THEN 2 ELSE 0 END
+      |   + CASE WHEN contains(name, 'germany') THEN 3 ELSE 0 END
+      |   + CASE WHEN contains(filepath, 'germany') THEN 2 ELSE 0 END) > 0
+      |ORDER BY score DESC, relative_path LIMIT 50""".stripMargin)
+
+  // -------------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_type_counts" -> typeCounts,
@@ -546,7 +580,8 @@ object FsOps {
     "fs_stale_links" -> staleLinks,
     "fs_links_distinct" -> linksDistinct,
     "fs_composite_ids" -> compositeIds,
-    "fs_link_cache_fresh" -> linkCacheFresh)
+    "fs_link_cache_fresh" -> linkCacheFresh,
+    "fs_search_topk" -> searchTopk)
 
   def oracleSql: Map[String, String] = Map(
     "fs_type_counts" -> typeCountsSql,
@@ -567,5 +602,6 @@ object FsOps {
     "fs_stale_links" -> staleLinksSql,
     "fs_links_distinct" -> linksDistinctSql,
     "fs_composite_ids" -> compositeIdsSql,
-    "fs_link_cache_fresh" -> linkCacheFreshSql)
+    "fs_link_cache_fresh" -> linkCacheFreshSql,
+    "fs_search_topk" -> searchTopkSql)
 }
