@@ -106,13 +106,16 @@ object FsOps {
   // F3: format_size top-N (utils/size_formatter.py:1-25; W2/W3 limit)    //
   // -------------------------------------------------------------------- //
 
-  def sizeFormatTop(spark: SparkSession, sfDir: String): DataFrame =
+  def sizeFormatTop(spark: SparkSession, sfDir: String): DataFrame = {
+    // native Expression (codegen) rather than the ScalaUDF form
+    graft.functions.GraftFunctions.register(spark)
     SyntheticFs.entries(spark, sfDir)
       .filter(col("type") === "file")
       .orderBy(col("size_bytes").desc, col("relative_path"))
       .limit(20)
       .select(col("relative_path"), col("size_bytes"),
-        SizeFormat.format_size(col("size_bytes")).as("size_h"))
+        expr("format_size(size_bytes)").as("size_h"))
+  }
 
   val sizeFormatTopSql: String = SyntheticFs.withCtes(
     s"""SELECT relative_path, size_bytes,

@@ -106,4 +106,15 @@ object FsListing {
       .toDS()
       .toDF()
   }
+
+  /** S6: single-directory batch source — one directory's listing capped
+    * at `batchSize` rows (reference: batch_processor.py:148-200).
+    */
+  def listDir(
+      spark: SparkSession,
+      dir: String,
+      batchSize: Int,
+      skipPatterns: Seq[String] = Nil,
+      includeHidden: Boolean = false): DataFrame =
+    list(spark, dir, skipPatterns, includeHidden).limit(batchSize)
 }

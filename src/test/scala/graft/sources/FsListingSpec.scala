@@ -45,6 +45,12 @@ class FsListingSpec extends SparkSpecBase {
     assert(got.contains("/.git/config"))
   }
 
+  test("single-dir batch source caps at batchSize (S6)") {
+    val root = mkTree()
+    assert(FsListing.listDir(spark, root.toString, 3).count() == 3)
+    assert(FsListing.listDir(spark, root.toString, 1000).count() > 3)
+  }
+
   test("field contract: sizes, depth, names") {
     val root = mkTree()
     val rows = FsListing.list(spark, root.toString).collect()
