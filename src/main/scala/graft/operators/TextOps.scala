@@ -166,6 +166,30 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Karp-Rabin rolling hash over the character stream — the classic     //
+  // content fingerprint (complements the shingle-set digest above).     //
+  // Integer fold, mod 2^31-1 each step so both engines stay exact.      //
+  // -------------------------------------------------------------------- //
+
+  def rollingHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+          |  cast(0 AS bigint), (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin)
+        .as("rhash"))
+      .orderBy("doc_id")
+
+  val rollingHashSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(text)),
+      |                     i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 2147483647) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // MinHash-LSH near-duplicate pairs: 12 seeded sha2 min-hashes over     //
   // 3-gram shingles, 4 bands × 3 rows, candidate pairs via band-key      //
   // equi-join, verified with exact Jaccard ≥ 0.3. Min-hash values are    //
@@ -300,6 +324,7 @@ object TextOps {
     "docs_quality" -> qualityScore,
     "docs_lang_id" -> langId,
     "docs_fingerprint" -> fingerprint,
+    "docs_rolling_hash" -> rollingHash,
     "docs_minhash_neardup" -> minhashNearDup,
     "docs_simhash" -> simhash,
     "docs_ngram_jaccard" -> ngramJaccard)
@@ -310,6 +335,7 @@ object TextOps {
     "docs_quality" -> qualityScoreSql,
     "docs_lang_id" -> langIdSql,
     "docs_fingerprint" -> fingerprintSql,
+    "docs_rolling_hash" -> rollingHashSql,
     "docs_minhash_neardup" -> minhashNearDupSql,
     "docs_simhash" -> simhashSql,
     "docs_ngram_jaccard" -> ngramJaccardSql)
