@@ -43,6 +43,11 @@ class EventsStreamSpec extends SparkSpecBase {
       assert(got == Set(
         (ts("2024-01-01 00:00:00"), "click", 2L),
         (ts("2024-01-01 00:00:00"), "view", 1L)))
+      // late-data handling: an hour-0 event arriving after the
+      // watermark passed hour-0 is dropped, not re-emitted
+      ms.addData(Ev(ts("2024-01-01 00:10:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("hc").count() == 2)
     } finally q.stop()
   }
 
