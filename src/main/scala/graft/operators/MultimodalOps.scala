@@ -45,6 +45,35 @@ object MultimodalOps {
       |    i -> substring($binCol, (i - 1) * $stride + 1, $frameLen)),
       |  1, int(octet_length($binCol) / $stride))""".stripMargin)
 
+  /** One decoded media record (the schema a real decoder would fill). */
+  final case class DecodedMedia(
+      doc_id: Long, width: Int, height: Int, codec: String, n_bytes: Long)
+
+  /** The batch-decode plumbing: `mapPartitions` with one decoder context
+    * per partition (the Scala analog of a Pandas-batch UDF — the decoder
+    * library would be initialized once per partition, rows streamed
+    * through it). The decode itself is the deterministic stub; the
+    * partitioning, per-partition init, and typed output schema are the
+    * production shape.
+    */
+  def decodeBatched(df: DataFrame, idCol: String,
+      binCol: String): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init happens HERE in a real pipeline
+        // (imaging/audio library handle, GPU context, …)
+        val crc = new java.util.zip.CRC32
+        rows.map { case (id, bytes) =>
+          crc.reset(); crc.update(bytes)
+          val h = crc.getValue
+          DecodedMedia(id, (h % 1920).toInt + 1, ((h * 7) % 1080).toInt + 1,
+            if (bytes.length % 2 == 0) "rgb8" else "yuv420", bytes.length.toLong)
+        }
+      }
+  }
+
   /** Declared query: treat each document's text bytes as an opaque blob
     * and compute the binary-side statistics a media pipeline needs —
     * size, content digest, head bytes, and a stride-32 sample checksum

@@ -79,30 +79,33 @@ object FsListing {
     val seedList = seeds(rootFile, extraDepth)
     val nPart = math.max(1, math.min(seedList.size, 64))
 
-    def walk(f: File, depth: Int): Iterator[Listed] = {
+    def walk(f: File): Iterator[Listed] = {
       if (!keep(f)) Iterator.empty
       else {
+        val filepath = f.getPath.replaceFirst("\\Q" + root + "\\E", "") match {
+          case "" => "/"
+          case p if p.startsWith("/") => p
+          case p => "/" + p
+        }
         val self = Listed(
-          f.getPath.replaceFirst("\\Q" + root + "\\E", "") match {
-            case "" => "/"
-            case p if p.startsWith("/") => p
-            case p => "/" + p
-          },
+          filepath,
           f.getName,
           if (f.isDirectory) 0L else f.length(),
           new Timestamp(f.lastModified()),
           if (f.isDirectory) "directory" else "file",
-          depth)
+          // depth is root-relative regardless of where the partition
+          // seed sat (extraDepth seeds start deeper than the root)
+          filepath.count(_ == '/'))
         if (f.isDirectory)
           Iterator(self) ++ Option(f.listFiles).iterator.flatten
-            .flatMap(walk(_, depth + 1))
+            .flatMap(walk)
         else Iterator(self)
       }
     }
 
     spark.sparkContext
       .parallelize(seedList.map(_.getPath), nPart)
-      .flatMap(p => walk(new File(p), 1))
+      .flatMap(p => walk(new File(p)))
       .toDS()
       .toDF()
   }

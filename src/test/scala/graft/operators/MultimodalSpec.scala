@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Multimodal plumbing: typed-metadata stub decode (expression and
+  * batched mapPartitions forms agree), frame sampling bounds.
+  */
+class MultimodalSpec extends SparkSpecBase {
+
+  test("batched decode yields typed rows consistent with blob size") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef".getBytes), (2L, "xyz".getBytes))
+      .toDF("doc_id", "blob")
+    val out = MultimodalOps.decodeBatched(df, "doc_id", "blob")
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L).n_bytes == 6 && out(1L).codec == "rgb8")
+    assert(out(2L).n_bytes == 3 && out(2L).codec == "yuv420")
+    assert(out(1L).width >= 1 && out(1L).width <= 1920)
+    assert(out(1L).height >= 1 && out(1L).height <= 1080)
+  }
+
+  test("frame sampling: stride count and empty-safety") {
+    import spark.implicits._
+    val df = Seq(("x" * 100), "short").toDF("text")
+      .withColumn("blob", org.apache.spark.sql.functions.col("text")
+        .cast("binary"))
+    val counts = df
+      .select(org.apache.spark.sql.functions
+        .size(MultimodalOps.frameSample("blob", 32, 8)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(counts == Seq(3, 0)) // 100/32 = 3 frames; 5 bytes → none
+  }
+
+  test("decode metadata stub is deterministic") {
+    import spark.implicits._
+    val df = Seq(("payload")).toDF("text")
+      .withColumn("blob", org.apache.spark.sql.functions.col("text")
+        .cast("binary"))
+    val a = df.select(MultimodalOps.decodeMetaStub(
+      org.apache.spark.sql.functions.col("blob"))).collect()(0)
+    val b = df.select(MultimodalOps.decodeMetaStub(
+      org.apache.spark.sql.functions.col("blob"))).collect()(0)
+    assert(a == b)
+  }
+}
