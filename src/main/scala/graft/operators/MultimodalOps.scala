@@ -59,7 +59,11 @@ object MultimodalOps {
   def decodeBatched(df: DataFrame, idCol: String,
       binCol: String): org.apache.spark.sql.Dataset[DecodedMedia] = {
     import df.sparkSession.implicits._
+    // undecodable rows (null id/blob) are dropped up front — dirty data
+    // must not NPE a task (the expression form yields null structs for
+    // the same rows)
     df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder init happens HERE in a real pipeline

@@ -69,11 +69,31 @@ object FsListing {
       (includeHidden || !hidden) && !skipped
     }
 
+    def toListed(f: File): Listed = {
+      val filepath = rel(f) match { case "" => "/"; case p => "/" + p }
+      Listed(
+        filepath,
+        f.getName,
+        if (f.isDirectory) 0L else f.length(),
+        new Timestamp(f.lastModified()),
+        if (f.isDirectory) "directory" else "file",
+        // depth is root-relative regardless of where the partition
+        // seed sat (extraDepth seeds start deeper than the root)
+        filepath.count(_ == '/'))
+    }
+
     // S3: seed partitions from the top of the tree (driver-side, cheap).
+    // Directories traversed while seeding (the seeds' ancestors) are
+    // emitted from here — extraDepth must change only the parallelism,
+    // never the result set.
+    val ancestors = Seq.newBuilder[Listed]
     def seeds(dir: File, d: Int): Seq[File] = {
       val kids = Option(dir.listFiles).toSeq.flatten.filter(keep)
-      if (d <= 0) kids.toSeq
-      else kids.flatMap(k => if (k.isDirectory) seeds(k, d - 1) else Seq(k))
+      if (d <= 0) kids
+      else kids.flatMap { k =>
+        if (k.isDirectory) { ancestors += toListed(k); seeds(k, d - 1) }
+        else Seq(k)
+      }
     }
     val rootFile = new File(root)
     val seedList = seeds(rootFile, extraDepth)
@@ -82,20 +102,7 @@ object FsListing {
     def walk(f: File): Iterator[Listed] = {
       if (!keep(f)) Iterator.empty
       else {
-        val filepath = f.getPath.replaceFirst("\\Q" + root + "\\E", "") match {
-          case "" => "/"
-          case p if p.startsWith("/") => p
-          case p => "/" + p
-        }
-        val self = Listed(
-          filepath,
-          f.getName,
-          if (f.isDirectory) 0L else f.length(),
-          new Timestamp(f.lastModified()),
-          if (f.isDirectory) "directory" else "file",
-          // depth is root-relative regardless of where the partition
-          // seed sat (extraDepth seeds start deeper than the root)
-          filepath.count(_ == '/'))
+        val self = toListed(f)
         if (f.isDirectory)
           Iterator(self) ++ Option(f.listFiles).iterator.flatten
             .flatMap(walk)
@@ -108,6 +115,7 @@ object FsListing {
       .flatMap(p => walk(new File(p)))
       .toDS()
       .toDF()
+      .unionByName(spark.createDataset(ancestors.result()).toDF())
   }
 
   /** S6: single-directory batch source — one directory's listing capped

@@ -45,6 +45,30 @@ class FsListingSpec extends SparkSpecBase {
     assert(got.contains("/.git/config"))
   }
 
+  test("extraDepth changes parallelism only: same rows, root-relative depth") {
+    val root = mkTree()
+    def rows(extra: Int) = FsListing.list(spark, root.toString,
+        skipPatterns = Seq(".git", "node_modules", "*.tmp"),
+        extraDepth = extra)
+      .collect()
+      .map(r => (r.getAs[String]("filepath"), r.getAs[Int]("depth")))
+      .toSet
+    val base = rows(0)
+    assert(rows(1) == base)
+    assert(rows(2) == base)
+    // ancestors of deep seeds are present with root-relative depths
+    assert(base.contains(("/b", 1)) && base.contains(("/b/c", 2)))
+  }
+
+  test("decodeBatched drops null blobs instead of failing the task") {
+    import spark.implicits._
+    val df = Seq((1L, Some("abc".getBytes)), (2L, None))
+      .toDF("doc_id", "blob")
+    val out = graft.operators.MultimodalOps
+      .decodeBatched(df, "doc_id", "blob").collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+  }
+
   test("single-dir batch source caps at batchSize (S6)") {
     val root = mkTree()
     assert(FsListing.listDir(spark, root.toString, 3).count() == 3)
