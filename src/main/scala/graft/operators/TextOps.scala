@@ -318,6 +318,93 @@ object TextOps {
        |        / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // BM25 relevance top-k — the in-engine counterpart of the ES           //
+  // relevance ranking the reference delegates to the search sink (W3).   //
+  // Corpus statistics (N, avgdl, per-term df) are tiny aggregates        //
+  // broadcast against the docs; all math is double with a fixed formula  //
+  // so both engines emit identical bits.                                 //
+  // -------------------------------------------------------------------- //
+
+  private val bmTerms = Seq("spark", "hash", "window")
+  private val k1 = 1.2
+  private val b = 0.75
+
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docCols = Seq(col("doc_id"),
+      expr(s"size($toks)").cast("double").as("dl")) ++
+      bmTerms.zipWithIndex.map { case (t, i) =>
+        expr(s"size(filter($toks, x -> x = '$t'))").cast("double")
+          .as(s"tf$i")
+      }
+    val docs = Tables(spark, sfDir, "documents").select(docCols: _*)
+    val statCols = Seq(avg(col("dl")).as("avgdl")) ++
+      bmTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      statCols: _*)
+    val score = bmTerms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + 0.5) + 1.0)
+      val norm = col(s"tf$i") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+      idf * (col(s"tf$i") * lit(k1 + 1)) / norm
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 4))
+      .filter(col("score") > 0)
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25TopkSql: String = {
+    val tfSelects = bmTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter($duckToks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val dfSelects = bmTerms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+      .mkString(", ")
+    val scoreExpr = bmTerms.indices.map(i =>
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+         | * (tf$i * (1.2 + 1)) / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"""
+        .stripMargin).mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, $tfSelects
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfSelects
+       |  FROM d)
+       |SELECT doc_id, round($scoreExpr, 4) AS score
+       |FROM d, st
+       |WHERE round($scoreExpr, 4) > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------- //
+  // Deterministic content-addressed train/val/test split: the hash of    //
+  // the content decides the split, so re-runs, re-shards and engine      //
+  // changes can never leak a document across splits.                     //
+  // -------------------------------------------------------------------- //
+
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("h1", substring(sha2(col("text"), 256), 1, 1))
+      .withColumn("split",
+        when(col("h1").isin("c", "d"), "val")
+          .when(col("h1").isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+      .orderBy("split")
+
+  val hashSplitSql: String =
+    """SELECT CASE WHEN substr(sha256(text), 1, 1) IN ('c','d') THEN 'val'
+      |            WHEN substr(sha256(text), 1, 1) IN ('e','f') THEN 'test'
+      |            ELSE 'train' END AS split,
+      |  count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars
+      |FROM documents GROUP BY split ORDER BY split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_dedup_exact" -> dedupExact,
     "docs_token_stats" -> tokenStats,
@@ -327,7 +414,9 @@ object TextOps {
     "docs_rolling_hash" -> rollingHash,
     "docs_minhash_neardup" -> minhashNearDup,
     "docs_simhash" -> simhash,
-    "docs_ngram_jaccard" -> ngramJaccard)
+    "docs_ngram_jaccard" -> ngramJaccard,
+    "docs_bm25_topk" -> bm25Topk,
+    "docs_hash_split" -> hashSplit)
 
   def oracleSql: Map[String, String] = Map(
     "docs_dedup_exact" -> dedupExactSql,
@@ -338,5 +427,7 @@ object TextOps {
     "docs_rolling_hash" -> rollingHashSql,
     "docs_minhash_neardup" -> minhashNearDupSql,
     "docs_simhash" -> simhashSql,
-    "docs_ngram_jaccard" -> ngramJaccardSql)
+    "docs_ngram_jaccard" -> ngramJaccardSql,
+    "docs_bm25_topk" -> bm25TopkSql,
+    "docs_hash_split" -> hashSplitSql)
 }
