@@ -29,6 +29,42 @@ object Bench {
   /** Force full evaluation; returns a checksum so results can't be
     * skipped and runs can be compared across rounds.
     */
+  /** Scan-throughput anchor against the reference's headline files/s
+    * numbers (BASELINE.md: ~25k files/s claimed, 2.4k files/s measured
+    * sweep): build a real on-disk tree once, then time the full listing
+    * source (walk + pushdown filters + DataFrame materialization).
+    */
+  private def scanFilesPerSec(spark: SparkSession): (Long, Double) = {
+    val root = java.nio.file.Files.createTempDirectory("benchtree")
+    val dirs = 100
+    val filesPerDir = 200
+    for (d <- 0 until dirs) {
+      val dir = root.resolve(f"d$d%03d/sub")
+      java.nio.file.Files.createDirectories(dir)
+      for (f <- 0 until filesPerDir)
+        java.nio.file.Files.writeString(dir.resolve(s"f$f.dat"), "x")
+    }
+    val total = dirs * filesPerDir
+    // warmup then timed
+    sources.FsListing.list(spark, root.toString).count()
+    val t0 = System.nanoTime()
+    val n = sources.FsListing.list(spark, root.toString,
+      skipPatterns = Seq("*.tmp", ".git"))
+      .filter(org.apache.spark.sql.functions.col("entry_type") === "file")
+      .count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == total, s"scan found $n of $total")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    rm(root)
+    (total.toLong, n / sec)
+  }
+
   private def checksum(df: DataFrame): Long = {
     // XOR-fold (order-independent, can't overflow under ANSI arithmetic).
     val row = df
@@ -71,8 +107,13 @@ object Bench {
     val total = ok.map(_._2).sum
     val failed = results.collect { case (n, Left(_)) => s""""$n"""" }
       .mkString("[", ",", "]")
+    val (scanned, fps) = try scanFilesPerSec(spark) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scan bench failed: ${e.getMessage}")
+        (0L, 0.0)
+    }
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)
