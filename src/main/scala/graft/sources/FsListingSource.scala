@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.io.File
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
+  StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 form of the listing source:
+  * `spark.read.format("fslisting").load(root)`.
+  *
+  * This is the "custom source honoring pushed filters" tier of
+  * SURVEY.md §4.3: Catalyst pushes `filepath STARTSWITH p` and
+  * `entry_type = t` into the source, and the walker uses them to PRUNE
+  * RECURSION — subtrees that cannot contain a matching path are never
+  * visited, and partition seeds outside the prefix are never scheduled.
+  * That is the Spark-native equivalent of the reference compiling skip
+  * patterns into `find -not -path` arguments (scanner.py:334-347), but
+  * driven by the query's own predicates instead of configuration.
+  *
+  * Column pruning is honored too (`SupportsPushDownRequiredColumns`):
+  * a `select(name)` reads nothing but names — no stat calls for sizes.
+  */
+class FsListingSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fslisting"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FsListingSource.schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new FsListingTable(properties.get("path"))
+}
+
+object FsListingSource {
+  val schema: StructType = StructType(Seq(
+    StructField("filepath", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("modified_time", TimestampType, nullable = false),
+    StructField("entry_type", StringType, nullable = false),
+    StructField("depth", IntegerType, nullable = false)))
+}
+
+private[sources] class FsListingTable(root: String)
+    extends Table with SupportsRead {
+  require(root != null && root.nonEmpty,
+    "fslisting requires a path: spark.read.format(\"fslisting\").load(root)")
+  override def name(): String = s"fslisting(`$root`)"
+  override def schema(): StructType = FsListingSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new FsListingScanBuilder(root)
+}
+
+private[sources] class FsListingScanBuilder(root: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var prefix: Option[String] = None
+  private var entryType: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = FsListingSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case StringStartsWith("filepath", _) => true
+      case EqualTo("entry_type", _: String) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case StringStartsWith("filepath", p) => prefix = Some(p)
+      case EqualTo("entry_type", t: String) => entryType = Some(t)
+      case _ =>
+    }
+    pushed = accepted
+    // accepted filters are fully enforced by the reader → only the
+    // rejected ones remain for Spark to evaluate
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new FsListingScan(root, prefix, entryType,
+    required)
+}
+
+private[sources] case class FsListingPartition(seed: String)
+    extends InputPartition
+
+private[sources] class FsListingScan(
+    root: String,
+    prefix: Option[String],
+    entryType: Option[String],
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FsListingScan(root=$root, pushedPrefix=${prefix.getOrElse("-")}, " +
+      s"pushedType=${entryType.getOrElse("-")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+
+  /** A directory at `path` can contain matches iff the pushed prefix and
+    * the path agree on their common length.
+    */
+  private def dirMayMatch(relPath: String): Boolean = prefix.forall { p =>
+    relPath.startsWith(p) || p.startsWith(relPath)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rootFile = new File(root)
+    val kids = Option(rootFile.listFiles).toSeq.flatten
+      .filter(f => !f.getName.startsWith("."))
+      .filter(f => !f.isDirectory ||
+        dirMayMatch("/" + f.getName))
+    if (kids.isEmpty) Array(FsListingPartition(root))
+    else kids.map(k => FsListingPartition(k.getPath)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FsListingReaderFactory(root, prefix, entryType,
+      required.fieldNames)
+}
+
+private[sources] class FsListingReaderFactory(
+    root: String,
+    prefix: Option[String],
+    entryType: Option[String],
+    fields: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val seed = partition.asInstanceOf[FsListingPartition].seed
+    new FsListingReader(root, seed, prefix, entryType, fields)
+  }
+}
+
+private[sources] class FsListingReader(
+    root: String,
+    seed: String,
+    prefix: Option[String],
+    entryType: Option[String],
+    fields: Array[String]) extends PartitionReader[InternalRow] {
+
+  private def rel(f: File): String =
+    f.getPath.stripPrefix(root) match {
+      case "" => "/"
+      case p if p.startsWith("/") => p
+      case p => "/" + p
+    }
+
+  private def dirMayMatch(p: String): Boolean = prefix.forall { pre =>
+    p.startsWith(pre) || pre.startsWith(p)
+  }
+
+  private def emit(f: File, relPath: String): Boolean = {
+    val isDir = f.isDirectory
+    prefix.forall(relPath.startsWith) &&
+      entryType.forall(t => (if (isDir) "directory" else "file") == t)
+  }
+
+  private def walk(f: File): Iterator[File] = {
+    if (f.getName.startsWith(".")) Iterator.empty
+    else if (f.isDirectory) {
+      if (!dirMayMatch(rel(f))) Iterator.empty // pushdown prunes HERE
+      else Iterator(f) ++ Option(f.listFiles).iterator.flatten.flatMap(walk)
+    } else Iterator(f)
+  }
+
+  private val it = walk(new File(seed)).filter(f => emit(f, rel(f)))
+  private var cur: File = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { cur = it.next(); true } else false
+
+  override def get(): InternalRow = {
+    val relPath = rel(cur)
+    val isDir = cur.isDirectory
+    val values = fields.map {
+      case "filepath" => UTF8String.fromString(relPath)
+      case "name" => UTF8String.fromString(cur.getName)
+      case "size_bytes" => if (isDir) 0L else cur.length()
+      case "modified_time" => cur.lastModified() * 1000L // ms → µs
+      case "entry_type" =>
+        UTF8String.fromString(if (isDir) "directory" else "file")
+      case "depth" => relPath.count(_ == '/')
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}
