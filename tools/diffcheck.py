@@ -65,8 +65,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].dt.tz_localize(None) if getattr(
                 df[c].dtype, "tz", None) else df[c]
     if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True,
-                            key=lambda s: s.astype(str))
+        # numeric columns sort numerically (string-sorting float reprs
+        # can misalign rows between engines and garble per-row diffs)
+        df = df.sort_values(
+            by=list(df.columns), ignore_index=True,
+            key=lambda s: s if pd.api.types.is_numeric_dtype(s)
+            else s.astype(str))
     return df.reset_index(drop=True)
 
 
@@ -77,6 +81,7 @@ def cmp_frames(name, spark_df, oracle_df):
     if len(a) != len(b):
         return f"ROWS {len(a)} vs {len(b)}"
     bad = []
+    warn = []
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
@@ -88,12 +93,20 @@ def cmp_frames(name, spark_df, oracle_df):
                 math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
                 for x, y in zip(av, bv))
             if not exact:
-                bad.append(f"{c}{'(ulp-only)' if close else '(HARD)'}")
+                # ulp-only drift is tolerated (PASS with a warning) —
+                # the driver's hash compare may still flag it, so warn
+                # loudly; hard mismatches fail
+                (warn if close else bad).append(
+                    f"{c}{'(ulp-only)' if close else '(HARD)'}")
         else:
             if not (av.astype(str) == bv.astype(str)).all():
                 ia = (av.astype(str) != bv.astype(str)).idxmax()
                 bad.append(f"{c} e.g. row{ia}: {av[ia]!r} vs {bv[ia]!r}")
-    return "VALUES " + "; ".join(bad) if bad else None
+    if bad:
+        return "VALUES " + "; ".join(bad + warn)
+    if warn:
+        return None if not warn else f"OK-ULP-WARN {'; '.join(warn)}"
+    return None
 
 
 def main():
