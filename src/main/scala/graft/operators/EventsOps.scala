@@ -124,15 +124,102 @@ object EventsOps {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Exact interpolated quantiles per group (Spark `percentile` ≙ DuckDB
+    * `quantile_cont`, both linear interpolation over the sorted set —
+    * order-insensitive by construction). At scale the exact form costs a
+    * per-group sort; the approximate path (`approx_percentile`, KLL-ish
+    * sketch) is the 100 TB default but is not cross-engine stable, so
+    * the declared query uses the exact one.
+    */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  val valueQuantilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Mean/stddev computed from DECIMAL-exact sums (a naive
+    * `stddev(value)` sums doubles in partition order and flaps across
+    * engines/parallelism; sum and sum-of-squares over DECIMAL are exact,
+    * and the closed-form sample variance is then pure double math with a
+    * fixed formula).
+    */
+  def valueStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dv = col("value").cast("decimal(12,2)")
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dv).cast("double").as("s"),
+        sum(dv * dv).cast("double").as("sq"))
+      .select(col("event_type"), col("n"),
+        round(col("s") / col("n"), 4).as("mean"),
+        round(sqrt((col("sq") - col("s") * col("s") / col("n")) /
+          (col("n") - 1)), 4).as("sd"))
+      .orderBy("event_type")
+  }
+
+  val valueStatsSql: String =
+    """SELECT event_type, n,
+      |  round(s / n, 4) AS mean,
+      |  round(sqrt((sq - s * s / n) / (n - 1)), 4) AS sd
+      |FROM (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sq
+      |  FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** Per-group top-k via rank over a partitioned window: top 3 users by
+    * spend within each event_type (partition-local sort only — no
+    * global ordering).
+    */
+  def topUsersPerType(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables(spark, sfDir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+        .as("spend"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("spend").desc, col("user_id"))
+    spend.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("event_type", "rk")
+  }
+
+  val topUsersPerTypeSql: String =
+    """SELECT * FROM (
+      |  SELECT event_type, user_id,
+      |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS spend,
+      |    rank() OVER (PARTITION BY event_type
+      |                 ORDER BY CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) DESC,
+      |                          user_id) AS rk
+      |  FROM events GROUP BY event_type, user_id)
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
     "events_epoch_roundtrip" -> epochRoundtrip,
-    "events_sessionize" -> sessionize)
+    "events_sessionize" -> sessionize,
+    "events_value_quantiles" -> valueQuantiles,
+    "events_value_stats" -> valueStats,
+    "events_top_users" -> topUsersPerType)
 
   def oracleSql: Map[String, String] = Map(
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
     "events_epoch_roundtrip" -> epochRoundtripSql,
-    "events_sessionize" -> sessionizeSql)
+    "events_sessionize" -> sessionizeSql,
+    "events_value_quantiles" -> valueQuantilesSql,
+    "events_value_stats" -> valueStatsSql,
+    "events_top_users" -> topUsersPerTypeSql)
 }

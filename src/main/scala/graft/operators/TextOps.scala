@@ -405,6 +405,38 @@ object TextOps {
       |  count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars
       |FROM documents GROUP BY split ORDER BY split""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Sequence packing: assign documents to fixed token-budget bins by     //
+  // cumulative token count (training-batch packing). The deterministic   //
+  // offset-based rule (bin = start_offset div budget) is order-stable    //
+  // and oracle-able, unlike greedy first-fit. The global-order window    //
+  // is the parity shape; at 100 TB packing runs per shard/partition.    //
+  // -------------------------------------------------------------------- //
+
+  def tokenPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(s"size($toks)").cast("long").as("nt"))
+      .withColumn("cum", sum("nt").over(w))
+      .withColumn("bin", expr("(cum - nt) div 2048"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"))
+      .orderBy("bin")
+  }
+
+  val tokenPackingSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt,
+       |    sum(CAST(len($duckToks) AS BIGINT)) OVER (
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)
+       |SELECT (cum - nt) // 2048 AS bin, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS tokens
+       |FROM c GROUP BY bin ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_dedup_exact" -> dedupExact,
     "docs_token_stats" -> tokenStats,
@@ -416,7 +448,8 @@ object TextOps {
     "docs_simhash" -> simhash,
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
-    "docs_hash_split" -> hashSplit)
+    "docs_hash_split" -> hashSplit,
+    "docs_token_packing" -> tokenPacking)
 
   def oracleSql: Map[String, String] = Map(
     "docs_dedup_exact" -> dedupExactSql,
@@ -429,5 +462,6 @@ object TextOps {
     "docs_simhash" -> simhashSql,
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
-    "docs_hash_split" -> hashSplitSql)
+    "docs_hash_split" -> hashSplitSql,
+    "docs_token_packing" -> tokenPackingSql)
 }
