@@ -237,8 +237,11 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
-  val minhashNearDupSql: String =
-    s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+  /** Shared CTE body of the MinHash pipeline (used by the pair query and
+    * the clustering oracle).
+    */
+  private val minhashCtes: String =
+    s"""sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
        |sigs AS (
        |  SELECT doc_id, s,
        |    list_transform(generate_series(0, 11),
@@ -260,9 +263,68 @@ object TextOps {
        |          / len(list_distinct(list_concat(x.s, y.s))), 4) AS jac
        |  FROM cand
        |  JOIN sh x ON x.doc_id = a_id
-       |  JOIN sh y ON y.doc_id = b_id)
+       |  JOIN sh y ON y.doc_id = b_id)""".stripMargin
+
+  val minhashNearDupSql: String =
+    s"""WITH $minhashCtes
        |SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Near-dup CLUSTERING: connected components over the MinHash pair     //
+  // graph (the step that turns pairs into keep/drop decisions — one     //
+  // representative per cluster). Spark side: iterative min-label        //
+  // propagation to fixpoint (labels shuffle on node id each round;      //
+  // rounds ≤ graph diameter). Oracle: recursive-CTE transitive closure. //
+  // -------------------------------------------------------------------- //
+
+  def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashNearDup(spark, sfDir).select("a_id", "b_id")
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nlabel"))
+      val merged = labels.join(prop, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("newLabel"))
+        .cache()
+      changed = merged.filter(col("newLabel") =!= col("label")).count()
+      labels = merged.select(col("node"), col("newLabel").as("label"))
+        .cache()
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+        (col("node") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Recursive transitive closure over the same pair pipeline. */
+  val neardupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |npairs AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
+       |edges AS (
+       |  SELECT a_id AS s, b_id AS d FROM npairs
+       |  UNION ALL SELECT b_id, a_id FROM npairs),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, label) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster_rep,
+       |       (node = min(label)) AS keep
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------- //
   // SimHash: 16-bit fingerprint — per-bit majority vote over sha2 bits   //
@@ -445,6 +507,7 @@ object TextOps {
     "docs_fingerprint" -> fingerprint,
     "docs_rolling_hash" -> rollingHash,
     "docs_minhash_neardup" -> minhashNearDup,
+    "docs_neardup_clusters" -> neardupClusters,
     "docs_simhash" -> simhash,
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
@@ -459,6 +522,7 @@ object TextOps {
     "docs_fingerprint" -> fingerprintSql,
     "docs_rolling_hash" -> rollingHashSql,
     "docs_minhash_neardup" -> minhashNearDupSql,
+    "docs_neardup_clusters" -> neardupClustersSql,
     "docs_simhash" -> simhashSql,
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
