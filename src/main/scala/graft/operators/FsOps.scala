@@ -529,6 +529,46 @@ object FsOps {
        |GROUP BY link_type ORDER BY link_type""".stripMargin)
 
   // -------------------------------------------------------------------- //
+  // Beyond the reference (SURVEY §2.4 note: "where cube/rollup built-ins //
+  // would slot in if we extend"): multi-dimensional CUBE totals and an   //
+  // INTERSECT between two scan generations (SURVEY §2.6: reference has   //
+  // no INTERSECT; Spark gives it for free).                              //
+  // -------------------------------------------------------------------- //
+
+  def cubeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    // via SQL: Dataset.cube over the entries union (whose two legs share
+    // a cached parent plan) trips the ambiguous-self-join detector; the
+    // SQL path resolves against the view's fresh attribute set
+    SyntheticFs.entries(spark, sfDir)
+      .createOrReplaceTempView("fs_entries_cube_in")
+    spark.sql(
+      """SELECT type, extension, count(*) AS n
+        |FROM fs_entries_cube_in GROUP BY CUBE(type, extension)
+        |ORDER BY type ASC NULLS FIRST, extension ASC NULLS FIRST""".stripMargin)
+  }
+
+  val cubeCountsSql: String = SyntheticFs.withCtes(
+    """SELECT type, extension, count(*) AS n
+      |FROM fs_entries GROUP BY CUBE(type, extension)
+      |ORDER BY type ASC NULLS FIRST, extension ASC NULLS FIRST""".stripMargin)
+
+  /** Paths present in BOTH of two divergent rescans (okey%11 deleted in
+    * one, okey%7 deleted in the other).
+    */
+  def scanIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = SyntheticFs.files(spark, sfDir)
+    val scanA = f.filter(col("l_orderkey") % 11 =!= 0).select("relative_path")
+    val scanB = f.filter(col("l_orderkey") % 7 =!= 0).select("relative_path")
+    scanA.intersect(scanB).orderBy("relative_path")
+  }
+
+  val scanIntersectSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path FROM fs_files WHERE l_orderkey % 11 <> 0
+      |INTERSECT
+      |SELECT relative_path FROM fs_files WHERE l_orderkey % 7 <> 0
+      |ORDER BY relative_path""".stripMargin)
+
+  // -------------------------------------------------------------------- //
   // W3: full-text search surrogate — the reference's ES multi_match     //
   // with field boosts `name^3, filepath^2` (elasticsearch_integration   //
   // .py:277-296). In-engine parity: term-hit scoring with the same      //
@@ -584,7 +624,9 @@ object FsOps {
     "fs_links_distinct" -> linksDistinct,
     "fs_composite_ids" -> compositeIds,
     "fs_link_cache_fresh" -> linkCacheFresh,
-    "fs_search_topk" -> searchTopk)
+    "fs_search_topk" -> searchTopk,
+    "fs_cube_counts" -> cubeCounts,
+    "fs_scan_intersect" -> scanIntersect)
 
   def oracleSql: Map[String, String] = Map(
     "fs_type_counts" -> typeCountsSql,
@@ -606,5 +648,7 @@ object FsOps {
     "fs_links_distinct" -> linksDistinctSql,
     "fs_composite_ids" -> compositeIdsSql,
     "fs_link_cache_fresh" -> linkCacheFreshSql,
-    "fs_search_topk" -> searchTopkSql)
+    "fs_search_topk" -> searchTopkSql,
+    "fs_cube_counts" -> cubeCountsSql,
+    "fs_scan_intersect" -> scanIntersectSql)
 }

@@ -121,9 +121,13 @@ def main():
             f"read_parquet('{SFDIR}/{t}.parquet')")
     oracles = json.loads((OUT / "oracle_sql.json").read_text())
     results = {}
-    names = sorted(p.name for p in OUT.iterdir() if p.is_dir())
+    # iterate the union of declared oracles and produced outputs, so a
+    # query that failed to write (or a stale dir) is loudly reported
+    names = sorted(set(p.name for p in OUT.iterdir() if p.is_dir())
+                   | set(oracles.keys()))
     for name in names:
-        files = list((OUT / name).glob("*.parquet"))
+        files = list((OUT / name).glob("*.parquet")) \
+            if (OUT / name).is_dir() else []
         if not files:
             results[name] = "NO SPARK OUTPUT"
             continue
