@@ -284,12 +284,18 @@ object TextOps {
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .cache()
+    // Iterate to FULL convergence: labels are monotonically decreasing,
+    // so termination is guaranteed in ≤ diameter rounds and the result
+    // matches the oracle's transitive closure exactly. One cached frame
+    // per round; the `changed` count materializes it, the previous
+    // round's cache is dropped, and everything is released once the
+    // (small: near-dup nodes only) result is checkpointed.
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .cache()
+    var prevMerged: Option[org.apache.spark.sql.DataFrame] = None
     var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -300,14 +306,19 @@ object TextOps {
             .as("newLabel"))
         .cache()
       changed = merged.filter(col("newLabel") =!= col("label")).count()
+      labels.unpersist() // no-op after round 1 (derived, uncached)
+      prevMerged.foreach(_.unpersist())
+      prevMerged = Some(merged)
       labels = merged.select(col("node"), col("newLabel").as("label"))
-        .cache()
-      rounds += 1
     }
-    labels
+    val out = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
         (col("node") === col("label")).as("keep"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    edges.unpersist()
+    prevMerged.foreach(_.unpersist())
+    out
   }
 
   /** Recursive transitive closure over the same pair pipeline. */
