@@ -34,7 +34,7 @@ object Bench {
     * sweep): build a real on-disk tree once, then time the full listing
     * source (walk + pushdown filters + DataFrame materialization).
     */
-  private def scanFilesPerSec(spark: SparkSession): (Long, Double) = {
+  private def scanFilesPerSec(spark: SparkSession): (Long, Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("benchtree")
     val dirs = 100
     val filesPerDir = 200
@@ -61,8 +61,17 @@ object Bench {
       }
       java.nio.file.Files.deleteIfExists(p): Unit
     }
+    // Full-pipeline throughput (the reference's actual sweep metric:
+    // scan → parse/normalize → merge → reconcile → snapshot publish):
+    // one index-only Indexer run over the same tree.
+    val idxRoot = java.nio.file.Files.createTempDirectory("benchidx")
+    val cfg = pipeline.IndexerConfig(root.toString, idxRoot.toString,
+      mode = "index-only")
+    val report = new pipeline.Indexer(cfg, None).run(spark)
+    val pipelineFps = report.stats.filesPerSec
     rm(root)
-    (total.toLong, n / sec)
+    rm(idxRoot)
+    (total.toLong, n / sec, pipelineFps)
   }
 
   private def checksum(df: DataFrame): Long = {
@@ -107,13 +116,13 @@ object Bench {
     val total = ok.map(_._2).sum
     val failed = results.collect { case (n, Left(_)) => s""""$n"""" }
       .mkString("[", ",", "]")
-    val (scanned, fps) = try scanFilesPerSec(spark) catch {
+    val (scanned, fps, pipeFps) = try scanFilesPerSec(spark) catch {
       case e: Throwable =>
         System.err.println(s"[bench] scan bench failed: ${e.getMessage}")
-        (0L, 0.0)
+        (0L, 0.0, 0.0)
     }
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)
