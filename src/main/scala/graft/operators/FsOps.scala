@@ -388,6 +388,7 @@ object FsOps {
   // -------------------------------------------------------------------- //
 
   def esDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = SyntheticFs.entries(spark, sfDir)
     val links = SyntheticFs.directLinks(spark, sfDir)
       .select(col("file_id"), col("direct_link").as("dl"))
@@ -404,7 +405,9 @@ object FsOps {
         coalesce(col("dl"), lit("")).as("direct_link"),
         date_format(col("modified_time"), "yyyy-MM-dd'T'HH:mm:ss")
           .as("modified_iso"))
-      .withColumn("size_h", SizeFormat.format_size(col("size_final")))
+      // native Catalyst expression (codegen) — this is the hot 760k-row
+      // formatting path; the ScalaUDF form costs per-row boxing here
+      .withColumn("size_h", expr("format_size(size_final)"))
       .orderBy("relative_path")
   }
 

@@ -63,11 +63,22 @@ object IngestOps {
       |FROM glob('/root/testdata/sf0.01/*')
       |ORDER BY name""".stripMargin
 
+  /** Same listing through the DataSourceV2 path (`format("fslisting")`)
+    * with the entry_type predicate pushed into the source.
+    */
+  def listingDsv2(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("fslisting").load(sfDir)
+      .filter(col("entry_type") === "file")
+      .select("name", "entry_type")
+      .orderBy("name")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_find_ls_roundtrip" -> findLsRoundtrip,
-    "fs_listing" -> listing)
+    "fs_listing" -> listing,
+    "fs_listing_dsv2" -> listingDsv2)
 
   def oracleSql: Map[String, String] = Map(
     "fs_find_ls_roundtrip" -> findLsRoundtripSql,
-    "fs_listing" -> listingSql)
+    "fs_listing" -> listingSql,
+    "fs_listing_dsv2" -> listingSql)
 }
