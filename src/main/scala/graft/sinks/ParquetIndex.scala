@@ -22,7 +22,14 @@ import graft.operators.Merge
   * (partitionable by e.g. first path segment); the merge is [[Merge]]'s
   * single key shuffle; nothing is collected to the driver.
   */
-final class ParquetIndex(root: String, keep: Int = 2) {
+/** @param partitionBy optional partition columns for each snapshot —
+  *   the Spark replacement for the reference's ART indexes
+  *   (db_duckdb.py:175-177): point/prefix queries prune to matching
+  *   partition directories, and parquet min/max stats prune within them
+  *   (SURVEY.md §4.1).
+  */
+final class ParquetIndex(root: String, keep: Int = 2,
+    partitionBy: Seq[String] = Nil) {
 
   private val pointer = Paths.get(root, "CURRENT")
 
@@ -36,7 +43,9 @@ final class ParquetIndex(root: String, keep: Int = 2) {
   def write(df: DataFrame): String = {
     val id = java.util.UUID.randomUUID().toString.take(8) +
       "-" + System.currentTimeMillis()
-    df.write.mode("overwrite").parquet(s"$root/snap-$id")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/snap-$id")
     val tmp = Paths.get(root, s".CURRENT.tmp-$id")
     Files.writeString(tmp, id)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,

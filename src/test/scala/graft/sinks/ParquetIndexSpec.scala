@@ -45,6 +45,24 @@ class ParquetIndexSpec extends SparkSpecBase {
     assert(afterRec == Set("k2", "k3"))
   }
 
+  test("partitioned snapshots prune point queries to one directory") {
+    val root = Files.createTempDirectory("pidx3").toString
+    val idx = new ParquetIndex(root, partitionBy = Seq("key"))
+    val id = idx.write(df(
+      ("k1", 1L, ts("2020-01-01 00:00:00")),
+      ("k2", 2L, ts("2020-01-01 00:00:00"))))
+    // physical layout: one directory per key value
+    val parts = new java.io.File(s"$root/snap-$id").list()
+      .filter(_.startsWith("key=")).sorted
+    assert(parts.toSeq == Seq("key=k1", "key=k2"))
+    // a point lookup reads only the matching partition
+    val q = idx.read(spark).get.filter(org.apache.spark.sql.functions
+      .col("key") === "k1")
+    assert(q.count() == 1)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(key"), scan)
+  }
+
   test("pointer always names a complete snapshot; old snaps pruned") {
     val root = Files.createTempDirectory("pidx2").toString
     val idx = new ParquetIndex(root, keep = 2)
