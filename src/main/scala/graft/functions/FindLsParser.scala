@@ -50,7 +50,10 @@ object FindLsParser {
       .otherwise(withYear)
     val oldTs = try_to_timestamp(concat_ws(" ", mon, day, timeOrYear),
       lit("MMM d yyyy"))
-    val mtime = when(timeOrYear.contains(":"), recentTs).otherwise(oldTs)
+    // P2 fallback parity (scanner.py:155-163): a line with unparseable
+    // date tokens keeps the row with mtime = now, it is NOT dropped.
+    val mtime = coalesce(
+      when(timeOrYear.contains(":"), recentTs).otherwise(oldTs), now)
 
     lines
       .withColumn("filepath", when(path =!= "", path))
@@ -61,11 +64,14 @@ object FindLsParser {
       // P5: mount-point strip — leading '/' removed for the relative key.
       .withColumn("relative_path", expr("substring(filepath, 2)"))
       .withColumn("name", substring_index(col("filepath"), "/", -1))
-      // P6: lowercased suffix without the dot.
+      // P6: lowercased suffix without the dot. The leading `.` of the
+      // pattern requires a character before the final dot, matching
+      // Python Path(name).suffix: '.bashrc' has NO extension, while
+      // '.archive.tar' → 'tar' (scanner.py:166).
       .withColumn("extension",
-        lower(regexp_extract(col("name"), "\\.([^./]+)$", 1)))
-      // P10: malformed rows (bad size, bad date, empty path) are dropped.
-      .filter(col("filepath").isNotNull && col("size_bytes").isNotNull &&
-        col("modified_time").isNotNull)
+        lower(regexp_extract(col("name"), ".\\.([^./]+)$", 1)))
+      // P10: structurally malformed rows (bad size, empty path) are
+      // dropped; date-fallback rows survive with mtime = now.
+      .filter(col("filepath").isNotNull && col("size_bytes").isNotNull)
   }
 }

@@ -69,10 +69,16 @@ object GraftFunctions {
   val info = new ExpressionInfo(classOf[FormatSizeExpr].getCanonicalName,
     "format_size")
 
+  private[functions] val builder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 1,
+        s"format_size expects exactly 1 argument, got ${children.length}")
+      FormatSizeExpr(children.head)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("format_size"), info,
-      (children: Seq[Expression]) => FormatSizeExpr(children.head))
+      FunctionIdentifier("format_size"), info, builder)
 }
 
 class GraftExtensions
@@ -80,6 +86,5 @@ class GraftExtensions
   override def apply(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
     ext.injectFunction((FunctionIdentifier("format_size"),
-      GraftFunctions.info,
-      (children: Seq[Expression]) => FormatSizeExpr(children.head)))
+      GraftFunctions.info, GraftFunctions.builder))
 }

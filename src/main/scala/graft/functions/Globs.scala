@@ -44,7 +44,13 @@ object Globs {
               case c => c.toString
             }
             sb.append('[')
-            if (neg) sb.append('^')
+            if (neg) {
+              sb.append('^')
+              // segment mode runs against the FULL path string: a real
+              // segment never contains '/', so a negated class must not
+              // swallow one and falsely match across a boundary
+              if (!starCrossesSlash) sb.append('/')
+            }
             sb.append(esc).append(']')
             i = j
           }

@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
 object UrlEncode {
 
   /** `quote(path, safe='/')` parity. `~` is unreserved in RFC 3986 (and
-    * Python's quote) but form-encoded by the builtin, so it is restored.
+    * Python's quote) but form-encoded by the builtin, so it is restored;
+    * conversely `*` is kept literal by the form encoding but quoted by
+    * Python, so it is encoded.
     */
   def quotePath(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(url_encode(c), "\\+", "%20"),
-        "%2F", "/"),
-      "%7E", "~")
+        regexp_replace(
+          regexp_replace(url_encode(c), "\\+", "%20"),
+          "%2F", "/"),
+        "%7E", "~"),
+      "\\*", "%2A")
 }

@@ -78,7 +78,8 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport]) {
     col("modified_time"),
     col("modified_time").as("creation_time"),
     col("entry_type").as("type"),
-    lower(regexp_extract(col("name"), "\\.([^./]+)$", 1)).as("extension"),
+    // Path(name).suffix parity: dotfiles like '.bashrc' have no extension
+    lower(regexp_extract(col("name"), ".\\.([^./]+)$", 1)).as("extension"),
     lit("").as("checksum"),
     lit("").as("direct_link"),
     current_timestamp().as("last_seen"))
@@ -175,7 +176,7 @@ object IndexerCli {
     // ST4: graceful shutdown — stop cleanly on SIGTERM/SIGINT.
     sys.addShutdownHook { spark.stop() }
     val transport =
-      sys.env.get("GRAFT_ES_URL").map(EsSink.http)
+      sys.env.get("GRAFT_ES_URL").map(u => EsSink.http(u))
     val report = new Indexer(cfg, transport).run(spark)
     println(report.stats.summary +
       s"; es indexed=${report.indexed} failed=${report.esFailed}" +

@@ -33,16 +33,18 @@ final class EsSink(
     val payload = df.select(
       col(idCol).cast("string").as("_id"),
       to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("_doc"))
+    val idx = EsSink.jsonEsc(index)
     run(payload, r => Seq(
-      s"""{"index":{"_index":"$index","_id":"${r.getString(0)}"}}""",
+      s"""{"index":{"_index":"$idx","_id":"${EsSink.jsonEsc(r.getString(0))}"}}""",
       r.getString(1)))
   }
 
   /** Bulk-delete by id (the reference's 1000-per-batch delete loop). */
   def bulkDelete(ids: DataFrame, index: String, idCol: String): BulkStats = {
     val payload = ids.select(col(idCol).cast("string").as("_id"))
+    val idx = EsSink.jsonEsc(index)
     run(payload, r => Seq(
-      s"""{"delete":{"_index":"$index","_id":"${r.getString(0)}"}}"""))
+      s"""{"delete":{"_index":"$idx","_id":"${EsSink.jsonEsc(r.getString(0))}"}}"""))
   }
 
   private def run(payload: DataFrame,
@@ -67,6 +69,20 @@ object EsSink {
 
   /** Bulk payload lines → one status code per item (not per line). */
   trait Transport extends (Seq[String] => Seq[Int]) with Serializable
+
+  /** JSON string-escape for hand-built action lines: ids are
+    * caller-supplied (often path-derived) and may contain quotes,
+    * backslashes, or control chars that would corrupt NDJSON framing.
+    */
+  private[sinks] def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   private[sinks] def sendWithRetry(
       items: Seq[Seq[String]],
@@ -104,26 +120,34 @@ object EsSink {
     * container (no ES); the partition/batch/retry logic above is what the
     * specs cover.
     */
-  def http(url: String): Transport = new Transport {
+  def http(url: String, connectTimeoutMs: Int = 30000,
+      readTimeoutMs: Int = 300000): Transport = new Transport {
     def apply(lines: Seq[String]): Seq[Int] = {
       val conn = new java.net.URI(url + "/_bulk").toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod("POST")
-      conn.setRequestProperty("Content-Type", "application/x-ndjson")
-      conn.setDoOutput(true)
-      val body = lines.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      conn.getOutputStream.write(body)
-      val resp = new String(conn.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = mapper.readTree(resp)
-      val items = root.path("items")
-      (0 until items.size()).map { i =>
-        val item = items.get(i)
-        val op = item.fieldNames().next()
-        item.path(op).path("status").asInt(500)
-      }
+      try {
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/x-ndjson")
+        conn.setDoOutput(true)
+        // reference parity: 300 s bulk timeout (indexer-config.yaml:51);
+        // a hung node must fail the call so retry/backoff can engage
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        val body = lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = conn.getOutputStream
+        try out.write(body) finally out.close()
+        val in = conn.getInputStream
+        val resp = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val items = mapper.readTree(resp).path("items")
+        (0 until items.size()).map { i =>
+          val item = items.get(i)
+          val op = item.fieldNames().next()
+          item.path(op).path("status").asInt(500)
+        }
+      } finally conn.disconnect()
     }
   }
 }

@@ -32,9 +32,20 @@ final class ParquetIndex(root: String, keep: Int = 2,
     partitionBy: Seq[String] = Nil) {
 
   private val pointer = Paths.get(root, "CURRENT")
+  private val manifest = Paths.get(root, "MANIFEST")
 
   def currentId: Option[String] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+  /** Snapshot ids that completed a pointer swap, oldest first. Pruning
+    * only ever considers these — a dangling dir from a failed write can
+    * never displace a known-good snapshot from the keep window.
+    */
+  private def committedIds: Seq[String] =
+    if (Files.exists(manifest))
+      Files.readString(manifest).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    else Nil
 
   def read(spark: SparkSession): Option[DataFrame] =
     currentId.map(id => spark.read.parquet(s"$root/snap-$id"))
@@ -50,7 +61,7 @@ final class ParquetIndex(root: String, keep: Int = 2,
     Files.writeString(tmp, id)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    prune(id)
+    prune(committedIds :+ id)
     id
   }
 
@@ -76,21 +87,20 @@ final class ParquetIndex(root: String, keep: Int = 2,
         "left_semi").select(cur.columns.map(col).toIndexedSeq: _*))
     }
 
-  private def prune(latest: String): Unit = {
-    val dir = Paths.get(root)
-    val snaps = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("snap-"))
-      .toSeq
-      .sortBy(p => p.getFileName.toString.split("-").last.toLongOption
-        .getOrElse(0L))
-    snaps.dropRight(keep).foreach { p =>
-      if (p.getFileName.toString != s"snap-$latest") deleteRec(p)
-    }
+  private def prune(committed: Seq[String]): Unit = {
+    val (drop, kept) = committed.splitAt(math.max(0, committed.size - keep))
+    drop.foreach(id => deleteRec(Paths.get(root, s"snap-$id")))
+    val tmp = Paths.get(root, ".MANIFEST.tmp")
+    Files.writeString(tmp, kept.mkString("\n") + "\n")
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRec)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRec) finally s.close()
+    }
     Files.deleteIfExists(p): Unit
   }
 }

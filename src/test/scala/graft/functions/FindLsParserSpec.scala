@@ -50,9 +50,23 @@ class FindLsParserSpec extends SparkSpecBase {
     assert(r._5 == "My File.txt")
   }
 
-  test("malformed lines are dropped (P10)") {
+  test("structurally malformed lines are dropped (P10)") {
     assert(parse("garbage").isEmpty)
     assert(parse("1 2 -rw-r--r-- 1 u g NOTNUM Mar 5 04:07 /x").isEmpty)
-    assert(parse("1 2 -rw-r--r-- 1 u g 10 Xxx 5 04:07 /x").isEmpty)
+  }
+
+  test("unparseable date falls back to now instead of dropping (P2)") {
+    val Array(r) = parse("1 2 -rw-r--r-- 1 u g 10 Xxx 5 04:07 /x")
+    assert(r._4 == now) // scanner.py:163 fallback
+    assert(r._3 == 10L)
+  }
+
+  test("dotfiles have no extension; multi-dot hidden files do (P6)") {
+    val rows = parse(
+      "1 2 -rw-r--r-- 1 u g 10 Mar 5 04:07 /home/.bashrc",
+      "1 2 -rw-r--r-- 1 u g 10 Mar 5 04:07 /home/.archive.TAR")
+    val ext = rows.map(r => r._1 -> r._6).toMap
+    assert(ext("home/.bashrc") == "")
+    assert(ext("home/.archive.TAR") == "tar")
   }
 }

@@ -68,6 +68,14 @@ class GlobsSpec extends AnyFunSuite {
     assert(re.findFirstIn("repo/src/a.scala").isEmpty)
   }
 
+  test("segment-mode negated classes never match across a '/'") {
+    // "a[!b]c" as a segment must not match the path "x/a/c" by letting
+    // [^b] swallow the separator (fnmatch per segment sees no '/')
+    val re = Globs.skipRegex(Seq("a[!b]c")).r
+    assert(re.findFirstIn("x/a/c").isEmpty)
+    assert(re.findFirstIn("x/axc/y").isDefined)
+  }
+
   test("skipRegex: full-path glob match") {
     val re = Globs.skipRegex(Seq("*.tmp")).r
     assert(re.findFirstIn("a/b/c.tmp").isDefined)

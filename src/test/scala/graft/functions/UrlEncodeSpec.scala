@@ -26,4 +26,8 @@ class UrlEncodeSpec extends SparkSpecBase {
   test("non-ASCII is UTF-8 percent-encoded") {
     assert(q("/ü") == "/%C3%BC")
   }
+
+  test("* is encoded like Python quote (URLEncoder keeps it literal)") {
+    assert(q("/renders/shot*v2.mov") == "/renders/shot%2Av2.mov")
+  }
 }
