@@ -35,12 +35,17 @@ object SyntheticFs {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def cachedDf(key: String, spark: SparkSession)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // Evict entries of stopped sessions so long-lived JVMs (test suites,
+    // repeated drivers) don't pin dead plans; their storage died with
+    // the session's context, only the map references linger.
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     cache.getOrElseUpdate((spark, key), {
       val df = build
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
     })
+  }
 
   /** File rows (one per lineitem). Hidden-file and skip-pattern variants
     * are carved out by key arithmetic so filters have targets:

@@ -31,10 +31,16 @@ object TextOps {
   // Shared expression fragments (Spark SQL / DuckDB SQL mirrors).
   private val toks = "split(text, ' ')"
   private val dToks = s"array_distinct($toks)"
-  /** Distinct word-3-gram shingles. */
+  /** Distinct word-3-gram shingles. Docs with fewer than 3 tokens get an
+    * empty set (Spark's `sequence(1, 0)` DESCENDS to `[1, 0]` and index 0
+    * then blows up `slice`; DuckDB's `generate_series(1, 0)` is empty — the
+    * CASE guard makes both engines agree on `[]`).
+    */
   private val shingles =
-    s"""array_distinct(transform(sequence(1, size($toks) - 2),
-       |  i -> array_join(slice($toks, i, 3), ' ')))""".stripMargin
+    s"""CASE WHEN size($toks) >= 3 THEN
+       |  array_distinct(transform(sequence(1, size($toks) - 2),
+       |    i -> array_join(slice($toks, i, 3), ' ')))
+       |ELSE cast(array() AS array<string>) END""".stripMargin
   private val duckToks = "string_split(text, ' ')"
   private val duckShingles =
     s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
@@ -197,18 +203,31 @@ object TextOps {
   // uniform hash family that both engines order identically.            //
   // -------------------------------------------------------------------- //
 
-  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared MinHash-LSH pair pipeline. Returns the CACHED shingle frame
+    * (doc_id, sh) alongside the verified pair frame so callers that
+    * materialize internally (`neardupClusters`) can unpersist it; the
+    * cache is hit three times per evaluation (signature leg + both sides
+    * of the Jaccard verify).
+    *
+    * The expensive step — 12 seeded sha256s — runs once per DISTINCT
+    * shingle value, not once per (doc, shingle) occurrence: shingle
+    * vocabulary ≪ occurrences in any natural-language corpus, so the
+    * `distinct → hash → equi-join back on v` shape cuts sha2 work by the
+    * corpus repetition factor at the cost of one hash-partitioned join
+    * (both sides narrow: the value and 12 12-char prefixes).
+    */
+  private def minhashPairs(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val nSeeds = 12
     val sh = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), expr(shingles).as("sh"))
-    // Signature computation stays in whole-stage codegen: explode the
-    // shingle set once, compute the 12 seeded hashes as plain columns
-    // (array higher-order functions are interpreted — ~3× slower here),
-    // then 12 map-side-combinable min-aggregates per doc.
+      .cache()
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("v"))
-    val hashed = exploded.select(col("doc_id") +: (0 until nSeeds).map(s =>
-      substring(sha2(concat(lit(s.toString), lit(":"), col("v")), 256),
-        1, 12).as(s"h$s")): _*)
+    val hashedVocab = exploded.select("v").distinct()
+      .select(col("v") +: (0 until nSeeds).map(s =>
+        substring(sha2(concat(lit(s.toString), lit(":"), col("v")), 256),
+          1, 12).as(s"h$s")): _*)
+    val hashed = exploded.join(hashedVocab, "v").drop("v")
     val sigs = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until nSeeds).map(s => min(col(s"h$s")).as(s"m$s")): _*)
@@ -226,7 +245,7 @@ object TextOps {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jac", round(
@@ -234,7 +253,15 @@ object TextOps {
           expr("size(array_union(a_sh, b_sh))"), 4))
       .filter(col("jac") >= 0.3)
       .select("a_id", "b_id", "jac")
-      .orderBy("a_id", "b_id")
+    (sh, pairs)
+  }
+
+  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // The shingle cache stays live for the lazy result's lifetime (it is
+    // tiny: one shingle array per doc); neardupClusters, which fully
+    // materializes, releases it eagerly.
+    val (_, pairs) = minhashPairs(spark, sfDir)
+    pairs.orderBy("a_id", "b_id")
   }
 
   /** Shared CTE body of the MinHash pipeline (used by the pair query and
@@ -279,7 +306,8 @@ object TextOps {
   // -------------------------------------------------------------------- //
 
   def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashNearDup(spark, sfDir).select("a_id", "b_id")
+    val (sh, rawPairs) = minhashPairs(spark, sfDir)
+    val pairs = rawPairs.select("a_id", "b_id")
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
@@ -318,6 +346,7 @@ object TextOps {
       .localCheckpoint(true)
     edges.unpersist()
     prevMerged.foreach(_.unpersist())
+    sh.unpersist()
     out
   }
 
@@ -506,7 +535,7 @@ object TextOps {
        |      ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM documents)
-       |SELECT (cum - nt) // 2048 AS bin, count(*) AS n_docs,
+       |SELECT CAST((cum - nt) // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
        |  CAST(sum(nt) AS BIGINT) AS tokens
        |FROM c GROUP BY bin ORDER BY bin""".stripMargin
 

@@ -73,8 +73,8 @@ private[sources] class FsListingScanBuilder(root: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var prefix: Option[String] = None
-  private var entryType: Option[String] = None
+  private var prefixes: Seq[String] = Nil
+  private var entryTypes: Seq[String] = Nil
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FsListingSource.schema
 
@@ -84,14 +84,15 @@ private[sources] class FsListingScanBuilder(root: String)
       case EqualTo("entry_type", _: String) => true
       case _ => false
     }
-    accepted.foreach {
-      case StringStartsWith("filepath", p) => prefix = Some(p)
-      case EqualTo("entry_type", t: String) => entryType = Some(t)
-      case _ =>
-    }
+    // The reader enforces EVERY accepted conjunct (not just the last of
+    // each kind): all prefixes must match a row, all type equalities must
+    // hold. Contradictory combinations (two incomparable prefixes, two
+    // different entry_type values) therefore correctly yield zero rows —
+    // which is exactly what "fully enforced, removed from the residual"
+    // promises Spark.
+    prefixes = accepted.collect { case StringStartsWith("filepath", p) => p }
+    entryTypes = accepted.collect { case EqualTo("entry_type", t: String) => t }
     pushed = accepted
-    // accepted filters are fully enforced by the reader → only the
-    // rejected ones remain for Spark to evaluate
     rejected
   }
 
@@ -100,7 +101,7 @@ private[sources] class FsListingScanBuilder(root: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new FsListingScan(root, prefix, entryType,
+  override def build(): Scan = new FsListingScan(root, prefixes, entryTypes,
     required)
 }
 
@@ -109,57 +110,64 @@ private[sources] case class FsListingPartition(seed: String)
 
 private[sources] class FsListingScan(
     root: String,
-    prefix: Option[String],
-    entryType: Option[String],
+    prefixes: Seq[String],
+    entryTypes: Seq[String],
     required: StructType) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"FsListingScan(root=$root, pushedPrefix=${prefix.getOrElse("-")}, " +
-      s"pushedType=${entryType.getOrElse("-")}, " +
+    s"FsListingScan(root=$root, pushedPrefixes=${prefixes.mkString("|")}, " +
+      s"pushedTypes=${entryTypes.mkString("|")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
 
-  /** A directory at `path` can contain matches iff the pushed prefix and
-    * the path agree on their common length.
+  /** A directory at `path` can contain matches iff EVERY pushed prefix
+    * and the path agree on their common length.
     */
-  private def dirMayMatch(relPath: String): Boolean = prefix.forall { p =>
+  private def dirMayMatch(relPath: String): Boolean = prefixes.forall { p =>
     relPath.startsWith(p) || p.startsWith(relPath)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rootFile = new File(root)
-    val kids = Option(rootFile.listFiles).toSeq.flatten
-      .filter(f => !f.getName.startsWith("."))
-      .filter(f => !f.isDirectory ||
-        dirMayMatch("/" + f.getName))
-    if (kids.isEmpty) Array(FsListingPartition(root))
-    else kids.map(k => FsListingPartition(k.getPath)).toArray
+    if (rootFile.isDirectory) {
+      // Partition-per-child; the root directory itself is never emitted
+      // (matching FsListing.list), so an empty root means zero
+      // partitions — NOT a fallback seed that would change the row set's
+      // shape based on whether the tree is empty.
+      Option(rootFile.listFiles).toSeq.flatten
+        .filter(f => !f.getName.startsWith("."))
+        .filter(f => !f.isDirectory || dirMayMatch("/" + f.getName))
+        .map(k => FsListingPartition(k.getPath)).toArray
+    } else {
+      // root is a single file: one partition listing just it
+      Array(FsListingPartition(root))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FsListingReaderFactory(root, prefix, entryType,
+    new FsListingReaderFactory(root, prefixes, entryTypes,
       required.fieldNames)
 }
 
 private[sources] class FsListingReaderFactory(
     root: String,
-    prefix: Option[String],
-    entryType: Option[String],
+    prefixes: Seq[String],
+    entryTypes: Seq[String],
     fields: Array[String]) extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val seed = partition.asInstanceOf[FsListingPartition].seed
-    new FsListingReader(root, seed, prefix, entryType, fields)
+    new FsListingReader(root, seed, prefixes, entryTypes, fields)
   }
 }
 
 private[sources] class FsListingReader(
     root: String,
     seed: String,
-    prefix: Option[String],
-    entryType: Option[String],
+    prefixes: Seq[String],
+    entryTypes: Seq[String],
     fields: Array[String]) extends PartitionReader[InternalRow] {
 
   private def rel(f: File): String =
@@ -169,14 +177,14 @@ private[sources] class FsListingReader(
       case p => "/" + p
     }
 
-  private def dirMayMatch(p: String): Boolean = prefix.forall { pre =>
+  private def dirMayMatch(p: String): Boolean = prefixes.forall { pre =>
     p.startsWith(pre) || pre.startsWith(p)
   }
 
   private def emit(f: File, relPath: String): Boolean = {
     val isDir = f.isDirectory
-    prefix.forall(relPath.startsWith) &&
-      entryType.forall(t => (if (isDir) "directory" else "file") == t)
+    prefixes.forall(relPath.startsWith) &&
+      entryTypes.forall(t => (if (isDir) "directory" else "file") == t)
   }
 
   private def walk(f: File): Iterator[File] = {

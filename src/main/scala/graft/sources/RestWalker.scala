@@ -55,11 +55,16 @@ object RestWalker {
     var depth = 0
     while (frontier.nonEmpty && depth < maxDepth) {
       val nPart = math.max(1, math.min(frontier.size, fanout))
+      // Eager localCheckpoint (not .cache()): materializes the level ONCE
+      // right here — the HTTP fetch can never re-run on a downstream
+      // action — truncates lineage, and leaves no CacheManager entry
+      // pinned for the walk's lifetime (blocks are released by the
+      // ContextCleaner once the result frame is dropped).
       val listed = spark.createDataset(frontier)
         .repartition(nPart)
         .mapPartitions(_.flatMap(fetch))
         .toDF()
-        .cache()
+        .localCheckpoint(true)
       acc = Some(acc.fold(listed)(_.unionByName(listed)))
       frontier = listed
         .filter(col("entry_type") === "directory")

@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** Shingle-path edge cases: documents with fewer than 3 tokens must yield
+  * an EMPTY shingle set (DuckDB's `generate_series(1, 0)` is empty; an
+  * unguarded Spark `sequence(1, 0)` DESCENDS to `[1, 0]` and `slice` at
+  * index 0 throws). fingerprint / minhashNearDup / neardupClusters must
+  * therefore survive — not crash on — short docs.
+  */
+class TextOpsSpec extends SparkSpecBase {
+
+  /** Writes a tiny documents table (driver schema) with short-doc traps. */
+  private def shortDocsDir(): String = {
+    val dir = Files.createTempDirectory("textops").toString
+    val rows = Seq(
+      (0L, "one", "en", "src0", 3L),                       // 1 token
+      (1L, "two tokens", "en", "src0", 10L),               // 2 tokens
+      (2L, "", "en", "src0", 0L),                          // empty text
+      (3L, "a b c d e f g h i j", "en", "src0", 19L),      // normal
+      (4L, "a b c d e f g h i j", "en", "src0", 19L))      // exact dup of 3
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("fingerprint survives <3-token docs with the empty-set digest") {
+    val dir = shortDocsDir()
+    val fp = TextOps.fingerprint(spark, dir).collect()
+    assert(fp.length == 5)
+    val byId = fp.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // empty shingle set → sha256 of "" for every short doc
+    val emptyDigest =
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    assert(byId(0L) == emptyDigest)
+    assert(byId(1L) == emptyDigest)
+    assert(byId(2L) == emptyDigest)
+    assert(byId(3L) != emptyDigest)
+    assert(byId(3L) == byId(4L)) // identical docs, identical fingerprint
+  }
+
+  test("minhash near-dup survives short docs and still finds the real dup") {
+    val dir = shortDocsDir()
+    val pairs = TextOps.minhashNearDup(spark, dir).collect()
+    // short docs have no signature → can never pair; 3↔4 is jac=1.0
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 4L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("neardup clustering survives short docs") {
+    val dir = shortDocsDir()
+    val cl = TextOps.neardupClusters(spark, dir).collect()
+    assert(cl.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet == Set((3L, 3L, true), (4L, 3L, false)))
+  }
+}

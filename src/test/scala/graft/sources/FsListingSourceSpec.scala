@@ -44,9 +44,35 @@ class FsListingSourceSpec extends SparkSpecBase {
     // filters reached the scan (rendered by Scan.description) and there
     // is NO post-scan Filter node left — the source enforced them fully
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pushedPrefix=/a"), plan)
-    assert(plan.contains("pushedType=file"), plan)
+    assert(plan.contains("pushedPrefixes=/a"), plan)
+    assert(plan.contains("pushedTypes=file"), plan)
     assert(!plan.contains("Filter ("))
+  }
+
+  test("multiple pushed conjuncts are ALL enforced, not last-wins") {
+    val root = mkTree()
+    // /a && /a/x: compatible prefixes — the longer one decides
+    val both = read(root)
+      .filter(col("filepath").startsWith("/a") &&
+        col("filepath").startsWith("/a/x"))
+    assert(both.collect().map(_.getAs[String]("filepath")).toSet ==
+      Set("/a/x", "/a/x/f2.txt"))
+    // /a && /b: contradictory prefixes — zero rows, not "/b wins"
+    assert(read(root)
+      .filter(col("filepath").startsWith("/a") &&
+        col("filepath").startsWith("/b")).count() == 0)
+    // file && directory: contradictory type equalities — zero rows
+    assert(read(root)
+      .filter(col("entry_type") === "file" &&
+        col("entry_type") === "directory").count() == 0)
+  }
+
+  test("row set shape is independent of tree emptiness (root never emitted)") {
+    val empty = Files.createTempDirectory("dsv2empty")
+    assert(read(empty).count() == 0) // no phantom "/" row
+    val root = mkTree()
+    assert(!read(root).collect().map(_.getAs[String]("filepath"))
+      .contains("/"))
   }
 
   test("partition planning skips subtrees outside the prefix") {
