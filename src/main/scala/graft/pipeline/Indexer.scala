@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SizeFormat
-import graft.sinks.{EsSink, ParquetIndex}
+import graft.sinks.{EsAdmin, EsSink, ParquetIndex}
 import graft.sources.FsListing
 import graft.stats.RunStats
 
@@ -66,7 +66,8 @@ final case class RunReport(
   * `foreachPartition` bulk sink. Nothing materializes on the driver but
   * the run counters (collected via `observe`, A8).
   */
-final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport]) {
+final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
+    admin: Option[EsAdmin.Transport] = None) {
 
   /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1). */
   private def normalize(listing: DataFrame): DataFrame = listing.select(
@@ -128,6 +129,10 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport]) {
     // (J4/F3/F11) then bulk index; deletions → bulk delete (S11).
     val (indexed, esFailed) = (cfg.mode, transport) match {
       case ("elasticsearch", Some(t)) =>
+        // create-before-bulk (elasticsearch_integration.py:27,30-41): a
+        // fresh cluster gets the explicit mapping, incl. the
+        // path_hierarchy analyzer — NOT dynamic mappings
+        admin.foreach(a => EsAdmin.ensureIndex(a, cfg.esIndex))
         val sink = new EsSink(t, cfg.esBatchSize)
         val current = idx.read(spark).get
         val sizes = dirSizes(current)
@@ -175,9 +180,10 @@ object IndexerCli {
     spark.sparkContext.setLogLevel("WARN")
     // ST4: graceful shutdown — stop cleanly on SIGTERM/SIGINT.
     sys.addShutdownHook { spark.stop() }
-    val transport =
-      sys.env.get("GRAFT_ES_URL").map(u => EsSink.http(u))
-    val report = new Indexer(cfg, transport).run(spark)
+    val esUrl = sys.env.get("GRAFT_ES_URL")
+    val transport = esUrl.map(u => EsSink.http(u))
+    val admin = esUrl.map(u => EsAdmin.http(u))
+    val report = new Indexer(cfg, transport, admin).run(spark)
     println(report.stats.summary +
       s"; es indexed=${report.indexed} failed=${report.esFailed}" +
       s" removed=${report.removed} snapshot=${report.snapshotId}")

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Globs
+import graft.operators.Merge
+import graft.sinks.ParquetIndex
+
+/** J5's completion — the direct-link REFRESH loop
+  * (direct_links.py:76-188): take the stale/missing-link work queue
+  * (the query side is FsOps.staleLinks, P8+W1), fetch a fresh direct
+  * link per file through a pluggable per-partition client, and
+  * last-writer-wins-merge (J2, db_duckdb.py:242-245 INSERT OR REPLACE)
+  * the results into the links store. Files whose fetch fails keep their
+  * old link row; fresh links are never re-fetched (the v2 cache
+  * semantics of direct_links.py:117-122).
+  *
+  * Scale notes: the fetch is `mapPartitions` — one client per partition,
+  * no driver round-trip; the queue is a single left-join + filter; the
+  * merge is [[Merge]]'s one key shuffle. Nothing here collects.
+  */
+object LinkRefresh {
+
+  /** One link fetch: (filepath, cached fsentry_id) →
+    * Some((direct_link, new fsentry_id)) on success, None on failure
+    * (direct_links.py:129-141; a 400 from the API means "unsupported
+    * file — skip", which the reference also drops).
+    */
+  trait Fetch extends ((String, Option[String])
+    => Option[(String, Option[String])]) with Serializable
+
+  private[pipeline] final case class Fetched(
+      file_id: String, direct_link: String, link_type: String,
+      fsentry_id: Option[String])
+
+  final case class Result(merged: DataFrame, refreshed: Long)
+
+  /** The work queue: files whose link is missing or older than the
+    * file's mtime (same P8 predicate as the `fs_stale_links` query),
+    * minus skip-pattern matches (direct_links.py:104-106). Carries the
+    * cached fsentry_id so a v2 fetch can reuse it (:112-124).
+    */
+  def staleQueue(files: DataFrame, links: DataFrame,
+      skipPatterns: Seq[String] = Nil): DataFrame = {
+    val l = links.select(col("file_id"), col("last_updated"),
+      col("fsentry_id"))
+    val base = files.select("id", "filepath", "modified_time")
+      .join(l, col("id") === col("file_id"), "left")
+      .filter(col("file_id").isNull ||
+        col("last_updated") < col("modified_time"))
+      .select(col("id"), col("filepath"), col("fsentry_id"))
+    if (skipPatterns.isEmpty) base
+    else base.filter(
+      !col("filepath").substr(lit(2), lit(Int.MaxValue))
+        .rlike(Globs.skipRegex(skipPatterns)))
+  }
+
+  /** Fetch every queued link and J2-merge the successes into the
+    * current links frame. `version` selects the reference's v2/v3 link
+    * dialect; `now` stamps `last_updated` (a parameter, not
+    * `current_timestamp()`, so runs are deterministic and testable).
+    */
+  def refresh(
+      spark: SparkSession,
+      files: DataFrame,
+      links: DataFrame,
+      fetch: Fetch,
+      version: Int = 2,
+      skipPatterns: Seq[String] = Nil,
+      now: java.sql.Timestamp = java.sql.Timestamp.from(
+        java.time.Instant.now())): Result = {
+    import spark.implicits._
+    val queue = staleQueue(files, links, skipPatterns)
+    val linkType = s"v$version"
+    val fetched = queue
+      .select(col("id"), col("filepath"), col("fsentry_id"))
+      .as[(String, String, Option[String])]
+      .mapPartitions { it => // one client per partition
+        it.flatMap { case (id, fp, cachedFse) =>
+          fetch(fp, cachedFse).map { case (link, fse) =>
+            Fetched(id, link, linkType, fse)
+          }
+        }
+      }
+      .toDF()
+      .withColumn("fsentry_id", col("fsentry_id").cast("string"))
+      .withColumn("last_updated", lit(now))
+      // eager localCheckpoint: the HTTP fetch runs exactly ONCE, here —
+      // neither the refreshed-count action nor the merge's shuffle can
+      // re-trigger it (same fetch-once discipline as RestWalker)
+      .localCheckpoint(true)
+    val batch = fetched.select(links.columns.map(col).toIndexedSeq: _*)
+    // J2 LWW on file_id: a fetched row always replaces the stored one
+    // (its last_updated is `now`, but batchWinsTies guards equal stamps)
+    val merged = Merge.merge(links, batch, "file_id", "last_updated",
+      batchWinsTies = true)
+    Result(merged, batch.count())
+  }
+
+  /** The full store round-trip: read the links [[ParquetIndex]], refresh
+    * against `files`, write the merged snapshot back. Returns the count
+    * of refreshed links (re-running immediately yields 0 — the queue
+    * drains, which IndexerSpec-style specs assert).
+    */
+  def refreshIndex(
+      spark: SparkSession,
+      files: DataFrame,
+      linksIndex: ParquetIndex,
+      fetch: Fetch,
+      version: Int = 2,
+      skipPatterns: Seq[String] = Nil,
+      now: java.sql.Timestamp = java.sql.Timestamp.from(
+        java.time.Instant.now())): Long = {
+    val links = linksIndex.read(spark).getOrElse(
+      sys.error("links index is empty — seed it with an initial snapshot"))
+    val r = refresh(spark, files, links, fetch, version, skipPatterns, now)
+    linksIndex.write(r.merged)
+    r.refreshed
+  }
+}

@@ -66,6 +66,26 @@ class IndexerSpec extends SparkSpecBase {
     assert(sent.contains("\"size\":"))
   }
 
+  test("elasticsearch mode ensures the index exists BEFORE bulk calls") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxstore3").toString
+    TransportProbe.reset()
+    val adminCalls =
+      scala.collection.mutable.Buffer.empty[(String, String)]
+    val admin = new graft.sinks.EsAdmin.Transport {
+      def apply(m: String, p: String, b: Option[String]) = {
+        adminCalls += ((m, p))
+        if (m == "HEAD") (404, "") else (200, """{"acknowledged":true}""")
+      }
+    }
+    val cfg = IndexerConfig(root.toString, idxRoot)
+    val r = new Indexer(cfg, Some(TransportProbe.transport),
+      Some(admin)).run(spark)
+    assert(r.indexed == 4)
+    // create-before-bulk: HEAD → PUT mapping, on the configured index
+    assert(adminCalls == Seq(("HEAD", "/files"), ("PUT", "/files")))
+  }
+
   test("config surface parses key=value lines with reference keys") {
     val cfg = IndexerConfig.load(Seq(
       "# comment", "root_path=/data", "index_root=/idx",

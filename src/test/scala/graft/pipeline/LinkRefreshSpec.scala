@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.sinks.ParquetIndex
+
+/** J5's refresh loop: the stale queue feeds a pluggable fetch, successes
+  * J2-merge into the links store, re-running drains the queue, fresh
+  * links are never re-fetched, failures keep their old row.
+  */
+class LinkRefreshSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val now = ts("2026-08-01 12:00:00")
+
+  // f1: stale link (updated before mtime); f2: fresh; f3: no link yet;
+  // f4: stale but fetch will fail; f5: stale but skip-pattern-excluded
+  private def filesDf: DataFrame = spark.createDataFrame(Seq(
+    ("f1", "/a/one.txt", ts("2026-07-10 00:00:00")),
+    ("f2", "/a/two.txt", ts("2026-07-10 00:00:00")),
+    ("f3", "/b/three.txt", ts("2026-07-10 00:00:00")),
+    ("f4", "/b/four.txt", ts("2026-07-10 00:00:00")),
+    ("f5", "/tmp-cache/five.txt", ts("2026-07-10 00:00:00"))))
+    .toDF("id", "filepath", "modified_time")
+
+  private def linksDf: DataFrame = spark.createDataFrame(Seq(
+    ("f1", "https://fs.example/old1", "v2", Some("fse-1"),
+      ts("2026-07-01 00:00:00")), // stale: before f1's mtime
+    ("f2", "https://fs.example/ok2", "v2", Some("fse-2"),
+      ts("2026-07-20 00:00:00")), // fresh
+    ("f4", "https://fs.example/old4", "v2", None,
+      ts("2026-07-01 00:00:00")), // stale, fetch fails
+    ("f5", "https://fs.example/old5", "v2", None,
+      ts("2026-07-01 00:00:00")))) // stale, skipped
+    .toDF("file_id", "direct_link", "link_type", "fsentry_id",
+      "last_updated")
+
+  /** Deterministic fake API: fails for /b/four.txt, echoes the cached
+    * fsentry id (v2 cache reuse) or mints one.
+    */
+  private object FakeFetch extends LinkRefresh.Fetch {
+    def apply(fp: String, cached: Option[String]) =
+      if (fp.endsWith("four.txt")) None
+      else Some((s"https://fs.example/new${fp.length}",
+        cached.orElse(Some(s"fse-minted-$fp"))))
+  }
+
+  test("stale queue = missing ∪ outdated, minus skips, with cached ids") {
+    val q = LinkRefresh.staleQueue(filesDf, linksDf,
+      skipPatterns = Seq("tmp-*")).collect()
+    assert(q.map(_.getString(0)).toSet == Set("f1", "f3", "f4"))
+    val f1 = q.find(_.getString(0) == "f1").get
+    assert(f1.getString(2) == "fse-1") // cached fsentry_id carried
+    assert(q.find(_.getString(0) == "f3").get.isNullAt(2))
+  }
+
+  test("refresh merges successes, keeps failures and fresh rows intact") {
+    val r = LinkRefresh.refresh(spark, filesDf, linksDf, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    assert(r.refreshed == 2) // f1 + f3 (f4 failed, f5 skipped, f2 fresh)
+    val rows = r.merged.collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(rows.keySet == Set("f1", "f2", "f3", "f4", "f5"))
+    // f1: replaced (LWW), cached fsentry id reused by the v2 fetch
+    assert(rows("f1").getString(1).startsWith("https://fs.example/new"))
+    assert(rows("f1").getString(3) == "fse-1")
+    assert(rows("f1").getTimestamp(4) == now)
+    // f3: newly inserted with a minted id
+    assert(rows("f3").getString(3).startsWith("fse-minted-"))
+    // f2 (fresh) and f4 (failed fetch) keep their original rows
+    assert(rows("f2").getString(1) == "https://fs.example/ok2")
+    assert(rows("f4").getString(1) == "https://fs.example/old4")
+    // f5 (skip pattern) untouched
+    assert(rows("f5").getString(1) == "https://fs.example/old5")
+  }
+
+  test("round-trip through the links ParquetIndex drains the queue") {
+    val root = Files.createTempDirectory("links-idx").toString
+    val idx = new ParquetIndex(root)
+    idx.write(linksDf)
+    val n1 = LinkRefresh.refreshIndex(spark, filesDf, idx, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    assert(n1 == 2)
+    // re-run against the merged snapshot: every fetchable link is now
+    // fresh (last_updated = now > every mtime) → the queue is empty
+    // except the permanently-failing f4
+    val n2 = LinkRefresh.refreshIndex(spark, filesDf, idx, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    assert(n2 == 0)
+    val persisted = idx.read(spark).get
+      .filter(col("file_id") === "f1").collect().head
+    assert(persisted.getAs[Timestamp]("last_updated") == now)
+  }
+}
