@@ -21,10 +21,10 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
-    "fs_dir_rollup_explode", "fs_merge_upsert", "fs_es_docs",
-    "fs_deletions", "fs_stale_links",
-    "docs_dedup_exact", "docs_minhash_neardup",
-    "ann_topk_brute", "events_hourly_window")
+    "fs_dir_rollup_explode", "fs_dir_rollup_theta", "fs_merge_upsert",
+    "fs_es_docs", "fs_deletions", "fs_stale_links",
+    "docs_dedup_exact", "docs_minhash_neardup", "docs_neardup_clusters",
+    "ann_topk_brute", "ann_cosine_neardup", "events_hourly_window")
 
   /** Force full evaluation; returns a checksum so results can't be
     * skipped and runs can be compared across rounds.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.FindLsParser
 import graft.model.SyntheticFs
-import graft.sources.FsListing
+import graft.sources.{FsListing, RestWalker}
 
 /** Ingest-path parity queries: the find-ls text parser round-trip (P1/P2)
   * and the distributed listing source (S1-S4).
@@ -72,13 +72,86 @@ object IngestOps {
       .select("name", "entry_type")
       .orderBy("name")
 
+  /** S6: the single-directory batch cap. `limit(n)` over an unordered
+    * listing picks arbitrary rows, so the oracle-stable facts are the
+    * COUNTS: the capped read returns exactly `min(cap, available)` rows,
+    * the uncapped read returns them all.
+    */
+  def listDirCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val capped = FsListing.listDir(spark, sfDir, batchSize = 4)
+      .agg(count(lit(1)).as("n_capped"))
+    val all = FsListing.listDir(spark, sfDir, batchSize = 1000000)
+      .filter(col("entry_type") === "file")
+      .agg(count(lit(1)).as("n_all"))
+    capped.crossJoin(all)
+  }
+
+  val listDirCapSql: String =
+    """SELECT least(4, count(*)) AS n_capped, count(*) AS n_all
+      |FROM glob('/root/testdata/sf0.01/*')""".stripMargin
+
+  /** S5 as an oracle-checked query: BFS-traverse a deterministic fake
+    * directory API whose entries are pure functions of the path, so a
+    * DuckDB CTE can enumerate the exact expected row set. The tree
+    * carries every exclusion trap: a hidden subtree (`.cache`) and a
+    * skip-pattern file (`*.tmp`).
+    */
+  private[operators] object FakeApi extends RestWalker.Fetch {
+    private def ns(p: String): Long = (1700000000L + p.length) * 1000000000L
+    private def file(p: String) =
+      RestWalker.ApiEntry(p, "file", p.length * 10L, ns(p))
+    private def dir(p: String) =
+      RestWalker.ApiEntry(p, "directory", 0L, ns(p))
+    def apply(d: String): Seq[RestWalker.ApiEntry] = d match {
+      case "/" =>
+        (0 until 5).map(i => dir(s"/d$i")) ++
+          (0 until 2).map(i => file(s"/r$i.txt"))
+      case p if p.matches("/d\\d") =>
+        (0 until 3).map(j => file(s"$p/f$j.dat")) ++
+          Seq(dir(s"$p/sub"), dir(s"$p/.cache"), file(s"$p/skipme.tmp"))
+      case p if p.matches("/d\\d/sub") =>
+        (0 until 2).map(j => file(s"$p/g$j.log"))
+      case p if p.endsWith("/.cache") => Seq(file(s"$p/x.bin"))
+      case _ => Nil
+    }
+  }
+
+  def restWalk(spark: SparkSession, sfDir: String): DataFrame =
+    RestWalker.traverse(spark, FakeApi, "/", skipPatterns = Seq("*.tmp"))
+      .select("path", "entry_type", "size_bytes", "modified_time")
+      .orderBy("path")
+
+  val restWalkSql: String =
+    """WITH e(path, entry_type) AS (
+      |  SELECT '/d' || i, 'directory' FROM generate_series(0, 4) t(i)
+      |  UNION ALL
+      |  SELECT '/r' || i || '.txt', 'file' FROM generate_series(0, 1) t(i)
+      |  UNION ALL
+      |  SELECT '/d' || i || '/f' || j || '.dat', 'file'
+      |  FROM generate_series(0, 4) t(i), generate_series(0, 2) u(j)
+      |  UNION ALL
+      |  SELECT '/d' || i || '/sub', 'directory' FROM generate_series(0, 4) t(i)
+      |  UNION ALL
+      |  SELECT '/d' || i || '/sub/g' || j || '.log', 'file'
+      |  FROM generate_series(0, 4) t(i), generate_series(0, 1) u(j)
+      |)
+      |SELECT path, entry_type,
+      |  CAST(CASE WHEN entry_type = 'file' THEN length(path) * 10
+      |            ELSE 0 END AS BIGINT) AS size_bytes,
+      |  make_timestamp((1700000000 + length(path)) * 1000000) AS modified_time
+      |FROM e ORDER BY path""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_find_ls_roundtrip" -> findLsRoundtrip,
     "fs_listing" -> listing,
-    "fs_listing_dsv2" -> listingDsv2)
+    "fs_listing_dsv2" -> listingDsv2,
+    "fs_list_dir" -> listDirCap,
+    "rest_walk" -> restWalk)
 
   def oracleSql: Map[String, String] = Map(
     "fs_find_ls_roundtrip" -> findLsRoundtripSql,
     "fs_listing" -> listingSql,
-    "fs_listing_dsv2" -> listingSql)
+    "fs_listing_dsv2" -> listingSql,
+    "fs_list_dir" -> listDirCapSql,
+    "rest_walk" -> restWalkSql)
 }

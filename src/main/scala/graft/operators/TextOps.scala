@@ -91,6 +91,36 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // BPE-ish token counting: the pre-tokenizer regex split (letter runs / //
+  // digit runs / punctuation runs) next to the whitespace count — the    //
+  // standard quick budget estimate when the real tokenizer is offline.   //
+  // The synthetic corpus is pure lowercase words, so the query augments  //
+  // each doc with a digits+punctuation tail derived from its id; the     //
+  // regex then genuinely splits where whitespace doesn't (n_bpe > n_ws), //
+  // keeping the oracle discriminating.                                   //
+  // -------------------------------------------------------------------- //
+
+  private val bpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  def tokenBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("aug",
+        concat(col("text"), lit(" x"), col("doc_id").cast("string"),
+          lit(".7!")))
+      .select(col("doc_id"),
+        expr(s"CAST(regexp_count(aug, '$bpeRe') AS INT)").as("n_bpe"),
+        expr("size(split(aug, ' '))").as("n_ws"))
+      .orderBy("doc_id")
+
+  val tokenBpeSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text || ' x' || doc_id || '.7!',
+       |    '$bpeRe')) AS INT) AS n_bpe,
+       |  CAST(len(string_split(text || ' x' || doc_id || '.7!', ' '))
+       |    AS INT) AS n_ws
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // Quality scoring: stopword ratio + length saturation.                 //
   // -------------------------------------------------------------------- //
 
@@ -542,6 +572,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_dedup_exact" -> dedupExact,
     "docs_token_stats" -> tokenStats,
+    "docs_token_bpe" -> tokenBpe,
     "docs_quality" -> qualityScore,
     "docs_lang_id" -> langId,
     "docs_fingerprint" -> fingerprint,
@@ -557,6 +588,7 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     "docs_dedup_exact" -> dedupExactSql,
     "docs_token_stats" -> tokenStatsSql,
+    "docs_token_bpe" -> tokenBpeSql,
     "docs_quality" -> qualityScoreSql,
     "docs_lang_id" -> langIdSql,
     "docs_fingerprint" -> fingerprintSql,

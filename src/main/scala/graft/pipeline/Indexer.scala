@@ -21,7 +21,8 @@ final case class IndexerConfig(
     skipPatterns: Seq[String] = IndexerConfig.defaultSkips,
     includeHidden: Boolean = false,
     esIndex: String = "files",
-    esBatchSize: Int = 1000)
+    esBatchSize: Int = 1000,
+    snapshotFiles: Int = 4)
 
 object IndexerConfig {
   /** Reference defaults (config/indexer-config.yaml:121-152, abridged). */
@@ -47,7 +48,10 @@ object IndexerConfig {
         .map(_.split(",").map(_.trim).toSeq).getOrElse(defaultSkips),
       includeHidden = kv.get("include_hidden").exists(_.toBoolean),
       esIndex = kv.getOrElse("es_index", "files"),
-      esBatchSize = kv.get("es_batch_size").map(_.toInt).getOrElse(1000))
+      esBatchSize = kv.get("es_batch_size").map(_.toInt).getOrElse(1000),
+      // single-node parity default (the reference's store is ONE DuckDB
+      // file); set 0 on a cluster to keep the distributed write width
+      snapshotFiles = kv.get("snapshot_files").map(_.toInt).getOrElse(4))
   }
 }
 
@@ -108,19 +112,18 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
 
     // J1 merge + J6 reconcile: the new scan is the truth for both
     // updates and deletions (reference scan loop + cleanup).
-    val idx = new ParquetIndex(cfg.indexRoot)
+    val idx = new ParquetIndex(cfg.indexRoot,
+      writeFiles = cfg.snapshotFiles)
     val previous = idx.read(spark)
     // localCheckpoint: the deletion set must be materialized NOW — it is
     // a lazy plan over the previous snapshot, whose files are pruned once
     // the new snapshots land (deltas are small; cutting lineage here is
-    // cheap even at scale).
-    val removedIds: DataFrame = (previous match {
-      case Some(prev) =>
-        prev.join(entries, Seq("relative_path"), "left_anti").select("id")
-      case None => spark.emptyDataFrame.withColumn("id", lit(""))
-        .limit(0).select("id")
-    }).localCheckpoint(true)
-    val removedCount = removedIds.count()
+    // cheap even at scale). First run has no previous snapshot: no
+    // deletion frame at all — not a checkpoint+count of an empty plan.
+    val removedIds: Option[DataFrame] = previous.map(prev =>
+      prev.join(entries, Seq("relative_path"), "left_anti").select("id")
+        .localCheckpoint(true))
+    val removedCount = removedIds.map(_.count()).getOrElse(0L)
     val snapId = idx.upsert(spark, entries, "relative_path",
       "modified_time")
     idx.reconcile(spark, entries.select("relative_path"), "relative_path")
@@ -148,7 +151,8 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
               .as("modified_time"))
           .withColumn("size", SizeFormat.format_size(col("size_bytes")))
         val s = sink.bulkIndex(docs, cfg.esIndex, "id")
-        if (removedCount > 0) sink.bulkDelete(removedIds, cfg.esIndex, "id")
+        if (removedCount > 0)
+          removedIds.foreach(sink.bulkDelete(_, cfg.esIndex, "id"))
         (s.indexed, s.failed)
       case _ => (0L, 0L) // index-only
     }

@@ -27,9 +27,14 @@ import graft.operators.Merge
   *   (db_duckdb.py:175-177): point/prefix queries prune to matching
   *   partition directories, and parquet min/max stats prune within them
   *   (SURVEY.md §4.1).
+  * @param writeFiles if > 0, coalesce each snapshot to this many files —
+  *   the small-index setting (a 20k-row snapshot as 32 task-sized
+  *   shards costs more in file overhead than it wins in parallelism;
+  *   the reference writes ONE DuckDB file). Leave 0 at cluster scale so
+  *   the write keeps its distributed width.
   */
 final class ParquetIndex(root: String, keep: Int = 2,
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil, writeFiles: Int = 0) {
 
   private val pointer = Paths.get(root, "CURRENT")
   private val manifest = Paths.get(root, "MANIFEST")
@@ -54,7 +59,8 @@ final class ParquetIndex(root: String, keep: Int = 2,
   def write(df: DataFrame): String = {
     val id = java.util.UUID.randomUUID().toString.take(8) +
       "-" + System.currentTimeMillis()
-    val w = df.write.mode("overwrite")
+    val out = if (writeFiles > 0) df.coalesce(writeFiles) else df
+    val w = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/snap-$id")
     val tmp = Paths.get(root, s".CURRENT.tmp-$id")
