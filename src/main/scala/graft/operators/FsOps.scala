@@ -253,12 +253,15 @@ object FsOps {
     val e = SyntheticFs.entries(spark, sfDir)
     val d1 = e.filter(col("type") === "directory" &&
         length(col("filepath")) - length(regexp_replace(col("filepath"), "/", "")) === 1)
-      .select(col("filepath").as("dpath"))
+      // precompute the '/'-terminated prefix on the 25-row broadcast side
+      // so the BNLJ's O(dirs × entries) predicate does no per-pair concat
+      .select(col("filepath").as("dpath"),
+        concat(col("filepath"), lit("/")).as("dslash"))
     val f = e.select(col("filepath").as("fpath"), col("type").as("ftype"),
       col("size_bytes").as("fsize"))
     broadcast(d1)
       .join(f, col("fpath") === col("dpath") ||
-        col("fpath").startsWith(concat(col("dpath"), lit("/"))), "left")
+        col("fpath").startsWith(col("dslash")), "left")
       .groupBy(col("dpath"))
       .agg(
         coalesce(sum(when(col("ftype") === "file", col("fsize"))), lit(0L))
