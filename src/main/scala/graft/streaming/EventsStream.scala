@@ -33,6 +33,22 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"))
 
+  /** Gap-based session windows (30-min silence closes a session) with a
+    * watermark bounding state — the engine-native streaming form of
+    * [[graft.operators.EventsOps.sessionize]] (the batch query keeps the
+    * lag+running-sum formulation because THAT is DuckDB-mirrorable
+    * value-for-value; `session_window` state merging is not).
+    */
+  def sessionCounts(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Streaming exact-dedup with custom state (ST3's stateful shape +
     * the training-pipeline dedup applied to a stream): the first record
     * for each key passes through, later duplicates are dropped. State is

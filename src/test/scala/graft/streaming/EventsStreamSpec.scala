@@ -9,6 +9,7 @@ import graft.SparkSpecBase
 import graft.sinks.ParquetIndex
 
 case class Ev(ts: Timestamp, event_type: String)
+case class UEv(ts: Timestamp, user_id: String)
 case class Entry(key: String, size: Long, mtime: Timestamp)
 
 /** ST1/ST2 micro-batch semantics: windowed event-time aggregation with a
@@ -48,6 +49,35 @@ class EventsStreamSpec extends SparkSpecBase {
       ms.addData(Ev(ts("2024-01-01 00:10:00"), "click"))
       q.processAllAvailable()
       assert(spark.table("hc").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session windows split on the 30-minute gap and merge within it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[UEv]
+    val q = EventsStream.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sc")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        // u1: two events 10 min apart (one session), then a 40-min
+        // silence, then one more (second session)
+        UEv(ts("2024-01-01 00:00:00"), "u1"),
+        UEv(ts("2024-01-01 00:10:00"), "u1"),
+        UEv(ts("2024-01-01 00:50:00"), "u1"),
+        // u2: single event
+        UEv(ts("2024-01-01 00:05:00"), "u2"))
+      q.processAllAvailable()
+      // flush: push the watermark far past every session's close
+      ms.addData(UEv(ts("2024-01-01 06:00:00"), "u9"))
+      q.processAllAvailable()
+      val got = spark.table("sc").collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (ts("2024-01-01 00:00:00"), "u1", 2L), // merged 00:00+00:10
+        (ts("2024-01-01 00:50:00"), "u1", 1L), // split by the 40-min gap
+        (ts("2024-01-01 00:05:00"), "u2", 1L)))
     } finally q.stop()
   }
 
