@@ -75,13 +75,16 @@ object IngestOps {
   /** S6: the single-directory batch cap. `limit(n)` over an unordered
     * listing picks arbitrary rows, so the oracle-stable facts are the
     * COUNTS: the capped read returns exactly `min(cap, available)` rows,
-    * the uncapped read returns them all.
+    * the uncapped read returns them all. Both legs count every listed
+    * entry; the glob oracle matches because the driver's sf dir is FLAT
+    * (files only) — the same precondition the `fs_listing` oracle
+    * already relies on, with the same hardcoded sf0.01 path (the
+    * driver's Verify scale).
     */
   def listDirCap(spark: SparkSession, sfDir: String): DataFrame = {
     val capped = FsListing.listDir(spark, sfDir, batchSize = 4)
       .agg(count(lit(1)).as("n_capped"))
     val all = FsListing.listDir(spark, sfDir, batchSize = 1000000)
-      .filter(col("entry_type") === "file")
       .agg(count(lit(1)).as("n_all"))
     capped.crossJoin(all)
   }

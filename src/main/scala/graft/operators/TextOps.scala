@@ -287,11 +287,15 @@ object TextOps {
   }
 
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // The shingle cache stays live for the lazy result's lifetime (it is
-    // tiny: one shingle array per doc); neardupClusters, which fully
-    // materializes, releases it eagerly.
-    val (_, pairs) = minhashPairs(spark, sfDir)
-    pairs.orderBy("a_id", "b_id")
+    // Materialize eagerly (the pair set is tiny — banded candidates that
+    // survived the verify) so the shingle cache can be RELEASED here:
+    // Spark caches live in the CacheManager until unpersist or session
+    // stop, so a lazily-returned frame would pin one entry per
+    // (session, sfDir) for the session's lifetime.
+    val (sh, pairs) = minhashPairs(spark, sfDir)
+    val out = pairs.orderBy("a_id", "b_id").localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Shared CTE body of the MinHash pipeline (used by the pair query and

@@ -114,6 +114,10 @@ object EsAdmin {
   /** One search hit: document id, relevance score, raw `_source` JSON. */
   final case class Hit(id: String, score: Double, source: String)
 
+  // ObjectMapper construction is expensive and the instance is
+  // thread-safe for reads — share one.
+  private val mapper = new ObjectMapper()
+
   /** `search_files` (elasticsearch_integration.py:277-296). */
   def search(transport: Transport, index: String, query: String,
       size: Int = 100): Seq[Hit] = {
@@ -121,7 +125,7 @@ object EsAdmin {
       transport("POST", s"/$index/_search", Some(searchBody(query, size)))
     if (status != 200)
       sys.error(s"search failed on '$index': HTTP $status $body")
-    val hits = new ObjectMapper().readTree(body)
+    val hits = mapper.readTree(body)
       .path("hits").path("hits")
     (0 until hits.size()).map { i =>
       val h = hits.get(i)

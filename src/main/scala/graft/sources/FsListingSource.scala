@@ -139,9 +139,12 @@ private[sources] class FsListingScan(
         .filter(f => !f.getName.startsWith("."))
         .filter(f => !f.isDirectory || dirMayMatch("/" + f.getName))
         .map(k => FsListingPartition(k.getPath)).toArray
-    } else {
+    } else if (rootFile.isFile) {
       // root is a single file: one partition listing just it
       Array(FsListingPartition(root))
+    } else {
+      // nonexistent root: zero rows, not a phantom entry
+      Array.empty
     }
   }
 

@@ -48,6 +48,12 @@ object RestWalker {
       else Some(Globs.skipRegex(skipPatterns).r)
     def skipped(p: String): Boolean =
       skipRe.exists(_.findFirstIn(p.stripPrefix("/")).isDefined)
+    // P3 pushdown parity with FsListing: a hidden directory's rows are
+    // all dropped by the final filter anyway, so its subtree must never
+    // be FETCHED — against a real API that is a whole .git/.snapshots
+    // tree of wasted HTTP listings per level.
+    val hiddenRe = "(^|/)\\.[^/]*$".r
+    def hidden(p: String): Boolean = hiddenRe.findFirstIn(p).isDefined
 
     var frontier = Seq(root)
     val seen = scala.collection.mutable.Set[String](root) // SO4 dedup
@@ -69,7 +75,7 @@ object RestWalker {
       frontier = listed
         .filter(col("entry_type") === "directory")
         .select("path").as[String].collect().toSeq
-        .filterNot(p => skipped(p) || seen.contains(p))
+        .filterNot(p => skipped(p) || hidden(p) || seen.contains(p))
       frontier.foreach(seen.add)
       depth += 1
     }

@@ -73,6 +73,8 @@ class FsListingSourceSpec extends SparkSpecBase {
     val root = mkTree()
     assert(!read(root).collect().map(_.getAs[String]("filepath"))
       .contains("/"))
+    // nonexistent root: zero rows, not a phantom file entry
+    assert(read(root.resolve("no/such/dir")).count() == 0)
   }
 
   test("partition planning skips subtrees outside the prefix") {

@@ -44,9 +44,11 @@ class RestWalkerSpec extends SparkSpecBase {
     val paths = df.collect().map(_.getAs[String]("path")).toSet
     assert(paths == Set("/fs/a", "/fs/b", "/fs/top.txt", "/fs/a/f1.bin",
       "/fs/b/f2.bin"))
-    // pruned: the skipme subtree was never even fetched (pushdown)
+    // pruned: the skipme AND hidden subtrees were never even fetched
+    // (pushdown — their rows would all be dropped post-filter anyway)
     import scala.jdk.CollectionConverters._
     assert(!FakeApi.calls.asScala.toSet.contains("/fs/a/skipme"))
+    assert(!FakeApi.calls.asScala.toSet.contains("/fs/.git"))
   }
 
   test("ns epochs become µs timestamps (F10)") {

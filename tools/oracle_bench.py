@@ -6,11 +6,11 @@ from pathlib import Path
 import duckdb
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-HEADLINE = ["q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
-            "fs_dir_rollup_explode", "fs_dir_rollup_theta", "fs_merge_upsert",
-            "fs_es_docs", "fs_deletions", "fs_stale_links",
-            "docs_dedup_exact", "docs_minhash_neardup", "docs_neardup_clusters",
-            "ann_topk_brute", "ann_cosine_neardup", "events_hourly_window"]
+# The headline list is whatever graft.Bench last ran (single source of
+# truth: target/bench.json's query keys) — no hand-maintained copy that
+# could drift from Bench.scala.
+HEADLINE = list(json.loads(
+    Path("target/bench.json").read_text())["queries"].keys())
 oracles = json.loads(Path("target/verify_out/oracle_sql.json").read_text())
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -26,4 +26,5 @@ for name in HEADLINE:
     t0 = time.time()
     con.execute(sql).fetchall()
     out[name] = round(time.time() - t0, 3)
-print(json.dumps({"sf": SFDIR, "queries": out, "total": round(sum(v for v in out.values() if v), 3)}))
+print(json.dumps({"sf": SFDIR, "queries": out, "total": round(
+    sum(v for v in out.values() if v is not None), 3)}))
