@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Pins the scale-critical PLAN properties of the flagship queries so a
+  * regression (a lost pushdown, a surprise cartesian, a broadcast gone
+  * missing) fails CI, not a 100 TB run. Assertions are deliberately
+  * coarse — they pin strategy classes, not operator counts AQE may
+  * legitimately rearrange.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan text. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // drive AQE to its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5: pruned scans, pushed filters, no cartesian/sort-merge join") {
+    val p = finalPlan(SparkEntry.queries("q5_region_revenue")(spark, sf))
+    // column pruning reached parquet: the wide comment columns are gone
+    assert(!p.contains("l_comment") && !p.contains("o_comment"), p)
+    // the region literal filter was pushed into the scan
+    assert(p.contains("ASIA"), p)
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // join strategy: hash joins only at this scale
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1: scan reads only the aggregated columns") {
+    val p = finalPlan(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"), p)
+    // map-side partial aggregation before the exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("rollup explode path: partial agg, no nested-loop anywhere") {
+    val p = finalPlan(SparkEntry.queries("fs_dir_rollup_explode")(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("rollup theta path: the deliberate bounded broadcast BNLJ shape") {
+    val p = finalPlan(SparkEntry.queries("fs_dir_rollup_theta")(spark, sf))
+    // this query IS the reference-parity nested loop — pinned so a
+    // future edit can't silently turn the scale path into this shape
+    // or vice versa
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("merge upsert: one logical hash shuffle on the merge key") {
+    val p = finalPlan(SparkEntry.queries("fs_merge_upsert")(spark, sf))
+    // AQE materializes the union's two branches as separate query stages,
+    // so ONE logical repartitioning shows as (up to) two Exchange writer
+    // nodes — but every one of them must partition on the merge key, and
+    // nothing may shuffle on any other key.
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_ == "relative_path"),
+      s"exchanges on: $hashEx\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash: candidates meet only through equi-joins") {
+    val p = finalPlan(SparkEntry.queries("docs_minhash_neardup")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("es_docs publish plan reuses the cached entries input") {
+    val p = finalPlan(SparkEntry.queries("fs_es_docs")(spark, sf))
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -19,6 +19,9 @@ object SparkSpecBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the library's SparkSessionExtensions entry point, exercised the
+    // way a user would wire it (FormatSizeExprSpec asserts it took)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

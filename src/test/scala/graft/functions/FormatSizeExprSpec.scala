@@ -37,6 +37,17 @@ class FormatSizeExprSpec extends SparkSpecBase {
     assert(plan.contains("*(1)")) // whole-stage codegen span
   }
 
+  test("spark.sql.extensions wiring injects format_size by itself") {
+    // newSession() rebuilds the function registry purely from the
+    // session's extensions (explicit GraftFunctions.register calls from
+    // other tests are isolated away) — so this passing proves the
+    // `spark.sql.extensions=graft.functions.GraftExtensions` config set
+    // in SparkSpecBase did the injection, the way a user would wire it.
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT format_size(CAST(1536 AS BIGINT)) AS s")
+      .collect()(0).getString(0) == "1.5 KB")
+  }
+
   test("UDF form still agrees (upgrade-path equivalence)") {
     import spark.implicits._
     val got = Seq(1536L, 0L, 1280L).toDF("b")
