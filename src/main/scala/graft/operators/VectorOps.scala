@@ -91,6 +91,76 @@ object VectorOps {
        |WHERE vec_id <> 0 AND ${duckBucket("embedding")} = qbkt
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** IVF top-k — the other classic ANN scale path next to the sign-LSH
+    * bucket: a coarse quantizer (8 seed centroids, deterministic so the
+    * oracle can mirror training-free IVF exactly) assigns every vector
+    * to its nearest cell; the query probes its `nprobe`=2 nearest cells
+    * and ranks only their members.
+    *
+    * Scale shape: the centroid table is a tiny broadcast (K rows);
+    * assignment is one broadcast-join + per-vector argmin (the window
+    * shuffles once on vec_id); at 100 TB `cell` is the partition key so
+    * probing prunes at the parquet-partition level, same as the bucket
+    * variant. Recall is approximate BY DESIGN — the oracle mirrors the
+    * same cells, so correctness means "exactly the IVF answer", while
+    * `ann_topk_brute` remains the exact baseline.
+    */
+  private def dist2(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with(cast($a AS array<double>), cast($b AS array<double>),
+       |  (x, y) -> (x - y) * (x - y)), cast(0.0 AS double),
+       |  (acc, v) -> acc + v)""".stripMargin)
+
+  private def duckDist2(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
+
+  def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    val cells = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dist2("embedding", "ce"))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2("qe", "ce"))
+      .orderBy(col("d2"), col("c_id"))
+      .limit(2)
+      .select(col("c_id"), col("qe"))
+    cells.join(broadcast(probed), Seq("c_id"))
+      .select(col("vec_id"), col("label"), cosine.as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val topkIvfSql: String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckDist2("e.embedding", "c.ce")}, c.c_id) AS rk
+       |  FROM embeddings e, c WHERE e.vec_id <> 0),
+       |cells AS (SELECT vec_id, label, embedding, c_id FROM asg WHERE rk = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT c_id, qe FROM (
+       |    SELECT c.c_id, q.qe,
+       |      row_number() OVER (
+       |        ORDER BY ${duckDist2("q.qe", "c.ce")}, c.c_id) AS rk
+       |    FROM q, c)
+       |  WHERE rk <= 2)
+       |SELECT vec_id, label, $duckCosine AS cos_sim
+       |FROM (SELECT cells.vec_id, cells.label, cells.embedding, probed.qe
+       |      FROM cells JOIN probed USING (c_id))
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs: candidates meet only inside
     * a sign-bucket (the LSH blocking key — at scale the partition key),
     * then exact cosine ≥ threshold verifies. No global all-pairs product
@@ -151,10 +221,12 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
+    "ann_topk_ivf" -> topkIvf,
     "ann_cosine_neardup" -> cosineNearDup)
 
   def oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
+    "ann_topk_ivf" -> topkIvfSql,
     "ann_cosine_neardup" -> cosineNearDupSql)
 }
