@@ -33,12 +33,46 @@ object SkewOps {
       .orderBy("type")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fs_type_counts_salted" -> ((s, d) => saltedTypeCounts(s, d)))
+  /** The JOIN-side salting pattern: entries ⋈ a per-type dimension on
+    * `type` — a 2-value key, so an unsalted shuffle join funnels all
+    * 76k rows through 2 reducers. The big side takes
+    * `salt = hash(row) % salts`; the small side is replicated once per
+    * salt; the join key becomes (type, salt), spreading each hot key
+    * over `salts` reducers. A `merge` hint forces the shuffle join the
+    * pattern exists for (a broadcast-able dim wouldn't need salting —
+    * the pattern applies when the dim side is too big to broadcast).
+    * Shares result shape with the trivially-derivable oracle, proving
+    * the rewrite sound.
+    */
+  def saltedDimJoin(spark: SparkSession, sfDir: String,
+      salts: Int = 8): DataFrame = {
+    val dim = spark.createDataFrame(Seq(
+      ("file", "F"), ("directory", "D"))).toDF("type", "code")
+    val dimRep = dim
+      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+      .withColumn("salt", col("salt").cast("long"))
+    val big = SyntheticFs.entries(spark, sfDir)
+      .withColumn("salt", pmod(xxhash64(col("relative_path")), lit(salts)))
+    big.join(dimRep.hint("merge"), Seq("type", "salt"))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n"),
+        sum("size_bytes").cast("long").as("bytes"))
+      .orderBy("code")
+  }
 
-  /** Same oracle as the unsalted groupBy — salting must not change
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_type_counts_salted" -> ((s, d) => saltedTypeCounts(s, d)),
+    "fs_salted_dim_join" -> ((s, d) => saltedDimJoin(s, d)))
+
+  /** Same oracles as the unsalted forms — salting must not change
     * results.
     */
+  val saltedDimJoinSql: String = SyntheticFs.withCtes(
+    """SELECT CASE type WHEN 'file' THEN 'F' ELSE 'D' END AS code,
+      |  count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes
+      |FROM fs_entries GROUP BY code ORDER BY code""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
-    "fs_type_counts_salted" -> FsOps.typeCountsSql)
+    "fs_type_counts_salted" -> FsOps.typeCountsSql,
+    "fs_salted_dim_join" -> saltedDimJoinSql)
 }
