@@ -21,10 +21,17 @@ import graft.model.SyntheticFs
   */
 object SkewOps {
 
+  /** The one salting scheme both patterns share: a uniform hash of the
+    * row identity, NOT of the hot key (hashing the key would put every
+    * row of a hot key in the same salt again).
+    */
+  private def saltCol(salts: Int) =
+    pmod(xxhash64(col("relative_path")), lit(salts))
+
   def saltedTypeCounts(spark: SparkSession, sfDir: String,
       salts: Int = 16): DataFrame = {
     val phase1 = SyntheticFs.entries(spark, sfDir)
-      .withColumn("salt", pmod(xxhash64(col("relative_path")), lit(salts)))
+      .withColumn("salt", saltCol(salts))
       .groupBy("type", "salt")
       .agg(count(lit(1)).as("pn"), sum("size_bytes").as("pbytes"))
     phase1
@@ -52,7 +59,7 @@ object SkewOps {
       .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
       .withColumn("salt", col("salt").cast("long"))
     val big = SyntheticFs.entries(spark, sfDir)
-      .withColumn("salt", pmod(xxhash64(col("relative_path")), lit(salts)))
+      .withColumn("salt", saltCol(salts))
     big.join(dimRep.hint("merge"), Seq("type", "salt"))
       .groupBy("code")
       .agg(count(lit(1)).as("n"),
@@ -68,9 +75,13 @@ object SkewOps {
     * results.
     */
   val saltedDimJoinSql: String = SyntheticFs.withCtes(
-    """SELECT CASE type WHEN 'file' THEN 'F' ELSE 'D' END AS code,
+    """SELECT CASE type WHEN 'file' THEN 'F' WHEN 'directory' THEN 'D' END
+      |    AS code,
       |  count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes
-      |FROM fs_entries GROUP BY code ORDER BY code""".stripMargin)
+      |FROM fs_entries
+      |WHERE type IN ('file', 'directory') -- mirror the inner join: an
+      |  -- unknown type is DROPPED, not bucketed into 'D'
+      |GROUP BY code ORDER BY code""".stripMargin)
 
   def oracleSql: Map[String, String] = Map(
     "fs_type_counts_salted" -> FsOps.typeCountsSql,

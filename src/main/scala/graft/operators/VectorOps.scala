@@ -121,19 +121,32 @@ object VectorOps {
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
-    val cells = emb.filter(col("vec_id") =!= 0)
+    // d2 is quantized (4dp, both engines) BEFORE ranking: cell
+    // MEMBERSHIP must not hinge on the last ulp of a double sum — every
+    // other vector query rounds doubles before they affect output, and
+    // an assignment flip would change which ROWS exist, which the
+    // gate's float tolerance cannot absorb.
+    // The argmin window ranks a SKINNY (vec_id, c_id, d2) projection —
+    // embeddings and labels don't ride through the 8× centroid
+    // cross-product or the assignment shuffle; the winner re-joins the
+    // base table by vec_id.
+    val assigned = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
-      .withColumn("d2", dist2("embedding", "ce"))
+      .select(col("vec_id"), col("c_id"),
+        round(dist2("embedding", "ce"), 4).as("d2"))
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
+      .select("vec_id", "c_id")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val probed = q.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2("qe", "ce"))
+      .select(col("c_id"), col("qe"),
+        round(dist2("qe", "ce"), 4).as("d2"))
       .orderBy(col("d2"), col("c_id"))
       .limit(2)
       .select(col("c_id"), col("qe"))
-    cells.join(broadcast(probed), Seq("c_id"))
+    emb.join(assigned, Seq("vec_id"))
+      .join(broadcast(probed), Seq("c_id"))
       .select(col("vec_id"), col("label"), cosine.as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
@@ -145,7 +158,8 @@ object VectorOps {
        |asg AS (
        |  SELECT e.vec_id, e.label, e.embedding, c.c_id,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${duckDist2("e.embedding", "c.ce")}, c.c_id) AS rk
+       |      ORDER BY round(${duckDist2("e.embedding", "c.ce")}, 4), c.c_id)
+       |      AS rk
        |  FROM embeddings e, c WHERE e.vec_id <> 0),
        |cells AS (SELECT vec_id, label, embedding, c_id FROM asg WHERE rk = 1),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -153,7 +167,7 @@ object VectorOps {
        |  SELECT c_id, qe FROM (
        |    SELECT c.c_id, q.qe,
        |      row_number() OVER (
-       |        ORDER BY ${duckDist2("q.qe", "c.ce")}, c.c_id) AS rk
+       |        ORDER BY round(${duckDist2("q.qe", "c.ce")}, 4), c.c_id) AS rk
        |    FROM q, c)
        |  WHERE rk <= 2)
        |SELECT vec_id, label, $duckCosine AS cos_sim
