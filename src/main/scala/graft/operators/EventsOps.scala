@@ -178,6 +178,26 @@ object EventsOps {
       |  FROM events GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** The sketch-based scale path next to the exact forms: KLL-style
+    * approximate percentiles (`approx_percentile`) and HyperLogLog++
+    * distinct users (`approx_count_distinct`). At 100 TB these are the
+    * DEFAULT — exact percentiles cost a per-group sort, exact distinct a
+    * full shuffle of the key universe; the sketches are one streaming
+    * pass, map-side mergeable, constant memory. Sketch outputs are not
+    * bit-stable across engines, so this query has NO DuckDB oracle
+    * (driver records the rows-only check); EventsOpsSpec bounds it
+    * against the exact forms instead (accuracy 10000 ⇒ ~1e-4 rank error;
+    * HLL++ rsd 0.05).
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"),
+        approx_count_distinct(col("user_id"), 0.05).as("users_approx"))
+      .orderBy("event_type")
+
   /** Per-group top-k via rank over a partitioned window: top 3 users by
     * spend within each event_type (partition-local sort only — no
     * global ordering).
@@ -212,8 +232,11 @@ object EventsOps {
     "events_sessionize" -> sessionize,
     "events_value_quantiles" -> valueQuantiles,
     "events_value_stats" -> valueStats,
+    "events_approx_stats" -> approxStats,
     "events_top_users" -> topUsersPerType)
 
+  // events_approx_stats is deliberately absent here: sketch outputs are
+  // not cross-engine stable (see approxStats doc) — rows-only check.
   def oracleSql: Map[String, String] = Map(
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,

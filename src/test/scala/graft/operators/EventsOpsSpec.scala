@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The sketch queries have no cross-engine oracle (outputs aren't
+  * bit-stable), so accuracy is bounded HERE against the exact forms on
+  * the same data — the check a 100 TB pipeline would run on a sampled
+  * shard before trusting the sketches fleet-wide.
+  */
+class EventsOpsSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx percentiles land within 2% of the exact quantiles") {
+    val approx = EventsOps.approxStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = EventsOps.valueQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (p50e, p99e)) <- exact) {
+      val (p50a, p99a) = approx(k)
+      assert(math.abs(p50a - p50e) <= 0.02 * math.max(1.0, p50e.abs),
+        s"$k p50 approx=$p50a exact=$p50e")
+      assert(math.abs(p99a - p99e) <= 0.02 * math.max(1.0, p99e.abs),
+        s"$k p99 approx=$p99a exact=$p99e")
+    }
+  }
+
+  test("HLL distinct users lands within the configured 5% rsd (3 sigma)") {
+    val approx = EventsOps.approxStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = graft.Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble <= math.max(3.0, 0.15 * e),
+        s"$k approx=$a exact=$e")
+    }
+  }
+}
