@@ -22,7 +22,8 @@ final case class IndexerConfig(
     includeHidden: Boolean = false,
     esIndex: String = "files",
     esBatchSize: Int = 1000,
-    snapshotFiles: Int = 4)
+    snapshotFiles: Int = 4,
+    getDirectLinks: Boolean = true)
 
 object IndexerConfig {
   /** Reference defaults (config/indexer-config.yaml:121-152, abridged). */
@@ -51,13 +52,18 @@ object IndexerConfig {
       esBatchSize = kv.get("es_batch_size").map(_.toInt).getOrElse(1000),
       // single-node parity default (the reference's store is ONE DuckDB
       // file); set 0 on a cluster to keep the distributed write width
-      snapshotFiles = kv.get("snapshot_files").map(_.toInt).getOrElse(4))
+      snapshotFiles = kv.get("snapshot_files").map(_.toInt).getOrElse(4),
+      // reference default true (main.py:121); effective only when a
+      // link-fetch client is wired (mode=elasticsearch, main.py:190)
+      getDirectLinks =
+        kv.get("get_direct_links").forall(_.toBoolean))
   }
 }
 
 final case class RunReport(
     stats: RunStats.Stats,
-    indexed: Long, esFailed: Long, removed: Long, snapshotId: String)
+    indexed: Long, esFailed: Long, removed: Long, snapshotId: String,
+    linksRefreshed: Long = 0L)
 
 /** The full pipeline lifecycle (SURVEY.md §3.1, main.py:245-365):
   * scan → normalize → merge into the index → reconcile deletions →
@@ -71,7 +77,8 @@ final case class RunReport(
   * the run counters (collected via `observe`, A8).
   */
 final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
-    admin: Option[EsAdmin.Transport] = None) {
+    admin: Option[EsAdmin.Transport] = None,
+    linkFetch: Option[LinkRefresh.Fetch] = None) {
 
   /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1). */
   private def normalize(listing: DataFrame): DataFrame = listing.select(
@@ -128,9 +135,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       "modified_time")
     idx.reconcile(spark, entries.select("relative_path"), "relative_path")
 
-    // ES publish (elasticsearch mode): enrichment join + formatting
-    // (J4/F3/F11) then bulk index; deletions → bulk delete (S11).
-    val (indexed, esFailed) = (cfg.mode, transport) match {
+    // ES publish (elasticsearch mode): direct-link refresh (the
+    // reference's DirectLinkManager step, main.py:190-192) then the
+    // enrichment join + formatting (J4/J8/F3/F11) and bulk index;
+    // deletions → bulk delete (S11).
+    val (indexed, esFailed, linksRefreshed) = (cfg.mode, transport) match {
       case ("elasticsearch", Some(t)) =>
         // create-before-bulk (elasticsearch_integration.py:27,30-41): a
         // fresh cluster gets the explicit mapping, incl. the
@@ -138,28 +147,44 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         admin.foreach(a => EsAdmin.ensureIndex(a, cfg.esIndex))
         val sink = new EsSink(t, cfg.esBatchSize)
         val current = idx.read(spark).get
+        // links live beside the files snapshots, like the reference's
+        // sibling direct_links DB (main.py:124)
+        val linksIdx = new ParquetIndex(s"${cfg.indexRoot}/links",
+          writeFiles = cfg.snapshotFiles)
+        val nLinks = (cfg.getDirectLinks, linkFetch) match {
+          case (true, Some(fetch)) =>
+            LinkRefresh.refreshIndex(spark,
+              current.filter(col("type") === "file"), linksIdx, fetch,
+              skipPatterns = cfg.skipPatterns)
+          case _ => 0L
+        }
+        val links = linksIdx.read(spark).getOrElse(
+          LinkRefresh.emptyLinks(spark))
+          .select(col("file_id"), col("direct_link").as("dl"))
         val sizes = dirSizes(current)
           .withColumnRenamed("filepath", "dp")
         val docs = current
           .join(sizes, col("filepath") === col("dp"), "left")
+          .join(links, col("id") === col("file_id"), "left") // J8
           .select(
             col("id"), col("relative_path"), col("name"), col("type"),
             when(col("type") === "directory",
               coalesce(col("total_size"), lit(0L)))
               .otherwise(col("size_bytes")).as("size_bytes"),
             date_format(col("modified_time"), "yyyy-MM-dd'T'HH:mm:ss")
-              .as("modified_time"))
+              .as("modified_time"),
+            coalesce(col("dl"), lit("")).as("direct_link"))
           .withColumn("size", SizeFormat.format_size(col("size_bytes")))
         val s = sink.bulkIndex(docs, cfg.esIndex, "id")
         if (removedCount > 0)
           removedIds.foreach(sink.bulkDelete(_, cfg.esIndex, "id"))
-        (s.indexed, s.failed)
-      case _ => (0L, 0L) // index-only
+        (s.indexed, s.failed, nLinks)
+      case _ => (0L, 0L, 0L) // index-only
     }
 
     val elapsed = (System.nanoTime() - t0) / 1e9
     RunReport(RunStats.collect(obs, elapsed), indexed, esFailed,
-      removedCount, snapId)
+      removedCount, snapId, linksRefreshed)
   }
 }
 
@@ -187,10 +212,14 @@ object IndexerCli {
     val esUrl = sys.env.get("GRAFT_ES_URL")
     val transport = esUrl.map(u => EsSink.http(u))
     val admin = esUrl.map(u => EsAdmin.http(u))
+    // No link-fetch client here: the direct-link API is an external
+    // service behind the pluggable LinkRefresh.Fetch boundary — library
+    // users wire their client via the Indexer constructor.
     val report = new Indexer(cfg, transport, admin).run(spark)
     println(report.stats.summary +
       s"; es indexed=${report.indexed} failed=${report.esFailed}" +
-      s" removed=${report.removed} snapshot=${report.snapshotId}")
+      s" removed=${report.removed} links=${report.linksRefreshed}" +
+      s" snapshot=${report.snapshotId}")
     spark.stop()
   }
 }

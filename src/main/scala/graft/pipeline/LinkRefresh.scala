@@ -22,6 +22,25 @@ import graft.sinks.ParquetIndex
   */
 object LinkRefresh {
 
+  /** The links-store schema (direct_links table, db_duckdb.py:129-137). */
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("direct_link",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("link_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("fsentry_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("last_updated",
+        org.apache.spark.sql.types.TimestampType)))
+
+  /** An empty links frame — the first-run seed of a links store. */
+  def emptyLinks(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** One link fetch: (filepath, cached fsentry_id) →
     * Some((direct_link, new fsentry_id)) on success, None on failure
     * (direct_links.py:129-141; a 400 from the API means "unsupported
@@ -112,8 +131,9 @@ object LinkRefresh {
       skipPatterns: Seq[String] = Nil,
       now: java.sql.Timestamp = java.sql.Timestamp.from(
         java.time.Instant.now())): Long = {
-    val links = linksIndex.read(spark).getOrElse(
-      sys.error("links index is empty — seed it with an initial snapshot"))
+    // first run: an empty links store means EVERY file is queued —
+    // exactly the reference's fresh direct_links DB
+    val links = linksIndex.read(spark).getOrElse(emptyLinks(spark))
     val r = refresh(spark, files, links, fetch, version, skipPatterns, now)
     linksIndex.write(r.merged)
     r.refreshed

@@ -86,6 +86,34 @@ class IndexerSpec extends SparkSpecBase {
     assert(adminCalls == Seq(("HEAD", "/files"), ("PUT", "/files")))
   }
 
+  test("elasticsearch mode refreshes direct links and publishes them") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxstore4").toString
+    TransportProbe.reset()
+    val fetch = new LinkRefresh.Fetch {
+      def apply(fp: String, cached: Option[String]) =
+        Some((s"https://fs.example/link-of${fp.length}", Some("fse-x")))
+    }
+    val cfg = IndexerConfig(root.toString, idxRoot)
+    val r1 = new Indexer(cfg, Some(TransportProbe.transport),
+      linkFetch = Some(fetch)).run(spark)
+    assert(r1.linksRefreshed == 2) // a.txt + b.log (skips never queued)
+    // the publish payloads carry the fetched links (J8)
+    import scala.jdk.CollectionConverters._
+    val sent = TransportProbe.calls.asScala.flatten.mkString("\n")
+    assert(sent.contains("https://fs.example/link-of"))
+    // immediate re-run: every link is fresh — the queue is drained
+    val r2 = new Indexer(cfg, Some(TransportProbe.transport),
+      linkFetch = Some(fetch)).run(spark)
+    assert(r2.linksRefreshed == 0)
+    // touching a file re-queues exactly that file
+    Files.writeString(root.resolve("proj/a.txt"), "changed!!")
+    Thread.sleep(1100) // fs mtime granularity can be 1 s
+    val r3 = new Indexer(cfg, Some(TransportProbe.transport),
+      linkFetch = Some(fetch)).run(spark)
+    assert(r3.linksRefreshed == 1)
+  }
+
   test("config surface parses key=value lines with reference keys") {
     val cfg = IndexerConfig.load(Seq(
       "# comment", "root_path=/data", "index_root=/idx",
