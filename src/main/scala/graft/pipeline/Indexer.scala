@@ -160,20 +160,27 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         }
         val links = linksIdx.read(spark).getOrElse(
           LinkRefresh.emptyLinks(spark))
-          .select(col("file_id"), col("direct_link").as("dl"))
+          .select(col("file_id"), col("direct_link").as("dl"),
+            col("fsentry_id").as("fse"))
         val sizes = dirSizes(current)
           .withColumnRenamed("filepath", "dp")
+        val iso = "yyyy-MM-dd'T'HH:mm:ss"
+        // the full document field surface of the reference's bulk payload
+        // (elasticsearch_integration.py:98-112 + the mapping's fields)
         val docs = current
           .join(sizes, col("filepath") === col("dp"), "left")
           .join(links, col("id") === col("file_id"), "left") // J8
           .select(
-            col("id"), col("relative_path"), col("name"), col("type"),
+            col("id"), col("relative_path"), col("filepath"), col("name"),
+            col("type"), col("extension"), col("checksum"),
             when(col("type") === "directory",
               coalesce(col("total_size"), lit(0L)))
               .otherwise(col("size_bytes")).as("size_bytes"),
-            date_format(col("modified_time"), "yyyy-MM-dd'T'HH:mm:ss")
-              .as("modified_time"),
-            coalesce(col("dl"), lit("")).as("direct_link"))
+            date_format(col("modified_time"), iso).as("modified_time"),
+            date_format(col("creation_time"), iso).as("creation_time"),
+            date_format(col("last_seen"), iso).as("last_seen"),
+            coalesce(col("dl"), lit("")).as("direct_link"),
+            coalesce(col("fse"), lit("")).as("fsentry_id"))
           .withColumn("size", SizeFormat.format_size(col("size_bytes")))
         val s = sink.bulkIndex(docs, cfg.esIndex, "id")
         if (removedCount > 0)

@@ -98,10 +98,14 @@ class IndexerSpec extends SparkSpecBase {
     val r1 = new Indexer(cfg, Some(TransportProbe.transport),
       linkFetch = Some(fetch)).run(spark)
     assert(r1.linksRefreshed == 2) // a.txt + b.log (skips never queued)
-    // the publish payloads carry the fetched links (J8)
+    // the publish payloads carry the fetched links (J8) and the full
+    // reference document field surface
     import scala.jdk.CollectionConverters._
     val sent = TransportProbe.calls.asScala.flatten.mkString("\n")
     assert(sent.contains("https://fs.example/link-of"))
+    Seq("\"extension\":", "\"creation_time\":", "\"last_seen\":",
+      "\"fsentry_id\":", "\"filepath\":", "\"size\":")
+      .foreach(f => assert(sent.contains(f), f))
     // immediate re-run: every link is fresh — the queue is drained
     val r2 = new Indexer(cfg, Some(TransportProbe.transport),
       linkFetch = Some(fetch)).run(spark)
