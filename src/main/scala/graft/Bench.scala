@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * Methodology (round-1 verdict fixes): each query is fully materialized
   * by aggregating a 64-bit hash of every output column (so no projection
   * can be dead-code-eliminated, unlike `.count()`), run once for warmup
-  * (codegen + shuffle-file effects) and once timed; the timed run's
-  * seconds are reported.
+  * (codegen + shuffle-file effects) and then timed TWICE, reporting the
+  * minimum — single timed runs showed up to 4× co-tenancy outliers
+  * (GC/page-cache interference from neighboring processes), and min-of-2
+  * is the standard cheap estimator of the undisturbed runtime.
   */
 object Bench {
 
@@ -99,10 +101,12 @@ object Bench {
       val fn = qs(name)
       val r = try {
         checksum(fn(spark, sfDir)) // warmup: codegen, broadcast, shuffle
-        val t0 = System.nanoTime()
-        val chk = checksum(fn(spark, sfDir))
-        val sec = (System.nanoTime() - t0) / 1e9
-        Right((sec, chk))
+        val timed = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val chk = checksum(fn(spark, sfDir))
+          ((System.nanoTime() - t0) / 1e9, chk)
+        }
+        Right(timed.minBy(_._1))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
