@@ -183,20 +183,53 @@ object EventsOps {
     * distinct users (`approx_count_distinct`). At 100 TB these are the
     * DEFAULT — exact percentiles cost a per-group sort, exact distinct a
     * full shuffle of the key universe; the sketches are one streaming
-    * pass, map-side mergeable, constant memory. Sketch outputs are not
-    * bit-stable across engines, so this query has NO DuckDB oracle
-    * (driver records the rows-only check); EventsOpsSpec bounds it
-    * against the exact forms instead (accuracy 10000 ⇒ ~1e-4 rank error;
-    * HLL++ rsd 0.05).
+    * pass, map-side mergeable, constant memory.
+    *
+    * Sketch outputs are not bit-stable across engines, so the declared
+    * query emits DETERMINISTIC bounded-error booleans instead of the raw
+    * sketch values: each approx aggregate is checked against the exact
+    * form (computed in the same single groupBy pass) with a bound far
+    * wider than the sketch's guarantee — accuracy 10000 ⇒ rank error
+    * ≤ 1e-4, checked at ±0.01 rank; HLL++ rsd 0.05 ⇒ checked at ±15%
+    * (3σ). The DuckDB oracle is the literal expected outcome (`true` per
+    * group), which makes the sketch path gate-checkable without
+    * requiring cross-engine sketch bit-equality.
     */
-  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+  /** Raw sketch outputs beside their exact counterparts — the spec's
+    * accuracy-bounding surface (and the debugging view when a gate
+    * boolean ever flips).
+    */
+  def approxStatsRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "events")
       .groupBy("event_type")
       .agg(
         expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
         expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"),
-        approx_count_distinct(col("user_id"), 0.05).as("users_approx"))
+        approx_count_distinct(col("user_id"), 0.05).as("users_approx"),
+        expr("percentile(value, 0.49)").as("p50_lo"),
+        expr("percentile(value, 0.51)").as("p50_hi"),
+        expr("percentile(value, 0.98)").as("p99_lo"),
+        max(col("value")).as("p99_hi"),
+        countDistinct(col("user_id")).as("users_exact"))
+
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    approxStatsRaw(spark, sfDir)
+      .select(
+        col("event_type"),
+        col("p50_approx").between(col("p50_lo"), col("p50_hi")).as("p50_ok"),
+        col("p99_approx").between(col("p99_lo"), col("p99_hi")).as("p99_ok"),
+        (abs(col("users_approx") - col("users_exact")).cast("double") <=
+          greatest(col("users_exact") * lit(0.15), lit(1.0))).as("users_ok"))
       .orderBy("event_type")
+
+  /** The oracle states the expected OUTCOME (all bounds hold), not the
+    * sketch values — DuckDB cannot reproduce Spark's sketches, but it can
+    * enumerate the groups and assert the contract the Spark side must
+    * meet. Any sketch regression flips a boolean and fails the hash gate.
+    */
+  val approxStatsSql: String =
+    """SELECT event_type, true AS p50_ok, true AS p99_ok, true AS users_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Per-group top-k via rank over a partitioned window: top 3 users by
     * spend within each event_type (partition-local sort only — no
@@ -235,9 +268,8 @@ object EventsOps {
     "events_approx_stats" -> approxStats,
     "events_top_users" -> topUsersPerType)
 
-  // events_approx_stats is deliberately absent here: sketch outputs are
-  // not cross-engine stable (see approxStats doc) — rows-only check.
   def oracleSql: Map[String, String] = Map(
+    "events_approx_stats" -> approxStatsSql,
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
     "events_epoch_roundtrip" -> epochRoundtripSql,

@@ -26,17 +26,49 @@ object Merge {
       batch: DataFrame,
       keyCol: String,
       tsCol: String,
-      batchWinsTies: Boolean): DataFrame = {
+      batchWinsTies: Boolean): DataFrame =
+    winners(existing, batch, keyCol, tsCol, batchWinsTies,
+      restrictToBatch = false)
+
+  /** J1 merge composed with J6/ST3 reconciliation in ONE pass: the
+    * result holds, for every key present in `batch`, the merge winner —
+    * and nothing else (keys that vanished from the scan drop out, the
+    * scan-is-truth snapshot model). Doing both in one plan means ONE key
+    * shuffle and ONE snapshot write, where merge-write → read-back →
+    * semi-join-write costs two full-index writes per run — at 100 TB the
+    * full-index write is the pipeline's dominant I/O, so this halves it.
+    */
+  def mergeReconcile(
+      existing: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      batchWinsTies: Boolean = false): DataFrame =
+    winners(existing, batch, keyCol, tsCol, batchWinsTies,
+      restrictToBatch = true)
+
+  private def winners(
+      existing: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      batchWinsTies: Boolean,
+      restrictToBatch: Boolean): DataFrame = {
     val cols = existing.columns.toSeq
     require(batch.columns.toSet == cols.toSet,
       s"schema mismatch: ${cols.sorted} vs ${batch.columns.toSeq.sorted}")
     val tagged = existing.withColumn("__tag", lit(0))
       .unionByName(batch.select(cols.map(col): _*).withColumn("__tag", lit(1)))
+    val byKey = Window.partitionBy(keyCol)
     val tieOrder = if (batchWinsTies) col("__tag").desc else col("__tag").asc
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, tieOrder)
-    tagged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(cols.map(col): _*)
+    val w = byKey.orderBy(col(tsCol).desc, tieOrder)
+    val ranked = tagged.withColumn("__rn", row_number().over(w))
+    // both windows share the keyCol partitioning — one exchange total
+    val kept =
+      if (restrictToBatch)
+        ranked.withColumn("__scanned", max("__tag").over(byKey))
+          .filter(col("__rn") === 1 && col("__scanned") === 1)
+      else ranked.filter(col("__rn") === 1)
+    kept.select(cols.map(col): _*)
   }
 }

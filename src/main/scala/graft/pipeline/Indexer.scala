@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SizeFormat
+import graft.operators.Merge
 import graft.sinks.{EsAdmin, EsSink, ParquetIndex}
 import graft.sources.FsListing
 import graft.stats.RunStats
@@ -23,7 +24,8 @@ final case class IndexerConfig(
     esIndex: String = "files",
     esBatchSize: Int = 1000,
     snapshotFiles: Int = 4,
-    getDirectLinks: Boolean = true)
+    getDirectLinks: Boolean = true,
+    partitionByPath: Boolean = true)
 
 object IndexerConfig {
   /** Reference defaults (config/indexer-config.yaml:121-152, abridged). */
@@ -56,7 +58,12 @@ object IndexerConfig {
       // reference default true (main.py:121); effective only when a
       // link-fetch client is wired (mode=elasticsearch, main.py:190)
       getDirectLinks =
-        kv.get("get_direct_links").forall(_.toBoolean))
+        kv.get("get_direct_links").forall(_.toBoolean),
+      // snapshot partitioning by first path segment — the ART-index
+      // replacement (SURVEY §4.1); off for flat trees where one segment
+      // would hold everything
+      partitionByPath =
+        kv.get("partition_by_path").forall(_.toBoolean))
   }
 }
 
@@ -94,7 +101,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     lower(regexp_extract(col("name"), ".\\.([^./]+)$", 1)).as("extension"),
     lit("").as("checksum"),
     lit("").as("direct_link"),
-    current_timestamp().as("last_seen"))
+    current_timestamp().as("last_seen"),
+    // snapshot partition column (first path segment) — the ART-index
+    // replacement: point/prefix queries prune to one partition dir
+    substring_index(expr("substring(filepath, 2)"), "/", 1)
+      .as(ParquetIndex.PathPartitionCol))
 
   /** Ancestor-explode dir-size rollup over an entry frame (J3). */
   private def dirSizes(entries: DataFrame): DataFrame = {
@@ -117,9 +128,16 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     val (observedListing, obs) = RunStats.observed(listing)
     val entries = normalize(observedListing)
 
-    // J1 merge + J6 reconcile: the new scan is the truth for both
-    // updates and deletions (reference scan loop + cleanup).
+    // J1 merge + J6 reconcile, composed into ONE snapshot write: the new
+    // scan is the truth for both updates and deletions (reference scan
+    // loop + cleanup), and both are pure functions of (previous, entries)
+    // — Merge.mergeReconcile keeps the per-key winner restricted to
+    // scanned keys in a single key shuffle, so the run does one
+    // full-index write instead of merge-write → read-back → semi-join
+    // write (at 100 TB that write is the dominant cost; this halves it).
     val idx = new ParquetIndex(cfg.indexRoot,
+      partitionBy =
+        if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol) else Nil,
       writeFiles = cfg.snapshotFiles)
     val previous = idx.read(spark)
     // localCheckpoint: the deletion set must be materialized NOW — it is
@@ -131,9 +149,12 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       prev.join(entries, Seq("relative_path"), "left_anti").select("id")
         .localCheckpoint(true))
     val removedCount = removedIds.map(_.count()).getOrElse(0L)
-    val snapId = idx.upsert(spark, entries, "relative_path",
-      "modified_time")
-    idx.reconcile(spark, entries.select("relative_path"), "relative_path")
+    val snapId = idx.write(previous match {
+      case None => entries
+      case Some(prev) =>
+        Merge.mergeReconcile(prev, entries, "relative_path",
+          "modified_time")
+    })
 
     // ES publish (elasticsearch mode): direct-link refresh (the
     // reference's DirectLinkManager step, main.py:190-192) then the
@@ -161,7 +182,9 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         val links = linksIdx.read(spark).getOrElse(
           LinkRefresh.emptyLinks(spark))
           .select(col("file_id"), col("direct_link").as("dl"),
-            col("fsentry_id").as("fse"))
+            col("fsentry_id").as("fse"),
+            col("api_creation_time").as("act"),
+            col("api_modified_time").as("amt"))
         val sizes = dirSizes(current)
           .withColumnRenamed("filepath", "dp")
         val iso = "yyyy-MM-dd'T'HH:mm:ss"
@@ -180,7 +203,12 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
             date_format(col("creation_time"), iso).as("creation_time"),
             date_format(col("last_seen"), iso).as("last_seen"),
             coalesce(col("dl"), lit("")).as("direct_link"),
-            coalesce(col("fse"), lit("")).as("fsentry_id"))
+            coalesce(col("fse"), lit("")).as("fsentry_id"),
+            // mapping-declared API timestamps (EsAdmin mirror of
+            // elasticsearch_integration.py:84-87): emitted when the
+            // fetch returned them; null → to_json omits the field
+            date_format(col("act"), iso).as("api_creation_time"),
+            date_format(col("amt"), iso).as("api_modified_time"))
           .withColumn("size", SizeFormat.format_size(col("size_bytes")))
         val s = sink.bulkIndex(docs, cfg.esIndex, "id")
         if (removedCount > 0)

@@ -22,7 +22,13 @@ import graft.sinks.ParquetIndex
   */
 object LinkRefresh {
 
-  /** The links-store schema (direct_links table, db_duckdb.py:129-137). */
+  /** The links-store schema: the direct_links table
+    * (direct_links.py:43-51) plus the API-timestamp columns of the
+    * reference's extended variant (tests/test_api_timestamps.py:161-170)
+    * — the ES mapping declares `api_creation_time`/`api_modified_time`
+    * (EsAdmin mirror of elasticsearch_integration.py:84-87), so the
+    * store must be able to carry them to the publish payload.
+    */
   val schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("file_id",
@@ -33,6 +39,10 @@ object LinkRefresh {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("fsentry_id",
         org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("api_creation_time",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("api_modified_time",
+        org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("last_updated",
         org.apache.spark.sql.types.TimestampType)))
 
@@ -41,17 +51,30 @@ object LinkRefresh {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** A successful fetch: the direct link plus whatever metadata the API
+    * returned — v2 fsentry id (direct_links.py:112-124) and the API's
+    * own creation/modification timestamps
+    * (tests/test_api_timestamps.py:161-170), all optional.
+    */
+  final case class FetchedLink(
+      directLink: String,
+      fsentryId: Option[String] = None,
+      apiCreationTime: Option[java.sql.Timestamp] = None,
+      apiModifiedTime: Option[java.sql.Timestamp] = None)
+
   /** One link fetch: (filepath, cached fsentry_id) →
-    * Some((direct_link, new fsentry_id)) on success, None on failure
+    * Some(FetchedLink) on success, None on failure
     * (direct_links.py:129-141; a 400 from the API means "unsupported
     * file — skip", which the reference also drops).
     */
   trait Fetch extends ((String, Option[String])
-    => Option[(String, Option[String])]) with Serializable
+    => Option[FetchedLink]) with Serializable
 
   private[pipeline] final case class Fetched(
       file_id: String, direct_link: String, link_type: String,
-      fsentry_id: Option[String])
+      fsentry_id: Option[String],
+      api_creation_time: Option[java.sql.Timestamp],
+      api_modified_time: Option[java.sql.Timestamp])
 
   final case class Result(merged: DataFrame, refreshed: Long)
 
@@ -97,8 +120,9 @@ object LinkRefresh {
       .as[(String, String, Option[String])]
       .mapPartitions { it => // one client per partition
         it.flatMap { case (id, fp, cachedFse) =>
-          fetch(fp, cachedFse).map { case (link, fse) =>
-            Fetched(id, link, linkType, fse)
+          fetch(fp, cachedFse).map { f =>
+            Fetched(id, f.directLink, linkType, f.fsentryId,
+              f.apiCreationTime, f.apiModifiedTime)
           }
         }
       }

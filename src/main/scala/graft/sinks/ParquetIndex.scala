@@ -53,13 +53,30 @@ final class ParquetIndex(root: String, keep: Int = 2,
     else Nil
 
   def read(spark: SparkSession): Option[DataFrame] =
-    currentId.map(id => spark.read.parquet(s"$root/snap-$id"))
+    currentId.map { id =>
+      val df = spark.read.parquet(s"$root/snap-$id")
+      // partition columns come back through directory-name type
+      // inference (a numeric path segment would flip to int and break
+      // the next merge's schema) — pin them to string
+      import org.apache.spark.sql.functions.col
+      partitionBy.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c).cast("string")))
+    }
 
   /** Write `df` as the new current snapshot; returns the snapshot id. */
   def write(df: DataFrame): String = {
     val id = java.util.UUID.randomUUID().toString.take(8) +
       "-" + System.currentTimeMillis()
-    val out = if (writeFiles > 0) df.coalesce(writeFiles) else df
+    import org.apache.spark.sql.functions.col
+    // partitioned + bounded-width: repartition BY the partition columns
+    // (not coalesce) so every partition directory is written by exactly
+    // one task = one file per directory, instead of writeFiles × dirs
+    // small files
+    val out =
+      if (partitionBy.nonEmpty && writeFiles > 0)
+        df.repartition(writeFiles, partitionBy.map(col): _*)
+      else if (writeFiles > 0) df.coalesce(writeFiles)
+      else df
     val w = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/snap-$id")
@@ -108,5 +125,33 @@ final class ParquetIndex(root: String, keep: Int = 2,
       try s.iterator().asScala.foreach(deleteRec) finally s.close()
     }
     Files.deleteIfExists(p): Unit
+  }
+}
+
+object ParquetIndex {
+
+  /** The partition column the pipeline derives for path-partitioned
+    * snapshots: the first `relative_path` segment (SURVEY §4.1 — the
+    * replacement for the reference's ART index on relative_path,
+    * db_duckdb.py:175-177).
+    */
+  val PathPartitionCol = "p0"
+
+  /** First path segment of a relative path (no leading slash). */
+  def firstSegment(relativePath: String): String = {
+    val i = relativePath.indexOf('/')
+    if (i < 0) relativePath else relativePath.substring(0, i)
+  }
+
+  /** Pruned point/prefix predicate over a path-partitioned snapshot:
+    * the `p0` equality prunes to ONE partition directory (visible as
+    * PartitionFilters in the explain — PlanAuditSpec pins this), the
+    * prefix predicate then runs only over that directory's row groups.
+    */
+  def pathPrefixFilter(prefix: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    (col(PathPartitionCol) === lit(firstSegment(prefix))) &&
+      (col("relative_path") === lit(prefix) ||
+        col("relative_path").startsWith(prefix + "/"))
   }
 }

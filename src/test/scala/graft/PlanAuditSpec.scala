@@ -77,4 +77,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("path-partitioned snapshot: prefix query prunes to one partition") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("planaudit-idx")
+    val idx = new sinks.ParquetIndex(root.toString,
+      partitionBy = Seq(sinks.ParquetIndex.PathPartitionCol))
+    val df = spark.range(0, 1000).select(
+      concat(lit("seg"), (col("id") % 10).cast("string"), lit("/f"),
+        col("id").cast("string"), lit(".txt")).as("relative_path"),
+      col("id").as("size_bytes"))
+      .withColumn(sinks.ParquetIndex.PathPartitionCol,
+        substring_index(col("relative_path"), "/", 1))
+    idx.write(df)
+    val q = idx.read(spark).get
+      .filter(sinks.ParquetIndex.pathPrefixFilter("seg3"))
+    val p = { q.collect(); q.queryExecution.executedPlan.toString }
+    // the ART-index replacement (SURVEY §4.1): the p0 equality became a
+    // partition filter — only seg3's directory is scanned
+    assert(p.contains("PartitionFilters: ["), p)
+    assert("PartitionFilters: \\[[^\\]]*p0".r.findFirstIn(p).isDefined, p)
+    assert(q.count() == 100)
+    // and the residual relative_path predicate was pushed to parquet
+    assert(p.contains("PushedFilters: ["), p)
+  }
 }

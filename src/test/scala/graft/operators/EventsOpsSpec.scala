@@ -4,17 +4,20 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpecBase
 
-/** The sketch queries have no cross-engine oracle (outputs aren't
-  * bit-stable), so accuracy is bounded HERE against the exact forms on
-  * the same data — the check a 100 TB pipeline would run on a sampled
-  * shard before trusting the sketches fleet-wide.
+/** Sketch outputs aren't bit-stable across engines, so accuracy is
+  * bounded HERE against the exact forms on the same data — the check a
+  * 100 TB pipeline would run on a sampled shard before trusting the
+  * sketches fleet-wide. The declared `events_approx_stats` query then
+  * compresses exactly these bounds into deterministic booleans, which
+  * the DuckDB oracle gates as literal `true` rows.
   */
 class EventsOpsSpec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.01"
 
   test("approx percentiles land within 2% of the exact quantiles") {
-    val approx = EventsOps.approxStats(spark, sf).collect()
+    val approx = EventsOps.approxStatsRaw(spark, sf)
+      .select("event_type", "p50_approx", "p99_approx").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = EventsOps.valueQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
@@ -29,8 +32,9 @@ class EventsOpsSpec extends SparkSpecBase {
   }
 
   test("HLL distinct users lands within the configured 5% rsd (3 sigma)") {
-    val approx = EventsOps.approxStats(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = EventsOps.approxStatsRaw(spark, sf)
+      .select("event_type", "users_approx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.Tables(spark, sf, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("u")).collect()
@@ -39,6 +43,15 @@ class EventsOpsSpec extends SparkSpecBase {
       val a = approx(k)
       assert(math.abs(a - e).toDouble <= math.max(3.0, 0.15 * e),
         s"$k approx=$a exact=$e")
+    }
+  }
+
+  test("gated approx query reports every bound as holding (oracle shape)") {
+    val rows = EventsOps.approxStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"bound violated for ${r.getString(0)}: $r")
     }
   }
 }

@@ -50,6 +50,25 @@ class MergeSpec extends SparkSpecBase {
     assert(rows(once) == rows(twice))
   }
 
+  test("mergeReconcile = merge restricted to scanned keys, one pass") {
+    // k2 vanished from the scan: merge semantics for k1/k3, k2 dropped
+    val scan = df(
+      ("k1", 11L, ts("2021-06-01 00:00:00")),
+      ("k3", 30L, ts("2022-01-01 00:00:00")))
+    val out = Merge.mergeReconcile(existing, scan, "key", "mtime")
+    assert(rows(out) == Set(
+      ("k1", 11L, ts("2021-06-01 00:00:00")),
+      ("k3", 30L, ts("2022-01-01 00:00:00"))))
+    // equivalence with the two-step form (merge, then semi-join on scan)
+    val twoStep = Merge.merge(existing, scan, "key", "mtime", false)
+      .join(scan.select("key").distinct(), Seq("key"), "left_semi")
+    assert(rows(out) == rows(twoStep.select("key", "size", "mtime")))
+    // an older scan row must NOT clobber a newer stored row (J1 applies)
+    val stale = df(("k2", 5L, ts("2019-01-01 00:00:00")))
+    val kept = Merge.mergeReconcile(existing, stale, "key", "mtime")
+    assert(rows(kept) == Set(("k2", 20L, ts("2020-01-02 00:00:00"))))
+  }
+
   test("schema mismatch is rejected") {
     import spark.implicits._
     val bad = Seq(("k1", 1L)).toDF("key", "size")

@@ -92,7 +92,12 @@ class IndexerSpec extends SparkSpecBase {
     TransportProbe.reset()
     val fetch = new LinkRefresh.Fetch {
       def apply(fp: String, cached: Option[String]) =
-        Some((s"https://fs.example/link-of${fp.length}", Some("fse-x")))
+        Some(LinkRefresh.FetchedLink(
+          s"https://fs.example/link-of${fp.length}", Some("fse-x"),
+          apiCreationTime =
+            Some(java.sql.Timestamp.valueOf("2026-06-01 08:00:00")),
+          apiModifiedTime =
+            Some(java.sql.Timestamp.valueOf("2026-06-15 09:30:00"))))
     }
     val cfg = IndexerConfig(root.toString, idxRoot)
     val r1 = new Indexer(cfg, Some(TransportProbe.transport),
@@ -106,6 +111,10 @@ class IndexerSpec extends SparkSpecBase {
     Seq("\"extension\":", "\"creation_time\":", "\"last_seen\":",
       "\"fsentry_id\":", "\"filepath\":", "\"size\":")
       .foreach(f => assert(sent.contains(f), f))
+    // the mapping-declared API timestamps reach the bulk payload
+    // (test_api_timestamps.py:161-170 round-trip scenario)
+    assert(sent.contains("\"api_creation_time\":\"2026-06-01T08:00:00\""))
+    assert(sent.contains("\"api_modified_time\":\"2026-06-15T09:30:00\""))
     // immediate re-run: every link is fresh — the queue is drained
     val r2 = new Indexer(cfg, Some(TransportProbe.transport),
       linkFetch = Some(fetch)).run(spark)
@@ -116,6 +125,51 @@ class IndexerSpec extends SparkSpecBase {
     val r3 = new Indexer(cfg, Some(TransportProbe.transport),
       linkFetch = Some(fetch)).run(spark)
     assert(r3.linksRefreshed == 1)
+  }
+
+  test("one snapshot write per run (merge+reconcile composed)") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxstore5")
+    val cfg = IndexerConfig(root.toString, idxRoot.toString,
+      mode = "index-only")
+    new Indexer(cfg, None).run(spark)
+    def snapCount = {
+      val s = Files.list(idxRoot)
+      try s.filter(p => p.getFileName.toString.startsWith("snap-")).count()
+      finally s.close()
+    }
+    assert(snapCount == 1L) // not the old merge-then-reconcile pair
+    Files.delete(root.resolve("proj/sub/b.log"))
+    val r2 = new Indexer(cfg, None).run(spark)
+    assert(snapCount == 2L) // exactly one more (keep=2 window intact)
+    assert(r2.removed >= 1)
+    val snap = new graft.sinks.ParquetIndex(idxRoot.toString,
+      partitionBy = Seq(graft.sinks.ParquetIndex.PathPartitionCol))
+      .read(spark).get
+    val paths = snap.collect().map(_.getAs[String]("relative_path")).toSet
+    assert(!paths.contains("proj/sub/b.log")) // reconcile still applied
+    assert(paths.contains("proj/a.txt"))
+  }
+
+  test("snapshots are partitioned by first path segment") {
+    val root = mkTree()
+    Files.createDirectories(root.resolve("other"))
+    Files.writeString(root.resolve("other/z.txt"), "zz")
+    val idxRoot = Files.createTempDirectory("idxstore6")
+    val cfg = IndexerConfig(root.toString, idxRoot.toString,
+      mode = "index-only")
+    new Indexer(cfg, None).run(spark)
+    val idx = new graft.sinks.ParquetIndex(idxRoot.toString,
+      partitionBy = Seq(graft.sinks.ParquetIndex.PathPartitionCol))
+    val snapDir = idxRoot.resolve(s"snap-${idx.currentId.get}")
+    import scala.jdk.CollectionConverters._
+    val partDirs = {
+      val s = Files.list(snapDir)
+      try s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(partDirs == Set("p0=proj", "p0=other"))
   }
 
   test("config surface parses key=value lines with reference keys") {

@@ -11,12 +11,32 @@ import graft.sinks.ParquetIndex
 
 /** J5's refresh loop: the stale queue feeds a pluggable fetch, successes
   * J2-merge into the links store, re-running drains the queue, fresh
-  * links are never re-fetched, failures keep their old row.
+  * links are never re-fetched, failures keep their old row, and the
+  * API-returned timestamps (tests/test_api_timestamps.py:161-170) ride
+  * along into the store.
   */
+/** Top-level (serializable closure) fixture: a deterministic fake API —
+  * fails for /b/four.txt, echoes the cached fsentry id (v2 cache reuse)
+  * or mints one, returns API timestamps.
+  */
+private object FakeLinkApi extends LinkRefresh.Fetch {
+  val apiCre: Timestamp = Timestamp.valueOf("2026-06-01 08:00:00")
+  val apiMod: Timestamp = Timestamp.valueOf("2026-06-15 09:30:00")
+  def apply(fp: String, cached: Option[String]) =
+    if (fp.endsWith("four.txt")) None
+    else Some(LinkRefresh.FetchedLink(
+      s"https://fs.example/new${fp.length}",
+      cached.orElse(Some(s"fse-minted-$fp")),
+      apiCreationTime = Some(apiCre),
+      apiModifiedTime = Some(apiMod)))
+}
+
 class LinkRefreshSpec extends SparkSpecBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
   private val now = ts("2026-08-01 12:00:00")
+  private val apiCre = FakeLinkApi.apiCre
+  private val apiMod = FakeLinkApi.apiMod
 
   // f1: stale link (updated before mtime); f2: fresh; f3: no link yet;
   // f4: stale but fetch will fail; f5: stale but skip-pattern-excluded
@@ -30,25 +50,21 @@ class LinkRefreshSpec extends SparkSpecBase {
 
   private def linksDf: DataFrame = spark.createDataFrame(Seq(
     ("f1", "https://fs.example/old1", "v2", Some("fse-1"),
+      None: Option[Timestamp], None: Option[Timestamp],
       ts("2026-07-01 00:00:00")), // stale: before f1's mtime
     ("f2", "https://fs.example/ok2", "v2", Some("fse-2"),
+      None: Option[Timestamp], None: Option[Timestamp],
       ts("2026-07-20 00:00:00")), // fresh
     ("f4", "https://fs.example/old4", "v2", None,
+      None: Option[Timestamp], None: Option[Timestamp],
       ts("2026-07-01 00:00:00")), // stale, fetch fails
     ("f5", "https://fs.example/old5", "v2", None,
+      None: Option[Timestamp], None: Option[Timestamp],
       ts("2026-07-01 00:00:00")))) // stale, skipped
     .toDF("file_id", "direct_link", "link_type", "fsentry_id",
-      "last_updated")
+      "api_creation_time", "api_modified_time", "last_updated")
 
-  /** Deterministic fake API: fails for /b/four.txt, echoes the cached
-    * fsentry id (v2 cache reuse) or mints one.
-    */
-  private object FakeFetch extends LinkRefresh.Fetch {
-    def apply(fp: String, cached: Option[String]) =
-      if (fp.endsWith("four.txt")) None
-      else Some((s"https://fs.example/new${fp.length}",
-        cached.orElse(Some(s"fse-minted-$fp"))))
-  }
+  private def FakeFetch = FakeLinkApi
 
   test("stale queue = missing ∪ outdated, minus skips, with cached ids") {
     val q = LinkRefresh.staleQueue(filesDf, linksDf,
@@ -64,19 +80,29 @@ class LinkRefreshSpec extends SparkSpecBase {
       version = 2, skipPatterns = Seq("tmp-*"), now = now)
     assert(r.refreshed == 2) // f1 + f3 (f4 failed, f5 skipped, f2 fresh)
     val rows = r.merged.collect()
-      .map(x => x.getString(0) -> x).toMap
+      .map(x => x.getAs[String]("file_id") -> x).toMap
     assert(rows.keySet == Set("f1", "f2", "f3", "f4", "f5"))
-    // f1: replaced (LWW), cached fsentry id reused by the v2 fetch
-    assert(rows("f1").getString(1).startsWith("https://fs.example/new"))
-    assert(rows("f1").getString(3) == "fse-1")
-    assert(rows("f1").getTimestamp(4) == now)
+    // f1: replaced (LWW), cached fsentry id reused by the v2 fetch,
+    // API timestamps landed
+    assert(rows("f1").getAs[String]("direct_link")
+      .startsWith("https://fs.example/new"))
+    assert(rows("f1").getAs[String]("fsentry_id") == "fse-1")
+    assert(rows("f1").getAs[Timestamp]("last_updated") == now)
+    assert(rows("f1").getAs[Timestamp]("api_creation_time") == apiCre)
+    assert(rows("f1").getAs[Timestamp]("api_modified_time") == apiMod)
     // f3: newly inserted with a minted id
-    assert(rows("f3").getString(3).startsWith("fse-minted-"))
-    // f2 (fresh) and f4 (failed fetch) keep their original rows
-    assert(rows("f2").getString(1) == "https://fs.example/ok2")
-    assert(rows("f4").getString(1) == "https://fs.example/old4")
+    assert(rows("f3").getAs[String]("fsentry_id")
+      .startsWith("fse-minted-"))
+    // f2 (fresh) and f4 (failed fetch) keep their original rows — and
+    // their api timestamps stay null (never fetched this run)
+    assert(rows("f2").getAs[String]("direct_link")
+      == "https://fs.example/ok2")
+    assert(rows("f2").getAs[Timestamp]("api_creation_time") == null)
+    assert(rows("f4").getAs[String]("direct_link")
+      == "https://fs.example/old4")
     // f5 (skip pattern) untouched
-    assert(rows("f5").getString(1) == "https://fs.example/old5")
+    assert(rows("f5").getAs[String]("direct_link")
+      == "https://fs.example/old5")
   }
 
   test("round-trip through the links ParquetIndex drains the queue") {
@@ -95,5 +121,6 @@ class LinkRefreshSpec extends SparkSpecBase {
     val persisted = idx.read(spark).get
       .filter(col("file_id") === "f1").collect().head
     assert(persisted.getAs[Timestamp]("last_updated") == now)
+    assert(persisted.getAs[Timestamp]("api_modified_time") == apiMod)
   }
 }
