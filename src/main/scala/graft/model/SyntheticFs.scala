@@ -88,7 +88,11 @@ object SyntheticFs {
           expr(s"$lastSeen - make_dt_interval(CAST(l_orderkey % 150 + 1 AS INT))"))
           .otherwise(col("l_shipdate")))
     base.select(
-      sha2(expr("substring(filepath, 2)"), 256).as("id"),
+      // F1 id dialect: the reference hashes the '/'-prefixed
+      // relative_path (scanner.py:176-186 always restores the leading
+      // slash before _generate_file_id) = our filepath — ids are
+      // byte-compatible with a reference-built ES index
+      sha2(col("filepath"), 256).as("id"),
       col("name"),
       expr("substring(filepath, 2)").as("relative_path"),
       col("filepath"),
@@ -120,7 +124,7 @@ object SyntheticFs {
       .union(f.select(col("d1")))
       .distinct()
     all.select(
-      sha2(expr("substring(filepath, 2)"), 256).as("id"),
+      sha2(col("filepath"), 256).as("id"),
       expr("substring_index(filepath, '/', -1)").as("name"),
       expr("substring(filepath, 2)").as("relative_path"),
       col("filepath"),
@@ -189,7 +193,7 @@ object SyntheticFs {
        |  FROM fs_base
        |),
        |fs_files AS (
-       |  SELECT sha256(substr(dir || '/' || name, 2)) AS id, name,
+       |  SELECT sha256(dir || '/' || name) AS id, name,
        |    substr(dir || '/' || name, 2) AS relative_path,
        |    dir || '/' || name AS filepath,
        |    size_bytes, modified_time, modified_time AS creation_time,
@@ -199,7 +203,7 @@ object SyntheticFs {
        |  FROM fs_named
        |),
        |fs_dirs AS (
-       |  SELECT sha256(substr(filepath, 2)) AS id,
+       |  SELECT sha256(filepath) AS id,
        |    string_split(filepath, '/')[-1] AS name,
        |    substr(filepath, 2) AS relative_path, filepath,
        |    CAST(NULL AS BIGINT) AS size_bytes,

@@ -492,15 +492,18 @@ object FsOps {
 
   // -------------------------------------------------------------------- //
   // F1/F2: both id dialects — sha256(relative_path) and the composite    //
-  // sha256(path:size:mtime) (scanner.py:99-108, 288-290).                //
+  // sha256(path:size:mtime) (scanner.py:99-108, 288-290). Both hash the  //
+  // '/'-prefixed relative_path (the reference always restores the        //
+  // leading slash, scanner.py:176-183/:280-281 — that IS our filepath),  //
+  // so ids match a reference-built index byte-for-byte.                  //
   // -------------------------------------------------------------------- //
 
   def compositeIds(spark: SparkSession, sfDir: String): DataFrame =
     SyntheticFs.files(spark, sfDir)
       .select(
         col("relative_path"),
-        sha2(col("relative_path"), 256).as("id_path"),
-        sha2(concat_ws(":", col("relative_path"),
+        sha2(col("filepath"), 256).as("id_path"),
+        sha2(concat_ws(":", col("filepath"),
           col("size_bytes").cast("string"),
           unix_timestamp(col("modified_time")).cast("string")), 256)
           .as("id_composite"))
@@ -509,8 +512,8 @@ object FsOps {
 
   val compositeIdsSql: String = SyntheticFs.withCtes(
     """SELECT relative_path,
-      |  sha256(relative_path) AS id_path,
-      |  sha256(relative_path || ':' || CAST(size_bytes AS VARCHAR) || ':'
+      |  sha256(filepath) AS id_path,
+      |  sha256(filepath || ':' || CAST(size_bytes AS VARCHAR) || ':'
       |    || CAST(epoch_ms(modified_time) // 1000 AS VARCHAR)) AS id_composite
       |FROM fs_files ORDER BY relative_path LIMIT 1000""".stripMargin)
 

@@ -87,9 +87,13 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     admin: Option[EsAdmin.Transport] = None,
     linkFetch: Option[LinkRefresh.Fetch] = None) {
 
-  /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1). */
+  /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1).
+    * The id hashes the '/'-prefixed relative path (= filepath), matching
+    * the reference's _generate_file_id byte-for-byte
+    * (scanner.py:176-186 always restores the leading slash first).
+    */
   private def normalize(listing: DataFrame): DataFrame = listing.select(
-    sha2(expr("substring(filepath, 2)"), 256).as("id"),
+    sha2(col("filepath"), 256).as("id"),
     col("name"),
     expr("substring(filepath, 2)").as("relative_path"),
     col("filepath"),
