@@ -65,6 +65,61 @@ object IndexerConfig {
       partitionByPath =
         kv.get("partition_by_path").forall(_.toBoolean))
   }
+
+  /** Load the reference's actual YAML config surface
+    * (config/indexer-config.yaml via config/config.py:6-26
+    * `yaml.safe_load`) — nested keys mapped onto [[IndexerConfig]]:
+    *
+    *  - `mode`, `root_path` → as-is
+    *  - `skip_patterns.patterns` → skipPatterns;
+    *    `skip_patterns.hidden_files` false → includeHidden
+    *  - `elasticsearch.index_name` / `.bulk_size` → esIndex/esBatchSize
+    *  - `lucidlink_filespace.get_direct_links` → getDirectLinks
+    *  - `database.connection.url` (`duckdb:///path/db.duckdb`) → the
+    *    snapshot-store root (the embedded-DuckDB file location becomes
+    *    the ParquetIndex directory — same place in the deployment, a
+    *    different storage format)
+    *
+    * `overrides` uses the same flat keys as [[load]] and wins over the
+    * file (the reference's `--root-path` CLI override, main.py:44-47).
+    */
+  def loadYaml(text: String,
+      overrides: Map[String, String] = Map.empty): IndexerConfig = {
+    val doc = Yaml.parse(text)
+    def over(k: String): Option[String] = overrides.get(k)
+    val rootPath = over("root_path")
+      .orElse(Yaml.str(doc, "root_path").filter(_.nonEmpty))
+      .getOrElse(sys.error("root_path is required (file or override)"))
+    val indexRoot = over("index_root")
+      .orElse(Yaml.str(doc, "database", "connection", "url")
+        .map(_.stripPrefix("duckdb://")))
+      .getOrElse(sys.error("index_root or database.connection.url required"))
+    IndexerConfig(
+      rootPath = rootPath,
+      indexRoot = indexRoot,
+      mode = over("mode").orElse(Yaml.str(doc, "mode"))
+        .getOrElse("elasticsearch"),
+      skipPatterns = over("skip_patterns")
+        .map(_.split(",").map(_.trim).toSeq)
+        .orElse(Yaml.list(doc, "skip_patterns", "patterns")
+          .map(_.collect { case s: String => s }))
+        .getOrElse(defaultSkips),
+      includeHidden = over("include_hidden").map(_.toBoolean)
+        .orElse(Yaml.bool(doc, "skip_patterns", "hidden_files").map(!_))
+        .getOrElse(false),
+      esIndex = over("es_index")
+        .orElse(Yaml.str(doc, "elasticsearch", "index_name"))
+        .getOrElse("files"),
+      esBatchSize = over("es_batch_size").map(_.toInt)
+        .orElse(Yaml.long(doc, "elasticsearch", "bulk_size").map(_.toInt))
+        .getOrElse(1000),
+      snapshotFiles = over("snapshot_files").map(_.toInt).getOrElse(4),
+      getDirectLinks = over("get_direct_links").map(_.toBoolean)
+        .orElse(Yaml.bool(doc, "lucidlink_filespace", "get_direct_links"))
+        .getOrElse(true),
+      partitionByPath =
+        over("partition_by_path").forall(_.toBoolean))
+  }
 }
 
 final case class RunReport(
@@ -227,18 +282,34 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
   }
 }
 
-/** CLI entry point: `graft.pipeline.IndexerCli <config-file>` or
-  * `root_path=... index_root=... [mode=index-only]` args directly.
+/** CLI entry point: `graft.pipeline.IndexerCli <config.yaml|config.kv>
+  * [key=value overrides...]` or `root_path=... index_root=...
+  * [mode=index-only]` args directly. A `.yaml`/`.yml` config file is
+  * parsed with the reference's nested key surface
+  * ([[IndexerConfig.loadYaml]]); anything else as flat `key=value`.
   */
 object IndexerCli {
   def main(args: Array[String]): Unit = {
-    val lines =
-      if (args.length == 1 && java.nio.file.Files.exists(
-          java.nio.file.Paths.get(args(0))))
-        java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get(args(0))).toArray(Array.empty[String]).toSeq
-      else args.toSeq
-    val cfg = IndexerConfig.load(lines)
+    def kvPairs(xs: Seq[String]): Map[String, String] =
+      xs.flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _ => None
+      }).toMap
+    val cfg =
+      if (args.nonEmpty && (args(0).endsWith(".yaml") ||
+          args(0).endsWith(".yml")))
+        IndexerConfig.loadYaml(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(args(0))),
+          kvPairs(args.drop(1).toSeq))
+      else {
+        val lines =
+          if (args.length == 1 && java.nio.file.Files.exists(
+              java.nio.file.Paths.get(args(0))))
+            java.nio.file.Files.readAllLines(java.nio.file.Paths.get(args(0)))
+              .toArray(Array.empty[String]).toSeq
+          else args.toSeq
+        IndexerConfig.load(lines)
+      }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
