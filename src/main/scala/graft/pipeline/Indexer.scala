@@ -142,29 +142,8 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     admin: Option[EsAdmin.Transport] = None,
     linkFetch: Option[LinkRefresh.Fetch] = None) {
 
-  /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1).
-    * The id hashes the '/'-prefixed relative path (= filepath), matching
-    * the reference's _generate_file_id byte-for-byte
-    * (scanner.py:176-186 always restores the leading slash first).
-    */
-  private def normalize(listing: DataFrame): DataFrame = listing.select(
-    sha2(col("filepath"), 256).as("id"),
-    col("name"),
-    expr("substring(filepath, 2)").as("relative_path"),
-    col("filepath"),
-    when(col("entry_type") === "file", col("size_bytes")).as("size_bytes"),
-    col("modified_time"),
-    col("modified_time").as("creation_time"),
-    col("entry_type").as("type"),
-    // Path(name).suffix parity: dotfiles like '.bashrc' have no extension
-    lower(regexp_extract(col("name"), ".\\.([^./]+)$", 1)).as("extension"),
-    lit("").as("checksum"),
-    lit("").as("direct_link"),
-    current_timestamp().as("last_seen"),
-    // snapshot partition column (first path segment) — the ART-index
-    // replacement: point/prefix queries prune to one partition dir
-    substring_index(expr("substring(filepath, 2)"), "/", 1)
-      .as(ParquetIndex.PathPartitionCol))
+  private def normalize(listing: DataFrame): DataFrame =
+    Indexer.normalize(listing)
 
   /** Ancestor-explode dir-size rollup over an entry frame (J3). */
   private def dirSizes(entries: DataFrame): DataFrame = {
@@ -280,6 +259,34 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     RunReport(RunStats.collect(obs, elapsed), indexed, esFailed,
       removedCount, snapId, linksRefreshed)
   }
+}
+
+object Indexer {
+
+  /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1) —
+    * shared by the batch pipeline and continuous indexing. The id hashes
+    * the '/'-prefixed relative path (= filepath), matching the
+    * reference's _generate_file_id byte-for-byte (scanner.py:176-186
+    * always restores the leading slash first).
+    */
+  def normalize(listing: DataFrame): DataFrame = listing.select(
+    sha2(col("filepath"), 256).as("id"),
+    col("name"),
+    expr("substring(filepath, 2)").as("relative_path"),
+    col("filepath"),
+    when(col("entry_type") === "file", col("size_bytes")).as("size_bytes"),
+    col("modified_time"),
+    col("modified_time").as("creation_time"),
+    col("entry_type").as("type"),
+    // Path(name).suffix parity: dotfiles like '.bashrc' have no extension
+    lower(regexp_extract(col("name"), ".\\.([^./]+)$", 1)).as("extension"),
+    lit("").as("checksum"),
+    lit("").as("direct_link"),
+    current_timestamp().as("last_seen"),
+    // snapshot partition column (first path segment) — the ART-index
+    // replacement: point/prefix queries prune to one partition dir
+    substring_index(expr("substring(filepath, 2)"), "/", 1)
+      .as(ParquetIndex.PathPartitionCol))
 }
 
 /** CLI entry point: `graft.pipeline.IndexerCli <config.yaml|config.kv>

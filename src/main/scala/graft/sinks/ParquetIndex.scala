@@ -97,6 +97,19 @@ final class ParquetIndex(root: String, keep: Int = 2,
         write(Merge.merge(cur, batch, keyCol, tsCol, batchWinsTies))
     }
 
+  /** J1+J6/ST3 in one write: merge a FULL-rescan batch and drop keys the
+    * scan no longer contains ([[Merge.mergeReconcile]] — single key
+    * shuffle, single snapshot write). The per-run form of the pipeline
+    * and of continuous indexing's every micro-batch.
+    */
+  def upsertReconcile(spark: SparkSession, scan: DataFrame, keyCol: String,
+      tsCol: String, batchWinsTies: Boolean = false): String =
+    read(spark) match {
+      case None => write(scan)
+      case Some(cur) =>
+        write(Merge.mergeReconcile(cur, scan, keyCol, tsCol, batchWinsTies))
+    }
+
   /** J6/ST3: drop rows whose key vanished from the current scan; returns
     * the new snapshot id (left_semi keeps only still-present keys).
     */
