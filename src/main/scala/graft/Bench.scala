@@ -36,7 +36,28 @@ object Bench {
     * sweep): build a real on-disk tree once, then time the full listing
     * source (walk + pushdown filters + DataFrame materialization).
     */
-  private def scanFilesPerSec(spark: SparkSession): (Long, Double, Double) = {
+  /** No-op ES transport: acknowledges every bulk action without a
+    * network hop, so the bench times the engine's publish plan (rollup +
+    * enrichment + formatting + NDJSON batching) rather than a cluster.
+    * One status per ACTION line (index/delete), matching the bulk
+    * protocol's per-item accounting.
+    */
+  private object NoopTransport extends sinks.EsSink.Transport {
+    def apply(lines: Seq[String]): Seq[Int] =
+      Seq.fill(lines.count(l =>
+        l.startsWith("{\"index\"") || l.startsWith("{\"delete\"")))(200)
+  }
+
+  /** Instant link fetch: the external API is not what we benchmark; the
+    * queue/merge plumbing around it is.
+    */
+  private object NoopFetch extends pipeline.LinkRefresh.Fetch {
+    def apply(fp: String, cached: Option[String]) =
+      Some(pipeline.LinkRefresh.FetchedLink(
+        "https://fs.example/bench", cached.orElse(Some("fse-bench"))))
+  }
+
+  private def scanFilesPerSec(spark: SparkSession): (Long, Double, Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("benchtree")
     val dirs = 100
     val filesPerDir = 200
@@ -71,9 +92,24 @@ object Bench {
       mode = "index-only")
     val report = new pipeline.Indexer(cfg, None).run(spark)
     val pipelineFps = report.stats.filesPerSec
+    // The elasticsearch mode — what the reference's optimization sweep
+    // actually measured (BASELINE.md: 2,382 files/s best run): scan →
+    // merge → reconcile → link refresh → dir rollup → enrichment join →
+    // ISO/size formatting → bulk NDJSON batching, against a no-op
+    // transport so the engine (not a cluster) is on the clock.
+    val esIdxRoot = java.nio.file.Files.createTempDirectory("benchesidx")
+    val esCfg = pipeline.IndexerConfig(root.toString, esIdxRoot.toString,
+      mode = "elasticsearch")
+    val esReport = new pipeline.Indexer(esCfg, Some(NoopTransport),
+      linkFetch = Some(NoopFetch)).run(spark)
+    assert(esReport.indexed == esReport.stats.files + esReport.stats.dirs,
+      s"es publish indexed ${esReport.indexed} of " +
+        s"${esReport.stats.files + esReport.stats.dirs}")
+    val esFps = esReport.stats.filesPerSec
     rm(root)
     rm(idxRoot)
-    (total.toLong, n / sec, pipelineFps)
+    rm(esIdxRoot)
+    (total.toLong, n / sec, pipelineFps, esFps)
   }
 
   private def checksum(df: DataFrame): Long = {
@@ -120,13 +156,13 @@ object Bench {
     val total = ok.map(_._2).sum
     val failed = results.collect { case (n, Left(_)) => s""""$n"""" }
       .mkString("[", ",", "]")
-    val (scanned, fps, pipeFps) = try scanFilesPerSec(spark) catch {
+    val (scanned, fps, pipeFps, esFps) = try scanFilesPerSec(spark) catch {
       case e: Throwable =>
         System.err.println(s"[bench] scan bench failed: ${e.getMessage}")
-        (0L, 0.0, 0.0)
+        (0L, 0.0, 0.0, 0.0)
     }
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)
