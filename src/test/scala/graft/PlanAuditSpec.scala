@@ -78,6 +78,30 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mergeReconcile: both windows share ONE shuffle on the merge key") {
+    import org.apache.spark.sql.functions._
+    val a = spark.range(0, 1000).select(
+      concat(lit("k"), col("id")).as("relative_path"),
+      col("id").as("modified_time"))
+    val b = spark.range(500, 1500).select(
+      concat(lit("k"), col("id")).as("relative_path"),
+      (col("id") + 1).as("modified_time"))
+    val q = operators.Merge.mergeReconcile(a, b, "relative_path",
+      "modified_time")
+    val p = { q.collect(); q.queryExecution.executedPlan.toString }
+    // the row_number (merge winner) and max-tag (scanned?) windows must
+    // ride the SAME hashpartitioning — a second exchange would double
+    // the pipeline's dominant shuffle at 100 TB
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_ == "relative_path"),
+      s"exchanges on: $hashEx\n$p")
+    // AQE stages may re-show the union's branches, but dedup the stage
+    // boundary: no more than one exchange per union branch
+    assert(hashEx.size <= 2, s"${hashEx.size} exchanges\n$p")
+    assert(q.count() == 1000)
+  }
+
   test("path-partitioned snapshot: prefix query prunes to one partition") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("planaudit-idx")
