@@ -573,7 +573,142 @@ object TextOps {
        |  CAST(sum(nt) AS BIGINT) AS tokens
        |FROM c GROUP BY bin ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Decontamination: flag corpus documents sharing any 4-gram with the   //
+  // eval/benchmark set (the standard n-gram-overlap test-set-leakage     //
+  // check a training pipeline runs before every release). The eval set   //
+  // here is carved from the corpus deterministically (doc_id % 101 = 0   //
+  // ≙ "the benchmark"); at scale it is the real benchmark suite — a few  //
+  // million n-grams, BROADCAST so the corpus side never shuffles: the    //
+  // scan streams through a map-side hash semi-join, which is exactly     //
+  // how a 100 TB decontamination pass stays one-pass.                    //
+  // -------------------------------------------------------------------- //
+
+  private def kgrams(k: Int): String =
+    s"""CASE WHEN size($toks) >= $k THEN
+       |  array_distinct(transform(sequence(1, size($toks) - ${k - 1}),
+       |    i -> array_join(slice($toks, i, $k), ' ')))
+       |ELSE cast(array() AS array<string>) END""".stripMargin
+
+  private def duckKgrams(k: Int): String =
+    s"""list_distinct(list_transform(generate_series(1, len($duckToks) - ${k - 1}),
+       |  i -> array_to_string($duckToks[i:i+${k - 1}], ' ')))""".stripMargin
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(expr(kgrams(4))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 101 === 0)
+      .select("g").distinct()
+    grams.filter(col("doc_id") % 101 =!= 0)
+      .join(broadcast(evalGrams), Seq("g")) // map-side semi vs broadcast
+      .groupBy("doc_id")
+      // per-doc grams are already distinct → count = distinct overlaps
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(${duckKgrams(4)}) AS g FROM documents)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM grams
+       |WHERE doc_id % 101 <> 0
+       |  AND g IN (SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // PII scrubbing: redact emails/phones, count redactions, and hash the  //
+  // scrubbed text (the hash makes the oracle verify the REDACTED BYTES,  //
+  // not just the counts). The synthetic corpus has no PII, so a          //
+  // deterministic injection (doc_id-keyed) gives the scrubber real work  //
+  // in both engines. Patterns stay in the shared Java/RE2 regex subset.  //
+  // Occurrences are counted as split-parts − 1 — identical semantics in  //
+  // both engines, no regex-count builtin divergence. Per-row only: at    //
+  // 100 TB this is a map-only pass, no shuffle at all.                   //
+  // -------------------------------------------------------------------- //
+
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phonePat = "555-[0-9]+"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("txt", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call 555-"), (col("doc_id") % 10000).cast("string"),
+            lit(" today"))).otherwise(lit(""))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("txt"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        (size(split(col("txt"), emailPat)) - 1).cast("long").as("n_emails"),
+        (size(split(col("txt"), phonePat)) - 1).cast("long").as("n_phones"),
+        sha2(col("scrubbed"), 256).as("scrub_hash"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "555-[0-9]+"
+    s"""WITH t AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |            THEN ' contact user' || doc_id || '@example.com now'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0
+       |            THEN ' call 555-' || (doc_id % 10000) || ' today'
+       |            ELSE '' END AS txt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(string_split_regex(txt, '$email')) - 1 AS BIGINT) AS n_emails,
+       |  CAST(len(string_split_regex(txt, '$phone')) - 1 AS BIGINT) AS n_phones,
+       |  sha256(regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'),
+       |                        '$phone', '<PHONE>', 'g')) AS scrub_hash
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------- //
+  // Repetition quality filter (Gopher-style): fraction of duplicate      //
+  // words and duplicate bigrams per document; high ratios flag           //
+  // boilerplate/spam for removal before training. Per-row arithmetic on  //
+  // identical operands in both engines → bit-identical doubles.          //
+  // -------------------------------------------------------------------- //
+
+  def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"size($toks)").cast("double").as("tw"),
+        expr(s"size($dToks)").cast("double").as("dw"),
+        expr(s"size(${kgrams(2)})").cast("double").as("d2"))
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - col("dw") / col("tw"), 4).as("dup_word_frac"),
+        round(lit(1.0) - col("d2") / (col("tw") - 1), 4)
+          .as("dup_bigram_frac"),
+        (lit(1.0) - col("d2") / (col("tw") - 1) > 0.5).as("repetitious"))
+      .orderBy("doc_id")
+
+  val repetitionFilterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len($duckToks) AS DOUBLE) AS tw,
+       |    CAST(len(list_distinct($duckToks)) AS DOUBLE) AS dw,
+       |    CAST(len(${duckKgrams(2)}) AS DOUBLE) AS d2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  round(1.0 - dw / tw, 4) AS dup_word_frac,
+       |  round(1.0 - d2 / (tw - 1), 4) AS dup_bigram_frac,
+       |  (1.0 - d2 / (tw - 1)) > 0.5 AS repetitious
+       |FROM t ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_decontaminate" -> decontaminate,
+    "docs_pii_scrub" -> piiScrub,
+    "docs_repetition_filter" -> repetitionFilter,
     "docs_dedup_exact" -> dedupExact,
     "docs_token_stats" -> tokenStats,
     "docs_token_bpe" -> tokenBpe,
@@ -590,6 +725,9 @@ object TextOps {
     "docs_token_packing" -> tokenPacking)
 
   def oracleSql: Map[String, String] = Map(
+    "docs_decontaminate" -> decontaminateSql,
+    "docs_pii_scrub" -> piiScrubSql,
+    "docs_repetition_filter" -> repetitionFilterSql,
     "docs_dedup_exact" -> dedupExactSql,
     "docs_token_stats" -> tokenStatsSql,
     "docs_token_bpe" -> tokenBpeSql,

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{col, sha2}
+
 import graft.SparkSpecBase
 
 /** Shingle-path edge cases: documents with fewer than 3 tokens must yield
@@ -11,6 +13,8 @@ import graft.SparkSpecBase
   * therefore survive — not crash on — short docs.
   */
 class TextOpsSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.01"
 
   /** Writes a tiny documents table (driver schema) with short-doc traps. */
   private def shortDocsDir(): String = {
@@ -56,5 +60,45 @@ class TextOpsSpec extends SparkSpecBase {
     val cl = TextOps.neardupClusters(spark, dir).collect()
     assert(cl.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       .toSet == Set((3L, 3L, true), (4L, 3L, false)))
+  }
+
+  test("decontamination flags only corpus docs overlapping the eval set") {
+    val rows = TextOps.decontaminate(spark, sf).collect()
+    // every flagged doc is a corpus doc (never an eval doc), with a
+    // positive distinct-overlap count
+    rows.foreach { r =>
+      assert(r.getLong(0) % 101 != 0, s"eval doc flagged: $r")
+      assert(r.getLong(1) > 0)
+    }
+    assert(rows.nonEmpty) // the check is not vacuous on the test corpus
+  }
+
+  test("PII scrub redacts injected emails/phones and hashes the result") {
+    val rows = TextOps.piiScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    rows.foreach { case (id, (em, ph, h)) =>
+      assert(em == (if (id % 7 == 0) 1L else 0L), s"doc $id emails=$em")
+      assert(ph == (if (id % 13 == 0) 1L else 0L), s"doc $id phones=$ph")
+      assert(h.length == 64)
+    }
+    // a scrubbed doc's hash differs from its unscrubbed sibling text
+    val clean = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val touched = rows.filter { case (id, _) => id % 7 == 0 }
+    assert(touched.nonEmpty &&
+      touched.forall { case (id, (_, _, h)) => h != clean(id) })
+  }
+
+  test("repetition fractions are in [0,1] and flag threshold crossings") {
+    val rows = TextOps.repetitionFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, b) = (r.getDouble(1), r.getDouble(2))
+      assert(w >= 0.0 && w <= 1.0 && b >= 0.0 && b <= 1.0, s"$r")
+      assert(r.getBoolean(3) == b > 0.5 ||
+        math.abs(b - 0.5) < 1e-9) // flag consistent with its own ratio
+    }
   }
 }
