@@ -78,6 +78,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("decontaminate: eval set broadcasts; corpus side never sort-merges") {
+    val p = finalPlan(SparkEntry.queries("docs_decontaminate")(spark, sf))
+    // the eval n-gram set must reach the corpus as a broadcast hash join
+    // (at 100 TB the corpus NEVER shuffles for the overlap check)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-doc overlap count partial-aggregates map-side
+    assert(p.contains("partial_count"), p)
+  }
+
   test("mergeReconcile: both windows share ONE shuffle on the merge key") {
     import org.apache.spark.sql.functions._
     val a = spark.range(0, 1000).select(
