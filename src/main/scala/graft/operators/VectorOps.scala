@@ -232,15 +232,70 @@ object VectorOps {
        |    i -> a.ne[i] * b.ne[i])), 4) >= 0.2
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Int8 scalar quantization of the embedding column + reconstruction
+    * error — the compression step a 100 TB embedding store runs before
+    * ANN serving (4× smaller vectors; IVF/LSH recall then verified
+    * against the error bound). Per-vector scale = 127 / max|x|;
+    * quantize via floor (round's half-tie behavior is not guaranteed
+    * identical across engines, floor is). All arithmetic is the same
+    * elementwise double sequence in both engines → bit-identical values.
+    * Per-row only: map-only pass, no shuffle.
+    */
+  def scalarQuant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+      .withColumn("e", expr("transform(embedding, v -> cast(v AS double))"))
+      .withColumn("mx", expr(
+        "aggregate(e, cast(0.0 AS double), (a, v) -> greatest(a, abs(v)))"))
+      .withColumn("s",
+        expr("CASE WHEN mx = 0.0 THEN 1.0 ELSE 127.0 / mx END"))
+      .withColumn("q",
+        expr("transform(e, v -> cast(floor(v * s) AS int))"))
+      .select(
+        col("vec_id"),
+        expr("aggregate(q, 0, (a, v) -> greatest(a, abs(v)))")
+          .as("q_max_abs"),
+        round(expr(
+          """aggregate(zip_with(e, q, (x, qi) -> abs(x - qi / s)),
+            |  cast(0.0 AS double), (a, v) -> greatest(a, v))""".stripMargin),
+          6).as("max_err"),
+        round(expr(
+          """aggregate(zip_with(e, q, (x, qi) -> (x - qi / s) * (x - qi / s)),
+            |  cast(0.0 AS double), (a, v) -> a + v)""".stripMargin) /
+          expr("size(e)"), 6).as("mse"))
+      .orderBy("vec_id")
+
+  val scalarQuantSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, e,
+      |    CASE WHEN list_max(list_transform(e, v -> abs(v))) = 0.0 THEN 1.0
+      |         ELSE 127.0 / list_max(list_transform(e, v -> abs(v))) END AS s
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, e, s,
+      |    list_transform(e, v -> CAST(floor(v * s) AS INT)) AS q
+      |  FROM sc)
+      |SELECT vec_id,
+      |  CAST(list_max(list_transform(q, v -> abs(v))) AS INT) AS q_max_abs,
+      |  round(list_max(list_transform(generate_series(1, len(e)),
+      |    i -> abs(e[i] - q[i] / s))), 6) AS max_err,
+      |  round(list_sum(list_transform(generate_series(1, len(e)),
+      |    i -> (e[i] - q[i] / s) * (e[i] - q[i] / s))) / len(e), 6) AS mse
+      |FROM q ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
-    "ann_cosine_neardup" -> cosineNearDup)
+    "ann_cosine_neardup" -> cosineNearDup,
+    "ann_scalar_quant" -> scalarQuant)
 
   def oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,
-    "ann_cosine_neardup" -> cosineNearDupSql)
+    "ann_cosine_neardup" -> cosineNearDupSql,
+    "ann_scalar_quant" -> scalarQuantSql)
 }

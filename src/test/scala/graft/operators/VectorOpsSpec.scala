@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Semantic bounds the oracle's value-equality can't express: the int8
+  * quantizer must actually compress into int8 range and reconstruct
+  * within one quantization step.
+  */
+class VectorOpsSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("int8 quantization: codes in range, error under one quant step") {
+    val steps = graft.Tables(spark, sf, "embeddings")
+      .withColumn("mx", expr(
+        """aggregate(transform(embedding, v -> cast(v AS double)),
+          |  cast(0.0 AS double), (a, v) -> greatest(a, abs(v)))"""
+          .stripMargin))
+      .select(col("vec_id"), (col("mx") / 127.0).as("step"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = VectorOps.scalarQuant(spark, sf).collect()
+    assert(rows.length == steps.size)
+    rows.foreach { r =>
+      val (id, qMax, maxErr, mse) =
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))
+      assert(qMax <= 128, s"vec $id code $qMax out of int8 magnitude")
+      // floor quantization: |x - q/s| < 1/s = step (+ rounding slack)
+      assert(maxErr <= steps(id) + 1e-6, s"vec $id err $maxErr > step")
+      assert(mse <= maxErr * maxErr + 1e-12, s"vec $id mse $mse")
+    }
+  }
+}
