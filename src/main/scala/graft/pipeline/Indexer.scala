@@ -178,21 +178,23 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol) else Nil,
       writeFiles = cfg.snapshotFiles)
     val previous = idx.read(spark)
-    // localCheckpoint: the deletion set must be materialized NOW — it is
-    // a lazy plan over the previous snapshot, whose files are pruned once
-    // the new snapshots land (deltas are small; cutting lineage here is
-    // cheap even at scale). First run has no previous snapshot: no
-    // deletion frame at all — not a checkpoint+count of an empty plan.
-    val removedIds: Option[DataFrame] = previous.map(prev =>
-      prev.join(entries, Seq("relative_path"), "left_anti").select("id")
-        .localCheckpoint(true))
-    val removedCount = removedIds.map(_.count()).getOrElse(0L)
     val snapId = idx.write(previous match {
       case None => entries
       case Some(prev) =>
         Merge.mergeReconcile(prev, entries, "relative_path",
           "modified_time")
     })
+    // Deletion set AFTER the write, for two reasons: (a) the write is
+    // then the FIRST action on the observed scan, so the run counters
+    // report real values even when AQE prunes the scan out of an
+    // empty-previous anti-join; (b) keep=2 retention guarantees the
+    // previous snapshot's files still exist here. localCheckpoint cuts
+    // the lazy plan's lineage before those files are eventually pruned
+    // (deltas are small; cheap even at scale).
+    val removedIds: Option[DataFrame] = previous.map(prev =>
+      prev.join(entries, Seq("relative_path"), "left_anti").select("id")
+        .localCheckpoint(true))
+    val removedCount = removedIds.map(_.count()).getOrElse(0L)
 
     // ES publish (elasticsearch mode): direct-link refresh (the
     // reference's DirectLinkManager step, main.py:190-192) then the

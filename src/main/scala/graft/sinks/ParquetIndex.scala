@@ -38,6 +38,7 @@ final class ParquetIndex(root: String, keep: Int = 2,
 
   private val pointer = Paths.get(root, "CURRENT")
   private val manifest = Paths.get(root, "MANIFEST")
+  private val SchemaFile = "_SCHEMA.ddl"
 
   def currentId: Option[String] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
@@ -54,12 +55,23 @@ final class ParquetIndex(root: String, keep: Int = 2,
 
   def read(spark: SparkSession): Option[DataFrame] =
     currentId.map { id =>
-      val df = spark.read.parquet(s"$root/snap-$id")
-      // partition columns come back through directory-name type
-      // inference (a numeric path segment would flip to int and break
-      // the next merge's schema) — pin them to string
+      // Read with the schema persisted at write time: makes an EMPTY
+      // partitioned snapshot readable (a partitioned write of zero rows
+      // leaves no parquet files to infer from) and pins partition-column
+      // types (directory-name inference would flip a numeric path
+      // segment to int and break the next merge's schema).
+      val ddl = Paths.get(root, s"snap-$id", SchemaFile)
+      val reader =
+        if (Files.exists(ddl))
+          spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              Files.readString(ddl)))
+        else spark.read
+      val df = reader.parquet(s"$root/snap-$id")
       import org.apache.spark.sql.functions.col
-      partitionBy.foldLeft(df)((d, c) =>
+      // pre-SchemaFile snapshots: pin partition columns to string
+      if (Files.exists(ddl)) df
+      else partitionBy.foldLeft(df)((d, c) =>
         d.withColumn(c, col(c).cast("string")))
     }
 
@@ -80,6 +92,10 @@ final class ParquetIndex(root: String, keep: Int = 2,
     val w = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/snap-$id")
+    // schema sidecar ('_'-prefixed → invisible to parquet readers):
+    // the read-side contract for empty snapshots + partition types
+    Files.writeString(Paths.get(root, s"snap-$id", SchemaFile),
+      df.schema.toDDL)
     val tmp = Paths.get(root, s".CURRENT.tmp-$id")
     Files.writeString(tmp, id)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,

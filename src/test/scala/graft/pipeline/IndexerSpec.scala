@@ -172,6 +172,27 @@ class IndexerSpec extends SparkSpecBase {
     assert(partDirs == Set("p0=proj", "p0=other"))
   }
 
+  test("empty root: runs survive the empty partitioned snapshot") {
+    val root = Files.createTempDirectory("idxempty")
+    val idxRoot = Files.createTempDirectory("idxemptystore").toString
+    val cfg = IndexerConfig(root.toString, idxRoot, mode = "index-only")
+    val r1 = new Indexer(cfg, None).run(spark)
+    assert(r1.stats.files == 0 && r1.stats.dirs == 0)
+    // second run reads the empty snapshot back (no schema-inference trap)
+    val r2 = new Indexer(cfg, None).run(spark)
+    assert(r2.removed == 0)
+    // files appearing later merge into the once-empty store
+    Files.createDirectories(root.resolve("proj"))
+    Files.writeString(root.resolve("proj/a.txt"), "aa")
+    val r3 = new Indexer(cfg, None).run(spark)
+    assert(r3.stats.files == 1)
+    val snap = new graft.sinks.ParquetIndex(idxRoot,
+      partitionBy = Seq(graft.sinks.ParquetIndex.PathPartitionCol))
+      .read(spark).get
+    assert(snap.collect().map(_.getAs[String]("relative_path")).toSet ==
+      Set("proj", "proj/a.txt"))
+  }
+
   test("config surface parses key=value lines with reference keys") {
     val cfg = IndexerConfig.load(Seq(
       "# comment", "root_path=/data", "index_root=/idx",
