@@ -285,9 +285,11 @@ object Indexer {
     lit("").as("checksum"),
     lit("").as("direct_link"),
     current_timestamp().as("last_seen"),
-    // snapshot partition column (first path segment) — the ART-index
-    // replacement: point/prefix queries prune to one partition dir
-    substring_index(expr("substring(filepath, 2)"), "/", 1)
+    // snapshot partition column (hash bucket of the first path
+    // segment) — the ART-index replacement: point/prefix queries prune
+    // to one of ≤256 partition dirs; hashing keeps the dir count
+    // bounded on wide trees and the dir names charset-safe
+    ParquetIndex.pathPartitionExpr(expr("substring(filepath, 2)"))
       .as(ParquetIndex.PathPartitionCol))
 }
 

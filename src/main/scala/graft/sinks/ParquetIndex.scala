@@ -160,9 +160,16 @@ final class ParquetIndex(root: String, keep: Int = 2,
 object ParquetIndex {
 
   /** The partition column the pipeline derives for path-partitioned
-    * snapshots: the first `relative_path` segment (SURVEY §4.1 — the
-    * replacement for the reference's ART index on relative_path,
-    * db_duckdb.py:175-177).
+    * snapshots (SURVEY §4.1 — the replacement for the reference's ART
+    * index on relative_path, db_duckdb.py:175-177): a HASH BUCKET of
+    * the first `relative_path` segment — two sha256 hex chars, so at
+    * most 256 partition directories no matter how many top-level
+    * directories exist (raw segment values would explode the dir count
+    * on wide trees AND break partitioned writes for segments the local
+    * filesystem/JVM charset can't encode; hex is always safe).
+    * Point/prefix queries still prune: the bucket of a prefix is
+    * computable from the prefix alone (256× partition selectivity, then
+    * parquet min/max stats within the bucket).
     */
   val PathPartitionCol = "p0"
 
@@ -172,6 +179,22 @@ object ParquetIndex {
     if (i < 0) relativePath else relativePath.substring(0, i)
   }
 
+  /** Bucket value for one segment — JVM mirror of [[pathPartitionExpr]]
+    * (sha256 over UTF-8 bytes, first two lowercase hex chars).
+    */
+  def pathPartitionValue(segment: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(segment.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"${d(0) & 0xff}%02x"
+  }
+
+  /** The bucket column expression over a `relative_path` column. */
+  def pathPartitionExpr(
+      relativePath: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{sha2, substring, substring_index}
+    substring(sha2(substring_index(relativePath, "/", 1), 256), 1, 2)
+  }
+
   /** Pruned point/prefix predicate over a path-partitioned snapshot:
     * the `p0` equality prunes to ONE partition directory (visible as
     * PartitionFilters in the explain — PlanAuditSpec pins this), the
@@ -179,7 +202,7 @@ object ParquetIndex {
     */
   def pathPrefixFilter(prefix: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
-    (col(PathPartitionCol) === lit(firstSegment(prefix))) &&
+    (col(PathPartitionCol) === lit(pathPartitionValue(firstSegment(prefix)))) &&
       (col("relative_path") === lit(prefix) ||
         col("relative_path").startsWith(prefix + "/"))
   }

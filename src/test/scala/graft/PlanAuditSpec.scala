@@ -123,7 +123,7 @@ class PlanAuditSpec extends SparkSpecBase {
         col("id").cast("string"), lit(".txt")).as("relative_path"),
       col("id").as("size_bytes"))
       .withColumn(sinks.ParquetIndex.PathPartitionCol,
-        substring_index(col("relative_path"), "/", 1))
+        sinks.ParquetIndex.pathPartitionExpr(col("relative_path")))
     idx.write(df)
     val q = idx.read(spark).get
       .filter(sinks.ParquetIndex.pathPrefixFilter("seg3"))

@@ -169,7 +169,9 @@ class IndexerSpec extends SparkSpecBase {
         .map(_.getFileName.toString).toSet
       finally s.close()
     }
-    assert(partDirs == Set("p0=proj", "p0=other"))
+    // hash-bucketed partition values (charset-safe, ≤256 dirs)
+    val b = graft.sinks.ParquetIndex.pathPartitionValue _
+    assert(partDirs == Set(s"p0=${b("proj")}", s"p0=${b("other")}"))
   }
 
   test("empty root: runs survive the empty partitioned snapshot") {

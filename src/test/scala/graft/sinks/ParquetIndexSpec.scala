@@ -63,6 +63,42 @@ class ParquetIndexSpec extends SparkSpecBase {
     assert(scan.contains("PartitionFilters: [isnotnull(key"), scan)
   }
 
+  test("partition values with escaped chars and numerics round-trip") {
+    val root = Files.createTempDirectory("pidx3").toString
+    val idx = new ParquetIndex(root, partitionBy = Seq("key"),
+      writeFiles = 2)
+    // '=' and ' ' are URL-escaped in partition dir names; '123' would
+    // flip to int under dir-name inference without the schema sidecar.
+    // (Non-ASCII partition VALUES are not exercised here: Hadoop's local
+    // FS rejects them under a non-UTF8 JVM charset — which is exactly
+    // why the pipeline's own partition column is a hex hash bucket,
+    // never a raw path segment.)
+    val keys = Seq("a=b", "sp ace", "123")
+    idx.write(df(keys.map(k => (k, 1L, ts("2020-01-01 00:00:00"))): _*))
+    val back = idx.read(spark).get
+    assert(back.schema("key").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(back.collect().map(_.getAs[String]("key")).toSet == keys.toSet)
+    // still mergeable against an in-memory batch (schema sets match)
+    val id2 = idx.upsertReconcile(spark,
+      df(keys.take(2).map(k => (k, 9L, ts("2021-01-01 00:00:00"))): _*),
+      "key", "mtime")
+    assert(id2.nonEmpty)
+    val after = idx.read(spark).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("size")).toMap
+    assert(after == Map("a=b" -> 9L, "sp ace" -> 9L)) // others reconciled away
+  }
+
+  test("empty frame round-trips through a partitioned snapshot") {
+    val root = Files.createTempDirectory("pidx4").toString
+    val idx = new ParquetIndex(root, partitionBy = Seq("key"),
+      writeFiles = 2)
+    idx.write(df())
+    val back = idx.read(spark).get
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("key", "size", "mtime"))
+  }
+
   test("pointer always names a complete snapshot; old snaps pruned") {
     val root = Files.createTempDirectory("pidx2").toString
     val idx = new ParquetIndex(root, keep = 2)
