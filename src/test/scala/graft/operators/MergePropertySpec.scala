@@ -59,4 +59,28 @@ class MergePropertySpec extends SparkSpecBase {
       SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("mergeReconcile equals merge restricted to batch keys (model)") {
+    import spark.implicits._
+    val prop = Prop.forAllNoShrink(
+      Gen.listOf(rowGen), Gen.listOf(rowGen), Gen.oneOf(true, false)) {
+      (e0: List[R], b0: List[R], batchWins: Boolean) =>
+        val e = side(e0)
+        val b = side(b0)
+        (e.nonEmpty && b.nonEmpty) ==> {
+          val got = Merge.mergeReconcile(
+            e.map(r => (r.key, r.size, r.ts)).toDF("key", "size", "ts"),
+            b.map(r => (r.key, r.size, r.ts)).toDF("key", "size", "ts"),
+            "key", "ts", batchWins)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2)))
+            .toSet
+          val batchKeys = b.map(_.key).toSet
+          got == model(e, b, batchWins).filter(batchKeys contains _._1)
+        }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
