@@ -57,59 +57,81 @@ object Bench {
         "https://fs.example/bench", cached.orElse(Some("fse-bench"))))
   }
 
+  private def rm(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(rm(_)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p): Unit
+  }
+
+  /** Each leg (scan, index-only pipeline, ES-mode pipeline) fails
+    * independently — a broken leg reports 0 WITHOUT zeroing the legs
+    * that succeeded — and the temp trees are removed no matter what.
+    */
   private def scanFilesPerSec(spark: SparkSession): (Long, Double, Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("benchtree")
-    val dirs = 100
-    val filesPerDir = 200
-    for (d <- 0 until dirs) {
-      val dir = root.resolve(f"d$d%03d/sub")
-      java.nio.file.Files.createDirectories(dir)
-      for (f <- 0 until filesPerDir)
-        java.nio.file.Files.writeString(dir.resolve(s"f$f.dat"), "x")
-    }
-    val total = dirs * filesPerDir
-    // warmup then timed
-    sources.FsListing.list(spark, root.toString).count()
-    val t0 = System.nanoTime()
-    val n = sources.FsListing.list(spark, root.toString,
-      skipPatterns = Seq("*.tmp", ".git"))
-      .filter(org.apache.spark.sql.functions.col("entry_type") === "file")
-      .count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    assert(n == total, s"scan found $n of $total")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rm(_)) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p): Unit
-    }
-    // Full-pipeline throughput (the reference's actual sweep metric:
-    // scan → parse/normalize → merge → reconcile → snapshot publish):
-    // one index-only Indexer run over the same tree.
     val idxRoot = java.nio.file.Files.createTempDirectory("benchidx")
-    val cfg = pipeline.IndexerConfig(root.toString, idxRoot.toString,
-      mode = "index-only")
-    val report = new pipeline.Indexer(cfg, None).run(spark)
-    val pipelineFps = report.stats.filesPerSec
-    // The elasticsearch mode — what the reference's optimization sweep
-    // actually measured (BASELINE.md: 2,382 files/s best run): scan →
-    // merge → reconcile → link refresh → dir rollup → enrichment join →
-    // ISO/size formatting → bulk NDJSON batching, against a no-op
-    // transport so the engine (not a cluster) is on the clock.
     val esIdxRoot = java.nio.file.Files.createTempDirectory("benchesidx")
-    val esCfg = pipeline.IndexerConfig(root.toString, esIdxRoot.toString,
-      mode = "elasticsearch")
-    val esReport = new pipeline.Indexer(esCfg, Some(NoopTransport),
-      linkFetch = Some(NoopFetch)).run(spark)
-    assert(esReport.indexed == esReport.stats.files + esReport.stats.dirs,
-      s"es publish indexed ${esReport.indexed} of " +
-        s"${esReport.stats.files + esReport.stats.dirs}")
-    val esFps = esReport.stats.filesPerSec
-    rm(root)
-    rm(idxRoot)
-    rm(esIdxRoot)
-    (total.toLong, n / sec, pipelineFps, esFps)
+    def leg(name: String)(body: => Double): Double =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name leg failed: ${e.getMessage}")
+          0.0
+      }
+    try {
+      val dirs = 100
+      val filesPerDir = 200
+      for (d <- 0 until dirs) {
+        val dir = root.resolve(f"d$d%03d/sub")
+        java.nio.file.Files.createDirectories(dir)
+        for (f <- 0 until filesPerDir)
+          java.nio.file.Files.writeString(dir.resolve(s"f$f.dat"), "x")
+      }
+      val total = dirs * filesPerDir
+      val scanFps = leg("scan") {
+        // warmup then timed
+        sources.FsListing.list(spark, root.toString).count()
+        val t0 = System.nanoTime()
+        val n = sources.FsListing.list(spark, root.toString,
+          skipPatterns = Seq("*.tmp", ".git"))
+          .filter(org.apache.spark.sql.functions
+            .col("entry_type") === "file")
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        assert(n == total, s"scan found $n of $total")
+        n / sec
+      }
+      // Full-pipeline throughput (the reference's actual sweep metric:
+      // scan → parse/normalize → merge → reconcile → snapshot publish):
+      // one index-only Indexer run over the same tree.
+      val pipelineFps = leg("pipeline") {
+        val cfg = pipeline.IndexerConfig(root.toString, idxRoot.toString,
+          mode = "index-only")
+        new pipeline.Indexer(cfg, None).run(spark).stats.filesPerSec
+      }
+      // The elasticsearch mode — what the reference's optimization sweep
+      // actually measured (BASELINE.md: 2,382 files/s best run): scan →
+      // merge → reconcile → link refresh → dir rollup → enrichment join
+      // → ISO/size formatting → bulk NDJSON batching, against a no-op
+      // transport so the engine (not a cluster) is on the clock.
+      val esFps = leg("es-pipeline") {
+        val esCfg = pipeline.IndexerConfig(root.toString,
+          esIdxRoot.toString, mode = "elasticsearch")
+        val esReport = new pipeline.Indexer(esCfg, Some(NoopTransport),
+          linkFetch = Some(NoopFetch)).run(spark)
+        assert(
+          esReport.indexed == esReport.stats.files + esReport.stats.dirs,
+          s"es publish indexed ${esReport.indexed} of " +
+            s"${esReport.stats.files + esReport.stats.dirs}")
+        esReport.stats.filesPerSec
+      }
+      (total.toLong, scanFps, pipelineFps, esFps)
+    } finally {
+      rm(root)
+      rm(idxRoot)
+      rm(esIdxRoot)
+    }
   }
 
   private def checksum(df: DataFrame): Long = {

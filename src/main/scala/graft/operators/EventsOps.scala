@@ -194,6 +194,13 @@ object EventsOps {
     * (3σ). The DuckDB oracle is the literal expected outcome (`true` per
     * group), which makes the sketch path gate-checkable without
     * requiring cross-engine sketch bit-equality.
+    *
+    * Assumption the gate rests on: the events fixture's value
+    * distribution is dense within each group (thousands of continuous
+    * values), so the ±0.01-rank interval is a real interval around the
+    * median. A tiny/discrete group (e.g. two distinct values) could
+    * fail the rank-interval check with a healthy sketch — if the
+    * fixture ever changes shape, widen to a value-relative tolerance.
     */
   /** Raw sketch outputs beside their exact counterparts — the spec's
     * accuracy-bounding surface (and the debugging view when a gate

@@ -113,12 +113,17 @@ object IndexerConfig {
       esBatchSize = over("es_batch_size").map(_.toInt)
         .orElse(Yaml.long(doc, "elasticsearch", "bulk_size").map(_.toInt))
         .getOrElse(1000),
-      snapshotFiles = over("snapshot_files").map(_.toInt).getOrElse(4),
+      // graft extension keys: honored as top-level YAML keys too, not
+      // just flat overrides (they have no reference-yaml equivalent)
+      snapshotFiles = over("snapshot_files").map(_.toInt)
+        .orElse(Yaml.long(doc, "snapshot_files").map(_.toInt))
+        .getOrElse(4),
       getDirectLinks = over("get_direct_links").map(_.toBoolean)
         .orElse(Yaml.bool(doc, "lucidlink_filespace", "get_direct_links"))
         .getOrElse(true),
-      partitionByPath =
-        over("partition_by_path").forall(_.toBoolean))
+      partitionByPath = over("partition_by_path").map(_.toBoolean)
+        .orElse(Yaml.bool(doc, "partition_by_path"))
+        .getOrElse(true))
   }
 }
 
@@ -177,7 +182,18 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       partitionBy =
         if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol) else Nil,
       writeFiles = cfg.snapshotFiles)
-    val previous = idx.read(spark)
+    // Upgrade path: a snapshot written before path-partitioning lacks
+    // the p0 column — derive it so the merge schemas line up and the
+    // NEXT write migrates the store to the partitioned layout.
+    val previous = idx.read(spark).map { prev =>
+      if (prev.columns.contains(ParquetIndex.PathPartitionCol)) prev
+      else prev.withColumn(ParquetIndex.PathPartitionCol,
+        ParquetIndex.pathPartitionExpr(col("relative_path")))
+    }
+    // batchWinsTies = false is the REFERENCE's own tie rule
+    // (scanner.py:232-244: ON CONFLICT DO UPDATE ... WHERE
+    // excluded.modified_time > files.modified_time — an unchanged file
+    // keeps its stored row, including last_seen).
     val snapId = idx.write(previous match {
       case None => entries
       case Some(prev) =>
@@ -219,8 +235,8 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
               skipPatterns = cfg.skipPatterns)
           case _ => 0L
         }
-        val links = linksIdx.read(spark).getOrElse(
-          LinkRefresh.emptyLinks(spark))
+        val links = LinkRefresh.align(linksIdx.read(spark).getOrElse(
+          LinkRefresh.emptyLinks(spark)))
           .select(col("file_id"), col("direct_link").as("dl"),
             col("fsentry_id").as("fse"),
             col("api_creation_time").as("act"),

@@ -51,6 +51,21 @@ object LinkRefresh {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Upgrade a links frame to the current [[schema]]: columns a
+    * pre-API-timestamp store lacks come back as typed nulls, column
+    * order is canonicalized. Keeps an old store readable AND lets the
+    * next write migrate it (the refresh aligns its batch to the frame
+    * passed in, so without this the old 5-column shape would
+    * perpetuate and the publish path's api_* selects would fail).
+    */
+  def align(links: DataFrame): DataFrame = {
+    val have = links.columns.toSet
+    val widened = schema.fields.foldLeft(links)((df, f) =>
+      if (have.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+    widened.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** A successful fetch: the direct link plus whatever metadata the API
     * returned — v2 fsentry id (direct_links.py:112-124) and the API's
     * own creation/modification timestamps
@@ -156,8 +171,9 @@ object LinkRefresh {
       now: java.sql.Timestamp = java.sql.Timestamp.from(
         java.time.Instant.now())): Long = {
     // first run: an empty links store means EVERY file is queued —
-    // exactly the reference's fresh direct_links DB
-    val links = linksIndex.read(spark).getOrElse(emptyLinks(spark))
+    // exactly the reference's fresh direct_links DB; align() upgrades a
+    // pre-API-timestamp store to the current schema
+    val links = align(linksIndex.read(spark).getOrElse(emptyLinks(spark)))
     val r = refresh(spark, files, links, fetch, version, skipPatterns, now)
     linksIndex.write(r.merged)
     r.refreshed

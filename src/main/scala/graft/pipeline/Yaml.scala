@@ -53,18 +53,31 @@ object Yaml {
 
   // ------------------------------------------------------------------ //
 
+  /** A quote char starts a quoted scalar only at a VALUE boundary
+    * (line start or after `:`, `,`, `[`, `-`, whitespace-separated) —
+    * an apostrophe inside a plain scalar (`o'brien`) is literal text,
+    * exactly YAML's rule. Without this, the dangling "open quote"
+    * swallows any trailing comment.
+    */
+  private def opensQuote(prevNonSpace: Char): Boolean =
+    prevNonSpace == 0 || prevNonSpace == ':' || prevNonSpace == ',' ||
+      prevNonSpace == '[' || prevNonSpace == '-'
+
   /** A `#` begins a comment at line start or after whitespace, never
     * inside a quoted scalar.
     */
   private def stripComment(line: String): String = {
     var quote: Char = 0
+    var prevNonSpace: Char = 0
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '"' || c == '\'') quote = c
+      else if ((c == '"' || c == '\'') && opensQuote(prevNonSpace))
+        quote = c
       else if (c == '#' && (i == 0 || line.charAt(i - 1).isWhitespace))
         return line.substring(0, i)
+      if (!c.isWhitespace) prevNonSpace = c
       i += 1
     }
     line
@@ -115,13 +128,16 @@ object Yaml {
     */
   private def keyColonIndex(text: String): Int = {
     var quote: Char = 0
+    var prevNonSpace: Char = 0
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '"' || c == '\'') quote = c
+      else if ((c == '"' || c == '\'') && opensQuote(prevNonSpace))
+        quote = c
       else if (c == ':' &&
         (i + 1 == text.length || text.charAt(i + 1).isWhitespace)) return i
+      if (!c.isWhitespace) prevNonSpace = c
       i += 1
     }
     -1
@@ -155,11 +171,14 @@ object Yaml {
     val parts = List.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
+    var prevNonSpace: Char = ','  // list start = value position
     s.foreach { c =>
       if (quote != 0) { if (c == quote) quote = 0; cur += c }
-      else if (c == '"' || c == '\'') { quote = c; cur += c }
-      else if (c == ',') { parts += cur.result(); cur.clear() }
+      else if ((c == '"' || c == '\'') && opensQuote(prevNonSpace)) {
+        quote = c; cur += c
+      } else if (c == ',') { parts += cur.result(); cur.clear() }
       else cur += c
+      if (!c.isWhitespace) prevNonSpace = c
     }
     parts += cur.result()
     parts.result()

@@ -69,9 +69,12 @@ final class ParquetIndex(root: String, keep: Int = 2,
         else spark.read
       val df = reader.parquet(s"$root/snap-$id")
       import org.apache.spark.sql.functions.col
-      // pre-SchemaFile snapshots: pin partition columns to string
+      // pre-SchemaFile snapshots: pin partition columns to string —
+      // but only columns the legacy snapshot actually has (an older,
+      // unpartitioned snapshot read by a now-partitioned index must
+      // come back as-is, for the caller to migrate)
       if (Files.exists(ddl)) df
-      else partitionBy.foldLeft(df)((d, c) =>
+      else partitionBy.filter(df.columns.contains).foldLeft(df)((d, c) =>
         d.withColumn(c, col(c).cast("string")))
     }
 

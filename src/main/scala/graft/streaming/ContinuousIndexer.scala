@@ -47,21 +47,30 @@ object ContinuousIndexer {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (tick: DataFrame, batchId: Long) =>
-        val spark = tick.sparkSession
-        val t0 = System.nanoTime()
-        val listing = FsListing.list(spark, root, skipPatterns,
-          includeHidden)
-        val (observed, obs) = RunStats.observed(listing)
-        val entries = Indexer.normalize(observed)
-        val snapId = index.upsertReconcile(spark, entries,
-          "relative_path", "modified_time")
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        onBatch(BatchReport(batchId, RunStats.collect(obs, elapsed),
-          snapId))
+        // the rate source fires a micro-batch every second regardless
+        // of the tick filter — an EMPTY tick batch must NOT rescan, or
+        // rateTicks(1h) would rescan and rewrite the snapshot every
+        // second instead of hourly
+        if (!tick.isEmpty) {
+          val spark = tick.sparkSession
+          val t0 = System.nanoTime()
+          val listing = FsListing.list(spark, root, skipPatterns,
+            includeHidden)
+          val (observed, obs) = RunStats.observed(listing)
+          val entries = Indexer.normalize(observed)
+          val snapId = index.upsertReconcile(spark, entries,
+            "relative_path", "modified_time")
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          onBatch(BatchReport(batchId, RunStats.collect(obs, elapsed),
+            snapId))
+        }
       }
       .start()
 
-  /** Production tick source: one rescan per `intervalSeconds`. */
+  /** Production tick source: one non-empty micro-batch (= one rescan)
+    * per `intervalSeconds`; the in-between batches are empty and
+    * skipped by the foreachBatch guard above.
+    */
   def rateTicks(spark: SparkSession, intervalSeconds: Long): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", 1)

@@ -174,6 +174,37 @@ class IndexerSpec extends SparkSpecBase {
     assert(partDirs == Set(s"p0=${b("proj")}", s"p0=${b("other")}"))
   }
 
+  test("legacy unpartitioned snapshot (no p0, no sidecar) migrates") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxlegacy")
+    // build a store, then rewrite it in the PRE-partitioning format:
+    // no p0 column, no partition dirs, no _SCHEMA.ddl sidecar
+    val cfg = IndexerConfig(root.toString, idxRoot.toString,
+      mode = "index-only")
+    new Indexer(cfg, None).run(spark)
+    val pidx = new graft.sinks.ParquetIndex(idxRoot.toString,
+      partitionBy = Seq(graft.sinks.ParquetIndex.PathPartitionCol))
+    val current = pidx.read(spark).get.drop(
+      graft.sinks.ParquetIndex.PathPartitionCol).localCheckpoint(true)
+    val legacyRoot = Files.createTempDirectory("idxlegacy2")
+    val legacyIdx = new graft.sinks.ParquetIndex(legacyRoot.toString)
+    val legacyId = legacyIdx.write(current)
+    Files.delete(legacyRoot.resolve(s"snap-$legacyId/_SCHEMA.ddl"))
+    // a run against the legacy store must succeed AND migrate it to
+    // the partitioned layout
+    val cfg2 = IndexerConfig(root.toString, legacyRoot.toString,
+      mode = "index-only")
+    val r = new Indexer(cfg2, None).run(spark)
+    assert(r.stats.files == 2)
+    val migrated = new graft.sinks.ParquetIndex(legacyRoot.toString,
+      partitionBy = Seq(graft.sinks.ParquetIndex.PathPartitionCol))
+      .read(spark).get
+    assert(migrated.columns.contains(
+      graft.sinks.ParquetIndex.PathPartitionCol))
+    assert(migrated.collect().map(_.getAs[String]("relative_path")).toSet
+      .contains("proj/a.txt"))
+  }
+
   test("empty root: runs survive the empty partitioned snapshot") {
     val root = Files.createTempDirectory("idxempty")
     val idxRoot = Files.createTempDirectory("idxemptystore").toString

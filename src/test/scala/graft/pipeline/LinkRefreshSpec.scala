@@ -105,6 +105,24 @@ class LinkRefreshSpec extends SparkSpecBase {
       == "https://fs.example/old5")
   }
 
+  test("pre-API-timestamp links store (5 columns) upgrades in place") {
+    val root = Files.createTempDirectory("links-idx-legacy").toString
+    val idx = new ParquetIndex(root)
+    // old-format store: no api_creation_time/api_modified_time columns
+    idx.write(linksDf.drop("api_creation_time", "api_modified_time"))
+    val n1 = LinkRefresh.refreshIndex(spark, filesDf, idx, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    assert(n1 == 2)
+    val healed = idx.read(spark).get
+    // the store now carries the full schema, with fetched timestamps
+    // populated and untouched rows as nulls
+    assert(healed.columns.contains("api_modified_time"))
+    val rows = healed.collect()
+      .map(r => r.getAs[String]("file_id") -> r).toMap
+    assert(rows("f1").getAs[Timestamp]("api_modified_time") == apiMod)
+    assert(rows("f2").getAs[Timestamp]("api_modified_time") == null)
+  }
+
   test("round-trip through the links ParquetIndex drains the queue") {
     val root = Files.createTempDirectory("links-idx").toString
     val idx = new ParquetIndex(root)

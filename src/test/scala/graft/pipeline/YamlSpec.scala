@@ -34,6 +34,30 @@ class YamlSpec extends AnyFunSuite {
     assert(Yaml.str(doc, "anchor").contains("#not-a-comment"))
   }
 
+  test("apostrophe in a plain scalar stays literal; comment still strips") {
+    val doc = Yaml.parse(
+      """path: /users/o'brien  # prod mount
+        |who: o'brien
+        |""".stripMargin)
+    assert(Yaml.str(doc, "path").contains("/users/o'brien"))
+    assert(Yaml.str(doc, "who").contains("o'brien"))
+  }
+
+  test("graft extension keys load from YAML, not just overrides") {
+    val doc =
+      """root_path: /data
+        |database:
+        |  connection:
+        |    url: "duckdb:///idx/store.duckdb"
+        |partition_by_path: false
+        |snapshot_files: 8
+        |""".stripMargin
+    val cfg = IndexerConfig.loadYaml(doc)
+    assert(!cfg.partitionByPath)
+    assert(cfg.snapshotFiles == 8)
+    assert(cfg.indexRoot == "/idx/store.duckdb")
+  }
+
   test("nested maps, block lists, inline lists") {
     val doc = Yaml.parse(
       """outer:
