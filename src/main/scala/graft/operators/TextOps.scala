@@ -362,6 +362,10 @@ object TextOps {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("nlabel"))
+      // NOTE: pointer doubling (an extra label[label] self-join per
+      // round) was measured 38% SLOWER here — near-dup graphs have
+      // tiny diameters, so the saved rounds don't pay for the added
+      // join (negative result recorded in PERF.md).
       val merged = labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
