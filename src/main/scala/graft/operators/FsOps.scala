@@ -209,8 +209,14 @@ object FsOps {
       length(regexp_replace(col("filepath"), "/", ""))
     val perDir = e.filter(col("type") === "file")
       .select(col("filepath"), col("size_bytes"), depth.as("d"))
-      .select(explode(expr("sequence(2, d)")).as("k"), col("filepath"),
-        col("size_bytes"))
+      // d < 2 guard: Spark's sequence(2, 1) DESCENDS to [2, 1], so an
+      // unguarded depth-1 file (directly under root) would emit two
+      // bogus ancestor rows ('' and itself) into the shuffle — DuckDB's
+      // generate_series(2, 1) is empty, so the guard keeps both engines
+      // on the same row set (same trap as TextOps.shingles)
+      .select(explode(expr(
+        "CASE WHEN d >= 2 THEN sequence(2, d) ELSE cast(array() AS array<int>) END")).as("k"),
+        col("filepath"), col("size_bytes"))
       .select(expr("substring_index(filepath, '/', k)")
         .as("directory_path"), col("size_bytes"))
       .groupBy("directory_path")

@@ -150,13 +150,18 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
   private def normalize(listing: DataFrame): DataFrame =
     Indexer.normalize(listing)
 
-  /** Ancestor-explode dir-size rollup over an entry frame (J3). */
+  /** Ancestor-explode dir-size rollup over an entry frame (J3). The
+    * d >= 2 guard keeps depth-1 files (directly under root, no ancestor
+    * directory) out of the explode — Spark's sequence(2, 1) DESCENDS to
+    * [2, 1] and would emit two bogus rollup rows per such file.
+    */
   private def dirSizes(entries: DataFrame): DataFrame = {
     val perDir = entries.filter(col("type") === "file")
       .withColumn("d", length(col("filepath")) -
         length(regexp_replace(col("filepath"), "/", "")))
-      .select(explode(expr("sequence(2, d)")).as("k"), col("filepath"),
-        col("size_bytes"))
+      .select(explode(expr(
+        "CASE WHEN d >= 2 THEN sequence(2, d) ELSE cast(array() AS array<int>) END")).as("k"),
+        col("filepath"), col("size_bytes"))
       .select(expr("substring_index(filepath, '/', k)").as("filepath"),
         col("size_bytes"))
       .groupBy("filepath")
@@ -267,9 +272,15 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
             date_format(col("amt"), iso).as("api_modified_time"))
           .withColumn("size", SizeFormat.format_size(col("size_bytes")))
         val s = sink.bulkIndex(docs, cfg.esIndex, "id")
-        if (removedCount > 0)
-          removedIds.foreach(sink.bulkDelete(_, cfg.esIndex, "id"))
-        (s.indexed, s.failed, nLinks)
+        // delete failures count toward esFailed — a rejected deletion
+        // leaves a stale searchable document the next run's anti-join
+        // will NOT retry, so it must be visible in the run report
+        val delFailed =
+          if (removedCount > 0)
+            removedIds.map(sink.bulkDelete(_, cfg.esIndex, "id").failed)
+              .getOrElse(0L)
+          else 0L
+        (s.indexed, s.failed + delFailed, nLinks)
       case _ => (0L, 0L, 0L) // index-only
     }
 

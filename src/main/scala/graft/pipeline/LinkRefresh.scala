@@ -157,9 +157,14 @@ object LinkRefresh {
   }
 
   /** The full store round-trip: read the links [[ParquetIndex]], refresh
-    * against `files`, write the merged snapshot back. Returns the count
-    * of refreshed links (re-running immediately yields 0 — the queue
-    * drains, which IndexerSpec-style specs assert).
+    * against `files`, reconcile away links whose file vanished from the
+    * scan (without this the store grows monotonically on a churning
+    * tree — every deleted file would leave a permanent orphan row), and
+    * write the merged snapshot back — but ONLY when something changed
+    * (links refreshed, orphans dropped, or the stored schema healed):
+    * a steady-state run must not pay a full store rewrite for nothing.
+    * Returns the count of refreshed links (re-running immediately
+    * yields 0 — the queue drains, which IndexerSpec-style specs assert).
     */
   def refreshIndex(
       spark: SparkSession,
@@ -169,13 +174,26 @@ object LinkRefresh {
       version: Int = 2,
       skipPatterns: Seq[String] = Nil,
       now: java.sql.Timestamp = java.sql.Timestamp.from(
-        java.time.Instant.now())): Long = {
+        java.time.Instant.now()),
+      reconcile: Boolean = true): Long = {
     // first run: an empty links store means EVERY file is queued —
     // exactly the reference's fresh direct_links DB; align() upgrades a
     // pre-API-timestamp store to the current schema
-    val links = align(linksIndex.read(spark).getOrElse(emptyLinks(spark)))
+    val stored = linksIndex.read(spark)
+    val links = align(stored.getOrElse(emptyLinks(spark)))
+    val schemaHealed =
+      stored.exists(_.columns.length != schema.fields.length)
     val r = refresh(spark, files, links, fetch, version, skipPatterns, now)
-    linksIndex.write(r.merged)
+    val keep = files.select(col("id")).distinct()
+    val (finalLinks, orphans) =
+      if (reconcile && stored.nonEmpty) {
+        val o = links.join(keep, links("file_id") === keep("id"),
+          "left_anti").count()
+        (r.merged.join(keep, r.merged("file_id") === keep("id"),
+          "left_semi"), o)
+      } else (r.merged, 0L)
+    if (r.refreshed > 0 || schemaHealed || orphans > 0)
+      linksIndex.write(finalLinks): Unit
     r.refreshed
   }
 }

@@ -134,15 +134,8 @@ object EsAdmin {
     }
   }
 
-  private def jsonEsc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jsonEsc(s: String): String =
+    graft.functions.JsonText.esc(s)
 
   /** Real HTTP transport against a cluster base URL. */
   def http(url: String, connectTimeoutMs: Int = 30000,

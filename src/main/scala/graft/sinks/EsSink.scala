@@ -70,19 +70,11 @@ object EsSink {
   /** Bulk payload lines → one status code per item (not per line). */
   trait Transport extends (Seq[String] => Seq[Int]) with Serializable
 
-  /** JSON string-escape for hand-built action lines: ids are
-    * caller-supplied (often path-derived) and may contain quotes,
-    * backslashes, or control chars that would corrupt NDJSON framing.
+  /** JSON string-escape for hand-built action lines — shared
+    * [[graft.functions.JsonText]] definition.
     */
-  private[sinks] def jsonEsc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private[sinks] def jsonEsc(s: String): String =
+    graft.functions.JsonText.esc(s)
 
   private[sinks] def sendWithRetry(
       items: Seq[Seq[String]],

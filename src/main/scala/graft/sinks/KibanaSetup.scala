@@ -19,8 +19,9 @@ object KibanaSetup {
     "checksum" -> "keyword", "direct_link" -> "keyword",
     "last_seen" -> "date")
 
-  private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  // shared escape (control chars included — a newline in a view title
+  // must not split an NDJSON saved-object line in two)
+  private def esc(s: String): String = graft.functions.JsonText.esc(s)
 
   /** The data-view saved object (one NDJSON line). */
   def dataViewLine(indexName: String, viewTitle: String): String = {

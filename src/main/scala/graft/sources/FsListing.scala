@@ -71,12 +71,13 @@ object FsListing {
 
     def toListed(f: File): Listed = {
       val filepath = rel(f) match { case "" => "/"; case p => "/" + p }
+      val isDir = FsListing.isRealDir(f)
       Listed(
         filepath,
         f.getName,
-        if (f.isDirectory) 0L else f.length(),
+        if (isDir) 0L else f.length(),
         new Timestamp(f.lastModified()),
-        if (f.isDirectory) "directory" else "file",
+        if (isDir) "directory" else "file",
         // depth is root-relative regardless of where the partition
         // seed sat (extraDepth seeds start deeper than the root)
         filepath.count(_ == '/'))
@@ -91,7 +92,7 @@ object FsListing {
       val kids = Option(dir.listFiles).toSeq.flatten.filter(keep)
       if (d <= 0) kids
       else kids.flatMap { k =>
-        if (k.isDirectory) { ancestors += toListed(k); seeds(k, d - 1) }
+        if (FsListing.isRealDir(k)) { ancestors += toListed(k); seeds(k, d - 1) }
         else Seq(k)
       }
     }
@@ -103,7 +104,13 @@ object FsListing {
       if (!keep(f)) Iterator.empty
       else {
         val self = toListed(f)
-        if (f.isDirectory)
+        // recurse only into REAL directories — a symlinked directory is
+        // emitted as a (file-typed) entry but never followed, matching
+        // `find`'s default -P / the reference's non-following walk
+        // (symlink perms start with 'l' → parsed type 'file',
+        // scanner.py:145-146); following would double-index sibling
+        // targets and loop forever on `ln -s ..` cycles
+        if (self.entry_type == "directory")
           Iterator(self) ++ Option(f.listFiles).iterator.flatten
             .flatMap(walk)
         else Iterator(self)
@@ -118,8 +125,18 @@ object FsListing {
       .unionByName(spark.createDataset(ancestors.result()).toDF())
   }
 
-  /** S6: single-directory batch source — one directory's listing capped
-    * at `batchSize` rows (reference: batch_processor.py:148-200).
+  /** A directory the walk may recurse into: a real directory, NOT a
+    * symlink to one (`find`'s default -P; os.walk followlinks=False).
+    */
+  private[sources] def isRealDir(f: File): Boolean =
+    f.isDirectory &&
+      !java.nio.file.Files.isSymbolicLink(f.toPath)
+
+  /** S6: single-directory batch source — one directory's RECURSIVE
+    * listing capped at `batchSize` rows. Recursion is deliberate parity:
+    * the reference's `process_directory` streams a full recursive
+    * `find <dir>` and breaks at batch_size (batch_processor.py:185-195)
+    * — it does not pass `-maxdepth 1`.
     */
   def listDir(
       spark: SparkSession,

@@ -105,7 +105,7 @@ private[sources] class FsListingScanBuilder(root: String)
     required)
 }
 
-private[sources] case class FsListingPartition(seed: String)
+private[sources] case class FsListingPartition(seeds: Seq[String])
     extends InputPartition
 
 private[sources] class FsListingScan(
@@ -131,17 +131,34 @@ private[sources] class FsListingScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val rootFile = new File(root)
     if (rootFile.isDirectory) {
-      // Partition-per-child; the root directory itself is never emitted
-      // (matching FsListing.list), so an empty root means zero
-      // partitions — NOT a fallback seed that would change the row set's
-      // shape based on whether the tree is empty.
-      Option(rootFile.listFiles).toSeq.flatten
+      // Seed-per-child, pruned at PLANNING time: directories that can't
+      // contain a pushed prefix are dropped, and so are top-level FILES
+      // that fail a pushed prefix outright (a task that would emit
+      // nothing must not be scheduled). The root directory itself is
+      // never emitted (matching FsListing.list), so an empty root means
+      // zero partitions — NOT a fallback seed that would change the row
+      // set's shape based on whether the tree is empty.
+      val seeds = Option(rootFile.listFiles).toSeq.flatten
         .filter(f => !f.getName.startsWith("."))
-        .filter(f => !f.isDirectory || dirMayMatch("/" + f.getName))
-        .map(k => FsListingPartition(k.getPath)).toArray
+        .filter { f =>
+          val rp = "/" + f.getName
+          if (FsListing.isRealDir(f)) dirMayMatch(rp)
+          else prefixes.forall(rp.startsWith)
+        }
+        .map(_.getPath)
+      if (seeds.isEmpty) Array.empty
+      else {
+        // cap scheduled tasks (FsListing.list parity): a 100k-child
+        // root must not become 100k tasks — round-robin the seeds into
+        // ≤64 multi-seed partitions
+        val nPart = math.min(seeds.size, 64)
+        seeds.zipWithIndex.groupBy(_._2 % nPart).toSeq.sortBy(_._1)
+          .map { case (_, g) => FsListingPartition(g.map(_._1)) }
+          .toArray[InputPartition]
+      }
     } else if (rootFile.isFile) {
       // root is a single file: one partition listing just it
-      Array(FsListingPartition(root))
+      Array(FsListingPartition(Seq(root)))
     } else {
       // nonexistent root: zero rows, not a phantom entry
       Array.empty
@@ -161,17 +178,24 @@ private[sources] class FsListingReaderFactory(
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val seed = partition.asInstanceOf[FsListingPartition].seed
-    new FsListingReader(root, seed, prefixes, entryTypes, fields)
+    val seeds = partition.asInstanceOf[FsListingPartition].seeds
+    new FsListingReader(root, seeds, prefixes, entryTypes, fields)
   }
 }
 
 private[sources] class FsListingReader(
     root: String,
-    seed: String,
+    seeds: Seq[String],
     prefixes: Seq[String],
     entryTypes: Seq[String],
     fields: Array[String]) extends PartitionReader[InternalRow] {
+
+  /** One visited entry: path/type resolved ONCE during the walk (the
+    * walk needs isDir for recursion anyway); size/mtime stat calls are
+    * left on the File so column pruning skips them entirely for
+    * projections that don't read them.
+    */
+  private final case class Ent(f: File, relPath: String, isDir: Boolean)
 
   private def rel(f: File): String =
     f.getPath.stripPrefix(root) match {
@@ -184,37 +208,41 @@ private[sources] class FsListingReader(
     p.startsWith(pre) || pre.startsWith(p)
   }
 
-  private def emit(f: File, relPath: String): Boolean = {
-    val isDir = f.isDirectory
-    prefixes.forall(relPath.startsWith) &&
-      entryTypes.forall(t => (if (isDir) "directory" else "file") == t)
-  }
+  private def emit(e: Ent): Boolean =
+    prefixes.forall(e.relPath.startsWith) &&
+      entryTypes.forall(t => (if (e.isDir) "directory" else "file") == t)
 
-  private def walk(f: File): Iterator[File] = {
+  private def walk(f: File): Iterator[Ent] = {
     if (f.getName.startsWith(".")) Iterator.empty
-    else if (f.isDirectory) {
-      if (!dirMayMatch(rel(f))) Iterator.empty // pushdown prunes HERE
-      else Iterator(f) ++ Option(f.listFiles).iterator.flatten.flatMap(walk)
-    } else Iterator(f)
+    else {
+      val rp = rel(f)
+      // real directories only — symlinked dirs are emitted (file-typed)
+      // but never followed: `find -P` parity, and a `ln -s ..` cycle
+      // must not loop the walk (same rule as FsListing.walk)
+      if (FsListing.isRealDir(f)) {
+        if (!dirMayMatch(rp)) Iterator.empty // pushdown prunes HERE
+        else Iterator(Ent(f, rp, isDir = true)) ++
+          Option(f.listFiles).iterator.flatten.flatMap(walk)
+      } else Iterator(Ent(f, rp, isDir = false))
+    }
   }
 
-  private val it = walk(new File(seed)).filter(f => emit(f, rel(f)))
-  private var cur: File = _
+  private val it = seeds.iterator.flatMap(s => walk(new File(s)))
+    .filter(emit)
+  private var cur: Ent = _
 
   override def next(): Boolean =
     if (it.hasNext) { cur = it.next(); true } else false
 
   override def get(): InternalRow = {
-    val relPath = rel(cur)
-    val isDir = cur.isDirectory
     val values = fields.map {
-      case "filepath" => UTF8String.fromString(relPath)
-      case "name" => UTF8String.fromString(cur.getName)
-      case "size_bytes" => if (isDir) 0L else cur.length()
-      case "modified_time" => cur.lastModified() * 1000L // ms → µs
+      case "filepath" => UTF8String.fromString(cur.relPath)
+      case "name" => UTF8String.fromString(cur.f.getName)
+      case "size_bytes" => if (cur.isDir) 0L else cur.f.length()
+      case "modified_time" => cur.f.lastModified() * 1000L // ms → µs
       case "entry_type" =>
-        UTF8String.fromString(if (isDir) "directory" else "file")
-      case "depth" => relPath.count(_ == '/')
+        UTF8String.fromString(if (cur.isDir) "directory" else "file")
+      case "depth" => cur.relPath.count(_ == '/')
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }

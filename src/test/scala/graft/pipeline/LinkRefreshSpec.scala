@@ -133,12 +133,35 @@ class LinkRefreshSpec extends SparkSpecBase {
     // re-run against the merged snapshot: every fetchable link is now
     // fresh (last_updated = now > every mtime) → the queue is empty
     // except the permanently-failing f4
+    val idBefore = idx.currentId
     val n2 = LinkRefresh.refreshIndex(spark, filesDf, idx, FakeFetch,
       version = 2, skipPatterns = Seq("tmp-*"), now = now)
     assert(n2 == 0)
+    // steady state: nothing refreshed, no orphans, schema current →
+    // NO new snapshot written (full-store rewrite skipped)
+    assert(idx.currentId == idBefore)
     val persisted = idx.read(spark).get
       .filter(col("file_id") === "f1").collect().head
     assert(persisted.getAs[Timestamp]("last_updated") == now)
     assert(persisted.getAs[Timestamp]("api_modified_time") == apiMod)
+  }
+
+  test("links for files gone from the scan are reconciled away") {
+    val root = Files.createTempDirectory("links-idx-orph").toString
+    val idx = new ParquetIndex(root)
+    // f9 has a stored link but no longer appears in the scan → orphan
+    val withOrphan = linksDf.union(spark.createDataFrame(Seq(
+      ("f9", "https://fs.example/dead", "v2", None: Option[String],
+        None: Option[Timestamp], None: Option[Timestamp],
+        ts("2026-07-01 00:00:00"))))
+      .toDF(linksDf.columns.toIndexedSeq: _*))
+    idx.write(withOrphan)
+    LinkRefresh.refreshIndex(spark, filesDf, idx, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    val ids = idx.read(spark).get.collect()
+      .map(_.getAs[String]("file_id")).toSet
+    assert(!ids.contains("f9")) // orphan dropped
+    // links of still-present files survive (incl. skipped + failed ones)
+    assert(ids == Set("f1", "f2", "f3", "f4", "f5"))
   }
 }

@@ -75,6 +75,34 @@ class FsListingSpec extends SparkSpecBase {
     assert(FsListing.listDir(spark, root.toString, 1000).count() > 3)
   }
 
+  test("symlinked directories are listed but never followed (find -P)") {
+    val root = java.nio.file.Files.createTempDirectory("symtree")
+    java.nio.file.Files.createDirectories(root.resolve("a"))
+    java.nio.file.Files.writeString(root.resolve("a/x.txt"), "xx")
+    // sibling symlink: following it would double-index /a as /b/…
+    java.nio.file.Files.createSymbolicLink(root.resolve("b"),
+      root.resolve("a"))
+    // cycle: following it would walk forever
+    java.nio.file.Files.createSymbolicLink(root.resolve("a/up"), root)
+    val rows = FsListing.list(spark, root.toString).collect()
+      .map(r => r.getAs[String]("filepath") ->
+        r.getAs[String]("entry_type")).toMap
+    assert(rows("/a") == "directory")
+    assert(rows("/a/x.txt") == "file")
+    // symlinks are emitted as FILE entries (perms 'l…' parse as file in
+    // the reference, scanner.py:145-146), never recursed
+    assert(rows("/b") == "file")
+    assert(rows("/a/up") == "file")
+    assert(!rows.keySet.exists(_.startsWith("/b/")))
+    assert(!rows.keySet.exists(_.startsWith("/a/up/")))
+    // DSv2 source: same rule
+    val dsv2 = spark.read.format("fslisting").load(root.toString)
+      .collect().map(r => r.getAs[String]("filepath") ->
+        r.getAs[String]("entry_type")).toMap
+    assert(dsv2("/b") == "file" && dsv2("/a/up") == "file")
+    assert(!dsv2.keySet.exists(_.startsWith("/b/")))
+  }
+
   test("field contract: sizes, depth, names") {
     val root = mkTree()
     val rows = FsListing.list(spark, root.toString).collect()
