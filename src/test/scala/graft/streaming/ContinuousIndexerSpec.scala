@@ -7,11 +7,13 @@ import scala.collection.mutable
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpecBase
-import graft.sinks.ParquetIndex
+import graft.pipeline.{Indexer, IndexerConfig, LinkRefresh}
+import graft.sinks.{ParquetIndex, TransportProbe}
 
-/** ST1-ST3 as a live mode: two micro-batches over a mutating tree — the
-  * second batch's updates AND deletions land in the snapshot, one
-  * snapshot write per batch, counters observed per batch.
+/** ST1-ST3 as a live mode: micro-batches drive the FULL pipeline over a
+  * mutating tree — updates AND deletions land in the snapshot per
+  * batch, and in elasticsearch mode the publish + bulk-delete + link
+  * refresh all ride along.
   */
 class ContinuousIndexerSpec extends SparkSpecBase {
 
@@ -28,21 +30,26 @@ class ContinuousIndexerSpec extends SparkSpecBase {
     val root = mkTree()
     val idxRoot = Files.createTempDirectory("contidx-store").toString
     val ckpt = Files.createTempDirectory("contidx-ckpt").toString
-    val idx = new ParquetIndex(idxRoot,
-      partitionBy = Seq(ParquetIndex.PathPartitionCol), writeFiles = 2)
+    val cfg = IndexerConfig(root.toString, idxRoot, mode = "index-only",
+      snapshotFiles = 2)
+    val indexer = new Indexer(cfg, None)
 
     implicit val sq = spark.sqlContext
     val ticks = MemoryStream[Int]
     val reports = mutable.Buffer.empty[ContinuousIndexer.BatchReport]
-    val q = ContinuousIndexer.start(ticks.toDF(), root.toString, idx,
-      ckpt, onBatch = reports.synchronized(reports += _))
+    val q = ContinuousIndexer.start(ticks.toDF(), indexer, ckpt,
+      onBatch = reports.synchronized(reports += _))
     try {
+      def snap() = new ParquetIndex(idxRoot,
+        partitionBy = Seq(ParquetIndex.PathPartitionCol)).read(spark).get
+        .collect()
+        .map(r => r.getAs[String]("relative_path") ->
+          r.getAs[Long]("size_bytes")).toMap
+
       // batch 1: initial scan
       ticks.addData(1)
       q.processAllAvailable()
-      val snap1 = idx.read(spark).get.collect()
-        .map(r => r.getAs[String]("relative_path") ->
-          r.getAs[Long]("size_bytes")).toMap
+      val snap1 = snap()
       assert(snap1.keySet ==
         Set("proj", "proj/sub", "proj/a.txt", "proj/sub/b.log"))
       assert(snap1("proj/a.txt") == 4L)
@@ -56,19 +63,60 @@ class ContinuousIndexerSpec extends SparkSpecBase {
       // batch 2: the rescan lands updates AND deletions
       ticks.addData(2)
       q.processAllAvailable()
-      val snap2 = idx.read(spark).get.collect()
-        .map(r => r.getAs[String]("relative_path") ->
-          r.getAs[Long]("size_bytes")).toMap
+      val snap2 = snap()
       assert(!snap2.contains("proj/sub/b.log")) // deletion reconciled
       assert(snap2("proj/a.txt") == 8L)         // update merged
       assert(snap2("proj/c.txt") == 2L)         // insert landed
 
-      // one snapshot write per micro-batch, counters observed per batch
+      // one full pipeline run per micro-batch, counters per batch
       val rs = reports.synchronized(reports.toList)
       assert(rs.map(_.batchId) == List(0L, 1L))
-      assert(rs.head.stats.files == 2 && rs.head.stats.dirs == 2)
-      assert(rs(1).stats.files == 2) // a.txt + c.txt (b.log gone)
-      assert(rs.map(_.snapshotId).distinct.size == 2)
+      assert(rs.head.report.stats.files == 2 &&
+        rs.head.report.stats.dirs == 2)
+      assert(rs(1).report.stats.files == 2) // a.txt + c.txt (b.log gone)
+      assert(rs(1).report.removed >= 1)
+      assert(rs.map(_.report.snapshotId).distinct.size == 2)
+    } finally q.stop()
+  }
+
+  test("elasticsearch mode per tick: publish, links, and bulk deletes") {
+    import spark.implicits._
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("contidx-es").toString
+    val ckpt = Files.createTempDirectory("contidx-es-ckpt").toString
+    val fetch = new LinkRefresh.Fetch {
+      def apply(fp: String, cached: Option[String]) =
+        Some(LinkRefresh.FetchedLink(s"https://fs.example/c${fp.length}",
+          Some("fse-c")))
+    }
+    val cfg = IndexerConfig(root.toString, idxRoot, snapshotFiles = 2)
+    val indexer = new Indexer(cfg, Some(TransportProbe.transport),
+      linkFetch = Some(fetch))
+
+    implicit val sq = spark.sqlContext
+    val ticks = MemoryStream[Int]
+    val reports = mutable.Buffer.empty[ContinuousIndexer.BatchReport]
+    TransportProbe.reset()
+    val q = ContinuousIndexer.start(ticks.toDF(), indexer, ckpt,
+      onBatch = reports.synchronized(reports += _))
+    try {
+      ticks.addData(1)
+      q.processAllAvailable()
+      val r1 = reports.synchronized(reports.head.report)
+      assert(r1.indexed == 4 && r1.esFailed == 0) // 2 files + 2 dirs
+      assert(r1.linksRefreshed == 2)
+
+      Files.delete(root.resolve("proj/sub/b.log"))
+      TransportProbe.reset()
+      ticks.addData(2)
+      q.processAllAvailable()
+      val r2 = reports.synchronized(reports(1).report)
+      assert(r2.removed >= 1)
+      assert(r2.linksRefreshed == 0) // queue drained; nothing changed
+      import scala.jdk.CollectionConverters._
+      val sent = TransportProbe.calls.asScala.flatten.mkString("\n")
+      assert(sent.contains("\"delete\":")) // bulk delete rode the tick
+      assert(sent.contains("https://fs.example/c")) // links published
     } finally q.stop()
   }
 }
