@@ -134,17 +134,10 @@ object Bench {
     }
   }
 
-  private def checksum(df: DataFrame): Long = {
-    // XOR-fold (order-independent, can't overflow under ANSI arithmetic).
-    val row = df
-      .select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
-      .agg(expr("bit_xor(h)")).collect()(0)
-    if (row.isNullAt(0)) 0L else row.getLong(0)
-  }
-
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** The bench session — shared with [[QueryTime]] so "same methodology"
+    * stays true by construction, not by copy.
+    */
+  private[graft] def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -153,18 +146,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  private[graft] def checksum(df: DataFrame): Long = {
+    // XOR-fold (order-independent, can't overflow under ANSI arithmetic).
+    val row = df
+      .select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Warmup once, time twice, report the minimum (see class doc). */
+  private[graft] def timedMinOf2(run: () => Long): (Double, Long) = {
+    run() // warmup: codegen, broadcast, shuffle files
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val chk = run()
+      ((System.nanoTime() - t0) / 1e9, chk)
+    }.minBy(_._1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
 
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val r = try {
-        checksum(fn(spark, sfDir)) // warmup: codegen, broadcast, shuffle
-        val timed = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          val chk = checksum(fn(spark, sfDir))
-          ((System.nanoTime() - t0) / 1e9, chk)
-        }
-        Right(timed.minBy(_._1))
+        Right(timedMinOf2(() => checksum(fn(spark, sfDir))))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

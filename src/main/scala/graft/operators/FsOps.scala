@@ -203,22 +203,30 @@ object FsOps {
     * expressions, no array higher-order functions (which fall out of
     * whole-stage codegen and cost ~3× on the hot path).
     */
-  def dirRollupExplode(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = SyntheticFs.entries(spark, sfDir)
+  /** Ancestor-explode core (J3 scale path), shared by this query and
+    * the pipeline's dirSizes so the semantics can't diverge: one
+    * (directory_path, size_bytes) row per ancestor of every file row.
+    * The d >= 2 guard keeps depth-1 files (directly under root, no
+    * ancestor dir) out of the explode — Spark's sequence(2, 1) DESCENDS
+    * to [2, 1] and would emit two bogus rows ('' and the file itself);
+    * DuckDB's generate_series(2, 1) is empty (same trap as
+    * TextOps.shingles).
+    */
+  private[graft] def ancestorSizePairs(files: DataFrame): DataFrame = {
     val depth = length(col("filepath")) -
       length(regexp_replace(col("filepath"), "/", ""))
-    val perDir = e.filter(col("type") === "file")
+    files
       .select(col("filepath"), col("size_bytes"), depth.as("d"))
-      // d < 2 guard: Spark's sequence(2, 1) DESCENDS to [2, 1], so an
-      // unguarded depth-1 file (directly under root) would emit two
-      // bogus ancestor rows ('' and itself) into the shuffle — DuckDB's
-      // generate_series(2, 1) is empty, so the guard keeps both engines
-      // on the same row set (same trap as TextOps.shingles)
       .select(explode(expr(
         "CASE WHEN d >= 2 THEN sequence(2, d) ELSE cast(array() AS array<int>) END")).as("k"),
         col("filepath"), col("size_bytes"))
       .select(expr("substring_index(filepath, '/', k)")
         .as("directory_path"), col("size_bytes"))
+  }
+
+  def dirRollupExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = SyntheticFs.entries(spark, sfDir)
+    val perDir = ancestorSizePairs(e.filter(col("type") === "file"))
       .groupBy("directory_path")
       .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
     e.filter(col("type") === "directory")

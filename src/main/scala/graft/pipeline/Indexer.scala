@@ -150,24 +150,15 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
   private def normalize(listing: DataFrame): DataFrame =
     Indexer.normalize(listing)
 
-  /** Ancestor-explode dir-size rollup over an entry frame (J3). The
-    * d >= 2 guard keeps depth-1 files (directly under root, no ancestor
-    * directory) out of the explode — Spark's sequence(2, 1) DESCENDS to
-    * [2, 1] and would emit two bogus rollup rows per such file.
+  /** Ancestor-explode dir-size rollup over an entry frame (J3) — the
+    * shared [[graft.operators.FsOps.ancestorSizePairs]] core (incl. its
+    * depth-1 guard), aggregated to per-directory totals.
     */
-  private def dirSizes(entries: DataFrame): DataFrame = {
-    val perDir = entries.filter(col("type") === "file")
-      .withColumn("d", length(col("filepath")) -
-        length(regexp_replace(col("filepath"), "/", "")))
-      .select(explode(expr(
-        "CASE WHEN d >= 2 THEN sequence(2, d) ELSE cast(array() AS array<int>) END")).as("k"),
-        col("filepath"), col("size_bytes"))
-      .select(expr("substring_index(filepath, '/', k)").as("filepath"),
-        col("size_bytes"))
-      .groupBy("filepath")
+  private def dirSizes(entries: DataFrame): DataFrame =
+    graft.operators.FsOps
+      .ancestorSizePairs(entries.filter(col("type") === "file"))
+      .groupBy(col("directory_path").as("filepath"))
       .agg(sum("size_bytes").as("total_size"))
-    perDir
-  }
 
   def run(spark: SparkSession): RunReport = {
     val t0 = System.nanoTime()

@@ -181,18 +181,27 @@ object LinkRefresh {
     // pre-API-timestamp store to the current schema
     val stored = linksIndex.read(spark)
     val links = align(stored.getOrElse(emptyLinks(spark)))
+    // name-sequence compare, not count: a same-arity schema change must
+    // still trigger the migrating write or align() papers over it forever
     val schemaHealed =
-      stored.exists(_.columns.length != schema.fields.length)
+      stored.exists(_.columns.toSeq != schema.fieldNames.toSeq)
     val r = refresh(spark, files, links, fetch, version, skipPatterns, now)
     val keep = files.select(col("id")).distinct()
-    val (finalLinks, orphans) =
-      if (reconcile && stored.nonEmpty) {
-        val o = links.join(keep, links("file_id") === keep("id"),
-          "left_anti").count()
-        (r.merged.join(keep, r.merged("file_id") === keep("id"),
-          "left_semi"), o)
-      } else (r.merged, 0L)
-    if (r.refreshed > 0 || schemaHealed || orphans > 0)
+    val doReconcile = reconcile && stored.nonEmpty
+    val finalLinks =
+      if (doReconcile)
+        r.merged.join(keep, r.merged("file_id") === keep("id"),
+          "left_semi")
+      else r.merged
+    val mustWrite = r.refreshed > 0 || schemaHealed
+    // the orphan probe is an extra job over the store — run it ONLY
+    // when its answer actually decides whether to write
+    val orphans =
+      if (doReconcile && !mustWrite)
+        links.join(keep, links("file_id") === keep("id"), "left_anti")
+          .count()
+      else 0L
+    if (mustWrite || orphans > 0)
       linksIndex.write(finalLinks): Unit
     r.refreshed
   }

@@ -71,12 +71,19 @@ object FsListing {
 
     def toListed(f: File): Listed = {
       val filepath = rel(f) match { case "" => "/"; case p => "/" + p }
-      val isDir = FsListing.isRealDir(f)
+      val isLink = java.nio.file.Files.isSymbolicLink(f.toPath)
+      val isDir = !isLink && f.isDirectory
+      // symlinks report the LINK's own lstat values (find -ls / ls -l
+      // parity) — File.length/lastModified would follow to the target
+      // and return 0/epoch for broken links
+      val (size, mtimeMs) =
+        if (isLink) FsListing.lstat(f)
+        else (if (isDir) 0L else f.length(), f.lastModified())
       Listed(
         filepath,
         f.getName,
-        if (isDir) 0L else f.length(),
-        new Timestamp(f.lastModified()),
+        size,
+        new Timestamp(mtimeMs),
         if (isDir) "directory" else "file",
         // depth is root-relative regardless of where the partition
         // seed sat (extraDepth seeds start deeper than the root)
@@ -131,6 +138,16 @@ object FsListing {
   private[sources] def isRealDir(f: File): Boolean =
     f.isDirectory &&
       !java.nio.file.Files.isSymbolicLink(f.toPath)
+
+  /** The link's own (size, mtime-ms) via a NOFOLLOW stat — works for
+    * broken links too.
+    */
+  private[sources] def lstat(f: File): (Long, Long) = {
+    val a = java.nio.file.Files.readAttributes(f.toPath,
+      classOf[java.nio.file.attribute.BasicFileAttributes],
+      java.nio.file.LinkOption.NOFOLLOW_LINKS)
+    (a.size(), a.lastModifiedTime().toMillis)
+  }
 
   /** S6: single-directory batch source — one directory's RECURSIVE
     * listing capped at `batchSize` rows. Recursion is deliberate parity:

@@ -190,12 +190,13 @@ private[sources] class FsListingReader(
     entryTypes: Seq[String],
     fields: Array[String]) extends PartitionReader[InternalRow] {
 
-  /** One visited entry: path/type resolved ONCE during the walk (the
-    * walk needs isDir for recursion anyway); size/mtime stat calls are
-    * left on the File so column pruning skips them entirely for
-    * projections that don't read them.
+  /** One visited entry: path/type/link-ness resolved ONCE during the
+    * walk (the walk needs them for recursion anyway); size/mtime stat
+    * calls are left on the File so column pruning skips them entirely
+    * for projections that don't read them.
     */
-  private final case class Ent(f: File, relPath: String, isDir: Boolean)
+  private final case class Ent(f: File, relPath: String, isDir: Boolean,
+      isLink: Boolean)
 
   private def rel(f: File): String =
     f.getPath.stripPrefix(root) match {
@@ -219,11 +220,12 @@ private[sources] class FsListingReader(
       // real directories only — symlinked dirs are emitted (file-typed)
       // but never followed: `find -P` parity, and a `ln -s ..` cycle
       // must not loop the walk (same rule as FsListing.walk)
-      if (FsListing.isRealDir(f)) {
+      val isLink = java.nio.file.Files.isSymbolicLink(f.toPath)
+      if (!isLink && f.isDirectory) {
         if (!dirMayMatch(rp)) Iterator.empty // pushdown prunes HERE
-        else Iterator(Ent(f, rp, isDir = true)) ++
+        else Iterator(Ent(f, rp, isDir = true, isLink = false)) ++
           Option(f.listFiles).iterator.flatten.flatMap(walk)
-      } else Iterator(Ent(f, rp, isDir = false))
+      } else Iterator(Ent(f, rp, isDir = false, isLink))
     }
   }
 
@@ -235,11 +237,17 @@ private[sources] class FsListingReader(
     if (it.hasNext) { cur = it.next(); true } else false
 
   override def get(): InternalRow = {
+    // symlinks report the LINK's own lstat values, not the target's
+    // (broken links would otherwise get size 0 / epoch mtime)
+    lazy val linkStat = FsListing.lstat(cur.f)
     val values = fields.map {
       case "filepath" => UTF8String.fromString(cur.relPath)
       case "name" => UTF8String.fromString(cur.f.getName)
-      case "size_bytes" => if (cur.isDir) 0L else cur.f.length()
-      case "modified_time" => cur.f.lastModified() * 1000L // ms → µs
+      case "size_bytes" =>
+        if (cur.isLink) linkStat._1
+        else if (cur.isDir) 0L else cur.f.length()
+      case "modified_time" => // ms → µs
+        (if (cur.isLink) linkStat._2 else cur.f.lastModified()) * 1000L
       case "entry_type" =>
         UTF8String.fromString(if (cur.isDir) "directory" else "file")
       case "depth" => cur.relPath.count(_ == '/')

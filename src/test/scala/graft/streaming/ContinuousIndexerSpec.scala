@@ -38,7 +38,7 @@ class ContinuousIndexerSpec extends SparkSpecBase {
     val ticks = MemoryStream[Int]
     val reports = mutable.Buffer.empty[ContinuousIndexer.BatchReport]
     val q = ContinuousIndexer.start(ticks.toDF(), indexer, ckpt,
-      onBatch = reports.synchronized(reports += _))
+      onBatch = r => reports.synchronized { reports += r })
     try {
       def snap() = new ParquetIndex(idxRoot,
         partitionBy = Seq(ParquetIndex.PathPartitionCol)).read(spark).get
@@ -98,7 +98,7 @@ class ContinuousIndexerSpec extends SparkSpecBase {
     val reports = mutable.Buffer.empty[ContinuousIndexer.BatchReport]
     TransportProbe.reset()
     val q = ContinuousIndexer.start(ticks.toDF(), indexer, ckpt,
-      onBatch = reports.synchronized(reports += _))
+      onBatch = r => reports.synchronized { reports += r })
     try {
       ticks.addData(1)
       q.processAllAvailable()
