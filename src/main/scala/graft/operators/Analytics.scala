@@ -141,13 +141,77 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q6-style forecast revenue change: a pure filter + scalar
+    * aggregate — the canonical predicate-pushdown showcase (every
+    * predicate reaches the parquet scan as PushedFilters; the agg is one
+    * map-side-combinable sum, no shuffle beyond the final 1-row merge).
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(round(sum(dec("l_extendedprice") * dec("l_discount")), 2)
+        .cast("double").as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q12-SHAPED priority counts: fact-fact equi-join + conditional
+    * aggregation (CASE-sum, A4's shape on a join output). The driver's
+    * trimmed lineitem has no shipmode/commitdate/receiptdate columns, so
+    * the grouping key is `l_returnflag` — the operator shape (one
+    * order-key shuffle, map-side partial CASE sums) is what's under
+    * test, not the column names.
+    */
+  def q12PriorityLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    li.join(Tables(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                  OR o_orderpriority = '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |                 AND o_orderpriority <> '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
-    "q5_region_revenue" -> q5RegionRevenue)
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q12_priority_lines" -> q12PriorityLines)
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
-    "q5_region_revenue" -> q5Sql)
+    "q5_region_revenue" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q12_priority_lines" -> q12Sql)
 }

@@ -78,6 +78,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q6: every predicate pushed to the scan, no shuffle before the agg") {
+    val p = finalPlan(SparkEntry.queries("q6_forecast_revenue")(spark, sf))
+    // the canonical pushdown query: shipdate range, discount bounds and
+    // quantity cap all reach parquet
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("l_shipdate"), p)
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("decontaminate: eval set broadcasts; corpus side never sort-merges") {
     val p = finalPlan(SparkEntry.queries("docs_decontaminate")(spark, sf))
     // the eval n-gram set must reach the corpus as a broadcast hash join
