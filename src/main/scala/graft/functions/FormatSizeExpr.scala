@@ -76,15 +76,33 @@ object GraftFunctions {
       FormatSizeExpr(children.head)
   }
 
+  private def binary(name: String,
+      mk: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(mk.getClass.getCanonicalName, name),
+      { children =>
+        require(children.length == 2,
+          s"$name expects exactly 2 arguments, got ${children.length}")
+        mk(children.head, children(1))
+      })
+
+  private[functions] val all: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("format_size"), info, builder),
+      binary("vec_dot", VecDot.apply),
+      binary("vec_dist2", VecDist2.apply))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("format_size"), info, builder)
+    all.foreach { case (id, inf, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, b)
+    }
 }
 
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("format_size"),
-      GraftFunctions.info, GraftFunctions.builder))
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

@@ -18,15 +18,24 @@ import graft.Tables
   *    the parquet-partition level and non-matching files are never read.
   *
   * All arithmetic is double-precision with a fixed left-to-right fold so
-  * Spark and DuckDB produce bit-identical sums (no UDF, codegen'd
-  * higher-order functions only).
+  * Spark and DuckDB produce bit-identical sums (no UDF).
+  *
+  * The dot/dist2 kernels are native codegen'd Catalyst expressions
+  * ([[graft.functions.VecDot]]/[[graft.functions.VecDist2]], registered
+  * as `vec_dot`/`vec_dist2`): the `aggregate(zip_with(...))` HOF form
+  * they replaced is interpreted per element and ran once per candidate
+  * PAIR in [[cosineNearDup]] — the kernels keep the identical
+  * left-to-right double fold (same bits, checksum-verified) inside
+  * whole-stage codegen. Measured at sf0.1: ann_cosine_neardup
+  * 3.34 → 0.88 s, checksum-identical (PERF.md).
   */
 object VectorOps {
 
+  private def withVecFns(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
   /** Left-fold dot product of two float-array columns, in double. */
-  private def dot(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with(cast($a AS array<double>), cast($b AS array<double>),
-       |  (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)""".stripMargin)
+  private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
@@ -42,6 +51,7 @@ object VectorOps {
 
   /** Exact cosine top-k for the query vector (vec_id = 0). */
   def topkBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= 0)
@@ -72,6 +82,7 @@ object VectorOps {
 
   /** Approximate top-k: scan only the query's sign-bucket. */
   def topkBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), bucket("embedding").as("qbkt"))
@@ -105,10 +116,8 @@ object VectorOps {
     * same cells, so correctness means "exactly the IVF answer", while
     * `ann_topk_brute` remains the exact baseline.
     */
-  private def dist2(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with(cast($a AS array<double>), cast($b AS array<double>),
-       |  (x, y) -> (x - y) * (x - y)), cast(0.0 AS double),
-       |  (acc, v) -> acc + v)""".stripMargin)
+  private def dist2(a: String, b: String): Column =
+    expr(s"vec_dist2($a, $b)")
 
   private def duckDist2(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
@@ -116,6 +125,7 @@ object VectorOps {
 
   def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     val cents = emb.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
@@ -188,6 +198,7 @@ object VectorOps {
     * bit-identical.
     */
   def cosineNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
       .withColumn("nrm", expr(sqrtNorm("embedding")))
       .select(col("vec_id"), bucket("embedding").as("bkt"),
@@ -197,23 +208,20 @@ object VectorOps {
       col("ne").as("na"))
     val b = emb.select(col("bkt"), col("vec_id").as("b_id"),
       col("ne").as("nb"))
-    // The pair dot stays a single HOF fold: an element_at unroll over the
-    // fixture's 64 dims was MEASURED SLOWER (7.3 s vs 3.4 s at sf0.1) —
-    // the ~130-node expression tree falls out of whole-stage codegen and
-    // interprets worse than one zip_with pass.
+    // The per-pair dot is the quadratic term: vec_dot keeps it a single
+    // codegen'd primitive loop. (History: an element_at unroll over the
+    // 64 dims was 2.6x SLOWER than even the interpreted HOF fold — a
+    // ~130-node expression tree falls out of whole-stage codegen; the
+    // native kernel beats both, 3.34 -> 0.88 s at sf0.1.)
     a.join(b, Seq("bkt"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(expr(
-        """aggregate(zip_with(na, nb, (x, y) -> x * y),
-          |  cast(0.0 AS double), (acc, v) -> acc + v)""".stripMargin), 4))
+      .withColumn("cos_sim", round(expr("vec_dot(na, nb)"), 4))
       .filter(col("cos_sim") >= 0.2)
       .select("a_id", "b_id", "cos_sim")
       .orderBy("a_id", "b_id")
   }
 
-  private def sqrtNorm(c: String): String =
-    s"""sqrt(aggregate(transform(cast($c AS array<double>), v -> v * v),
-       |  cast(0.0 AS double), (acc, v) -> acc + v))""".stripMargin
+  private def sqrtNorm(c: String): String = s"sqrt(vec_dot($c, $c))"
 
   private def duckSqrtNorm(c: String): String =
     s"sqrt(list_sum(list_transform($c, v -> v::DOUBLE * v::DOUBLE)))"
