@@ -24,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ FsOps.queries ++ EventsOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ IngestOps.queries ++
-      MultimodalOps.queries ++ SkewOps.queries
+      MultimodalOps.queries ++ SkewOps.queries ++ TemporalJoins.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ FsOps.oracleSql ++ EventsOps.oracleSql ++
       TextOps.oracleSql ++ VectorOps.oracleSql ++ IngestOps.oracleSql ++
-      MultimodalOps.oracleSql ++ SkewOps.oracleSql
+      MultimodalOps.oracleSql ++ SkewOps.oracleSql ++
+      TemporalJoins.oracleSql
 }

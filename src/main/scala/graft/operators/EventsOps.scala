@@ -265,6 +265,44 @@ object EventsOps {
       |  FROM events GROUP BY event_type, user_id)
       |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Distribution-rank windows (ntile / percent_rank / cume_dist) over    //
+  // per-user totals — the quartile bucketing a pipeline uses for cohort  //
+  // splits. One aggregation shuffle + one global-order window over the   //
+  // (small) per-user frame; at scale the window keys by cohort/segment   //
+  // instead of running globally. Totals are DECIMAL-exact before the     //
+  // double cast; ranks are integer-exact; percent_rank/cume_dist are     //
+  // exact ratios of integers rounded at 6dp in both engines.             //
+  // -------------------------------------------------------------------- //
+
+  def userQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+        .as("total"))
+    val w = Window.orderBy(col("total").desc, col("user_id"))
+    totals
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("total").desc, col("user_id"))
+  }
+
+  val userQuartilesSql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+      |      AS total
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, total,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM t
+      |WINDOW w AS (ORDER BY total DESC, user_id)
+      |ORDER BY total DESC, user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -273,7 +311,8 @@ object EventsOps {
     "events_value_quantiles" -> valueQuantiles,
     "events_value_stats" -> valueStats,
     "events_approx_stats" -> approxStats,
-    "events_top_users" -> topUsersPerType)
+    "events_top_users" -> topUsersPerType,
+    "events_user_quartiles" -> userQuartiles)
 
   def oracleSql: Map[String, String] = Map(
     "events_approx_stats" -> approxStatsSql,
@@ -283,5 +322,6 @@ object EventsOps {
     "events_sessionize" -> sessionizeSql,
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_stats" -> valueStatsSql,
-    "events_top_users" -> topUsersPerTypeSql)
+    "events_top_users" -> topUsersPerTypeSql,
+    "events_user_quartiles" -> userQuartilesSql)
 }

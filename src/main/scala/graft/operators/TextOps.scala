@@ -709,6 +709,126 @@ object TextOps {
        |  (1.0 - d2 / (tw - 1)) > 0.5 AS repetitious
        |FROM t ORDER BY doc_id""".stripMargin
 
+
+  // -------------------------------------------------------------------- //
+  // Heavy-hitter n-grams: global top-20 word-3-grams by OCCURRENCE       //
+  // count (corpus boilerplate detection — the list a pipeline feeds      //
+  // back into dedup/quality rules). Occurrences, not the distinct        //
+  // per-doc shingle sets MinHash uses. Scale shape: explode + hash agg   //
+  // = map-side partial counts per gram, ONE shuffle of (gram, n)         //
+  // partials, then a tiny global top-k — the textbook heavy-hitter       //
+  // plan. (sequence guard: <3-token docs contribute nothing, both       //
+  // engines.)                                                            //
+  // -------------------------------------------------------------------- //
+
+  private val occShingles =
+    s"""CASE WHEN size($toks) >= 3 THEN
+       |  transform(sequence(1, size($toks) - 2),
+       |    i -> array_join(slice($toks, i, 3), ' '))
+       |ELSE cast(array() AS array<string>) END""".stripMargin
+
+  def ngramTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(explode(expr(occShingles)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
+  val ngramTopkSql: String =
+    s"""SELECT gram, count(*) AS n FROM (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, len($duckToks) - 2),
+       |    i -> array_to_string($duckToks[i:i+2], ' '))) AS gram
+       |  FROM documents)
+       |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // TF-IDF salient terms: top-5 terms per source by tf·ln(N/df). The     //
+  // corpus-level df table is the only cross-source state; both          //
+  // aggregations are map-side combinable and shuffle skinny (term, n)    //
+  // partials; the per-source top-k is a window over small group counts.  //
+  // ln parity Spark↔DuckDB is already proven by the BM25 gate. Scores    //
+  // round to 4dp BEFORE ranking so rank can't hinge on the last ulp.     //
+  // -------------------------------------------------------------------- //
+
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+    val terms = docs.select(col("doc_id"), col("source"),
+        explode(expr(toks)).as("term"))
+      .filter(length(col("term")) > 0)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("source"), col("score").desc, col("term"))
+  }
+
+  val tfidfTopkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, unnest($duckToks) AS term FROM documents),
+       |tt AS (SELECT * FROM t WHERE length(term) > 0),
+       |tf AS (SELECT source, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM tt) GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |s AS (SELECT source, term, tf, df,
+       |        round(tf * ln(n_docs / df), 4) AS score
+       |      FROM tf JOIN df USING (term), n),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY source ORDER BY score DESC, term) AS rk
+       |      FROM s)
+       |SELECT source, term, tf, df, score FROM r WHERE rk <= 5
+       |ORDER BY source, score DESC, term""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Stratified deterministic sampling: per-source keep rates driven by   //
+  // a content hash (the train-mix downsampling step — e.g. web crawl at  //
+  // 25%, curated sources at 100%). Hash-threshold sampling is            //
+  // reproducible across runs/engines and needs NO shuffle for the        //
+  // filter itself (map-only); rates compare the first hex byte of        //
+  // sha256(text) against a per-stratum threshold (fixed-width lowercase  //
+  // hex compares lexicographically like the number it encodes;           //
+  // 'zz' > 'ff' ≡ keep-all).                                             //
+  // -------------------------------------------------------------------- //
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("thr", expr(
+        """CASE try_cast(substring(source, 4) AS int) % 4
+          |  WHEN 0 THEN 'zz' WHEN 1 THEN '80' WHEN 2 THEN '40'
+          |  ELSE '20' END""".stripMargin))
+      .withColumn("kept", substring(sha2(col("text"), 256), 1, 2) < col("thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), length(col("text")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+
+  val stratifiedSampleSql: String =
+    """WITH d AS (
+      |  SELECT source, text,
+      |    CASE TRY_CAST(substr(source, 4) AS INT) % 4
+      |      WHEN 0 THEN 'zz' WHEN 1 THEN '80' WHEN 2 THEN '40'
+      |      ELSE '20' END AS thr,
+      |    substr(sha256(text), 1, 2) AS h
+      |  FROM documents)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN h < thr THEN length(text) ELSE 0 END) AS BIGINT)
+      |    AS kept_chars
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate" -> decontaminate,
     "docs_pii_scrub" -> piiScrub,
@@ -726,7 +846,10 @@ object TextOps {
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
     "docs_hash_split" -> hashSplit,
-    "docs_token_packing" -> tokenPacking)
+    "docs_token_packing" -> tokenPacking,
+    "docs_ngram_topk" -> ngramTopk,
+    "docs_tfidf_topk" -> tfidfTopk,
+    "docs_stratified_sample" -> stratifiedSample)
 
   def oracleSql: Map[String, String] = Map(
     "docs_decontaminate" -> decontaminateSql,
@@ -745,5 +868,8 @@ object TextOps {
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
     "docs_hash_split" -> hashSplitSql,
-    "docs_token_packing" -> tokenPackingSql)
+    "docs_token_packing" -> tokenPackingSql,
+    "docs_ngram_topk" -> ngramTopkSql,
+    "docs_tfidf_topk" -> tfidfTopkSql,
+    "docs_stratified_sample" -> stratifiedSampleSql)
 }
