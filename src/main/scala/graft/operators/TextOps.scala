@@ -342,10 +342,13 @@ object TextOps {
   def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val (sh, rawPairs) = minhashPairs(spark, sfDir)
     val pairs = rawPairs.select("a_id", "b_id")
+    // eager localCheckpoint: every fixpoint round's plan embeds `edges`,
+    // so a cache would drag the ENTIRE minhash-pipeline logical plan
+    // through analysis once per round — checkpointing pins just the rows
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
-      .cache()
+      .localCheckpoint(true)
     // Iterate to FULL convergence: labels are monotonically decreasing,
     // so termination is guaranteed in ≤ diameter rounds and the result
     // matches the oracle's transitive closure exactly. One cached frame
@@ -354,8 +357,6 @@ object TextOps {
     // (small: near-dup nodes only) result is checkpointed.
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .cache()
-    var prevMerged: Option[org.apache.spark.sql.DataFrame] = None
     var changed = 1L
     while (changed > 0) {
       val prop = edges
@@ -366,15 +367,17 @@ object TextOps {
       // round) was measured 38% SLOWER here — near-dup graphs have
       // tiny diameters, so the saved rounds don't pay for the added
       // join (negative result recorded in PERF.md).
+      // eager localCheckpoint, not cache: truncates lineage so round N's
+      // plan stays CONSTANT-SIZE (a cached-only fixpoint re-analyzes the
+      // whole join history every round — planning time grows with the
+      // round count), and blocks are ContextCleaner-collected without
+      // the manual unpersist bookkeeping
       val merged = labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("newLabel"))
-        .cache()
+        .localCheckpoint(true)
       changed = merged.filter(col("newLabel") =!= col("label")).count()
-      labels.unpersist() // no-op after round 1 (derived, uncached)
-      prevMerged.foreach(_.unpersist())
-      prevMerged = Some(merged)
       labels = merged.select(col("node"), col("newLabel").as("label"))
     }
     val out = labels
@@ -382,8 +385,6 @@ object TextOps {
         (col("node") === col("label")).as("keep"))
       .orderBy("doc_id")
       .localCheckpoint(true)
-    edges.unpersist()
-    prevMerged.foreach(_.unpersist())
     sh.unpersist()
     out
   }

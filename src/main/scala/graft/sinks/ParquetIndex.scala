@@ -54,7 +54,22 @@ final class ParquetIndex(root: String, keep: Int = 2,
     else Nil
 
   def read(spark: SparkSession): Option[DataFrame] =
-    currentId.map { id =>
+    currentId.map(readSnapshot(spark, _))
+
+  /** Committed snapshot ids still on disk, oldest first — the time-travel
+    * window (bounded by `keep`, same retention model as a lakehouse
+    * table's vacuum horizon).
+    */
+  def history: Seq[String] = committedIds
+
+  /** Time travel: read a specific committed snapshot. Returns None for
+    * ids outside the retention window (pruned or never committed) —
+    * never a dangling-directory read.
+    */
+  def readAsOf(spark: SparkSession, id: String): Option[DataFrame] =
+    if (committedIds.contains(id)) Some(readSnapshot(spark, id)) else None
+
+  private def readSnapshot(spark: SparkSession, id: String): DataFrame = {
       // Read with the schema persisted at write time: makes an EMPTY
       // partitioned snapshot readable (a partitioned write of zero rows
       // leaves no parquet files to infer from) and pins partition-column
@@ -76,6 +91,38 @@ final class ParquetIndex(root: String, keep: Int = 2,
       if (Files.exists(ddl)) df
       else partitionBy.filter(df.columns.contains).foldLeft(df)((d, c) =>
         d.withColumn(c, col(c).cast("string")))
+  }
+
+  /** Change feed (CDC) between two committed snapshots: one row per key
+    * that was `added`, `updated` (any non-key column differs), or
+    * `removed`, carrying the NEW row for added/updated and the OLD row
+    * for removed. This is what an incremental consumer (delta ES
+    * publish, downstream sync) reads instead of re-scanning the full
+    * index: one full-outer key join — a single co-partitioned shuffle,
+    * no driver-side state, same plan shape at any index size.
+    */
+  def changeFeed(spark: SparkSession, fromId: String, toId: String,
+      keyCol: String): Option[DataFrame] =
+    (readAsOf(spark, fromId), readAsOf(spark, toId)) match {
+      case (Some(prev), Some(cur)) =>
+        import org.apache.spark.sql.functions.{col, struct, when, lit}
+        val cols = cur.columns.toSeq
+        val p = prev.select(col(keyCol),
+          struct(cols.filterNot(_ == keyCol).map(col): _*).as("_old"))
+        val c = cur.select(col(keyCol),
+          struct(cols.filterNot(_ == keyCol).map(col): _*).as("_new"))
+        val joined = c.join(p, Seq(keyCol), "full_outer")
+        val changed = joined.withColumn("change_type",
+          when(col("_old").isNull, lit("added"))
+            .when(col("_new").isNull, lit("removed"))
+            .when(!(col("_new") <=> col("_old")), lit("updated")))
+          .filter(col("change_type").isNotNull)
+        val payload = cols.filterNot(_ == keyCol).map(f =>
+          when(col("change_type") === "removed", col(s"_old.$f"))
+            .otherwise(col(s"_new.$f")).as(f))
+        Some(changed.select(
+          Seq(col(keyCol)) ++ payload :+ col("change_type"): _*))
+      case _ => None
     }
 
   /** Write `df` as the new current snapshot; returns the snapshot id. */

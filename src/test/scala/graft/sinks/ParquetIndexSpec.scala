@@ -110,4 +110,48 @@ class ParquetIndexSpec extends SparkSpecBase {
     assert(snaps.toSet == Set(s"snap-$id2", s"snap-$id3"))
     assert(id1 != id2)
   }
+  test("time travel: history window, readAsOf, pruned ids return None") {
+    val root = Files.createTempDirectory("pidx_tt").toString
+    val idx = new ParquetIndex(root, keep = 2)
+    val id1 = idx.write(df(("k1", 1L, ts("2020-01-01 00:00:00"))))
+    val id2 = idx.write(df(("k1", 10L, ts("2020-01-02 00:00:00")),
+      ("k2", 2L, ts("2020-01-02 00:00:00"))))
+    assert(idx.history == Seq(id1, id2))
+    assert(idx.readAsOf(spark, id1).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("k1", 1L)))
+    assert(idx.readAsOf(spark, id2).get.count() == 2)
+    // a third write prunes id1 out of the keep=2 window
+    val id3 = idx.write(df(("k2", 2L, ts("2020-01-03 00:00:00"))))
+    assert(idx.history == Seq(id2, id3))
+    assert(idx.readAsOf(spark, id1).isEmpty)
+    assert(idx.readAsOf(spark, "no-such-id").isEmpty)
+    // current read still the tip
+    assert(idx.read(spark).get.collect().map(_.getString(0)).toSet ==
+      Set("k2"))
+  }
+
+  test("changeFeed classifies added/updated/removed with the right payload") {
+    val root = Files.createTempDirectory("pidx_cdc").toString
+    val idx = new ParquetIndex(root, keep = 3)
+    val id1 = idx.write(df(
+      ("kept", 1L, ts("2020-01-01 00:00:00")),
+      ("upd", 2L, ts("2020-01-01 00:00:00")),
+      ("gone", 3L, ts("2020-01-01 00:00:00"))))
+    val id2 = idx.write(df(
+      ("kept", 1L, ts("2020-01-01 00:00:00")), // identical → not in feed
+      ("upd", 22L, ts("2020-01-02 00:00:00")),
+      ("new", 4L, ts("2020-01-02 00:00:00"))))
+    val feed = idx.changeFeed(spark, id1, id2, "key").get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(feed == Map(
+      "upd" -> ((22L, "updated")),  // new row rides the feed
+      "new" -> ((4L, "added")),
+      "gone" -> ((3L, "removed"))))  // old row rides the feed
+    assert(!feed.contains("kept"))
+    // schema: key, payload columns, change_type LAST
+    val cols = idx.changeFeed(spark, id1, id2, "key").get.columns.toSeq
+    assert(cols == Seq("key", "size", "mtime", "change_type"))
+    assert(idx.changeFeed(spark, "nope", id2, "key").isEmpty)
+  }
+
 }
