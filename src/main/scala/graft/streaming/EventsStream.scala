@@ -80,6 +80,47 @@ object EventsStream {
       }
   }
 
+  /** Streaming point-in-time (as-of) enrichment — the streaming twin of
+    * [[graft.operators.TemporalJoins.asof]]: each probe event is joined
+    * to the latest build-side row with `build.ts <= probe.ts` for its
+    * key, maintained as per-key state. Within a micro-batch, rows are
+    * processed in event-time order, so a build row enriches probes later
+    * in the same batch; ACROSS batches the state carries the running
+    * max-ts build row — exact when arrival respects event time per key
+    * (the watermark's contract), which is the standard streaming
+    * point-in-time compromise: state is ONE row per key, not a buffer of
+    * the whole build history.
+    *
+    * Input: (key, ts-millis, side, payload) with side 0 = build,
+    * 1 = probe. Output: (key, tsMs, payload, matchPayload, matchTsMs) —
+    * matchPayload/-TsMs null (None) when no build row is at-or-before.
+    */
+  def asofStream(spark: SparkSession,
+      rows: Dataset[(Long, Long, Int, Long)])
+      : Dataset[(Long, Long, Long, Option[Long], Option[Long])] = {
+    import spark.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[(Long, Long)]) =>
+          // (ts, side, payload) ordered by event time; build-before-probe
+          // on ties = the batch operator's inclusive-match rule
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Option[Long], Option[Long])]
+          batch.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach {
+            case (_, ts, 0, payload) =>
+              if (!state.exists || state.get._1 <= ts)
+                state.update((ts, payload))
+            case (_, ts, _, payload) =>
+              val m = state.getOption.filter(_._1 <= ts)
+              out += ((key, ts, payload, m.map(_._2), m.map(_._1)))
+          }
+          out.iterator
+      }
+  }
+
   /** ST2: continuous indexing — each micro-batch of scan entries is
     * merged (J1) into the Parquet snapshot index.
     */

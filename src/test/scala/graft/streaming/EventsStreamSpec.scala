@@ -122,4 +122,38 @@ class EventsStreamSpec extends SparkSpecBase {
       assert(got == Set(("k1", 1L), ("k2", 22L), ("k3", 3L)))
     } finally q.stop()
   }
+  test("asofStream: in-batch ordering, cross-batch state, tie inclusive") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Int, Long)]
+    val q = EventsStream.asofStream(spark, ms.toDS())
+      .writeStream.format("memory").queryName("asf")
+      .outputMode("append").start()
+    try {
+      // batch 1 (user 1): build@100(id 500), probe@100 (tie → inclusive),
+      // probe@50 (before any build → no match), build@200(id 501),
+      // probe@250; user 2 probe isolated from user 1's state
+      ms.addData(
+        (1L, 100L, 0, 500L), (1L, 100L, 1, 900L), (1L, 50L, 1, 901L),
+        (1L, 200L, 0, 501L), (1L, 250L, 1, 902L),
+        (2L, 300L, 1, 903L))
+      q.processAllAvailable()
+      val b1 = spark.table("asf").collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None
+          else Some(r.getLong(3)))).toMap
+      assert(b1 == Map(900L -> Some(500L), 901L -> None,
+        902L -> Some(501L), 903L -> None))
+      // batch 2: probe@300 uses batch-1 state (build 501); a new
+      // build@400 then serves probe@450; an OLD build@150 must NOT
+      // regress the state (max-ts wins)
+      ms.addData((1L, 300L, 1, 904L), (1L, 400L, 0, 502L),
+        (1L, 150L, 0, 499L), (1L, 450L, 1, 905L))
+      q.processAllAvailable()
+      val b2 = spark.table("asf").collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None
+          else Some(r.getLong(3)))).toMap
+      assert(b2(904L) == Some(501L) && b2(905L) == Some(502L))
+    } finally q.stop()
+  }
+
 }
