@@ -147,4 +147,33 @@ class PlanAuditSpec extends SparkSpecBase {
     // and the residual relative_path predicate was pushed to parquet
     assert(p.contains("PushedFilters: ["), p)
   }
+  test("asof join: no join operator at all — one window over the union") {
+    val p = finalPlan(SparkEntry.queries("events_asof_join")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the probe/build sides meet through a window, never a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"), p)
+    assert(p.contains("Window"), p)
+    // events.parquet is scanned with the needed columns only
+    assert(!p.contains("props"), p)
+  }
+
+  test("range join: equi-join on the bin grid, never a nested loop") {
+    val p = finalPlan(SparkEntry.queries("events_range_join")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the inequality became an equi-join (hash strategy) on `bin`
+    assert(p.contains("HashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("tfidf: corpus-size scalar broadcasts; term joins are hash joins") {
+    val p = finalPlan(SparkEntry.queries("docs_tfidf_topk")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastQueryStage"), p)
+    // both aggregations combine map-side before their exchanges
+    assert(p.contains("partial_count"), p)
+  }
+
 }
