@@ -92,7 +92,8 @@ object GraftFunctions {
     Seq(
       (FunctionIdentifier("format_size"), info, builder),
       binary("vec_dot", VecDot.apply),
-      binary("vec_dist2", VecDist2.apply))
+      binary("vec_dist2", VecDist2.apply),
+      binary("zorder2", ZOrder2.apply))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, inf, b) =>

@@ -303,6 +303,43 @@ object EventsOps {
       |WINDOW w AS (ORDER BY total DESC, user_id)
       |ORDER BY total DESC, user_id""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Z-order tiles: cluster (user_id, value) by a Morton key and report   //
+  // per-tile bounding boxes — the multi-dimensional LAYOUT primitive     //
+  // (sort/range-partition a table by zorder2 and parquet min/max stats   //
+  // prune on EITHER dimension; a plain sort clusters only its leading    //
+  // column). The tile bboxes in the output ARE the locality evidence:    //
+  // each tile spans a bounded square, not a full-range stripe. Per-row   //
+  // bit math (codegen'd custom Expression) + one grouped aggregation.   //
+  // -------------------------------------------------------------------- //
+
+  def zorderTiles(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, sfDir, "events")
+      .select(col("user_id").cast("int").as("u"),
+        floor(col("value")).cast("int").as("v"))
+      .withColumn("z", expr("zorder2(u, v)"))
+      .withColumn("tile", shiftright(col("z"), 8))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        min("u").as("min_u"), max("u").as("max_u"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("tile")
+  }
+
+  val zorderTilesSql: String = {
+    val z = graft.functions.ZOrder.unrolledSql("u", "v")
+    s"""WITH p AS (
+       |  SELECT CAST(user_id AS INTEGER) AS u,
+       |         CAST(floor(value) AS INTEGER) AS v
+       |  FROM events),
+       |z AS (SELECT u, v, $z AS z FROM p)
+       |SELECT z >> 8 AS tile, count(*) AS n,
+       |  min(u) AS min_u, max(u) AS max_u,
+       |  min(v) AS min_v, max(v) AS max_v
+       |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -312,7 +349,8 @@ object EventsOps {
     "events_value_stats" -> valueStats,
     "events_approx_stats" -> approxStats,
     "events_top_users" -> topUsersPerType,
-    "events_user_quartiles" -> userQuartiles)
+    "events_user_quartiles" -> userQuartiles,
+    "events_zorder_tiles" -> zorderTiles)
 
   def oracleSql: Map[String, String] = Map(
     "events_approx_stats" -> approxStatsSql,
@@ -323,5 +361,6 @@ object EventsOps {
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_stats" -> valueStatsSql,
     "events_top_users" -> topUsersPerTypeSql,
-    "events_user_quartiles" -> userQuartilesSql)
+    "events_user_quartiles" -> userQuartilesSql,
+    "events_zorder_tiles" -> zorderTilesSql)
 }

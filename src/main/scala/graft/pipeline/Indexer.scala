@@ -177,7 +177,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     val idx = new ParquetIndex(cfg.indexRoot,
       partitionBy =
         if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol) else Nil,
-      writeFiles = cfg.snapshotFiles)
+      writeFiles = cfg.snapshotFiles,
+      // row-group stats stay selective for point/prefix lookups within
+      // each partition bucket (the read-side predicate is always a
+      // relative_path point or prefix — pathPrefixFilter)
+      sortWithin = Seq("relative_path"))
     // Upgrade path: a snapshot written before path-partitioning lacks
     // the p0 column — derive it so the merge schemas line up and the
     // NEXT write migrates the store to the partitioned layout.

@@ -32,9 +32,17 @@ import graft.operators.Merge
   *   shards costs more in file overhead than it wins in parallelism;
   *   the reference writes ONE DuckDB file). Leave 0 at cluster scale so
   *   the write keeps its distributed width.
+  * @param sortWithin columns to sort by WITHIN each write task before
+  *   the snapshot lands — the layout knob that makes parquet row-group
+  *   min/max stats selective on those columns (point/prefix lookups
+  *   skip row groups, not just partition dirs). Costs one in-task sort
+  *   at write time, nothing at read time. For multi-dimensional
+  *   predicates, pass a single `zorder2(a, b)`-derived column instead
+  *   of two raw ones.
   */
 final class ParquetIndex(root: String, keep: Int = 2,
-    partitionBy: Seq[String] = Nil, writeFiles: Int = 0) {
+    partitionBy: Seq[String] = Nil, writeFiles: Int = 0,
+    sortWithin: Seq[String] = Nil) {
 
   private val pointer = Paths.get(root, "CURRENT")
   private val manifest = Paths.get(root, "MANIFEST")
@@ -134,11 +142,15 @@ final class ParquetIndex(root: String, keep: Int = 2,
     // (not coalesce) so every partition directory is written by exactly
     // one task = one file per directory, instead of writeFiles × dirs
     // small files
-    val out =
+    val shaped =
       if (partitionBy.nonEmpty && writeFiles > 0)
         df.repartition(writeFiles, partitionBy.map(col): _*)
       else if (writeFiles > 0) df.coalesce(writeFiles)
       else df
+    val out =
+      if (sortWithin.nonEmpty)
+        shaped.sortWithinPartitions(sortWithin.map(col): _*)
+      else shaped
     val w = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$root/snap-$id")

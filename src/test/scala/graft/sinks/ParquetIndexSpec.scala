@@ -154,4 +154,23 @@ class ParquetIndexSpec extends SparkSpecBase {
     assert(idx.changeFeed(spark, "nope", id2, "key").isEmpty)
   }
 
+  test("sortWithin lays each written file out sorted on the layout key") {
+    val root = Files.createTempDirectory("pidx_sort").toString
+    val idx = new ParquetIndex(root, writeFiles = 1,
+      sortWithin = Seq("key"))
+    // write deliberately shuffled keys
+    val rows = scala.util.Random.shuffle((1 to 200).toList)
+      .map(i => (f"k$i%04d", i.toLong, ts("2020-01-01 00:00:00")))
+    idx.write(df(rows: _*))
+    // read ONE physical parquet file raw: rows must already be ordered
+    val snapDir = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("snap-")).head
+    val file = snapDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val keys = spark.read.parquet(file.getPath)
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == keys.sorted)
+    assert(keys.size == 200)
+  }
+
 }
