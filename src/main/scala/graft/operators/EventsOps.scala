@@ -340,6 +340,68 @@ object EventsOps {
        |FROM z GROUP BY tile ORDER BY tile""".stripMargin
   }
 
+  // -------------------------------------------------------------------- //
+  // RANGE-frame window: per-user rolling 1-hour value sum/count at each  //
+  // event — the event-time sliding aggregate (distinct from rowsBetween: //
+  // the frame is [t−3600 s, t] regardless of how many rows land there).  //
+  // Frame membership is integer-exact (epoch seconds), sums are          //
+  // DECIMAL-exact; one hash exchange on user_id.                         //
+  // -------------------------------------------------------------------- //
+
+  def rollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("epoch_s")
+      .rangeBetween(-3600, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        col("value").cast("decimal(12,2)").as("dv"))
+      .withColumn("rolling_sum",
+        round(sum("dv").over(w), 2).cast("double"))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .select("event_id", "user_id", "epoch_s", "rolling_sum", "rolling_n")
+      .orderBy("event_id")
+  }
+
+  val rollingWindowSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS epoch_s,
+      |         CAST(value AS DECIMAL(12,2)) AS dv
+      |  FROM events)
+      |SELECT event_id, user_id, CAST(epoch_s AS BIGINT) AS epoch_s,
+      |  CAST(round(sum(dv) OVER w, 2) AS DOUBLE) AS rolling_sum,
+      |  count(*) OVER w AS rolling_n
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // PIVOT: per-user event-type counts as columns (the wide cohort        //
+  // matrix). A pivot with an EXPLICIT value list is one partial-agg      //
+  // shuffle — same plan as groupBy(user).agg(5 conditional counts);      //
+  // omitting the list would add a driver collect of distinct types,      //
+  // which the explicit list avoids at scale.                             //
+  // -------------------------------------------------------------------- //
+
+  def typePivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "error", "signup"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val typePivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -350,7 +412,9 @@ object EventsOps {
     "events_approx_stats" -> approxStats,
     "events_top_users" -> topUsersPerType,
     "events_user_quartiles" -> userQuartiles,
-    "events_zorder_tiles" -> zorderTiles)
+    "events_zorder_tiles" -> zorderTiles,
+    "events_rolling_window" -> rollingWindow,
+    "events_type_pivot" -> typePivot)
 
   def oracleSql: Map[String, String] = Map(
     "events_approx_stats" -> approxStatsSql,
@@ -362,5 +426,7 @@ object EventsOps {
     "events_value_stats" -> valueStatsSql,
     "events_top_users" -> topUsersPerTypeSql,
     "events_user_quartiles" -> userQuartilesSql,
-    "events_zorder_tiles" -> zorderTilesSql)
+    "events_zorder_tiles" -> zorderTilesSql,
+    "events_rolling_window" -> rollingWindowSql,
+    "events_type_pivot" -> typePivotSql)
 }

@@ -176,4 +176,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a shuffle dim join") {
+    // At 100 TB a fact-join-filtered-dim is a SHUFFLE join, and Spark's
+    // runtime filtering injects a bloom filter from the dim side into
+    // the fact scan — rows that can't join are dropped BEFORE the
+    // exchange. Local data is broadcast-sized, so pin the behavior by
+    // forcing the shuffle-join path and lowering the scan threshold;
+    // the assertion is that the injection actually fires on our plans.
+    val pairs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = finalPlan(j)
+      assert(p.toLowerCase.contains("bloomfilter"), p)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
 }
