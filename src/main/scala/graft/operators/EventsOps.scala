@@ -296,7 +296,7 @@ object EventsOps {
       |      AS total
       |  FROM events GROUP BY user_id)
       |SELECT user_id, total,
-      |  ntile(4) OVER w AS quartile,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       |  round(percent_rank() OVER w, 6) AS pct_rank,
       |  round(cume_dist() OVER w, 6) AS cume
       |FROM t

@@ -36,11 +36,12 @@ object TextOps {
     * then blows up `slice`; DuckDB's `generate_series(1, 0)` is empty — the
     * CASE guard makes both engines agree on `[]`).
     */
-  private val shingles =
+  private val occShingles =
     s"""CASE WHEN size($toks) >= 3 THEN
-       |  array_distinct(transform(sequence(1, size($toks) - 2),
-       |    i -> array_join(slice($toks, i, 3), ' ')))
+       |  transform(sequence(1, size($toks) - 2),
+       |    i -> array_join(slice($toks, i, 3), ' '))
        |ELSE cast(array() AS array<string>) END""".stripMargin
+  private val shingles = s"array_distinct($occShingles)"
   private val duckToks = "string_split(text, ' ')"
   private val duckShingles =
     s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
@@ -721,12 +722,6 @@ object TextOps {
   // plan. (sequence guard: <3-token docs contribute nothing, both       //
   // engines.)                                                            //
   // -------------------------------------------------------------------- //
-
-  private val occShingles =
-    s"""CASE WHEN size($toks) >= 3 THEN
-       |  transform(sequence(1, size($toks) - 2),
-       |    i -> array_join(slice($toks, i, 3), ' '))
-       |ELSE cast(array() AS array<string>) END""".stripMargin
 
   def ngramTopk(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")

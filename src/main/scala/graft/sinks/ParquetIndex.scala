@@ -114,7 +114,13 @@ final class ParquetIndex(root: String, keep: Int = 2,
     (readAsOf(spark, fromId), readAsOf(spark, toId)) match {
       case (Some(prev), Some(cur)) =>
         import org.apache.spark.sql.functions.{col, struct, when, lit}
-        val cols = cur.columns.toSeq
+        // columns BOTH snapshots carry: the retention window may span a
+        // schema migration (e.g. a pre-partitioning snapshot without the
+        // bucket column next to a post-migration one) — the feed compares
+        // the shared surface instead of throwing on the missing column
+        val cols = cur.columns.toSeq.filter(prev.columns.contains)
+        require(cols.contains(keyCol),
+          s"changeFeed: key '$keyCol' missing from one snapshot")
         val p = prev.select(col(keyCol),
           struct(cols.filterNot(_ == keyCol).map(col): _*).as("_old"))
         val c = cur.select(col(keyCol),
@@ -147,9 +153,14 @@ final class ParquetIndex(root: String, keep: Int = 2,
         df.repartition(writeFiles, partitionBy.map(col): _*)
       else if (writeFiles > 0) df.coalesce(writeFiles)
       else df
+    // partition columns FIRST: the dynamic-partition writer requires an
+    // ordering on them and would otherwise insert its own Sort(p0) above
+    // this one (letting EliminateSorts drop the inner key sort) — one
+    // combined sort satisfies the writer AND lays rows out by the key
     val out =
       if (sortWithin.nonEmpty)
-        shaped.sortWithinPartitions(sortWithin.map(col): _*)
+        shaped.sortWithinPartitions(
+          (partitionBy ++ sortWithin).distinct.map(col): _*)
       else shaped
     val w = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)

@@ -111,7 +111,10 @@ object EventsStream {
             .empty[(Long, Long, Long, Option[Long], Option[Long])]
           batch.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach {
             case (_, ts, 0, payload) =>
-              if (!state.exists || state.get._1 <= ts)
+              // ties on ts keep the HIGHEST payload — the same rule the
+              // batch operator's (time, side, struct) window order gives
+              if (!state.exists || state.get._1 < ts ||
+                  (state.get._1 == ts && state.get._2 <= payload))
                 state.update((ts, payload))
             case (_, ts, _, payload) =>
               val m = state.getOption.filter(_._1 <= ts)
