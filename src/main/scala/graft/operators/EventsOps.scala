@@ -402,6 +402,55 @@ object EventsOps {
       |  count(*) FILTER (WHERE event_type = 'signup') AS signup
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase: a user advances a
+    * stage only with an event AT OR AFTER their previous stage's first
+    * event (strictly ordered funnel — the standard product-analytics
+    * operator, e.g. Spark's own sequence-analytics examples; the
+    * reference has no funnel, this is engine surface).
+    *
+    * Shape: one conditional-min aggregation per stage, each joined to the
+    * previous stage's per-user anchor. Every aggregation is map-side
+    * combinable on user_id and every join is a same-key hash join, so the
+    * three stages reuse ONE shuffle partitioning end-to-end; the output
+    * is three integer counts. At 100 TB user_id is the natural partition
+    * key and nothing here is per-pair or per-driver.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    def stageMin(tpe: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") >= col(prevCol))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = stageMin("click", v, "v_ts", "c_ts")
+    val p = stageMin("purchase", c, "c_ts", "p_ts")
+    def cnt(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("users")).select(lit(stage).as("stage"),
+        col("users"))
+    cnt(v, "1_view").unionAll(cnt(c, "2_click"))
+      .unionAll(cnt(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      |      GROUP BY e.user_id)
+      |SELECT stage, users FROM (
+      |  SELECT '1_view' AS stage, count(*) AS users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -414,7 +463,8 @@ object EventsOps {
     "events_user_quartiles" -> userQuartiles,
     "events_zorder_tiles" -> zorderTiles,
     "events_rolling_window" -> rollingWindow,
-    "events_type_pivot" -> typePivot)
+    "events_type_pivot" -> typePivot,
+    "events_funnel" -> funnel)
 
   def oracleSql: Map[String, String] = Map(
     "events_approx_stats" -> approxStatsSql,
@@ -428,5 +478,6 @@ object EventsOps {
     "events_user_quartiles" -> userQuartilesSql,
     "events_zorder_tiles" -> zorderTilesSql,
     "events_rolling_window" -> rollingWindowSql,
-    "events_type_pivot" -> typePivotSql)
+    "events_type_pivot" -> typePivotSql,
+    "events_funnel" -> funnelSql)
 }

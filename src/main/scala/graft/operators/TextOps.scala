@@ -825,6 +825,167 @@ object TextOps {
       |    AS kept_chars
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Token-budget source mixing: the train-mix assembly step. Each source //
+  // gets a token budget (60% of its own tokens here — in production the  //
+  // per-source weights come from the mixture spec), docs are ranked by a //
+  // deterministic content-independent hash (reproducible across runs and //
+  // engines), and the prefix of that ranking that fits the budget is     //
+  // taken. Output is the per-source audit row (all-integer).             //
+  //                                                                      //
+  // Scale (100 TB): both windows share ONE exchange on `source`. Source  //
+  // is low-cardinality, so at real scale this exact shape would hot-spot //
+  // one reducer per source; the scale variant computes per-source totals //
+  // as a tiny broadcast agg and replaces the running-sum cutoff with a   //
+  // hash-threshold cutoff calibrated from a sampled token CDF (the same  //
+  // trick stratifiedSample uses) — map-only selection, no per-source     //
+  // sort. The windowed form is the exact-parity shape.                   //
+  // -------------------------------------------------------------------- //
+
+  def sourceMixing(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("source").orderBy("hk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"size($toks)").as("n_tokens"),
+        sha2(col("doc_id").cast("string"), 256).as("hk"))
+      .withColumn("cum", sum("n_tokens").over(wCum))
+      .withColumn("total_tokens", sum("n_tokens").over(wTot))
+      .withColumn("token_budget", expr("(total_tokens * 6) div 10"))
+      .filter(col("cum") <= col("token_budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_taken"),
+        sum("n_tokens").as("tokens_taken"),
+        max("token_budget").as("token_budget"))
+      .orderBy("source")
+  }
+
+  val sourceMixingSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, len($duckToks) AS n_tokens,
+       |    sha256(doc_id::VARCHAR) AS hk
+       |  FROM documents),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST((sum(n_tokens) OVER (PARTITION BY source)) * 6 // 10
+       |      AS BIGINT) AS token_budget
+       |  FROM b)
+       |SELECT source, count(*) AS docs_taken,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_taken,
+       |  max(token_budget) AS token_budget
+       |FROM w WHERE cum <= token_budget
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Cross-document duplicated spans (Lee et al. 2022, "Deduplicating     //
+  // Training Data Makes Language Models Better", arXiv:2107.06499 —      //
+  // window-granular approximation of the suffix-array pass): every       //
+  // 8-token window is hashed; windows occurring in ≥2 DISTINCT docs are  //
+  // the repeated spans a dedup pass would cut. Explode + hash agg =      //
+  // map-side partial counts, one shuffle of (hash, partial) — the same   //
+  // heavy-hitter plan as ngramTopk, so it scales the same way. The       //
+  // sequence guard keeps <8-token docs contributing nothing in BOTH      //
+  // engines (Spark's sequence() descends below 1).                       //
+  // -------------------------------------------------------------------- //
+
+  private val spanToks = 8
+  private val spans =
+    s"""CASE WHEN size($toks) >= $spanToks THEN
+       |  transform(sequence(1, size($toks) - ${spanToks - 1}),
+       |    i -> array_join(slice($toks, i, $spanToks), ' '))
+       |ELSE cast(array() AS array<string>) END""".stripMargin
+  private val duckSpans =
+    s"""list_transform(generate_series(1, len($duckToks) - ${spanToks - 1}),
+       |  i -> array_to_string($duckToks[i:i+${spanToks - 1}], ' '))""".stripMargin
+
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(expr(spans)).as("gram"))
+      .withColumn("gram_hash", sha2(col("gram"), 256))
+      .groupBy("gram_hash")
+      .agg(min("gram").as("gram"),
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select("gram_hash", "gram", "n_docs", "n_occ", "first_doc")
+      .orderBy("gram_hash")
+
+  val dupSpansSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest($duckSpans) AS gram FROM documents),
+       |h AS (SELECT doc_id, gram, sha256(gram) AS gram_hash FROM g)
+       |SELECT gram_hash, min(gram) AS gram,
+       |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+       |  min(doc_id) AS first_doc
+       |FROM h GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY gram_hash""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // N-gram LM familiarity (the CCNet-style LM quality filter,            //
+  // arXiv:1911.00359, reshaped for cross-engine determinism): train      //
+  // char-trigram counts on the lang='en' slice, then score every doc by  //
+  // how familiar its trigrams are to that model — integer count sums and //
+  // an OOV ratio instead of log-probabilities, because float log-sums    //
+  // over a shuffled explode are partition-order dependent (and libm log  //
+  // parity across engines is not guaranteed), while INTEGER sums commute //
+  // bit-exactly. Ratios divide once at the end and round.                //
+  //                                                                      //
+  // Scale (100 TB): the trigram count table is the only cross-doc state  //
+  // — heavy-hitter counts, map-side combinable, and the scored join      //
+  // broadcasts it (a char-trigram vocabulary is bounded ~levels^3, and   //
+  // in production the model table is capped top-K counts anyway).        //
+  // -------------------------------------------------------------------- //
+
+  private val chTris =
+    """CASE WHEN length(text) >= 3 THEN
+      |  transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))
+      |ELSE cast(array() AS array<string>) END""".stripMargin
+  private val duckChTris =
+    "list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))"
+
+  def lmFamiliarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val model = docs.filter(col("lang") === "en")
+      .select(explode(expr(chTris)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("cnt"))
+    docs.select(col("doc_id"), col("lang"), explode(expr(chTris)).as("tri"))
+      .join(broadcast(model), Seq("tri"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("seen_tri"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
+      .withColumn("familiarity",
+        round(col("sum_cnt").cast("double") / col("n_tri"), 4))
+      .withColumn("oov_ratio",
+        round((col("n_tri") - col("seen_tri")).cast("double") / col("n_tri"), 4))
+      .orderBy("doc_id")
+  }
+
+  val lmFamiliaritySql: String =
+    s"""WITH m AS (
+       |  SELECT tri, count(*) AS cnt FROM (
+       |    SELECT unnest($duckChTris) AS tri
+       |    FROM documents WHERE lang = 'en')
+       |  GROUP BY tri),
+       |t AS (
+       |  SELECT doc_id, lang, unnest($duckChTris) AS tri FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, count(*) AS n_tri,
+       |    CAST(sum(CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS seen_tri,
+       |    CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS sum_cnt
+       |  FROM t LEFT JOIN m USING (tri)
+       |  GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_tri, seen_tri, sum_cnt,
+       |  round(CAST(sum_cnt AS DOUBLE) / n_tri, 4) AS familiarity,
+       |  round(CAST(n_tri - seen_tri AS DOUBLE) / n_tri, 4) AS oov_ratio
+       |FROM s ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate" -> decontaminate,
     "docs_pii_scrub" -> piiScrub,
@@ -845,7 +1006,10 @@ object TextOps {
     "docs_token_packing" -> tokenPacking,
     "docs_ngram_topk" -> ngramTopk,
     "docs_tfidf_topk" -> tfidfTopk,
-    "docs_stratified_sample" -> stratifiedSample)
+    "docs_stratified_sample" -> stratifiedSample,
+    "docs_source_mixing" -> sourceMixing,
+    "docs_dup_spans" -> dupSpans,
+    "docs_lm_familiarity" -> lmFamiliarity)
 
   def oracleSql: Map[String, String] = Map(
     "docs_decontaminate" -> decontaminateSql,
@@ -867,5 +1031,8 @@ object TextOps {
     "docs_token_packing" -> tokenPackingSql,
     "docs_ngram_topk" -> ngramTopkSql,
     "docs_tfidf_topk" -> tfidfTopkSql,
-    "docs_stratified_sample" -> stratifiedSampleSql)
+    "docs_stratified_sample" -> stratifiedSampleSql,
+    "docs_source_mixing" -> sourceMixingSql,
+    "docs_dup_spans" -> dupSpansSql,
+    "docs_lm_familiarity" -> lmFamiliaritySql)
 }

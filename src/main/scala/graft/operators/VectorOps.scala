@@ -293,17 +293,103 @@ object VectorOps {
       |    i -> (e[i] - q[i] / s) * (e[i] - q[i] / s))) / len(e), 6) AS mse
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and removing all-but-one of
+    * each within-cluster near-duplicate group. The reference pipeline's
+    * embedding near-dup pass ([[cosineNearDup]]) blocks by sign-bucket;
+    * SemDeDup blocks by LEARNED cells, which is what large training-data
+    * curation actually runs (cluster once, dedup inside cells only).
+    *
+    * Shape here: the same training-free coarse quantizer as [[topkIvf]]
+    * (8 deterministic seed centroids so the DuckDB oracle can mirror the
+    * assignment exactly, d2 quantized to 4dp so membership can't hinge on
+    * the last ulp), then normalize-first pairwise cosine inside each cell,
+    * `removed_id` = the higher vec_id of any pair with cos ≥ 0.3, keeping
+    * `dup_of` = the smallest matching lower id. Output is all-integer —
+    * floats only gate the threshold after rounding, so the hash gate
+    * never sees a float.
+    *
+    * Scale (100 TB): centroids are a tiny broadcast; assignment is one
+    * map-side pass + an argmin over a SKINNY projection; the quadratic
+    * verify is bounded per cell (cells are the partition key — a skewed
+    * giant cell would be re-split by sub-bucketing its members on a
+    * secondary sign-bucket, exactly like [[cosineNearDup]]'s blocking).
+    */
+  private val semTau = 0.3
+
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        round(dist2("embedding", "ce"), 4).as("d2"))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select("vec_id", "c_id")
+    val unit = emb
+      .withColumn("nrm", expr(sqrtNorm("embedding")))
+      .select(col("vec_id"),
+        expr("transform(cast(embedding AS array<double>), x -> x / nrm)")
+          .as("ne"))
+      .join(assigned, Seq("vec_id"))
+    val a = unit.select(col("c_id"), col("vec_id").as("a_id"),
+      col("ne").as("na"))
+    val b = unit.select(col("c_id"), col("vec_id").as("b_id"),
+      col("ne").as("nb"))
+    a.join(b, Seq("c_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(expr("vec_dot(na, nb)"), 4))
+      .filter(col("cos_sim") >= semTau)
+      .groupBy(col("c_id"), col("b_id").as("removed_id"))
+      .agg(min("a_id").as("dup_of"), count(lit(1)).as("n_matches"))
+      .select("removed_id", "c_id", "dup_of", "n_matches")
+      .orderBy("removed_id")
+  }
+
+  val semDedupSql: String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |asg AS (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckDist2("e.embedding", "c.ce")}, 4), c.c_id)
+       |      AS rk
+       |  FROM embeddings e, c),
+       |cells AS (SELECT vec_id, c_id FROM asg WHERE rk = 1),
+       |n AS (SELECT vec_id, embedding,
+       |        ${duckSqrtNorm("embedding")} AS nrm FROM embeddings),
+       |u AS (SELECT n.vec_id, cells.c_id,
+       |        list_transform(embedding, x -> x::DOUBLE / nrm) AS ne
+       |      FROM n JOIN cells USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM u a JOIN u b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE round(list_sum(list_transform(generate_series(1, len(a.ne)),
+       |    i -> a.ne[i] * b.ne[i])), 4) >= $semTau)
+       |SELECT b_id AS removed_id, c_id, min(a_id) AS dup_of,
+       |  count(*) AS n_matches
+       |FROM pairs GROUP BY removed_id, c_id ORDER BY removed_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
     "ann_cosine_neardup" -> cosineNearDup,
-    "ann_scalar_quant" -> scalarQuant)
+    "ann_scalar_quant" -> scalarQuant,
+    "ann_semdedup" -> semDedup)
 
   def oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,
     "ann_cosine_neardup" -> cosineNearDupSql,
-    "ann_scalar_quant" -> scalarQuantSql)
+    "ann_scalar_quant" -> scalarQuantSql,
+    "ann_semdedup" -> semDedupSql)
 }

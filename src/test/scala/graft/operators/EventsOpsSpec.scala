@@ -54,4 +54,13 @@ class EventsOpsSpec extends SparkSpecBase {
         s"bound violated for ${r.getString(0)}: $r")
     }
   }
+
+  test("funnel stages are ordered and monotonically shrinking") {
+    val rows = EventsOps.funnel(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val Seq(v, c, p) = rows.map(_.getLong(1)).toSeq
+    assert(v >= c && c >= p, s"funnel widened: $v -> $c -> $p")
+    assert(p > 0, "sf0.01 has full conversions")
+  }
 }

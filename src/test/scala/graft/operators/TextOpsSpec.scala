@@ -101,4 +101,51 @@ class TextOpsSpec extends SparkSpecBase {
         math.abs(b - 0.5) < 1e-9) // flag consistent with its own ratio
     }
   }
+
+  test("source mixing never exceeds a source's token budget") {
+    val totals = graft.Tables(spark, sf, "documents")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(size(split(text, ' ')))").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextOps.sourceMixing(spark, sf).collect()
+    assert(rows.length == totals.size, "every source must take something")
+    rows.foreach { r =>
+      val (src, taken, budget) = (r.getString(0), r.getLong(2), r.getLong(3))
+      assert(budget == totals(src) * 6 / 10, s"$src budget drifted")
+      assert(taken <= budget, s"$src took $taken > budget $budget")
+      assert(taken > 0, s"$src took nothing")
+    }
+  }
+
+  test("dup spans only report windows seen in at least two docs") {
+    val rows = TextOps.dupSpans(spark, sf).collect()
+    assert(rows.nonEmpty, "synthetic corpus has boilerplate prefixes")
+    rows.foreach { r =>
+      val (nDocs, nOcc) = (r.getLong(2), r.getLong(3))
+      assert(nDocs >= 2 && nOcc >= nDocs, s"$r")
+      assert(r.getString(1).split(' ').length == 8, "8-token windows")
+    }
+  }
+
+  test("lm familiarity separates in-language from out-of-language docs") {
+    val rows = TextOps.lmFamiliarity(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, seen) = (r.getLong(2), r.getLong(3))
+      assert(seen <= n && r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // training-set invariant: every en doc's trigrams ARE the model's
+    // training data, so en OOV is exactly 0 and each en trigram's count
+    // includes at least its own occurrence (familiarity >= 1).
+    // (The synthetic corpus shares one vocabulary across all lang labels,
+    // so a cross-language OOV split is not assertable here — on real
+    // multi-script data it is the whole point of the filter.)
+    val en = rows.filter(_.getString(1) == "en")
+    assert(en.nonEmpty)
+    en.foreach { r =>
+      assert(r.getDouble(6) == 0.0, s"en doc ${r.getLong(0)} has OOV")
+      assert(r.getDouble(5) >= 1.0, s"en doc ${r.getLong(0)} familiarity")
+    }
+  }
 }

@@ -31,4 +31,30 @@ class VectorOpsSpec extends SparkSpecBase {
       assert(mse <= maxErr * maxErr + 1e-12, s"vec $id mse $mse")
     }
   }
+
+  test("semdedup: removals point at a smaller same-cluster keeper") {
+    val rows = VectorOps.semDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val removed = rows.map(_.getLong(0))
+    assert(removed.distinct.length == removed.length,
+      "a vector may be removed only once")
+    rows.foreach { r =>
+      val (rid, dupOf, n) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(dupOf < rid, s"$rid kept a LARGER id $dupOf")
+      assert(n >= 1)
+    }
+    // the survivor set must be duplicate-free at the same threshold:
+    // every removed row's keeper must itself survive OR chain to a
+    // survivor (min-id grouping guarantees the cluster minimum survives)
+    val rm = removed.toSet
+    val dupOf = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      var k = r.getLong(2)
+      var hops = 0
+      while (rm.contains(k) && hops < rows.length) {
+        k = dupOf(k); hops += 1
+      }
+      assert(!rm.contains(k), s"keeper chain of ${r.getLong(0)} never exits")
+    }
+  }
 }
