@@ -80,6 +80,21 @@ object EventsStream {
       }
   }
 
+  /** Engine-native watermark-bounded streaming dedup
+    * (`dropDuplicatesWithinWatermark`) — the zero-custom-code counterpart
+    * of [[dedupStream]]: state for a key is dropped once the watermark
+    * passes its event time, so memory is bounded by the delay window
+    * instead of a TTL knob. The contract is exact dedup WITHIN the
+    * watermark window and at-least-once beyond it (a key recurring after
+    * its state expired is re-emitted) — the standard trade for unbounded
+    * streams; exact global dedup stays a batch job
+    * ([[graft.operators.TextOps.dedupExact]]).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming point-in-time (as-of) enrichment — the streaming twin of
     * [[graft.operators.TemporalJoins.asof]]: each probe event is joined
     * to the latest build-side row with `build.ts <= probe.ts` for its

@@ -9,6 +9,7 @@ import graft.SparkSpecBase
 import graft.sinks.ParquetIndex
 
 case class Ev(ts: Timestamp, event_type: String)
+case class DEv(event_id: String, ts: Timestamp)
 case class UEv(ts: Timestamp, user_id: String)
 case class Entry(key: String, size: Long, mtime: Timestamp)
 
@@ -97,6 +98,35 @@ class EventsStreamSpec extends SparkSpecBase {
       val got = spark.table("dedup").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(got == Set(("k1", "first"), ("k2", "x"), ("k3", "y")))
+    } finally q.stop()
+  }
+
+  test("watermark-bounded dedup: exact inside the window, state expires") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[DEv]
+    val q = EventsStream.dedupWithinWatermark(ms.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").start()
+    try {
+      // same-batch and cross-batch duplicates inside the window drop
+      ms.addData(DEv("a", ts("2024-01-01 00:00:00")),
+        DEv("a", ts("2024-01-01 00:01:00")),
+        DEv("b", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      ms.addData(DEv("a", ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      assert(spark.table("wmdedup").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+      // push the watermark (2h delay) far past 'a''s state, then the key
+      // recurs with a fresh event time: state expired -> re-emitted.
+      // That bounded-state/at-least-once trade IS the contract.
+      ms.addData(DEv("z", ts("2024-01-01 08:00:00")))
+      q.processAllAvailable()
+      ms.addData(DEv("a", ts("2024-01-01 08:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("wmdedup").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("a", "a", "b", "z"))
     } finally q.stop()
   }
 
