@@ -451,6 +451,45 @@ object EventsOps {
       |  UNION ALL SELECT '3_purchase', count(*) FROM p)
       |ORDER BY stage""".stripMargin
 
+  /** Cohort retention matrix: users grouped by the date of their first
+    * event (the cohort), counted as active on each later day they
+    * appear, reported as (cohort_day, day_offset, active_users) for the
+    * first week of each cohort's life — the standard engagement matrix
+    * every event warehouse computes.
+    *
+    * Shape: first-event dates are one map-side-combinable min per user;
+    * the activity join is a same-key hash join on user_id against
+    * per-(user, day) distinct activity; the matrix agg shuffles skinny
+    * (cohort, offset) partials. All-integer output, dates as formatted
+    * strings (µs-vs-ns dtype parity).
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min("d").as("c_day"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("c_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("c_day"), col("day_offset"))
+      .agg(countDistinct("user_id").as("active_users"))
+      .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |            FROM events),
+      |c AS (SELECT user_id, min(d) AS c_day FROM ev GROUP BY user_id)
+      |SELECT strftime(c_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', c_day, d) AS INT) AS day_offset,
+      |  count(DISTINCT user_id) AS active_users
+      |FROM ev JOIN c USING (user_id)
+      |WHERE date_diff('day', c_day, d) <= 7
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -464,7 +503,8 @@ object EventsOps {
     "events_zorder_tiles" -> zorderTiles,
     "events_rolling_window" -> rollingWindow,
     "events_type_pivot" -> typePivot,
-    "events_funnel" -> funnel)
+    "events_funnel" -> funnel,
+    "events_retention" -> retention)
 
   def oracleSql: Map[String, String] = Map(
     "events_approx_stats" -> approxStatsSql,
@@ -479,5 +519,6 @@ object EventsOps {
     "events_zorder_tiles" -> zorderTilesSql,
     "events_rolling_window" -> rollingWindowSql,
     "events_type_pivot" -> typePivotSql,
-    "events_funnel" -> funnelSql)
+    "events_funnel" -> funnelSql,
+    "events_retention" -> retentionSql)
 }

@@ -986,6 +986,68 @@ object TextOps {
        |  round(CAST(n_tri - seen_tri AS DOUBLE) / n_tri, 4) AS oov_ratio
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // MinHash-LSH recall audit — "measure, don't guess" for the banded     //
+  // pipeline: ground-truth near-neighbors are computed exactly for a     //
+  // deterministic hash-sample of audit docs (each sampled doc against    //
+  // the WHOLE corpus), then compared with what the banded+verified LSH   //
+  // surfaced. This is the audit a production LSH dedup ships with: the   //
+  // quadratic term is bounded to |sample| × corpus (at 100 TB the        //
+  // sample rate shrinks, the audit stays O(corpus)), while the LSH       //
+  // side is the production path itself.                                  //
+  // -------------------------------------------------------------------- //
+
+  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sh, rawPairs) = minhashPairs(spark, sfDir)
+    // deterministic 40% audit sample; truth = exact-Jaccard neighbors of
+    // sampled docs across the whole corpus (unordered pairs, a < b)
+    val sample = sh.filter(col("doc_id") % 5 < 2)
+      .select(col("doc_id").as("s_id"), col("sh").as("s_sh"))
+    val truth = sample.crossJoin(
+        sh.select(col("doc_id").as("d_id"), col("sh").as("d_sh")))
+      .filter(col("s_id") =!= col("d_id"))
+      .withColumn("jac", round(
+        expr("size(array_intersect(s_sh, d_sh))").cast("double") /
+          expr("size(array_union(s_sh, d_sh))"), 4))
+      .filter(col("jac") >= 0.3)
+      .select(least(col("s_id"), col("d_id")).as("a_id"),
+        greatest(col("s_id"), col("d_id")).as("b_id"))
+      .distinct()
+    val lsh = rawPairs.select("a_id", "b_id")
+    val hit = truth.join(lsh, Seq("a_id", "b_id"), "left_semi")
+    val out = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_true"), col("n_hit"), col("n_lsh"),
+        when(col("n_true") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") / col("n_true"), 4))
+          .as("recall"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  val minhashRecallSql: String =
+    s"""WITH $minhashCtes,
+       |lsh AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
+       |smp AS (SELECT doc_id AS s_id, s AS s_sh FROM sh WHERE doc_id % 5 < 2),
+       |truth AS (
+       |  SELECT DISTINCT least(s_id, d.doc_id) AS a_id,
+       |    greatest(s_id, d.doc_id) AS b_id
+       |  FROM smp, sh d
+       |  WHERE s_id <> d.doc_id
+       |    AND round(CAST(len(list_intersect(s_sh, d.s)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(s_sh, d.s))), 4) >= 0.3),
+       |hit AS (SELECT * FROM truth WHERE EXISTS (
+       |  SELECT 1 FROM lsh WHERE lsh.a_id = truth.a_id
+       |    AND lsh.b_id = truth.b_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  (SELECT count(*) FROM lsh) AS n_lsh,
+       |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+       |    ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+       |           / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate" -> decontaminate,
     "docs_pii_scrub" -> piiScrub,
@@ -1009,7 +1071,8 @@ object TextOps {
     "docs_stratified_sample" -> stratifiedSample,
     "docs_source_mixing" -> sourceMixing,
     "docs_dup_spans" -> dupSpans,
-    "docs_lm_familiarity" -> lmFamiliarity)
+    "docs_lm_familiarity" -> lmFamiliarity,
+    "docs_minhash_recall" -> minhashRecall)
 
   def oracleSql: Map[String, String] = Map(
     "docs_decontaminate" -> decontaminateSql,
@@ -1034,5 +1097,6 @@ object TextOps {
     "docs_stratified_sample" -> stratifiedSampleSql,
     "docs_source_mixing" -> sourceMixingSql,
     "docs_dup_spans" -> dupSpansSql,
-    "docs_lm_familiarity" -> lmFamiliaritySql)
+    "docs_lm_familiarity" -> lmFamiliaritySql,
+    "docs_minhash_recall" -> minhashRecallSql)
 }

@@ -63,4 +63,20 @@ class EventsOpsSpec extends SparkSpecBase {
     assert(v >= c && c >= p, s"funnel widened: $v -> $c -> $p")
     assert(p > 0, "sf0.01 has full conversions")
   }
+
+  test("retention: day-0 is each cohort's peak and offsets stay in-week") {
+    val rows = EventsOps.retention(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n) =>
+      assert(off >= 0 && off <= 7 && n > 0)
+    }
+    rows.groupBy(_._1).foreach { case (day, cohort) =>
+      val byOff = cohort.map(c => c._2 -> c._3).toMap
+      byOff.get(0).foreach { day0 =>
+        assert(byOff.values.forall(_ <= day0),
+          s"cohort $day retains more users than it started with")
+      }
+    }
+  }
 }

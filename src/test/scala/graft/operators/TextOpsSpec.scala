@@ -148,4 +148,16 @@ class TextOpsSpec extends SparkSpecBase {
       assert(r.getDouble(5) >= 1.0, s"en doc ${r.getLong(0)} familiarity")
     }
   }
+
+  test("LSH recall audit: hits bounded by truth, high recall on corpus") {
+    val Array(r) = TextOps.minhashRecall(spark, sf).collect()
+    val (nTrue, nHit, nLsh, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nTrue > 0, "audit sample found no true near-dups — not probing")
+    assert(nHit <= nTrue && recall >= 0.0 && recall <= 1.0)
+    // 4x3 banding at jac>=0.3 has >=79% expected candidate recall;
+    // the synthetic dups are near-identical prefixes, so in practice
+    // the verified pipeline catches essentially all of them
+    assert(recall >= 0.75, s"LSH recall degraded: $recall")
+  }
 }
