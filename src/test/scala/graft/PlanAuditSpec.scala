@@ -176,6 +176,54 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("lm familiarity: the trigram model broadcasts to the corpus scan") {
+    val p = finalPlan(SparkEntry.queries("docs_lm_familiarity")(spark, sf))
+    // at 100 TB the corpus NEVER shuffles to meet the (bounded) model
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("funnel: every hash exchange rides the user_id partitioning") {
+    val p = finalPlan(SparkEntry.queries("events_funnel")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.forall(_ == "user_id"), s"exchanges on: $hashEx\n$p")
+  }
+
+  test("source mixing: both windows and the agg share the source shuffle") {
+    val p = finalPlan(SparkEntry.queries("docs_source_mixing")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_ == "source"),
+      s"exchanges on: $hashEx\n$p")
+  }
+
+  test("dup spans: pure heavy-hitter plan — no join operator at all") {
+    val p = finalPlan(SparkEntry.queries("docs_dup_spans")(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("semdedup: bounded centroid broadcast; pairs meet via hash join") {
+    val p = finalPlan(SparkEntry.queries("ann_semdedup")(spark, sf))
+    // the 8-row centroid product is the deliberate bounded broadcast
+    // (same as IVF); the quadratic pair term must be an equi-join on the
+    // cell key, never a global product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("retention: hash joins only, matrix agg combines map-side") {
+    val p = finalPlan(SparkEntry.queries("events_retention")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle dim join") {
     // At 100 TB a fact-join-filtered-dim is a SHUFFLE join, and Spark's
     // runtime filtering injects a bloom filter from the dim side into
