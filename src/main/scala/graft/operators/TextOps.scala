@@ -248,9 +248,16 @@ object TextOps {
     * (both sides narrow: the value and 12 12-char prefixes).
     */
   private def minhashPairs(
-      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    minhashPairsOn(Tables(spark, sfDir, "documents"))
+
+  /** Same pipeline over an arbitrary corpus frame (must carry doc_id and
+    * text) — lets composed flows (the curation pipeline) run near-dup
+    * detection over an already-filtered survivor set.
+    */
+  private def minhashPairsOn(docs: DataFrame): (DataFrame, DataFrame) = {
     val nSeeds = 12
-    val sh = Tables(spark, sfDir, "documents")
+    val sh = docs
       .select(col("doc_id"), expr(shingles).as("sh"))
       .cache()
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("v"))
@@ -300,10 +307,12 @@ object TextOps {
   }
 
   /** Shared CTE body of the MinHash pipeline (used by the pair query and
-    * the clustering oracle).
+    * the clustering oracle), parameterized by the corpus relation so
+    * composed oracles (the curation pipeline) can run it over a filtered
+    * survivor CTE.
     */
-  private val minhashCtes: String =
-    s"""sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+  private def minhashCtesFrom(table: String): String =
+    s"""sh AS (SELECT doc_id, $duckShingles AS s FROM $table),
        |sigs AS (
        |  SELECT doc_id, s,
        |    list_transform(generate_series(0, 11),
@@ -328,7 +337,7 @@ object TextOps {
        |  JOIN sh y ON y.doc_id = b_id)""".stripMargin
 
   val minhashNearDupSql: String =
-    s"""WITH $minhashCtes
+    s"""WITH ${minhashCtesFrom("documents")}
        |SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
 
@@ -340,9 +349,11 @@ object TextOps {
   // rounds ≤ graph diameter). Oracle: recursive-CTE transitive closure. //
   // -------------------------------------------------------------------- //
 
-  def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val (sh, rawPairs) = minhashPairs(spark, sfDir)
-    val pairs = rawPairs.select("a_id", "b_id")
+  /** Connected components over an undirected pair list via min-label
+    * propagation to fixpoint. Returns (node, label) for every node that
+    * appears in a pair; label = the component's minimum node id.
+    */
+  private def components(pairs: DataFrame): DataFrame = {
     // eager localCheckpoint: every fixpoint round's plan embeds `edges`,
     // so a cache would drag the ENTIRE minhash-pipeline logical plan
     // through analysis once per round — checkpointing pins just the rows
@@ -381,6 +392,12 @@ object TextOps {
       changed = merged.filter(col("newLabel") =!= col("label")).count()
       labels = merged.select(col("node"), col("newLabel").as("label"))
     }
+    labels
+  }
+
+  def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sh, rawPairs) = minhashPairs(spark, sfDir)
+    val labels = components(rawPairs.select("a_id", "b_id"))
     val out = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
         (col("node") === col("label")).as("keep"))
@@ -392,7 +409,7 @@ object TextOps {
 
   /** Recursive transitive closure over the same pair pipeline. */
   val neardupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE ${minhashCtesFrom("documents")},
        |npairs AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
        |edges AS (
        |  SELECT a_id AS s, b_id AS d FROM npairs
@@ -1039,7 +1056,7 @@ object TextOps {
   }
 
   val minhashRecallSql: String =
-    s"""WITH $minhashCtes,
+    s"""WITH ${minhashCtesFrom("documents")},
        |lsh AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
        |smp AS (SELECT doc_id AS s_id, s AS s_sh FROM sh WHERE doc_id % 10 = 0),
        |truth AS (
@@ -1060,6 +1077,127 @@ object TextOps {
        |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
        |    ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
        |           / (SELECT count(*) FROM truth), 4) END AS recall""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // END-TO-END CURATION PIPELINE: the composed flow a training-data team //
+  // actually runs, assembled from the individually-verified stages —     //
+  // exact dedup → MinHash near-dup drop → quality filter → repetition    //
+  // filter → benchmark decontamination — with a per-stage audit row      //
+  // (docs and tokens remaining) as the output contract. The oracle       //
+  // re-derives every stage in one composed SQL statement, so the GATE    //
+  // checks the whole pipeline's survivor arithmetic, not just each       //
+  // stage in isolation.                                                  //
+  //                                                                      //
+  // Scale: nothing new — each stage keeps its own audited shape (digest  //
+  // groupBy / banded LSH + label propagation / per-row filters /        //
+  // broadcast semi-join); survivor sets pass between stages as          //
+  // checkpointed id-joined frames, the same anti/semi-join pattern the   //
+  // fs pipeline's deletion path uses.                                    //
+  // -------------------------------------------------------------------- //
+
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr(s"size($toks)").as("n_tokens"))
+    // 1: exact dedup — keep the min doc_id of each first-8-token group
+    val keep1 = raw
+      .groupBy(sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256)
+        .as("th"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val s1 = raw.join(keep1, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    // 2: near-dup — drop every non-representative cluster member
+    val (sh2, pairs2) = minhashPairsOn(s1)
+    val drops2 = components(pairs2.select("a_id", "b_id"))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    val s2 = s1.join(drops2, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    sh2.unpersist()
+    // 3: quality — same rounded score as qualityScore, keep >= 0.2
+    val s3 = s2.filter(
+      round(lit(0.5) *
+          (expr(s"size(filter($toks, t -> t IN ($stopList)))").cast("double") /
+            col("n_tokens")) +
+        lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0),
+        4) >= 0.2)
+    // 4: repetition — drop the repetitious flag's crossers (same
+    // unrounded predicate as repetitionFilter)
+    val s4 = s3.filter(!(lit(1.0) -
+      expr(s"size(${kgrams(2)})").cast("double") /
+        (col("n_tokens").cast("double") - 1) > 0.5))
+    // 5: decontamination — the benchmark carve comes from the RAW corpus
+    // (the eval set is fixed, not subject to upstream filtering); drop
+    // eval docs themselves and every survivor sharing a 4-gram with them
+    val evalG = raw.filter(col("doc_id") % 101 === 0)
+      .select(explode(expr(kgrams(4))).as("g")).distinct()
+    val cont = s4.select(col("doc_id"), explode(expr(kgrams(4))).as("g"))
+      .join(broadcast(evalG), Seq("g"))
+      .select("doc_id").distinct()
+    val s5 = s4.filter(col("doc_id") % 101 =!= 0)
+      .join(cont, Seq("doc_id"), "left_anti")
+    def audit(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+        .select(lit(stage).as("stage"), col("docs"), col("tokens"))
+    audit(raw, "0_raw")
+      .unionAll(audit(s1, "1_exact"))
+      .unionAll(audit(s2, "2_neardup"))
+      .unionAll(audit(s3, "3_quality"))
+      .unionAll(audit(s4, "4_repetition"))
+      .unionAll(audit(s5, "5_decontam"))
+      .orderBy("stage")
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH RECURSIVE
+       |raw AS (SELECT doc_id, text, len($duckToks) AS n_tokens
+       |        FROM documents),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM raw
+       |          GROUP BY sha256(array_to_string(($duckToks)[1:8], ' '))),
+       |s1 AS (SELECT raw.* FROM raw JOIN keep1 USING (doc_id)),
+       |${minhashCtesFrom("s1")},
+       |npairs AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
+       |edges AS (
+       |  SELECT a_id AS s, b_id AS d FROM npairs
+       |  UNION ALL SELECT b_id, a_id FROM npairs),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, label) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+       |drop2 AS (SELECT node AS doc_id FROM reach
+       |          GROUP BY node HAVING node <> min(label)),
+       |s2 AS (SELECT s1.* FROM s1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+       |s3 AS (SELECT * FROM s2 WHERE
+       |  round(0.5 * (CAST(len(list_filter($duckToks,
+       |          t -> t IN ($stopList))) AS DOUBLE) / n_tokens)
+       |    + 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 4) >= 0.2),
+       |s4 AS (SELECT * FROM s3 WHERE NOT
+       |  (1.0 - CAST(len(${duckKgrams(2)}) AS DOUBLE)
+       |     / (CAST(n_tokens AS DOUBLE) - 1) > 0.5)),
+       |evalg AS (SELECT DISTINCT unnest(${duckKgrams(4)}) AS g
+       |          FROM raw WHERE doc_id % 101 = 0),
+       |cont AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_id, unnest(${duckKgrams(4)}) AS g FROM s4)
+       |  WHERE g IN (SELECT g FROM evalg)),
+       |s5 AS (SELECT * FROM s4 WHERE doc_id % 101 <> 0
+       |       AND doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT stage, docs, tokens FROM (
+       |  SELECT '0_raw' AS stage, count(*) AS docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens FROM raw
+       |  UNION ALL SELECT '1_exact', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM s1
+       |  UNION ALL SELECT '2_neardup', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM s2
+       |  UNION ALL SELECT '3_quality', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM s3
+       |  UNION ALL SELECT '4_repetition', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM s4
+       |  UNION ALL SELECT '5_decontam', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM s5)
+       |ORDER BY stage""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate" -> decontaminate,
@@ -1085,7 +1223,8 @@ object TextOps {
     "docs_source_mixing" -> sourceMixing,
     "docs_dup_spans" -> dupSpans,
     "docs_lm_familiarity" -> lmFamiliarity,
-    "docs_minhash_recall" -> minhashRecall)
+    "docs_minhash_recall" -> minhashRecall,
+    "docs_curation_pipeline" -> curationPipeline)
 
   def oracleSql: Map[String, String] = Map(
     "docs_decontaminate" -> decontaminateSql,
@@ -1111,5 +1250,6 @@ object TextOps {
     "docs_source_mixing" -> sourceMixingSql,
     "docs_dup_spans" -> dupSpansSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
-    "docs_minhash_recall" -> minhashRecallSql)
+    "docs_minhash_recall" -> minhashRecallSql,
+    "docs_curation_pipeline" -> curationPipelineSql)
 }

@@ -160,4 +160,18 @@ class TextOpsSpec extends SparkSpecBase {
     // the verified pipeline catches essentially all of them
     assert(recall >= 0.75, s"LSH recall degraded: $recall")
   }
+
+  test("curation pipeline: stages shrink monotonically and really filter") {
+    val rows = TextOps.curationPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("0_raw", "1_exact", "2_neardup",
+      "3_quality", "4_repetition", "5_decontam"))
+    rows.sliding(2).foreach { case Array((sa, da, ta), (sb, db, tb)) =>
+      assert(db <= da && tb <= ta, s"$sb grew vs $sa")
+    }
+    assert(rows.head._2 == 500)
+    // the pipeline must actually curate, not pass everything through
+    assert(rows.last._2 < rows.head._2 * 9 / 10,
+      s"final corpus ${rows.last._2} barely filtered from ${rows.head._2}")
+  }
 }
