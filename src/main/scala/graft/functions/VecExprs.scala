@@ -60,15 +60,14 @@ abstract class VecFoldBase extends BinaryExpression {
             s"got (${l.sql}, ${r.sql})")
     }
 
-  private def leftElem: DataType =
+  // hoisted once per expression instance — the interpreted fallback's
+  // fold loop must not re-resolve the element type per element
+  @transient private lazy val leftElem: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
-  private def rightElem: DataType =
+  @transient private lazy val rightElem: DataType =
     right.dataType.asInstanceOf[ArrayType].elementType
-
-  private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType => arr.getFloat(i).toDouble
-    case _ => arr.getDouble(i)
-  }
+  @transient private lazy val leftIsFloat: Boolean = leftElem == FloatType
+  @transient private lazy val rightIsFloat: Boolean = rightElem == FloatType
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
@@ -79,11 +78,15 @@ abstract class VecFoldBase extends BinaryExpression {
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
+    val lf = leftIsFloat
+    val rf = rightIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc = step(acc, get(a, i, leftElem), get(b, i, rightElem))
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc = step(acc, x, y)
       i += 1
     }
     acc

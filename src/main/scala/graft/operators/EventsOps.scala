@@ -317,7 +317,11 @@ object EventsOps {
     graft.functions.GraftFunctions.register(spark)
     Tables(spark, sfDir, "events")
       .select(col("user_id").cast("int").as("u"),
-        floor(col("value")).cast("int").as("v"))
+        // clamp to >= 0 in BOTH engines: zorder2 spreads all 32 bits but
+        // the unrolled SQL mirror encodes bits 0-30 only, so a negative
+        // coordinate would silently diverge engine vs oracle — the clamp
+        // makes the domain contract explicit instead of data-dependent
+        greatest(floor(col("value")).cast("int"), lit(0)).as("v"))
       .withColumn("z", expr("zorder2(u, v)"))
       .withColumn("tile", shiftright(col("z"), 8))
       .groupBy("tile")
@@ -331,7 +335,7 @@ object EventsOps {
     val z = graft.functions.ZOrder.unrolledSql("u", "v")
     s"""WITH p AS (
        |  SELECT CAST(user_id AS INTEGER) AS u,
-       |         CAST(floor(value) AS INTEGER) AS v
+       |         greatest(CAST(floor(value) AS INTEGER), 0) AS v
        |  FROM events),
        |z AS (SELECT u, v, $z AS z FROM p)
        |SELECT z >> 8 AS tile, count(*) AS n,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -127,6 +127,21 @@ object TextOps {
 
   private val stopList = "'the','a','of','to','and','in','is','on','for','with'"
 
+  /** The single rounded quality formula — shared verbatim by the
+    * standalone query AND the curation pipeline's stage 3, so the two
+    * can't drift. Inputs are column names for stopword-hit and token
+    * counts.
+    */
+  private def qualityCol(nStop: Column, nTokens: Column): Column =
+    round(lit(0.5) * (nStop.cast("double") / nTokens) +
+      lit(0.5) * least(lit(1.0), nTokens.cast("double") / 100.0), 4)
+
+  /** The unrounded repetition flag — shared by repetitionFilter and the
+    * curation pipeline's stage 4.
+    */
+  private def repetitiousCol(d2: Column, tw: Column): Column =
+    lit(1.0) - d2.cast("double") / (tw.cast("double") - 1) > 0.5
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(
@@ -135,9 +150,7 @@ object TextOps {
         expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"))
       .withColumn("stop_ratio",
         round(col("n_stop").cast("double") / col("n_tokens"), 4))
-      .withColumn("quality",
-        round(lit(0.5) * (col("n_stop").cast("double") / col("n_tokens")) +
-          lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 4))
+      .withColumn("quality", qualityCol(col("n_stop"), col("n_tokens")))
       .orderBy("doc_id")
 
   val qualityScoreSql: String =
@@ -712,7 +725,7 @@ object TextOps {
         round(lit(1.0) - col("dw") / col("tw"), 4).as("dup_word_frac"),
         round(lit(1.0) - col("d2") / (col("tw") - 1), 4)
           .as("dup_bigram_frac"),
-        (lit(1.0) - col("d2") / (col("tw") - 1) > 0.5).as("repetitious"))
+        repetitiousCol(col("d2"), col("tw")).as("repetitious"))
       .orderBy("doc_id")
 
   val repetitionFilterSql: String =
@@ -1016,7 +1029,7 @@ object TextOps {
 
   def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val (sh, rawPairs) = minhashPairs(spark, sfDir)
-    // deterministic 40% audit sample; truth = exact-Jaccard neighbors of
+    // deterministic 10% audit sample; truth = exact-Jaccard neighbors of
     // sampled docs across the whole corpus (unordered pairs, a < b)
     // repartition the sample leg: the cached corpus frame is often ONE
     // partition (single-row-group parquet), and a cartesian's task count
@@ -1115,18 +1128,18 @@ object TextOps {
     val s2 = s1.join(drops2, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     sh2.unpersist()
-    // 3: quality — same rounded score as qualityScore, keep >= 0.2
-    val s3 = s2.filter(
-      round(lit(0.5) *
-          (expr(s"size(filter($toks, t -> t IN ($stopList)))").cast("double") /
-            col("n_tokens")) +
-        lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0),
-        4) >= 0.2)
-    // 4: repetition — drop the repetitious flag's crossers (same
-    // unrounded predicate as repetitionFilter)
-    val s4 = s3.filter(!(lit(1.0) -
-      expr(s"size(${kgrams(2)})").cast("double") /
-        (col("n_tokens").cast("double") - 1) > 0.5))
+    // 3: quality — THE qualityScore formula (shared Column builder, so
+    // the standalone gate and this stage can't drift), keep >= 0.2.
+    // Checkpointed: the audit union + three downstream stages would
+    // otherwise re-run the stopword HOF over the survivors per leg.
+    val s3 = s2.filter(qualityCol(
+        expr(s"size(filter($toks, t -> t IN ($stopList)))"),
+        col("n_tokens")) >= 0.2)
+      .localCheckpoint(true)
+    // 4: repetition — THE repetitionFilter flag (shared builder)
+    val s4 = s3.filter(!repetitiousCol(
+        expr(s"size(${kgrams(2)})"), col("n_tokens")))
+      .localCheckpoint(true)
     // 5: decontamination — the benchmark carve comes from the RAW corpus
     // (the eval set is fixed, not subject to upstream filtering); drop
     // eval docs themselves and every survivor sharing a 4-gram with them

@@ -108,6 +108,14 @@ final class ParquetIndex(root: String, keep: Int = 2,
     * publish, downstream sync) reads instead of re-scanning the full
     * index: one full-outer key join — a single co-partitioned shuffle,
     * no driver-side state, same plan shape at any index size.
+    *
+    * PRECONDITION: `keyCol` must be unique per snapshot — the store's
+    * own invariant (every write path goes through the J1/J2 merge,
+    * which window-dedups on the key). A snapshot written with duplicate
+    * keys would fan out m×n joined rows per key, each classified
+    * independently. Null keys are excluded on both sides (a null never
+    * joins to itself in a full-outer join, so an unchanged null-key row
+    * would surface as a phantom added+removed pair).
     */
   def changeFeed(spark: SparkSession, fromId: String, toId: String,
       keyCol: String): Option[DataFrame] =
@@ -121,9 +129,9 @@ final class ParquetIndex(root: String, keep: Int = 2,
         val cols = cur.columns.toSeq.filter(prev.columns.contains)
         require(cols.contains(keyCol),
           s"changeFeed: key '$keyCol' missing from one snapshot")
-        val p = prev.select(col(keyCol),
+        val p = prev.filter(col(keyCol).isNotNull).select(col(keyCol),
           struct(cols.filterNot(_ == keyCol).map(col): _*).as("_old"))
-        val c = cur.select(col(keyCol),
+        val c = cur.filter(col(keyCol).isNotNull).select(col(keyCol),
           struct(cols.filterNot(_ == keyCol).map(col): _*).as("_new"))
         val joined = c.join(p, Seq(keyCol), "full_outer")
         val changed = joined.withColumn("change_type",
