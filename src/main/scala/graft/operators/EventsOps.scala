@@ -494,6 +494,52 @@ object EventsOps {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Z-score anomaly detection per event type: values more than 3
+    * population standard deviations from their type's mean. Moments are
+    * computed from DECIMAL sums (order-independent exact arithmetic —
+    * a double sum over a shuffled explode would flap the last ulp across
+    * partition orders), then ONE double division/sqrt sequence per row,
+    * identical in both engines; z is rounded before the threshold so the
+    * cut can't hinge on an ulp.
+    *
+    * Scale: one map-side-combinable agg to a K-row moment table,
+    * broadcast back over the stream — the fact table never shuffles.
+    */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .withColumn("dv", col("value").cast("decimal(12,2)"))
+    val m = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("dv").as("s"),
+      sum(col("dv") * col("dv")).as("s2"))
+    ev.join(broadcast(m), Seq("event_type"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+      .withColumn("z",
+        round((col("dv").cast("double") - col("mean")) /
+          sqrt(col("variance")), 4))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"),
+        col("dv").cast("double").as("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  val anomalySql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |             CAST(value AS DECIMAL(12,2)) AS dv FROM events),
+      |m AS (SELECT event_type, count(*) AS n, sum(dv) AS s,
+      |        sum(dv * dv) AS s2
+      |      FROM e GROUP BY event_type),
+      |z AS (SELECT event_id, event_type, dv,
+      |        round((CAST(dv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |          / sqrt(CAST(s2 AS DOUBLE) / n
+      |             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+      |          4) AS z
+      |      FROM e JOIN m USING (event_type))
+      |SELECT event_id, event_type, CAST(dv AS DOUBLE) AS value, z
+      |FROM z WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -508,7 +554,8 @@ object EventsOps {
     "events_rolling_window" -> rollingWindow,
     "events_type_pivot" -> typePivot,
     "events_funnel" -> funnel,
-    "events_retention" -> retention)
+    "events_retention" -> retention,
+    "events_anomaly" -> anomaly)
 
   def oracleSql: Map[String, String] = Map(
     "events_approx_stats" -> approxStatsSql,
@@ -524,5 +571,6 @@ object EventsOps {
     "events_rolling_window" -> rollingWindowSql,
     "events_type_pivot" -> typePivotSql,
     "events_funnel" -> funnelSql,
-    "events_retention" -> retentionSql)
+    "events_retention" -> retentionSql,
+    "events_anomaly" -> anomalySql)
 }

@@ -64,6 +64,16 @@ class EventsOpsSpec extends SparkSpecBase {
     assert(p > 0, "sf0.01 has full conversions")
   }
 
+  test("anomaly: flagged rows really sit 3 sigma out") {
+    val rows = EventsOps.anomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) >= 3.0, s"$r"))
+    // the fixture's value distribution is right-skewed (heavy upper
+    // tail, bounded at 0 below) — every 3-sigma outlier is positive;
+    // a negative z here would mean the moments drifted
+    assert(rows.map(_.getDouble(3)).forall(_ > 0))
+  }
+
   test("retention: day-0 is each cohort's peak and offsets stay in-week") {
     val rows = EventsOps.retention(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
