@@ -377,13 +377,87 @@ object VectorOps {
        |  count(*) AS n_matches
        |FROM pairs GROUP BY removed_id, c_id ORDER BY removed_id""".stripMargin
 
+  /** One k-means (Lloyd) update step over the IVF cells: assign every
+    * vector to its nearest seed centroid (the same deterministic
+    * assignment [[topkIvf]]/[[semDedup]] use), then emit each cell's new
+    * per-dimension centroid — the training step that turns the
+    * training-free coarse quantizer into a trained one.
+    *
+    * Determinism trick: per-dimension means accumulate FIXED-POINT
+    * integers (`floor(x·10⁶)` as BIGINT — float→double widening, one
+    * double multiply and floor, identical in both engines), because a
+    * distributed double sum is partition-order dependent — and the
+    * OUTPUT stays in micro-units (floored integer mean): a final
+    * `round(s/n/10⁶, 6)` was measured to flip one cell·dim in 512 on a
+    * round-half tie (DuckDB rounds `x·10⁶` after an inexact multiply,
+    * Spark rounds the exact decimal expansion of the double). floor
+    * division has no tie. Same order-independence rule as the DECIMAL
+    * money sums, applied to vector math.
+    *
+    * Scale: assignment is the broadcast-centroid map-side pass;
+    * the update is a (cell, dim)-keyed integer agg — map-side
+    * combinable, K·d output rows, no driver state. Iterating = calling
+    * this step again with the emitted centroids.
+    */
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        round(dist2("embedding", "ce"), 4).as("d2"))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select("vec_id", "c_id")
+    emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("xq"))
+      .join(assigned, Seq("vec_id"))
+      .groupBy("c_id", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s"))
+      .select(col("c_id"), col("dim"), col("n"),
+        floor(col("s").cast("double") / col("n")).cast("long")
+          .as("centroid_micro"))
+      .orderBy("c_id", "dim")
+  }
+
+  val kmeansStepSql: String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |asg AS (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckDist2("e.embedding", "c.ce")}, 4), c.c_id)
+       |      AS rk
+       |  FROM embeddings e, c),
+       |cells AS (SELECT vec_id, c_id FROM asg WHERE rk = 1),
+       |x AS (
+       |  SELECT e.vec_id, t.i AS dim,
+       |    CAST(floor(e.embedding[t.i]::DOUBLE * 1000000.0) AS BIGINT) AS xq
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i))
+       |SELECT cells.c_id, x.dim, count(*) AS n,
+       |  CAST(floor(CAST(sum(x.xq) AS DOUBLE) / count(*)) AS BIGINT)
+       |    AS centroid_micro
+       |FROM x JOIN cells USING (vec_id)
+       |GROUP BY cells.c_id, x.dim
+       |ORDER BY c_id, dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
     "ann_cosine_neardup" -> cosineNearDup,
     "ann_scalar_quant" -> scalarQuant,
-    "ann_semdedup" -> semDedup)
+    "ann_semdedup" -> semDedup,
+    "ann_kmeans_step" -> kmeansStep)
 
   def oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
@@ -391,5 +465,6 @@ object VectorOps {
     "ann_topk_ivf" -> topkIvfSql,
     "ann_cosine_neardup" -> cosineNearDupSql,
     "ann_scalar_quant" -> scalarQuantSql,
-    "ann_semdedup" -> semDedupSql)
+    "ann_semdedup" -> semDedupSql,
+    "ann_kmeans_step" -> kmeansStepSql)
 }

@@ -32,6 +32,22 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("kmeans step: full K x d grid, members conserved, means in hull") {
+    val rows = VectorOps.kmeansStep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 8 * 64, s"${rows.length} cells x dims")
+    // every cell has the same member count across dims, and the counts
+    // sum to the corpus size
+    val byCell = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct)
+    byCell.foreach { case (c, ns) => assert(ns.length == 1, s"cell $c") }
+    assert(byCell.values.map(_.head).sum == 500)
+    // a mean in micro-units stays inside the member hull; embeddings
+    // are small floats, so |centroid| must stay well under 10 units
+    rows.foreach { case (_, _, _, micro) =>
+      assert(math.abs(micro) < 10L * 1000000L, s"centroid $micro")
+    }
+  }
+
   test("semdedup: removals point at a smaller same-cluster keeper") {
     val rows = VectorOps.semDedup(spark, sf).collect()
     assert(rows.nonEmpty)
