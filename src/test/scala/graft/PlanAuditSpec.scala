@@ -224,6 +224,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("anomaly: moment table broadcasts back; fact side never shuffles for the join") {
+    val p = finalPlan(SparkEntry.queries("events_anomaly")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the K-row moment aggregation partial-aggregates map-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("kmeans step: integer partial sums; assignment joins by hash") {
+    val p = finalPlan(SparkEntry.queries("ann_kmeans_step")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle dim join") {
     // At 100 TB a fact-join-filtered-dim is a SHUFFLE join, and Spark's
     // runtime filtering injects a bloom filter from the dim side into
