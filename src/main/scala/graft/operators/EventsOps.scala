@@ -540,6 +540,45 @@ object EventsOps {
       |SELECT event_id, event_type, CAST(dv AS DOUBLE) AS value, z
       |FROM z WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin
 
+  /** Frequent-items sketch (approx_top_k — Spark 4.1's heavy-hitter
+    * aggregate): the third member of the sketch family next to
+    * approx_percentile and HLL in [[approxStats]], gated the same way —
+    * the sketch's top-10 COUNT SEQUENCE (sorted desc; tie-stable as a
+    * multiset even when tied users at the boundary differ) is compared
+    * with the exact top-10 counts and emitted as per-rank booleans the
+    * DuckDB oracle asserts. At gate scale `maxItemsTracked` exceeds the
+    * distinct-user count so the sketch is in its exact regime (same
+    * honesty note as the other sketch gates: the 100 TB value is the
+    * bounded-memory regime; the gate pins the arithmetic).
+    */
+  def freqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sfDir, "events")
+    val byEst = Window.orderBy(col("est").desc)
+    val est = ev.agg(expr("approx_top_k(user_id, 10, 100000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.count").cast("long").as("est"))
+      .withColumn("rk", row_number().over(byEst))
+    val byN = Window.orderBy(col("exact_n").desc)
+    val exact = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("exact_n")).drop("user_id")
+      .withColumn("rk", row_number().over(byN))
+      .filter(col("rk") <= 10)
+    est.join(exact, Seq("rk"))
+      .select(col("rk"), col("est").as("est_count"),
+        col("exact_n").as("exact_count"),
+        (col("est") === col("exact_n")).as("ok"))
+      .orderBy("rk")
+  }
+
+  val freqTopkSql: String =
+    """WITH x AS (SELECT count(*) AS n FROM events GROUP BY user_id),
+      |r AS (SELECT CAST(n AS BIGINT) AS n,
+      |        row_number() OVER (ORDER BY n DESC) AS rk FROM x)
+      |SELECT CAST(rk AS INT) AS rk, n AS est_count, n AS exact_count,
+      |  true AS ok
+      |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -555,7 +594,8 @@ object EventsOps {
     "events_type_pivot" -> typePivot,
     "events_funnel" -> funnel,
     "events_retention" -> retention,
-    "events_anomaly" -> anomaly)
+    "events_anomaly" -> anomaly,
+    "events_freq_topk" -> freqTopk)
 
   def oracleSql: Map[String, String] = Map(
     "events_approx_stats" -> approxStatsSql,
@@ -572,5 +612,6 @@ object EventsOps {
     "events_type_pivot" -> typePivotSql,
     "events_funnel" -> funnelSql,
     "events_retention" -> retentionSql,
-    "events_anomaly" -> anomalySql)
+    "events_anomaly" -> anomalySql,
+    "events_freq_topk" -> freqTopkSql)
 }

@@ -74,6 +74,18 @@ class EventsOpsSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(3)).forall(_ > 0))
   }
 
+  test("freq sketch: top-10 count sequence matches exact in gate regime") {
+    val rows = EventsOps.freqTopk(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"sketch drifted from exact: $r")
+      assert(r.getLong(1) == r.getLong(2))
+    }
+    // counts must be non-increasing by rank
+    val ns = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("retention: day-0 is each cohort's peak and offsets stay in-week") {
     val rows = EventsOps.retention(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
