@@ -516,6 +516,13 @@ object EventsOps {
       .withColumn("mean", col("s").cast("double") / col("n"))
       .withColumn("variance",
         col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+      // variance > 0 guard BEFORE the sqrt: a constant-valued group has
+      // variance 0 and the engines diverge hard on it — Spark's 0/0 is
+      // NaN and NaN compares LARGEST (so |z| >= 3 passes, emitting junk
+      // rows), DuckDB returns NULL and drops them; and the E[x²]−E[x]²
+      // cancellation can go slightly negative, where DuckDB's
+      // sqrt(negative) is a hard error while Spark yields NaN
+      .filter(col("variance") > 0)
       .withColumn("z",
         round((col("dv").cast("double") - col("mean")) /
           sqrt(col("variance")), 4))
@@ -531,12 +538,15 @@ object EventsOps {
       |m AS (SELECT event_type, count(*) AS n, sum(dv) AS s,
       |        sum(dv * dv) AS s2
       |      FROM e GROUP BY event_type),
+      |v AS (SELECT event_id, event_type, dv,
+      |        CAST(s AS DOUBLE) / n AS mean,
+      |        CAST(s2 AS DOUBLE) / n
+      |          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+      |          AS variance
+      |      FROM e JOIN m USING (event_type)),
       |z AS (SELECT event_id, event_type, dv,
-      |        round((CAST(dv AS DOUBLE) - CAST(s AS DOUBLE) / n)
-      |          / sqrt(CAST(s2 AS DOUBLE) / n
-      |             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
-      |          4) AS z
-      |      FROM e JOIN m USING (event_type))
+      |        round((CAST(dv AS DOUBLE) - mean) / sqrt(variance), 4) AS z
+      |      FROM v WHERE variance > 0)
       |SELECT event_id, event_type, CAST(dv AS DOUBLE) AS value, z
       |FROM z WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin
 
@@ -559,11 +569,14 @@ object EventsOps {
       .select(explode(col("tk")).as("e"))
       .select(col("e.count").cast("long").as("est"))
       .withColumn("rk", row_number().over(byEst))
+    // top-10 BEFORE the rank window: orderBy+limit plans as TakeOrdered
+    // (per-partition top-K, no single-partition shuffle of the whole
+    // user dimension); the row_number then ranks only the 10 survivors
     val byN = Window.orderBy(col("exact_n").desc)
     val exact = ev.groupBy("user_id")
       .agg(count(lit(1)).as("exact_n")).drop("user_id")
+      .orderBy(col("exact_n").desc).limit(10)
       .withColumn("rk", row_number().over(byN))
-      .filter(col("rk") <= 10)
     est.join(exact, Seq("rk"))
       .select(col("rk"), col("est").as("est_count"),
         col("exact_n").as("exact_count"),

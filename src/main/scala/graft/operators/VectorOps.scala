@@ -123,31 +123,38 @@ object VectorOps {
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
 
-  def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** THE deterministic cell assignment, shared by [[topkIvf]],
+    * [[semDedup]] and [[kmeansStep]] (one definition — the three must
+    * agree with each other and with the shared oracle CTE shape):
+    * nearest of the 8 seed centroids (vec_id 1–8 of `emb`), with d2
+    * quantized to 4dp in BOTH engines BEFORE the argmin — cell
+    * MEMBERSHIP must not hinge on the last ulp of a double sum, because
+    * an assignment flip changes which ROWS exist, which the gate's
+    * float tolerance cannot absorb. The argmin window ranks a SKINNY
+    * (vec_id, c_id, d2) projection — embeddings/labels don't ride
+    * through the 8× centroid cross-product or the assignment shuffle.
+    */
+  private def assignedCells(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    withVecFns(spark)
-    val emb = Tables(spark, sfDir, "embeddings")
     val cents = emb.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
-    // d2 is quantized (4dp, both engines) BEFORE ranking: cell
-    // MEMBERSHIP must not hinge on the last ulp of a double sum — every
-    // other vector query rounds doubles before they affect output, and
-    // an assignment flip would change which ROWS exist, which the
-    // gate's float tolerance cannot absorb.
-    // The argmin window ranks a SKINNY (vec_id, c_id, d2) projection —
-    // embeddings and labels don't ride through the 8× centroid
-    // cross-product or the assignment shuffle; the winner re-joins the
-    // base table by vec_id.
-    val assigned = emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
         round(dist2("embedding", "ce"), 4).as("d2"))
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") === 1)
       .select("vec_id", "c_id")
+  }
+
+  def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val assigned = assignedCells(emb.filter(col("vec_id") =!= 0))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val probed = q.crossJoin(broadcast(cents))
       .select(col("c_id"), col("qe"),
@@ -318,21 +325,9 @@ object VectorOps {
   private val semTau = 0.3
 
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val cents = emb.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(col("d2"), col("c_id"))
-    val assigned = emb
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        round(dist2("embedding", "ce"), 4).as("d2"))
-      .withColumn("rk", row_number().over(byDist))
-      .filter(col("rk") === 1)
-      .select("vec_id", "c_id")
+    val assigned = assignedCells(emb)
     val unit = emb
       .withColumn("nrm", expr(sqrtNorm("embedding")))
       .select(col("vec_id"),
@@ -392,7 +387,12 @@ object VectorOps {
     * round-half tie (DuckDB rounds `x·10⁶` after an inexact multiply,
     * Spark rounds the exact decimal expansion of the double). floor
     * division has no tie. Same order-independence rule as the DECIMAL
-    * money sums, applied to vector math.
+    * money sums, applied to vector math. Bound: the mean's double
+    * division is exact-to-the-floor only while |s| < 2⁵³ — with
+    * unit-scale inputs that is ~10⁹ members per cell, which real IVF
+    * respects by scaling K with the corpus (K ≈ √N keeps cells far
+    * smaller); past it the floor can be 1 micro-unit off (still
+    * engine-identical, so the gate holds either way).
     *
     * Scale: assignment is the broadcast-centroid map-side pass;
     * the update is a (cell, dim)-keyed integer agg — map-side
@@ -400,21 +400,9 @@ object VectorOps {
     * this step again with the emitted centroids.
     */
   def kmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val cents = emb.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(col("d2"), col("c_id"))
-    val assigned = emb
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        round(dist2("embedding", "ce"), 4).as("d2"))
-      .withColumn("rk", row_number().over(byDist))
-      .filter(col("rk") === 1)
-      .select("vec_id", "c_id")
+    val assigned = assignedCells(emb)
     emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
         floor(col("col").cast("double") * lit(1000000.0)).cast("long")
@@ -439,7 +427,7 @@ object VectorOps {
        |  FROM embeddings e, c),
        |cells AS (SELECT vec_id, c_id FROM asg WHERE rk = 1),
        |x AS (
-       |  SELECT e.vec_id, t.i AS dim,
+       |  SELECT e.vec_id, CAST(t.i AS INT) AS dim,
        |    CAST(floor(e.embedding[t.i]::DOUBLE * 1000000.0) AS BIGINT) AS xq
        |  FROM embeddings e,
        |    LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i))
