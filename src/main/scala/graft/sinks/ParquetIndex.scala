@@ -147,10 +147,27 @@ final class ParquetIndex(root: String, keep: Int = 2,
       case _ => None
     }
 
+  private def newId(): String =
+    java.util.UUID.randomUUID().toString.take(8) +
+      "-" + System.currentTimeMillis()
+
+  /** Swap `CURRENT` to `id` atomically and prune the retention window.
+    * The snapshot directory must be fully written before this is called —
+    * a crash before commit leaves only a dangling dir that pruning never
+    * confuses with a committed snapshot.
+    */
+  private def commit(id: String): String = {
+    val tmp = Paths.get(root, s".CURRENT.tmp-$id")
+    Files.writeString(tmp, id)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    prune(committedIds :+ id)
+    id
+  }
+
   /** Write `df` as the new current snapshot; returns the snapshot id. */
   def write(df: DataFrame): String = {
-    val id = java.util.UUID.randomUUID().toString.take(8) +
-      "-" + System.currentTimeMillis()
+    val id = newId()
     import org.apache.spark.sql.functions.col
     // partitioned + bounded-width: repartition BY the partition columns
     // (not coalesce) so every partition directory is written by exactly
@@ -177,12 +194,142 @@ final class ParquetIndex(root: String, keep: Int = 2,
     // the read-side contract for empty snapshots + partition types
     Files.writeString(Paths.get(root, s"snap-$id", SchemaFile),
       df.schema.toDDL)
-    val tmp = Paths.get(root, s".CURRENT.tmp-$id")
-    Files.writeString(tmp, id)
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    prune(committedIds :+ id)
-    id
+    commit(id)
+  }
+
+  /** Layout maintenance (the lakehouse OPTIMIZE / bin-packing step the
+    * reference never needs because DuckDB is one file): every
+    * incremental `upsert` rewrites the snapshot with the merge's task
+    * width, so a long-running index accumulates partition directories
+    * full of small parquet files — at 100 TB that is the difference
+    * between a scan of 10^5 right-sized files and 10^7 open() calls.
+    *
+    * Rewrites ONLY fragmented layout, never row data:
+    *   - unpartitioned snapshot: if it has more than `maxFilesPerDir`
+    *     parquet files, rewrite it coalesced to
+    *     ceil(bytes / targetFileBytes) files.
+    *   - single string partition column (the pipeline's `p0` layout):
+    *     directories with more than `maxFilesPerDir` files are re-read
+    *     (partition-pruned scan) and rewritten one-file-per-directory;
+    *     healthy directories are HARD-LINKED into the new snapshot —
+    *     zero read or write I/O for the already-compact majority, which
+    *     is what makes maintenance affordable when 1% of partitions are
+    *     fragmented. (An object-store deployment would register the
+    *     existing objects in the new snapshot's manifest instead of
+    *     linking; the local form models the same no-copy contract.)
+    *   - multi-level or non-string partitioning: full rewrite, one file
+    *     per directory (correct for any escaped/typed value without
+    *     re-parsing directory names).
+    *
+    * Commits a NEW snapshot (same atomic pointer swap — readers of the
+    * old snapshot are undisturbed, time travel spans the compaction, and
+    * `changeFeed(before, after)` is empty because no row changed).
+    * Returns None — no commit — when the layout is already healthy.
+    */
+  def compact(spark: SparkSession, maxFilesPerDir: Int = 4,
+      targetFileBytes: Long = 128L << 20): Option[String] =
+    currentId.flatMap { cid =>
+      import org.apache.spark.sql.functions.col
+      val snapDir = Paths.get(root, s"snap-$cid")
+      lazy val stringPart = partitionBy.size == 1 &&
+        readSnapshot(spark, cid).schema.find(_.name == partitionBy.head)
+          .exists(_.dataType ==
+            org.apache.spark.sql.types.StringType)
+      if (partitionBy.isEmpty) {
+        val files = parquetFilesIn(snapDir)
+        if (files.size <= maxFilesPerDir) None
+        else {
+          val bytes = files.map(Files.size).sum
+          val target = math.max(1,
+            math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          Some(write(readSnapshot(spark, cid).coalesce(target)))
+        }
+      } else {
+        val dirs = listPartitionDirs(snapDir)
+        val frag = dirs.filter(d => parquetFilesIn(d).size > maxFilesPerDir)
+        if (frag.isEmpty) None
+        else if (!stringPart ||
+            frag.exists(_.getFileName.toString
+              .endsWith("__HIVE_DEFAULT_PARTITION__"))) {
+          // generic fallback: full rewrite, one writer task per value
+          Some(write(readSnapshot(spark, cid)
+            .repartition(math.max(dirs.size, 1), partitionBy.map(col): _*)))
+        } else {
+          val id = newId()
+          val dst = Paths.get(root, s"snap-$id")
+          Files.createDirectories(dst)
+          val ddl = snapDir.resolve(SchemaFile)
+          if (Files.exists(ddl)) Files.copy(ddl, dst.resolve(SchemaFile))
+          val fragSet = frag.toSet
+          dirs.filterNot(fragSet).foreach { d =>
+            val nd = Files.createDirectories(dst.resolve(d.getFileName))
+            parquetFilesIn(d).foreach(f =>
+              linkOrCopy(f, nd.resolve(f.getFileName)))
+          }
+          val pcol = partitionBy.head
+          val vals = frag.map(d =>
+            unescapePartitionValue(
+              d.getFileName.toString.drop(pcol.length + 1)))
+          readSnapshot(spark, cid)
+            .filter(col(pcol).isin(vals: _*))
+            .repartition(vals.size, col(pcol))
+            .write.mode("append").partitionBy(partitionBy: _*)
+            .parquet(dst.toString)
+          Some(commit(id))
+        }
+      }
+    }
+
+  /** Data parquet files of one directory (skips `_SUCCESS`, sidecars,
+    * dotfiles and subdirectories).
+    */
+  private def parquetFilesIn(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
+          n.endsWith(".parquet")
+      }.toSeq
+      finally s.close()
+    }
+
+  private def listPartitionDirs(
+      snapDir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(snapDir)
+    try s.iterator().asScala.filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains('=')).toSeq
+    finally s.close()
+  }
+
+  /** Hard-link `src` as `dst`; copy when the filesystem refuses links
+    * (cross-device, or an FS without link support).
+    */
+  private def linkOrCopy(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit =
+    try Files.createLink(dst, src): Unit
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+
+  /** Inverse of the writer's partition-value escaping (percent-encoded
+    * bytes, e.g. `%2F` for '/'), enough for string-typed values.
+    */
+  private def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          s.substring(i + 1, i + 3).forall(h =>
+            Character.digit(h, 16) >= 0)) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** J1/J2: merge a scan batch into the current snapshot. */

@@ -173,4 +173,86 @@ class ParquetIndexSpec extends SparkSpecBase {
     assert(keys.size == 200)
   }
 
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+
+  private def snapDir(root: String, id: String) =
+    new java.io.File(s"$root/snap-$id")
+
+  test("compact: fragmented unpartitioned snapshot rewritten, rows untouched") {
+    val root = Files.createTempDirectory("pidx_cmp").toString
+    val idx = new ParquetIndex(root)
+    val rows = (1 to 64).map(i => (f"k$i%03d", i.toLong,
+      ts("2020-01-01 00:00:00")))
+    idx.write(df(rows: _*).repartition(16))
+    val before = idx.currentId.get
+    assert(dataFiles(snapDir(root, before)).size == 16)
+    val beforeRows = idx.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val after = idx.compact(spark).get
+    assert(dataFiles(snapDir(root, after)).size <= 4)
+    assert(idx.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == beforeRows)
+    // no row changed: the feed across the compaction is empty
+    assert(idx.changeFeed(spark, before, after, "key").get.count() == 0)
+    // already healthy now: no further snapshot is committed
+    assert(idx.compact(spark).isEmpty)
+    assert(idx.currentId.get == after)
+  }
+
+  test("compact: partitioned — fragmented dirs rewritten, healthy dirs linked") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pidx_cmp2").toString
+    val idx = new ParquetIndex(root, partitionBy = Seq("pt"))
+    val rows = (1 to 32).map(i => ("a", f"k$i%03d", i.toLong)) :+
+      (("b", "z1", 99L))
+    // round-robin over 8 tasks: pt=a lands as 8 small files, pt=b as 1
+    val before = idx.write(rows.toDF("pt", "key", "size").repartition(8))
+    val aBefore = dataFiles(new java.io.File(s"$root/snap-$before/pt=a"))
+    val bBefore = dataFiles(new java.io.File(s"$root/snap-$before/pt=b"))
+    assert(aBefore.size > 4 && bBefore.size == 1)
+    val beforeRows = idx.read(spark).get.collect()
+      .map(r => (r.getAs[String]("pt"), r.getAs[String]("key"),
+        r.getAs[Long]("size"))).toSet
+
+    val after = idx.compact(spark).get
+    val aAfter = dataFiles(new java.io.File(s"$root/snap-$after/pt=a"))
+    val bAfter = dataFiles(new java.io.File(s"$root/snap-$after/pt=b"))
+    assert(aAfter.size == 1)
+    // healthy dir carried over file-for-file (hard links, not a rewrite)
+    assert(bAfter.map(_.getName).toSet == bBefore.map(_.getName).toSet)
+    val sameInode = scala.util.Try {
+      Files.getAttribute(bAfter.head.toPath, "unix:ino") ==
+        Files.getAttribute(bBefore.head.toPath, "unix:ino")
+    }
+    sameInode.foreach(same => assert(same))
+    assert(idx.read(spark).get.collect()
+      .map(r => (r.getAs[String]("pt"), r.getAs[String]("key"),
+        r.getAs[Long]("size"))).toSet == beforeRows)
+    assert(idx.changeFeed(spark, before, after, "key").get.count() == 0)
+    assert(idx.compact(spark).isEmpty)
+  }
+
+  test("compact: non-string partition column falls back to a full rewrite") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pidx_cmp3").toString
+    val idx = new ParquetIndex(root, partitionBy = Seq("num"))
+    val rows = (1 to 24).map(i => (i % 2, f"k$i%03d", i.toLong))
+    val before = idx.write(rows.toDF("num", "key", "size").repartition(8))
+    assert(dataFiles(new java.io.File(s"$root/snap-$before/num=0")).size > 4)
+    val beforeRows = idx.read(spark).get.collect()
+      .map(r => (r.getAs[Int]("num"), r.getAs[String]("key"))).toSet
+
+    val after = idx.compact(spark).get
+    Seq(0, 1).foreach { v =>
+      assert(dataFiles(
+        new java.io.File(s"$root/snap-$after/num=$v")).size == 1)
+    }
+    assert(idx.read(spark).get.collect()
+      .map(r => (r.getAs[Int]("num"), r.getAs[String]("key"))).toSet ==
+        beforeRows)
+  }
+
 }
