@@ -438,6 +438,105 @@ object VectorOps {
        |GROUP BY cells.c_id, x.dim
        |ORDER BY c_id, dim""".stripMargin
 
+  /** Recall@10 audit of the IVF search against the brute-force baseline —
+    * the ANN twin of `docs_minhash_recall`: an approximate index you
+    * cannot measure is an index you cannot trust, so the audit is a
+    * first-class query. For a deterministic 1-in-97 sample of query
+    * vectors (the production pattern: audit a sample, not the corpus),
+    * both arms rank top-10 by the same rounded cosine and the output is
+    * the per-query overlap — all-integer, so the gate hash never sees a
+    * float.
+    *
+    * Scale shape: the brute arm is the audit's cost — |sample| × N dots,
+    * bounded by the sample rate, queries broadcast so the corpus streams
+    * map-side (no corpus shuffle); the IVF arm reuses the shared
+    * [[assignedCells]] assignment and probes nprobe=2 cells. Both arms
+    * shuffle once on q_id for their rank windows.
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val qs = emb.filter(col("vec_id") % 97 === 0 &&
+        !col("vec_id").between(1, 8))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val brute = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+    val assigned = assignedCells(emb)
+    val byQd = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    val probed = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("c_id"),
+        round(dist2("qe", "ce"), 4).as("d2"))
+      .withColumn("rk", row_number().over(byQd))
+      .filter(col("rk") <= 2)
+      .select("q_id", "qe", "c_id")
+    val ivf = emb.join(assigned, Seq("vec_id"))
+      .join(broadcast(probed), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+    val hits = brute.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    qs.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), lit(10).as("k"))
+      .orderBy("q_id")
+  }
+
+  val ivfRecallSql: String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id % 97 = 0 AND vec_id NOT BETWEEN 1 AND 8),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY $duckCosine DESC, vec_id) AS rk
+       |    FROM (SELECT qs.q_id, qs.qe, e.vec_id, e.embedding
+       |          FROM embeddings e, qs WHERE e.vec_id <> qs.q_id))
+       |  WHERE rk <= 10),
+       |asg AS (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckDist2("e.embedding", "c.ce")}, 4), c.c_id)
+       |      AS rk
+       |  FROM embeddings e, c),
+       |cells AS (SELECT vec_id, c_id FROM asg WHERE rk = 1),
+       |probed AS (
+       |  SELECT q_id, qe, c_id FROM (
+       |    SELECT qs.q_id, qs.qe, c.c_id,
+       |      row_number() OVER (PARTITION BY qs.q_id
+       |        ORDER BY round(${duckDist2("qs.qe", "c.ce")}, 4), c.c_id) AS rk
+       |    FROM qs, c)
+       |  WHERE rk <= 2),
+       |ivf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY $duckCosine DESC, vec_id) AS rk
+       |    FROM (SELECT p.q_id, p.qe, e.vec_id, e.embedding
+       |          FROM embeddings e
+       |          JOIN cells ON e.vec_id = cells.vec_id
+       |          JOIN probed p ON cells.c_id = p.c_id
+       |          WHERE e.vec_id <> p.q_id))
+       |  WHERE rk <= 10),
+       |h AS (SELECT q_id, count(*) AS hits
+       |      FROM brute JOIN ivf USING (q_id, vec_id) GROUP BY q_id)
+       |SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 10 AS k
+       |FROM qs LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
@@ -445,7 +544,8 @@ object VectorOps {
     "ann_cosine_neardup" -> cosineNearDup,
     "ann_scalar_quant" -> scalarQuant,
     "ann_semdedup" -> semDedup,
-    "ann_kmeans_step" -> kmeansStep)
+    "ann_kmeans_step" -> kmeansStep,
+    "ann_ivf_recall" -> ivfRecall)
 
   def oracleSql: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
@@ -454,5 +554,6 @@ object VectorOps {
     "ann_cosine_neardup" -> cosineNearDupSql,
     "ann_scalar_quant" -> scalarQuantSql,
     "ann_semdedup" -> semDedupSql,
-    "ann_kmeans_step" -> kmeansStepSql)
+    "ann_kmeans_step" -> kmeansStepSql,
+    "ann_ivf_recall" -> ivfRecallSql)
 }

@@ -239,6 +239,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("ivf recall audit: sampled queries broadcast, no corpus cartesian") {
+    val p = finalPlan(SparkEntry.queries("ann_ivf_recall")(spark, sf))
+    // the brute arm streams the corpus against the BROADCAST query
+    // sample (BNLJ with a tiny build side — the sampled-audit shape);
+    // a CartesianProduct would mean the sample stopped broadcasting
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // both rank windows shuffle on the query id only
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+    val keys = hashEx.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("q_id", "vec_id", "c_id")), s"$keys\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle dim join") {
     // At 100 TB a fact-join-filtered-dim is a SHUFFLE join, and Spark's
     // runtime filtering injects a bloom filter from the dim side into
