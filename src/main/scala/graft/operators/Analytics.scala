@@ -201,17 +201,97 @@ object Analytics {
       |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q14-style promo revenue share: fact⋈dim equi-join + a
+    * conditional-over-total ratio. The driver's `p_type` is
+    * single-valued (`PROMO`, not a `PROMO%` prefix), so the predicate is
+    * equality. Both DECIMAL sums share one aggregation pass (map-side
+    * partial CASE sum — no second scan, no second shuffle); the final
+    * ratio divides the two exact decimals in double with an identical
+    * `(100.0 * promo) / total` shape in both engines. `part` grows with
+    * SF so its join strategy is AQE's choice, same policy as
+    * customer/supplier in q3/q5.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    li.join(Tables(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round((lit(100.0) *
+        sum(when(col("p_type") === "PROMO",
+          dec("l_extendedprice") * (one - dec("l_discount"))))
+          .cast("double")) /
+        sum(dec("l_extendedprice") * (one - dec("l_discount")))
+          .cast("double"),
+        4).as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT round((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE))
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+      |  4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q18-style large-quantity orders: a group-HAVING over the fact
+    * table feeding a join + global top-k. Scale shape: the per-order
+    * quantity rollup partial-aggregates map-side and shuffles once on
+    * the order key; the HAVING filter collapses the fact side to the
+    * rare heavy orders BEFORE the orders/customer joins (semi-join-like
+    * reduction — the joins see ~1% of orders); the top-100 compiles to
+    * TakeOrderedAndProject (per-partition heap, no global sort).
+    * DECIMAL sum keeps the HAVING threshold exact across partition
+    * orders; o_orderdate is emitted as a formatted string (dtype-drift
+    * rule).
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(dec("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables(spark, sfDir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(dec("o_totalprice"), 2).cast("double").as("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) > 250)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS o_totalprice,
+      |  CAST(sum_qty AS DOUBLE) AS sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
     "q5_region_revenue" -> q5RegionRevenue,
     "q6_forecast_revenue" -> q6ForecastRevenue,
-    "q12_priority_lines" -> q12PriorityLines)
+    "q12_priority_lines" -> q12PriorityLines,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q18_large_orders" -> q18LargeOrders)
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
     "q6_forecast_revenue" -> q6Sql,
-    "q12_priority_lines" -> q12Sql)
+    "q12_priority_lines" -> q12Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q18_large_orders" -> q18Sql)
 }

@@ -239,6 +239,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("q14: one aggregation pass — conditional and total sums share the scan") {
+    val p = finalPlan(SparkEntry.queries("q14_promo_revenue")(spark, sf))
+    // both DECIMAL sums partial-aggregate map-side in a single pass;
+    // a second scan of lineitem would show as two parquet scans
+    assert(p.contains("partial_sum"), p)
+    // one lineitem scan only — the executed (final) section of the AQE
+    // dump; the text repeats the path in the trailing "Initial Plan"
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(finalSection).size <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q18: HAVING collapses the fact side before the joins; heap top-k") {
+    val p = finalPlan(SparkEntry.queries("q18_large_orders")(spark, sf))
+    // global top-100 must be the per-partition heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the per-order rollup partial-aggregates before its one exchange
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ivf recall audit: sampled queries broadcast, no corpus cartesian") {
     val p = finalPlan(SparkEntry.queries("ann_ivf_recall")(spark, sf))
     // the brute arm streams the corpus against the BROADCAST query
