@@ -107,9 +107,44 @@ object MultimodalOps {
       |    i -> ord(substr(text, i * 32, 1)))), 0) AS INT) AS sample_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Declared query: the frame-sample index — [[frameSample]] run as a
+    * first-class distributed op (stride 32, 8-byte frames over each
+    * document's bytes), emitting per-doc frame count and the first/last
+    * frame bytes. This is the video-pipeline access pattern (sample
+    * frames, index them for dedup/search) with the grab stubbed as a
+    * byte slice; the count/bounds/empty-blob semantics are what the
+    * oracle checks. Map-only: no shuffle, blobs never leave the row.
+    */
+  def frameIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("frames", frameSample("blob", 32, 8))
+      .select(
+        col("doc_id"),
+        size(col("frames")).as("n_frames"),
+        lower(hex(expr("try_element_at(frames, 1)"))).as("first_frame_hex"),
+        lower(hex(expr("try_element_at(frames, size(frames))")))
+          .as("last_frame_hex"))
+      .orderBy("doc_id")
+
+  val frameIndexSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) // 32 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, n_frames,
+      |  CASE WHEN n_frames >= 1
+      |    THEN lower(hex(encode(substr(text, 1, 8)))) END AS first_frame_hex,
+      |  CASE WHEN n_frames >= 1
+      |    THEN lower(hex(encode(substr(text, (n_frames - 1) * 32 + 1, 8))))
+      |    END AS last_frame_hex
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_stats" -> binaryStats)
+    "mm_binary_stats" -> binaryStats,
+    "mm_frame_index" -> frameIndex)
 
   def oracleSql: Map[String, String] = Map(
-    "mm_binary_stats" -> binaryStatsSql)
+    "mm_binary_stats" -> binaryStatsSql,
+    "mm_frame_index" -> frameIndexSql)
 }

@@ -237,13 +237,14 @@ final class ParquetIndex(root: String, keep: Int = 2,
             org.apache.spark.sql.types.StringType)
       if (partitionBy.isEmpty) {
         val files = parquetFilesIn(snapDir)
-        if (files.size <= maxFilesPerDir) None
-        else {
-          val bytes = files.map(Files.size).sum
-          val target = math.max(1,
-            math.ceil(bytes.toDouble / targetFileBytes).toInt)
-          Some(write(readSnapshot(spark, cid).coalesce(target)))
-        }
+        val bytes = files.map(Files.size).sum
+        val target = math.max(1,
+          math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        // healthy = within the file-count bound OR already at the
+        // byte-sized width (a snapshot whose data genuinely needs more
+        // than maxFilesPerDir files must not be rewritten every call)
+        if (files.size <= math.max(maxFilesPerDir, target)) None
+        else Some(write(readSnapshot(spark, cid).coalesce(target)))
       } else {
         val dirs = listPartitionDirs(snapDir)
         val frag = dirs.filter(d => parquetFilesIn(d).size > maxFilesPerDir)
