@@ -116,15 +116,26 @@ object MultimodalOps {
     * oracle checks. Map-only: no shuffle, blobs never leave the row.
     */
   def frameIndex(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
+    frameIndexOf(Tables(spark, sfDir, "documents"))
+
+  /** [[frameIndex]] over any `(doc_id, text)` frame — split out so the
+    * empty/short-blob branch is spec-testable (the synthetic corpus has
+    * no sub-32-byte docs, so the oracle gate alone never exercises it).
+    * NOTE: `size(frames)` is 0 for a short blob and even
+    * `try_element_at` THROWS on index 0 (ANSI: only out-of-RANGE is
+    * forgiven, index 0 is malformed) — the `when` guard is load-bearing.
+    */
+  def frameIndexOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("blob", col("text").cast("binary"))
       .withColumn("frames", frameSample("blob", 32, 8))
       .select(
         col("doc_id"),
         size(col("frames")).as("n_frames"),
-        lower(hex(expr("try_element_at(frames, 1)"))).as("first_frame_hex"),
-        lower(hex(expr("try_element_at(frames, size(frames))")))
-          .as("last_frame_hex"))
+        lower(hex(when(size(col("frames")) > 0,
+          expr("element_at(frames, 1)")))).as("first_frame_hex"),
+        lower(hex(when(size(col("frames")) > 0,
+          expr("element_at(frames, size(frames))")))).as("last_frame_hex"))
       .orderBy("doc_id")
 
   val frameIndexSql: String =

@@ -134,10 +134,18 @@ object VectorOps {
     * (vec_id, c_id, d2) projection — embeddings/labels don't ride
     * through the 8× centroid cross-product or the assignment shuffle.
     */
+  /** THE coarse-quantizer centroid table (seed vectors vec_id 1–8,
+    * renamed `(c_id, ce)`) — single definition shared by every IVF-family
+    * query and mirrored by each oracle's `c` CTE; a future re-seeding
+    * (e.g. K=16) changes exactly here + the oracle CTEs.
+    */
+  private def centroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+
   private def assignedCells(emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = emb.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = centroids(emb)
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
     emb.select(col("vec_id"), col("embedding"))
@@ -152,8 +160,7 @@ object VectorOps {
   def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
     withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val cents = emb.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = centroids(emb)
     val assigned = assignedCells(emb.filter(col("vec_id") =!= 0))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val probed = q.crossJoin(broadcast(cents))
@@ -457,8 +464,7 @@ object VectorOps {
     withVecFns(spark)
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, sfDir, "embeddings")
-    val cents = emb.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val cents = centroids(emb)
     val qs = emb.filter(col("vec_id") % 97 === 0 &&
         !col("vec_id").between(1, 8))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

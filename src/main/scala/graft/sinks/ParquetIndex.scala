@@ -210,7 +210,11 @@ final class ParquetIndex(root: String, keep: Int = 2,
     *     ceil(bytes / targetFileBytes) files.
     *   - single string partition column (the pipeline's `p0` layout):
     *     directories with more than `maxFilesPerDir` files are re-read
-    *     (partition-pruned scan) and rewritten one-file-per-directory;
+    *     (partition-pruned scan) and rewritten right-sized — with a
+    *     `sortWithin` layout key, range-split by bytes into sorted files
+    *     over disjoint key ranges (same layout contract as [[write]],
+    *     row-group pruning survives); without one, one file per
+    *     directory, mirroring [[write]]'s own partitioned shape;
     *     healthy directories are HARD-LINKED into the new snapshot —
     *     zero read or write I/O for the already-compact majority, which
     *     is what makes maintenance affordable when 1% of partitions are
@@ -271,10 +275,23 @@ final class ParquetIndex(root: String, keep: Int = 2,
           val vals = frag.map(d =>
             unescapePartitionValue(
               d.getFileName.toString.drop(pcol.length + 1)))
-          readSnapshot(spark, cid)
+          val fragBytes = frag.flatMap(parquetFilesIn).map(Files.size).sum
+          val nTasks = math.max(vals.size,
+            math.ceil(fragBytes.toDouble / targetFileBytes).toInt)
+          val layout = (partitionBy ++ sortWithin).distinct.map(col)
+          val rewritten = readSnapshot(spark, cid)
             .filter(col(pcol).isin(vals: _*))
-            .repartition(vals.size, col(pcol))
-            .write.mode("append").partitionBy(partitionBy: _*)
+          // same layout contract as write(): sorted within each file on
+          // the layout key. With a sort key, range-split on (value, key)
+          // sized by bytes — a dir larger than targetFileBytes becomes
+          // several files covering DISJOINT key ranges (row-group
+          // min/max pruning survives compaction); a small dir stays one.
+          val shaped =
+            if (sortWithin.nonEmpty)
+              rewritten.repartitionByRange(nTasks, layout: _*)
+                .sortWithinPartitions(layout: _*)
+            else rewritten.repartition(vals.size, col(pcol))
+          shaped.write.mode("append").partitionBy(partitionBy: _*)
             .parquet(dst.toString)
           Some(commit(id))
         }

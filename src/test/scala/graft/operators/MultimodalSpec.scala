@@ -31,6 +31,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(counts == Seq(3, 0)) // 100/32 = 3 frames; 5 bytes → none
   }
 
+  test("frame index: short and empty docs yield 0 frames and null bounds") {
+    import spark.implicits._
+    // sub-32-byte and empty docs are absent from the synthetic corpus,
+    // so the oracle gate never exercises this branch — this spec does
+    // (even try_element_at throws on the index-0 an empty array implies)
+    val docs = Seq((1L, "x" * 100), (2L, "short"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = MultimodalOps.frameIndexOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(out.head == ((1L, 3,
+      Some("78" * 8), Some("78" * 8)))) // 'x' = 0x78
+    assert(out(1) == ((2L, 0, None, None)))
+    assert(out(2) == ((3L, 0, None, None)))
+  }
+
   test("decode metadata stub is deterministic") {
     import spark.implicits._
     val df = Seq(("payload")).toDF("text")
