@@ -117,8 +117,14 @@ final class ParquetIndex(root: String, keep: Int = 2,
     * joins to itself in a full-outer join, so an unchanged null-key row
     * would surface as a phantom added+removed pair).
     */
+  /** @param includeOld when true, append an `old` struct column holding
+    *   the PREVIOUS row (null for added) — what an incremental-aggregate
+    *   consumer ([[graft.operators.IncrementalView]]) needs to retract an
+    *   updated row's old contribution. Default off: the payload-only
+    *   shape existing consumers bind to.
+    */
   def changeFeed(spark: SparkSession, fromId: String, toId: String,
-      keyCol: String): Option[DataFrame] =
+      keyCol: String, includeOld: Boolean = false): Option[DataFrame] =
     (readAsOf(spark, fromId), readAsOf(spark, toId)) match {
       case (Some(prev), Some(cur)) =>
         import org.apache.spark.sql.functions.{col, struct, when, lit}
@@ -142,8 +148,11 @@ final class ParquetIndex(root: String, keep: Int = 2,
         val payload = cols.filterNot(_ == keyCol).map(f =>
           when(col("change_type") === "removed", col(s"_old.$f"))
             .otherwise(col(s"_new.$f")).as(f))
+        val tail =
+          if (includeOld) Seq(col("change_type"), col("_old").as("old"))
+          else Seq(col("change_type"))
         Some(changed.select(
-          Seq(col(keyCol)) ++ payload :+ col("change_type"): _*))
+          Seq(col(keyCol)) ++ payload ++ tail: _*))
       case _ => None
     }
 
