@@ -592,7 +592,99 @@ object EventsOps {
       |  true AS ok
       |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin
 
+  /** ANALYZE-style column statistics — the stats layer a cost-based
+    * optimizer / data-skipping index maintains per table: for each
+    * profiled column, row count, null count, exact NDV, and min/max
+    * (rendered to strings: bigints verbatim, doubles via DECIMAL(18,4)
+    * so both engines print identical scale, timestamps formatted —
+    * the dtype-drift rule).
+    *
+    * Shape: ONE aggregation over one scan produces every stat (the
+    * multi-distinct agg is Spark's Expand — k× the rows map-side, still
+    * one shuffle, the standard one-pass ANALYZE plan), then a `stack`
+    * unpivots the single wide row to one row per column. At 100 TB this
+    * is the maintenance query that runs after each ingest; nothing here
+    * is per-row driver work.
+    */
+  def columnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+    e.agg(
+        count(lit(1)).as("n"),
+        count(col("event_id")).as("nn_event_id"),
+        countDistinct(col("event_id")).as("ndv_event_id"),
+        min(col("event_id")).cast("string").as("min_event_id"),
+        max(col("event_id")).cast("string").as("max_event_id"),
+        count(col("user_id")).as("nn_user_id"),
+        countDistinct(col("user_id")).as("ndv_user_id"),
+        min(col("user_id")).cast("string").as("min_user_id"),
+        max(col("user_id")).cast("string").as("max_user_id"),
+        count(col("event_type")).as("nn_event_type"),
+        countDistinct(col("event_type")).as("ndv_event_type"),
+        min(col("event_type")).as("min_event_type"),
+        max(col("event_type")).as("max_event_type"),
+        count(col("value")).as("nn_value"),
+        countDistinct(col("value")).as("ndv_value"),
+        min(col("value")).cast("decimal(18,4)").cast("string")
+          .as("min_value"),
+        max(col("value")).cast("decimal(18,4)").cast("string")
+          .as("max_value"),
+        count(col("ts")).as("nn_ts"),
+        countDistinct(col("ts")).as("ndv_ts"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .selectExpr(
+        """stack(5,
+          |  'event_id', n - nn_event_id, ndv_event_id, min_event_id, max_event_id,
+          |  'event_type', n - nn_event_type, ndv_event_type, min_event_type, max_event_type,
+          |  'ts', n - nn_ts, ndv_ts, min_ts, max_ts,
+          |  'user_id', n - nn_user_id, ndv_user_id, min_user_id, max_user_id,
+          |  'value', n - nn_value, ndv_value, min_value, max_value)
+          |AS (col_name, n_null, n_distinct, min_str, max_str)""".stripMargin,
+        "n")
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
+
+  val columnStatsSql: String =
+    """WITH s AS (SELECT
+      |  count(*) AS n,
+      |  count(event_id) AS nn_event_id,
+      |  count(DISTINCT event_id) AS ndv_event_id,
+      |  min(event_id)::VARCHAR AS min_event_id,
+      |  max(event_id)::VARCHAR AS max_event_id,
+      |  count(user_id) AS nn_user_id,
+      |  count(DISTINCT user_id) AS ndv_user_id,
+      |  min(user_id)::VARCHAR AS min_user_id,
+      |  max(user_id)::VARCHAR AS max_user_id,
+      |  count(event_type) AS nn_event_type,
+      |  count(DISTINCT event_type) AS ndv_event_type,
+      |  min(event_type) AS min_event_type,
+      |  max(event_type) AS max_event_type,
+      |  count(value) AS nn_value,
+      |  count(DISTINCT value) AS ndv_value,
+      |  CAST(CAST(min(value) AS DECIMAL(18,4)) AS VARCHAR) AS min_value,
+      |  CAST(CAST(max(value) AS DECIMAL(18,4)) AS VARCHAR) AS max_value,
+      |  count(ts) AS nn_ts,
+      |  count(DISTINCT ts) AS ndv_ts,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      |FROM events)
+      |SELECT col_name, n, n_null, n_distinct, min_str, max_str FROM (
+      |  SELECT 'event_id' AS col_name, n, n - nn_event_id AS n_null,
+      |    ndv_event_id AS n_distinct, min_event_id AS min_str,
+      |    max_event_id AS max_str FROM s
+      |  UNION ALL SELECT 'event_type', n, n - nn_event_type,
+      |    ndv_event_type, min_event_type, max_event_type FROM s
+      |  UNION ALL SELECT 'ts', n, n - nn_ts, ndv_ts, min_ts, max_ts FROM s
+      |  UNION ALL SELECT 'user_id', n, n - nn_user_id, ndv_user_id,
+      |    min_user_id, max_user_id FROM s
+      |  UNION ALL SELECT 'value', n, n - nn_value, ndv_value,
+      |    min_value, max_value FROM s)
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_column_stats" -> columnStats,
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
     "events_epoch_roundtrip" -> epochRoundtrip,
@@ -611,6 +703,7 @@ object EventsOps {
     "events_freq_topk" -> freqTopk)
 
   def oracleSql: Map[String, String] = Map(
+    "events_column_stats" -> columnStatsSql,
     "events_approx_stats" -> approxStatsSql,
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
