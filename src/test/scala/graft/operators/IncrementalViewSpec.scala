@@ -73,6 +73,42 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(snap(view).forall(_._2 > 0))
   }
 
+  test("seeded randomized model check: incremental equals recompute each step") {
+    val rnd = new scala.util.Random(20260812L)
+    val root = Files.createTempDirectory("ivm_rand").toString
+    val idx = new ParquetIndex(root)
+    val exts = Array("a", "b", "c", null)
+    val keys = (1 to 30).map(i => s"k$i")
+    var t = 0
+    def batch(ks: Seq[String]) = {
+      t += 1
+      df(ks.map(k => (k, exts(rnd.nextInt(exts.length)),
+        rnd.nextInt(100).toLong,
+        Timestamp.from(ts("2020-01-01 00:00:00").toInstant
+          .plusSeconds(t * 86400L)))): _*)
+    }
+    var prevId = idx.write(batch(rnd.shuffle(keys).take(10)))
+    var view = IncrementalView
+      .fromScratch(idx.read(spark).get, groupCols, sumCols)
+      .localCheckpoint(true)
+    for (step <- 1 to 8) {
+      val ks = rnd.shuffle(keys).take(1 + rnd.nextInt(12))
+      // alternate incremental merges with full-rescan reconciles: both
+      // produce feeds with all three change types over random groups
+      val cur =
+        if (step % 3 != 0) idx.upsert(spark, batch(ks), "key", "mtime")
+        else idx.upsertReconcile(spark, batch(ks), "key", "mtime")
+      val feed = idx
+        .changeFeed(spark, prevId, cur, "key", includeOld = true).get
+      view = IncrementalView.applyFeed(view, feed, groupCols, sumCols)
+        .localCheckpoint(true)
+      val oracle = IncrementalView
+        .fromScratch(idx.read(spark).get, groupCols, sumCols)
+      assert(snap(view) == snap(oracle), s"step $step snapshot $cur")
+      prevId = cur
+    }
+  }
+
   test("empty feed (e.g. across a compaction) leaves the view unchanged") {
     val root = Files.createTempDirectory("ivm2").toString
     val idx = new ParquetIndex(root)
