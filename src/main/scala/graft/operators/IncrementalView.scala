@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * the base table. Groups whose count reaches zero are dropped, so the
   * view never accumulates tombstones.
   *
-  * Group keys may be null (null groups fold via null-safe equality);
-  * sum columns must be numeric and non-null for contributing rows —
-  * the store's own invariant for size-like columns.
+  * Group keys may be null (null groups fold via null-safe equality).
+  * Null sum values contribute nothing, and an all-null group's sum is
+  * ZERO, not null — the seed aggregate coalesces `sum()` so both the
+  * from-scratch and the folded path agree (a raw `sum` would yield
+  * null from recompute but 0 from `prev + delta`).
   */
 object IncrementalView {
 
@@ -42,7 +44,8 @@ object IncrementalView {
       sumCols: Seq[String]): DataFrame =
     snapshot.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c =>
+          coalesce(sum(col(c)), lit(0L)).as(s"sum_$c")): _*)
 
   /** The per-feed group delta: ± contributions from one change feed
     * (which must carry `old` — [[graft.sinks.ParquetIndex.changeFeed]]

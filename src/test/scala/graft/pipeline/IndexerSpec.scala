@@ -127,6 +127,50 @@ class IndexerSpec extends SparkSpecBase {
     assert(r3.linksRefreshed == 1)
   }
 
+  test("change-feed consumer maintains an aggregate across pipeline runs") {
+    import graft.operators.IncrementalView
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxstore_ivm").toString
+    val cfg = IndexerConfig(root.toString, idxRoot, mode = "index-only")
+    val ix = new Indexer(cfg, None)
+    val groupCols = Seq("type", "extension")
+    val sumCols = Seq("size_bytes")
+
+    val r1 = ix.run(spark)
+    val store = new graft.sinks.ParquetIndex(idxRoot)
+    var view = IncrementalView
+      .fromScratch(store.read(spark).get, groupCols, sumCols)
+      .localCheckpoint(true)
+
+    // mutate the tree: add d.md, grow b.log (bump mtime so the merge's
+    // newer-wins rule takes the row), delete a.txt
+    Files.writeString(root.resolve("proj/d.md"), "ddd")
+    Files.writeString(root.resolve("proj/sub/b.log"), "bbbbbb")
+    Files.setLastModifiedTime(root.resolve("proj/sub/b.log"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 3600 * 1000))
+    Files.delete(root.resolve("proj/a.txt"))
+    val r2 = ix.run(spark)
+
+    val feed = store.changeFeed(spark, r1.snapshotId, r2.snapshotId,
+      "relative_path", includeOld = true).get
+    view = IncrementalView.applyFeed(view, feed, groupCols, sumCols)
+      .localCheckpoint(true)
+
+    val oracle = IncrementalView
+      .fromScratch(store.read(spark).get, groupCols, sumCols)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(rows(view) == rows(oracle))
+    // the folded view saw the add (md appears), the delete (txt group
+    // emptied to count 0 and dropped), and the in-place growth
+    val byExt = rows(view).map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(byExt(("file", Some("md"))) == ((1L, 3L)))
+    assert(!byExt.contains(("file", Some("txt"))))
+    assert(byExt(("file", Some("log"))) == ((1L, 6L)))
+  }
+
   test("one snapshot write per run (merge+reconcile composed)") {
     val root = mkTree()
     val idxRoot = Files.createTempDirectory("idxstore5")
