@@ -1212,7 +1212,42 @@ object TextOps {
        |    CAST(sum(n_tokens) AS BIGINT) FROM s5)
        |ORDER BY stage""".stripMargin
 
+  /** Native inverted index construction — the structure the ES sink
+    * delegates to Elasticsearch (S10's term search), built as a Spark
+    * query: term → document frequency + the sorted posting-list head.
+    * This is what a self-hosted search tier materializes at 100 TB:
+    * explode terms (map-side), ONE shuffle on the term key, posting
+    * lists assembled by a partial-aggregable collect_set; the full
+    * index would be written partitioned by term bucket — here the
+    * output is the df-ranked head with a bounded 20-id posting prefix
+    * per term, rendered to a string (the gate's array-dtype rule).
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 20),
+          ",").as("postings_head"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+
+  val invertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |p AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df,
+      |    array_to_string(
+      |      (list_sort(list_distinct(array_agg(doc_id))))[1:20],
+      |      ',') AS postings_head
+      |  FROM t WHERE term <> '' GROUP BY term)
+      |SELECT term, df, postings_head FROM p
+      |ORDER BY df DESC, term LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
     "docs_pii_scrub" -> piiScrub,
     "docs_repetition_filter" -> repetitionFilter,
@@ -1240,6 +1275,7 @@ object TextOps {
     "docs_curation_pipeline" -> curationPipeline)
 
   def oracleSql: Map[String, String] = Map(
+    "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,
     "docs_pii_scrub" -> piiScrubSql,
     "docs_repetition_filter" -> repetitionFilterSql,
