@@ -274,6 +274,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keys.subsetOf(Set("q_id", "vec_id", "c_id")), s"$keys\n$p")
   }
 
+  test("inverted index: term explode aggregates partially before one term shuffle") {
+    val p = finalPlan(SparkEntry.queries("docs_inverted_index")(spark, sf))
+    // posting lists and df build via partial (map-side) aggregation —
+    // the explode's term stream must not shuffle raw
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+    val keys = hashEx.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("term", "doc_id")), s"$keys\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle dim join") {
     // At 100 TB a fact-join-filtered-dim is a SHUFFLE join, and Spark's
     // runtime filtering injects a bloom filter from the dim side into
