@@ -1246,7 +1246,45 @@ object TextOps {
       |SELECT term, df, postings_head FROM p
       |ORDER BY df DESC, term LIMIT 50""".stripMargin
 
+  /** Positional phrase search — the positional-inverted-index operator:
+    * find documents containing the exact 2-token phrase "order order"
+    * by joining each term's position postings on (doc, pos+1). The
+    * deliberately self-overlapping phrase pins OVERLAP semantics
+    * ("order order order" = 2 matches) that a split-and-count would
+    * undercount. Scale shape: position postings explode map-side and
+    * meet through ONE (doc_id, pos)-keyed equi-join — at index scale
+    * the postings are the stored term-partitioned index and only the
+    * two probed terms' lists are read.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val a = toks.filter(col("w") === "order")
+      .select(col("doc_id"), col("pos"))
+    val b = toks.filter(col("w") === "order")
+      .select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"))
+    a.join(b, col("doc_id") === col("d2") && col("pos") === col("p2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occur"))
+      .orderBy(col("n_occur").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val phraseSearchSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |p AS (SELECT doc_id, u.i AS pos
+      |      FROM t, LATERAL unnest(generate_series(1, len(w))) AS u(i)
+      |      WHERE w[u.i] = 'order'),
+      |q AS (SELECT doc_id, u.i AS pos
+      |      FROM t, LATERAL unnest(generate_series(1, len(w))) AS u(i)
+      |      WHERE w[u.i] = 'order')
+      |SELECT p.doc_id AS doc_id, count(*) AS n_occur
+      |FROM p JOIN q ON p.doc_id = q.doc_id AND q.pos = p.pos + 1
+      |GROUP BY p.doc_id ORDER BY n_occur DESC, p.doc_id LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
     "docs_pii_scrub" -> piiScrub,
@@ -1275,6 +1313,7 @@ object TextOps {
     "docs_curation_pipeline" -> curationPipeline)
 
   def oracleSql: Map[String, String] = Map(
+    "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,
     "docs_pii_scrub" -> piiScrubSql,
