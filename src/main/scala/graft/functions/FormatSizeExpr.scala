@@ -104,6 +104,10 @@ object GraftFunctions {
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // Whole-operator tier: the native per-group top-k planner strategy
+    // (graft.plans.GroupTopK).
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+  }
 }
