@@ -255,6 +255,34 @@ object EventsOps {
       .orderBy("event_type", "rk")
   }
 
+  /** [[topUsersPerType]] on the NATIVE GroupTopK operator (graft.plans)
+    * instead of a window: identical rows (the ordering is total, so
+    * rank == row_number), but the per-group cap happens in bounded
+    * map-side heaps BEFORE the exchange — the shape that survives a
+    * 100 TB events table. Shares oracle semantics with the window form;
+    * the oracle below spells row_number to make the parity explicit.
+    */
+  def topUsersPerTypeNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables(spark, sfDir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+        .as("spend"))
+    graft.plans.GroupTopK
+      .topK(spend, Seq("event_type"), Seq(("spend", true), ("user_id", false)),
+        k = 3)
+      .orderBy("event_type", "rk")
+  }
+
+  val topUsersPerTypeNativeSql: String =
+    """SELECT * FROM (
+      |  SELECT event_type, user_id,
+      |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS spend,
+      |    row_number() OVER (PARTITION BY event_type
+      |                 ORDER BY CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) DESC,
+      |                          user_id) AS rk
+      |  FROM events GROUP BY event_type, user_id)
+      |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
   val topUsersPerTypeSql: String =
     """SELECT * FROM (
       |  SELECT event_type, user_id,
@@ -693,6 +721,7 @@ object EventsOps {
     "events_value_stats" -> valueStats,
     "events_approx_stats" -> approxStats,
     "events_top_users" -> topUsersPerType,
+    "events_top_users_native" -> topUsersPerTypeNative,
     "events_user_quartiles" -> userQuartiles,
     "events_zorder_tiles" -> zorderTiles,
     "events_rolling_window" -> rollingWindow,
@@ -712,6 +741,7 @@ object EventsOps {
     "events_value_quantiles" -> valueQuantilesSql,
     "events_value_stats" -> valueStatsSql,
     "events_top_users" -> topUsersPerTypeSql,
+    "events_top_users_native" -> topUsersPerTypeNativeSql,
     "events_user_quartiles" -> userQuartilesSql,
     "events_zorder_tiles" -> zorderTilesSql,
     "events_rolling_window" -> rollingWindowSql,

@@ -1283,7 +1283,37 @@ object TextOps {
       |FROM p JOIN q ON p.doc_id = q.doc_id AND q.pos = p.pos + 1
       |GROUP BY p.doc_id ORDER BY n_occur DESC, p.doc_id LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Per-domain document cap — "keep at most k docs per source, best      //
+  // first", the standard corpus-balancing step that stops one crawl     //
+  // domain from dominating a training mix. Runs on the NATIVE           //
+  // GroupTopK operator (graft.plans — custom LogicalPlan + partial/     //
+  // final physical plan): at 100 TB the window row_number form would    //
+  // shuffle every document to its source's reducer; the native partial  //
+  // heaps forward at most partitions × sources × k candidate rows.     //
+  // Ranking is (n_chars DESC, doc_id ASC) — a deterministic total      //
+  // order, so row_number parity with the DuckDB window oracle is exact. //
+  // -------------------------------------------------------------------- //
+
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("source", "doc_id", "n_chars")
+    graft.plans.GroupTopK
+      .topK(docs, Seq("source"), Seq(("n_chars", true), ("doc_id", false)),
+        k = 10)
+      .orderBy("source", "rk")
+  }
+
+  val domainCapSql: String =
+    """SELECT source, doc_id, n_chars, rk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_domain_cap" -> domainCap,
     "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
@@ -1313,6 +1343,7 @@ object TextOps {
     "docs_curation_pipeline" -> curationPipeline)
 
   def oracleSql: Map[String, String] = Map(
+    "docs_domain_cap" -> domainCapSql,
     "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,
