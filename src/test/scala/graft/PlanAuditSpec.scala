@@ -285,6 +285,64 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(keys.subsetOf(Set("term", "doc_id")), s"$keys\n$p")
   }
 
+  test("bucketed tables make the snapshot-merge join shuffle-free") {
+    // PERF.md's standing claim — "at scale both sides bucketed by the
+    // key make it shuffle-free" — demonstrated, not asserted: write the
+    // two sides bucketed by the join key, force the shuffle-join path
+    // (no broadcast), and the join must plan with ZERO exchanges. At
+    // 100 TB this is the difference between re-shuffling the full index
+    // every run and reading co-located buckets.
+    import org.apache.spark.sql.functions._
+    val old = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(0, 10000).select(
+        concat(lit("k"), col("id")).as("relative_path"),
+        col("id").as("size_bytes"))
+      val b = spark.range(5000, 15000).select(
+        concat(lit("k"), col("id")).as("relative_path"),
+        (col("id") * 2).as("fsentry_sz"))
+      spark.sql("DROP TABLE IF EXISTS pa_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS pa_bucket_b")
+      // one writer task → exactly one file per bucket: Spark only
+      // trusts (and reuses) the buckets' sort order in that layout
+      a.coalesce(1).write.bucketBy(8, "relative_path")
+        .sortBy("relative_path").saveAsTable("pa_bucket_a")
+      b.coalesce(1).write.bucketBy(8, "relative_path")
+        .sortBy("relative_path").saveAsTable("pa_bucket_b")
+      val j = spark.table("pa_bucket_a")
+        .join(spark.table("pa_bucket_b"), "relative_path")
+      val p = finalPlan(j)
+      assert(j.count() === 5000)
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // (a per-partition Sort remains: Spark 4 ignores bucket sort
+      // order by default — spark.sql.legacy.bucketedTableScanOutput-
+      // Ordering — because multi-file buckets can't guarantee it. The
+      // sort is local, spill-safe and cheap on pre-sorted files; the
+      // exchange elimination above is the 100 TB win being pinned.)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pa_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS pa_bucket_b")
+      old match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("domain cap: native partial/final top-k, exchange rides the group key") {
+    val p = finalPlan(SparkEntry.queries("docs_domain_cap")(spark, sf))
+    assert(p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal"), p)
+    assert(!p.contains("Window"), p)
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.forall(_ == "source"), s"exchanges on: $hashEx\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle dim join") {
     // At 100 TB a fact-join-filtered-dim is a SHUFFLE join, and Spark's
     // runtime filtering injects a bloom filter from the dim side into
