@@ -277,6 +277,72 @@ object Analytics {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q4 shape — correlated EXISTS as a LEFT SEMI join: orders in a
+    * quarter with at least one returned line. The semi join never
+    * duplicates orders rows however many lines match, and at scale it
+    * shuffles each side once on the order key (the lineitem side is
+    * first pruned by the pushed returnflag filter). The driver schema
+    * carries no commit/receipt dates, so "returned" (l_returnflag='R')
+    * stands in for Q4's late-delivery predicate — the plan shape is the
+    * point.
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val lateLines = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q22 shape — scalar subquery + NOT EXISTS anti join: well-funded
+    * customers (balance above the positive-balance average) with no LARGE
+    * order (none above 450k), counted per nation (the driver schema has no phone column,
+    * so nation stands in for the country code). The average is a 1-row
+    * aggregate broadcast into the filter; the anti join is the same
+    * "in index but not in scan" shape as the pipeline's deletion pass
+    * (J6), here on the customer key. DECIMAL sums keep the money exact.
+    */
+  def q22NoOrderCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    cust
+      .join(broadcast(avgBal))
+      .filter(dec("c_acctbal") > col("avg_bal"))
+      .join(Tables(spark, sfDir, "orders")
+          .filter(col("o_totalprice") > 450000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("int").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(dec("c_acctbal")), 2).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS cntrycode, count(*) AS numcust,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) >
+      |  (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) / count(*)
+      |   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
@@ -284,7 +350,9 @@ object Analytics {
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q12_priority_lines" -> q12PriorityLines,
     "q14_promo_revenue" -> q14PromoRevenue,
-    "q18_large_orders" -> q18LargeOrders)
+    "q18_large_orders" -> q18LargeOrders,
+    "q4_order_priority" -> q4OrderPriority,
+    "q22_no_order_customers" -> q22NoOrderCustomers)
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -293,5 +361,7 @@ object Analytics {
     "q6_forecast_revenue" -> q6Sql,
     "q12_priority_lines" -> q12Sql,
     "q14_promo_revenue" -> q14Sql,
-    "q18_large_orders" -> q18Sql)
+    "q18_large_orders" -> q18Sql,
+    "q4_order_priority" -> q4Sql,
+    "q22_no_order_customers" -> q22Sql)
 }
