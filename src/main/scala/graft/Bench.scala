@@ -26,7 +26,8 @@ object Bench {
     "fs_dir_rollup_explode", "fs_dir_rollup_theta", "fs_merge_upsert",
     "fs_es_docs", "fs_deletions", "fs_stale_links",
     "docs_dedup_exact", "docs_minhash_neardup", "docs_neardup_clusters",
-    "ann_topk_brute", "ann_cosine_neardup", "events_hourly_window")
+    "ann_topk_brute", "ann_cosine_neardup", "events_hourly_window",
+    "events_top_users_native")
 
   /** Force full evaluation; returns a checksum so results can't be
     * skipped and runs can be compared across rounds.
@@ -143,6 +144,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

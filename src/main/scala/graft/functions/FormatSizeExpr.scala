@@ -107,7 +107,9 @@ class GraftExtensions
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     // Whole-operator tier: the native per-group top-k planner strategy
-    // (graft.plans.GroupTopK).
+    // plus the optimizer rule that rewrites the declarative
+    // row_number-filter idiom onto it (graft.plans.GroupTopK*).
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.GroupTopKRewrite)
   }
 }

@@ -366,7 +366,17 @@ object TextOps {
     * propagation to fixpoint. Returns (node, label) for every node that
     * appears in a pair; label = the component's minimum node id.
     */
-  private def components(pairs: DataFrame): DataFrame = {
+  /** Edge-count bound under which connected components run as driver
+    * union-find instead of the distributed fixpoint — the same adaptive
+    * call AQE makes when it broadcasts a small join side. 1M undirected
+    * edges ≈ 16 MB of longs on the driver; a 100 TB corpus whose
+    * near-dup graph exceeds it takes the fixpoint path unchanged.
+    * (ComponentsSpec proves both paths identical on random graphs.)
+    */
+  private[operators] val LocalComponentEdgeLimit = 1000000L
+
+  private[operators] def components(pairs: DataFrame,
+      localEdgeLimit: Long = LocalComponentEdgeLimit): DataFrame = {
     // eager localCheckpoint: every fixpoint round's plan embeds `edges`,
     // so a cache would drag the ENTIRE minhash-pipeline logical plan
     // through analysis once per round — checkpointing pins just the rows
@@ -374,6 +384,11 @@ object TextOps {
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .localCheckpoint(true)
+    // The checkpoint materialized the edge set, so its size is known for
+    // free — route tiny graphs around the multi-round join fixpoint
+    // (each round is ~1 s of scheduling even on 25 edges).
+    if (edges.count() <= 2 * localEdgeLimit)
+      return componentsLocal(pairs.sparkSession, edges)
     // Iterate to FULL convergence: labels are monotonically decreasing,
     // so termination is guaranteed in ≤ diameter rounds and the result
     // matches the oracle's transitive closure exactly. One cached frame
@@ -406,6 +421,34 @@ object TextOps {
       labels = merged.select(col("node"), col("newLabel").as("label"))
     }
     labels
+  }
+
+  /** Driver union-find over a BOUNDED edge set (min-id root + full path
+    * compression, so `label = min(component)` — byte-identical to the
+    * distributed fixpoint's transitive min-label closure).
+    */
+  private def componentsLocal(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { row =>
+        val (s, d) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs < rd) parent(rd) = rs
+        else if (rd < rs) parent(rs) = rd
+      }
+    parent.keysIterator.map(n => (n, find(n))).toSeq
+      .toDF("node", "label")
   }
 
   def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {

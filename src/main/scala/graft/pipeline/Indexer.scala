@@ -348,6 +348,7 @@ object IndexerCli {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ST4: graceful shutdown — stop cleanly on SIGTERM/SIGINT.

@@ -1,0 +1,52 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpecBase
+
+/** The adaptive connected-components router: the driver union-find
+  * (small graphs) and the distributed min-label fixpoint must be
+  * byte-identical — label = min doc_id of the component — on random
+  * graphs spanning singleton edges, chains, cliques and forests.
+  */
+class ComponentsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)],
+      localLimit: Long): Map[Long, Long] = {
+    val df = pairs.toDF("a_id", "b_id")
+    TextOps.components(df, localEdgeLimit = localLimit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("local and distributed paths agree on seeded random graphs") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val nNodes = 30 + rnd.nextInt(40)
+      val nEdges = 10 + rnd.nextInt(60)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val local = labelsOf(pairs, localLimit = Long.MaxValue)
+      val dist = labelsOf(pairs, localLimit = -1)
+      assert(local === dist, s"trial $trial: $pairs")
+      // labels really are component minima: every label is ≤ its node
+      // and is itself labeled by itself
+      local.foreach { case (n, l) =>
+        assert(l <= n && local(l) === l, s"trial $trial node $n label $l")
+      }
+    }
+  }
+
+  test("chain collapses to one min label on both paths") {
+    val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+    for (limit <- Seq(Long.MaxValue, -1L)) {
+      val m = labelsOf(chain, limit)
+      assert(m.values.toSet === Set(0L), s"limit $limit: $m")
+      assert(m.size === 20)
+    }
+  }
+}
