@@ -343,6 +343,40 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(hashEx.forall(_ == "source"), s"exchanges on: $hashEx\n$p")
   }
 
+  test("AQE splits the skewed partition of a hot-key shuffle join") {
+    // The OTHER half of the skew story next to SkewOps' manual salting:
+    // at 100 TB a hot join key lands one monster partition on one
+    // executor, and AQE's skew-join splits it at runtime. Pin that the
+    // splitting actually fires on this session's plans: one key owning
+    // ~all left rows, thresholds scaled down to toy data, broadcast off
+    // so the join must shuffle.
+    import org.apache.spark.sql.functions._
+    val pairs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(200000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id"))
+          .as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 3).as("attr"))
+      val j = hot.join(dim, "k").groupBy().agg(count(lit(1)).as("n"))
+      val p = finalPlan(j)
+      assert(p.contains("skew=true"), s"skew split never fired:\n$p")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle dim join") {
     // At 100 TB a fact-join-filtered-dim is a SHUFFLE join, and Spark's
     // runtime filtering injects a bloom filter from the dim side into
