@@ -1327,6 +1327,45 @@ object TextOps {
       |GROUP BY p.doc_id ORDER BY n_occur DESC, p.doc_id LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Blocklist / toxicity filter — the standard term-list curation stage //
+  // (flag or drop documents containing blocked vocabulary). A bounded   //
+  // literal list compiles to a codegen'd IN predicate inside one        //
+  // map-only pass (no shuffle, no join); a REAL blocklist (100k terms)  //
+  // flips to the decontaminate shape: explode tokens, broadcast-join    //
+  // the term set, count matches per doc — same output contract. The     //
+  // match count and density, not just a flag, are emitted so callers    //
+  // can threshold instead of hard-dropping.                             //
+  // -------------------------------------------------------------------- //
+
+  private val blockTerms = Seq("slow", "leak", "spill")
+
+  def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val inList = blockTerms.map(t => s"'$t'").mkString(", ")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"size(filter($toks, t -> t IN ($inList)))").as("n_blocked"),
+        expr(s"size($toks)").as("n_tokens"))
+      .withColumn("density",
+        round(col("n_blocked").cast("double") / col("n_tokens"), 6))
+      .withColumn("blocked", col("n_blocked") >= 3)
+      .orderBy("doc_id")
+  }
+
+  val blocklistFilterSql: String = {
+    val inList = blockTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($inList))) AS n_blocked,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  round(CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($inList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')), 6) AS density,
+       |  len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($inList))) >= 3 AS blocked
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------- //
   // Per-domain document cap — "keep at most k docs per source, best      //
   // first", the standard corpus-balancing step that stops one crawl     //
   // domain from dominating a training mix. Runs on the NATIVE           //
@@ -1357,6 +1396,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_domain_cap" -> domainCap,
+    "docs_blocklist_filter" -> blocklistFilter,
     "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
@@ -1387,6 +1427,7 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "docs_domain_cap" -> domainCapSql,
+    "docs_blocklist_filter" -> blocklistFilterSql,
     "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,
