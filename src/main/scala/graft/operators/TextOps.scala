@@ -1327,6 +1327,38 @@ object TextOps {
       |GROUP BY p.doc_id ORDER BY n_occur DESC, p.doc_id LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Deterministic training-order shuffle — the last step of a curation  //
+  // pipeline: order the corpus by a seeded content hash so every run    //
+  // (and every engine) produces the SAME "random" order. The global     //
+  // row_number here is the oracle-parity shape; at 100 TB you never     //
+  // materialize a global position — `ORDER BY shuffle_key` on write is  //
+  // one range exchange (sorted output splits), and a reader that needs  //
+  // positions derives them per split from file offsets. Changing the    //
+  // seed string reshuffles; the hash key also makes resumable sharding  //
+  // trivial (shard = prefix of the key space).                          //
+  // -------------------------------------------------------------------- //
+
+  def trainOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        sha2(concat(lit("seed42:"), col("doc_id").cast("string")), 256)
+          .as("shuffle_key"))
+    keyed
+      .withColumn("shuffle_pos",
+        row_number().over(Window.orderBy("shuffle_key", "doc_id")))
+      .orderBy("shuffle_pos")
+  }
+
+  val trainOrderSql: String =
+    """SELECT doc_id,
+      |  sha256('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  row_number() OVER (
+      |    ORDER BY sha256('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS shuffle_pos
+      |FROM documents ORDER BY shuffle_pos""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // Blocklist / toxicity filter — the standard term-list curation stage //
   // (flag or drop documents containing blocked vocabulary). A bounded   //
   // literal list compiles to a codegen'd IN predicate inside one        //
@@ -1397,6 +1429,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_domain_cap" -> domainCap,
     "docs_blocklist_filter" -> blocklistFilter,
+    "docs_train_order" -> trainOrder,
     "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
@@ -1428,6 +1461,7 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     "docs_domain_cap" -> domainCapSql,
     "docs_blocklist_filter" -> blocklistFilterSql,
+    "docs_train_order" -> trainOrderSql,
     "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,
