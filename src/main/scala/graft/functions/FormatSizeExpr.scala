@@ -93,7 +93,9 @@ object GraftFunctions {
       (FunctionIdentifier("format_size"), info, builder),
       binary("vec_dot", VecDot.apply),
       binary("vec_dist2", VecDist2.apply),
-      binary("zorder2", ZOrder2.apply))
+      binary("zorder2", ZOrder2.apply),
+      binary("topk_list", (v, k) => TopKListAgg(v, k)
+        .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, inf, b) =>

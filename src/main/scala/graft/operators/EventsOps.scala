@@ -255,6 +255,23 @@ object EventsOps {
       .orderBy("event_type", "rk")
   }
 
+  /** Top-k raw values per group via `topk_list`, the library's custom
+    * TypedImperativeAggregate (functions/TopKListAgg.scala): k-bounded
+    * heap per partial buffer, O(k) merges — constant per-group state at
+    * any scale, where collect_list-then-slice would buffer every value.
+    * Value-multiset top-k is tie-proof, hence hash-oracle-able.
+    */
+  def topkValues(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(expr("topk_list(value, 5)").as("top_values"))
+      .orderBy("event_type")
+
+  val topkValuesSql: String =
+    """SELECT event_type,
+      |  (list(value ORDER BY value DESC))[1:5] AS top_values
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** [[topUsersPerType]] on the NATIVE GroupTopK operator (graft.plans)
     * instead of a window: identical rows (the ordering is total, so
     * rank == row_number), but the per-group cap happens in bounded
@@ -722,6 +739,7 @@ object EventsOps {
     "events_approx_stats" -> approxStats,
     "events_top_users" -> topUsersPerType,
     "events_top_users_native" -> topUsersPerTypeNative,
+    "events_topk_values" -> topkValues,
     "events_user_quartiles" -> userQuartiles,
     "events_zorder_tiles" -> zorderTiles,
     "events_rolling_window" -> rollingWindow,
@@ -742,6 +760,7 @@ object EventsOps {
     "events_value_stats" -> valueStatsSql,
     "events_top_users" -> topUsersPerTypeSql,
     "events_top_users_native" -> topUsersPerTypeNativeSql,
+    "events_topk_values" -> topkValuesSql,
     "events_user_quartiles" -> userQuartilesSql,
     "events_zorder_tiles" -> zorderTilesSql,
     "events_rolling_window" -> rollingWindowSql,
