@@ -80,6 +80,37 @@ object EventsStream {
       }
   }
 
+  /** Continuously-maintained per-group top-k (streaming leaderboard) —
+    * the streaming face of [[graft.plans.GroupTopK]]: the state per
+    * group is the SAME k-bounded summary the batch operator keeps in
+    * its partial heaps (top-k is a mergeable bounded statistic, which
+    * is exactly why it streams well), so state is `groups × k` forever,
+    * independent of stream length — no watermark needed. Each
+    * micro-batch emits the refreshed descending (score, id) ranking for
+    * every group it touched (Update-mode semantics). Rows are
+    * observations `(group, id, score)` ranked by (score desc, id asc);
+    * after any prefix of the stream the emitted ranking equals the
+    * batch operator run over the same rows (pinned by the spec).
+    */
+  def topkStream(spark: SparkSession,
+      rows: Dataset[(String, Long, Double)], k: Int)
+      : Dataset[(String, Seq[Long], Seq[Double])] = {
+    import spark.implicits._
+    require(k > 0, s"topkStream needs k > 0, got $k")
+    rows
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[(String, Long, Double)],
+            state: GroupState[List[(Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+            batch.map(r => (r._2, r._3)))
+            .sortBy { case (id, score) => (-score, id) }
+            .take(k)
+          state.update(merged)
+          (g, merged.map(_._1), merged.map(_._2))
+      }
+  }
+
   /** Engine-native watermark-bounded streaming dedup
     * (`dropDuplicatesWithinWatermark`) — the zero-custom-code counterpart
     * of [[dedupStream]]: state for a key is dropped once the watermark

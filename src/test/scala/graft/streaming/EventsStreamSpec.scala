@@ -186,4 +186,51 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("topkStream: leaderboard state matches the batch operator after " +
+    "every prefix") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val q = EventsStream.topkStream(spark, ms.toDS(), k = 3)
+      .writeStream.format("memory").queryName("lb")
+      .outputMode("update").start()
+
+    def batchTruth(rows: Seq[(String, Long, Double)])
+        : Map[String, Seq[Long]] = {
+      val df = rows.toDF("g", "id", "score")
+      graft.plans.GroupTopK
+        .topK(df, Seq("g"), Seq(("score", true), ("id", false)), 3)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+        .groupBy(_._1)
+        .map { case (g, rs) => g -> rs.sortBy(_._3).map(_._2).toSeq }
+    }
+
+    val b1 = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0),
+      ("a", 4L, 1.0), ("b", 5L, 2.0))
+    val b2 = Seq(("a", 6L, 8.0), ("b", 7L, 4.0), ("b", 8L, 2.0))
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      val after1 = spark.table("lb").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1))).toSet
+      assert(after1 === batchTruth(b1).toSet)
+      // batch 2: a new high score displaces a's #3; b grows; every
+      // emitted ranking after the second batch must equal the batch
+      // operator over the FULL prefix (streaming state == bounded
+      // mergeable summary)
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val truthAll = batchTruth(b1 ++ b2)
+      val rows = spark.table("lb").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1))).toSet
+      // memory sink holds batch-1 AND batch-2 emissions; the batch-2
+      // ones must be present and correct for both touched groups
+      assert(rows.contains(("a", truthAll("a"))), s"$rows vs $truthAll")
+      assert(rows.contains(("b", truthAll("b"))), s"$rows vs $truthAll")
+      // ties broken by id: b has two score-2.0 observations (5 and 8)
+      assert(truthAll("b") === Seq(7L, 5L, 8L))
+    } finally q.stop()
+  }
+
 }
