@@ -343,6 +343,47 @@ object Analytics {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q17 shape — CORRELATED scalar aggregate subquery (each
+    * lineitem row compares against ITS part's average quantity): the
+    * decorrelation every engine performs is explicit here — one
+    * per-part aggregate of the brand-filtered lineitems, joined back to
+    * the same rows. The threshold `qty < 0.2 × avg(qty)` is evaluated
+    * divisionless as `5 × qty × cnt < sum_qty` so both engines compare
+    * exact DECIMALs (no cross-engine division-rounding hazard). At
+    * scale: the aggregate collapses the fact side per part before the
+    * join, and both legs shuffle once on the part key.
+    */
+  def q17SmallQuantityRevenue(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val brandLines = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part")
+        .filter(col("p_brand") === "Brand#4").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+    val perPart = brandLines
+      .groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    brandLines
+      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(dec("l_quantity") * 5 * col("cnt") < col("sum_qty"))
+      .agg(round(sum(dec("l_extendedprice")) / 7, 2).cast("double")
+        .as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7, 2) AS DOUBLE)
+      |    AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+      |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 *
+      |      (SELECT count(*) FROM lineitem l2, part p2
+      |       WHERE p2.p_partkey = l2.l_partkey AND p2.p_brand = 'Brand#4'
+      |         AND l2.l_partkey = lineitem.l_partkey)
+      |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
+      |       FROM lineitem l3, part p3
+      |       WHERE p3.p_partkey = l3.l_partkey AND p3.p_brand = 'Brand#4'
+      |         AND l3.l_partkey = lineitem.l_partkey)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_orders" -> q3TopOrders,
@@ -352,7 +393,8 @@ object Analytics {
     "q14_promo_revenue" -> q14PromoRevenue,
     "q18_large_orders" -> q18LargeOrders,
     "q4_order_priority" -> q4OrderPriority,
-    "q22_no_order_customers" -> q22NoOrderCustomers)
+    "q22_no_order_customers" -> q22NoOrderCustomers,
+    "q17_small_qty_revenue" -> q17SmallQuantityRevenue)
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -363,5 +405,6 @@ object Analytics {
     "q14_promo_revenue" -> q14Sql,
     "q18_large_orders" -> q18Sql,
     "q4_order_priority" -> q4Sql,
-    "q22_no_order_customers" -> q22Sql)
+    "q22_no_order_customers" -> q22Sql,
+    "q17_small_qty_revenue" -> q17Sql)
 }
