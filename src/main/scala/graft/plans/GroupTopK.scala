@@ -177,9 +177,13 @@ case class GroupTopKPartialExec(
       newChild: SparkPlan): GroupTopKPartialExec = copy(child = newChild)
 }
 
-/** Reduce-side half: declares `ClusteredDistribution(groupExprs)` so
-  * EnsureRequirements co-locates each group's surviving candidates,
-  * re-heaps them to the true top-k, and appends the rank.
+/** Reduce-side half: declares `ClusteredDistribution(groupExprs)` AND
+  * `requiredChildOrdering(group, order)`, so EnsureRequirements plans
+  * the exchange plus an EXTERNAL (spill-safe) sort of the surviving
+  * candidates — the final pass is then a streaming rank emit with O(1)
+  * state: no per-partition map of groups, no memory envelope at any
+  * group cardinality. The sorted input is small by construction (the
+  * partial bounded it to ≤ partitions × groups × k rows).
   */
 case class GroupTopKFinalExec(
     groupExprs: Seq[Expression],
@@ -193,6 +197,10 @@ case class GroupTopKFinalExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(groupExprs.map(SortOrder(_, Ascending)) ++ order)
+  override def outputOrdering: Seq[SortOrder] =
+    groupExprs.map(SortOrder(_, Ascending)) ++ order
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" ->
@@ -200,21 +208,27 @@ case class GroupTopKFinalExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOut = longMetric("numOutputRows")
-    val (schema, g, o, kk) = (child.output, groupExprs, order, k)
+    val (schema, g, kk) = (child.output, groupExprs, k)
     val out = output
     child.execute().mapPartitions({ iter =>
-      val (heaps, _) = GroupTopKHeaps.build(iter, schema, g, o, kk)
+      val keyProj = UnsafeProjection.create(g, schema)
       val proj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
-      heaps.valuesIterator.flatMap { pq =>
-        // dequeueAll yields sort-LAST first; reversed = rank order
-        val ranked = pq.dequeueAll.reverse
-        numOut += ranked.size
-        ranked.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, i + 1)
-          proj(joined(row, rankRow))
+      var curKey: UnsafeRow = null
+      var rank = 0
+      iter.flatMap { row =>
+        val key = keyProj(row)
+        if (curKey == null || key != curKey) {
+          curKey = key.copy()
+          rank = 0
         }
+        rank += 1
+        if (rank <= kk) {
+          numOut += 1
+          rankRow.update(0, rank)
+          Iterator.single[InternalRow](proj(joined(row, rankRow)))
+        } else Iterator.empty
       }
     }, preservesPartitioning = false)
   }
