@@ -41,7 +41,7 @@ object TextOps {
        |  transform(sequence(1, size($toks) - 2),
        |    i -> array_join(slice($toks, i, 3), ' '))
        |ELSE cast(array() AS array<string>) END""".stripMargin
-  private val shingles = s"array_distinct($occShingles)"
+  private[graft] val shingles = s"array_distinct($occShingles)"
   private val duckToks = "string_split(text, ' ')"
   private val duckShingles =
     s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
