@@ -22,16 +22,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ FsOps.queries ++ EventsOps.queries ++
-      TextOps.queries ++ VectorOps.queries ++ IngestOps.queries ++
-      MultimodalOps.queries ++ SkewOps.queries ++ TemporalJoins.queries
+    Analytics.queries ++ AnalyticsExt.queries ++ FsOps.queries ++
+      EventsOps.queries ++ TextOps.queries ++ VectorOps.queries ++
+      IngestOps.queries ++ MultimodalOps.queries ++ SkewOps.queries ++
+      TemporalJoins.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Analytics.oracleSql ++ FsOps.oracleSql ++ EventsOps.oracleSql ++
-      TextOps.oracleSql ++ VectorOps.oracleSql ++ IngestOps.oracleSql ++
-      MultimodalOps.oracleSql ++ SkewOps.oracleSql ++
-      TemporalJoins.oracleSql
+    Analytics.oracleSql ++ AnalyticsExt.oracleSql ++ FsOps.oracleSql ++
+      EventsOps.oracleSql ++ TextOps.oracleSql ++ VectorOps.oracleSql ++
+      IngestOps.oracleSql ++ MultimodalOps.oracleSql ++
+      SkewOps.oracleSql ++ TemporalJoins.oracleSql
 }
