@@ -247,6 +247,19 @@ object TextOps {
   // uniform hash family that both engines order identically.            //
   // -------------------------------------------------------------------- //
 
+  /** Affine MinHash family constants, mirrored verbatim in
+    * [[minhashCtesFrom]]'s DuckDB CTE and [[graft.streaming.TextStream]]:
+    * hᵢ(v) = (Aᵢ·base(v) + Bᵢ) mod P with base(v) = first 7 hex chars of
+    * sha256(v) as an integer. P = 2³¹−1 (prime); Aᵢ odd primes ≪ 2³¹.
+    */
+  private[graft] val MinhashP = 2147483647L
+  private[graft] val MinhashA: IndexedSeq[Long] = Vector(
+    1000003L, 1000033L, 1000037L, 1000039L, 1000081L, 1000099L,
+    1000117L, 1000121L, 1000133L, 1000151L, 1000159L, 1000171L)
+  private[graft] val MinhashB: IndexedSeq[Long] = Vector(
+    12289L, 24593L, 49157L, 98317L, 196613L, 393241L,
+    786433L, 1572869L, 3145739L, 6291469L, 12582917L, 25165843L)
+
   /** Shared MinHash-LSH pair pipeline. Returns the CACHED shingle frame
     * (doc_id, sh) alongside the verified pair frame so callers that
     * materialize internally (`neardupClusters`) can unpersist it; the
@@ -274,10 +287,18 @@ object TextOps {
       .select(col("doc_id"), expr(shingles).as("sh"))
       .cache()
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("v"))
+    // ONE sha256 per distinct shingle (28-bit hex prefix → BIGINT base
+    // fingerprint), then 12 affine transforms (aᵢ·base + bᵢ) mod 2³¹−1 —
+    // a universal hash family whose integer arithmetic both engines
+    // evaluate identically with no 64-bit overflow (aᵢ < 2³¹, base < 2²⁸
+    // ⇒ product < 2⁵⁹). Replaces the previous 12-seeded-sha256 scheme:
+    // same banding semantics, 12× less sha2 work per distinct shingle.
+    val base = conv(substring(sha2(col("v"), 256), 1, 7), 16, 10)
+      .cast("long")
     val hashedVocab = exploded.select("v").distinct()
       .select(col("v") +: (0 until nSeeds).map(s =>
-        substring(sha2(concat(lit(s.toString), lit(":"), col("v")), 256),
-          1, 12).as(s"h$s")): _*)
+        ((lit(MinhashA(s)) * base + lit(MinhashB(s))) % MinhashP)
+          .as(s"h$s")): _*)
     val hashed = exploded.join(hashedVocab, "v").drop("v")
     val sigs = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
@@ -286,10 +307,12 @@ object TextOps {
     // equi-join. Shingle arrays are re-joined by id AFTER banding so the
     // wide arrays never shuffle through the band join (the shape that
     // matters at scale).
+    // '_' separators keep variable-width integer minhashes unambiguous
+    // in the concatenated key ("1"+"23" vs "12"+"3")
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map(bnd => concat(lit(bnd.toString), lit(":"),
-        col(s"m${bnd * 3}"), col(s"m${bnd * 3 + 1}"),
-        col(s"m${bnd * 3 + 2}"))): _*)).as("band_key"))
+        col(s"m${bnd * 3}"), lit("_"), col(s"m${bnd * 3 + 1}"),
+        lit("_"), col(s"m${bnd * 3 + 2}"))): _*)).as("band_key"))
     val cand = bands.select(col("band_key"), col("doc_id").as("a_id"))
       .join(bands.select(col("band_key"), col("doc_id").as("b_id")),
         Seq("band_key"))
@@ -324,18 +347,28 @@ object TextOps {
     * composed oracles (the curation pipeline) can run it over a filtered
     * survivor CTE.
     */
-  private def minhashCtesFrom(table: String): String =
+  private def minhashCtesFrom(table: String): String = {
+    val aList = MinhashA.mkString("[", ", ", "]")
+    val bList = MinhashB.mkString("[", ", ", "]")
+    // base(v): first 7 hex chars of sha256 folded to BIGINT digit-by-digit
+    // (DuckDB has no hex→int cast); mirrors Spark's conv(substr(sha2),16,10)
     s"""sh AS (SELECT doc_id, $duckShingles AS s FROM $table),
        |sigs AS (
        |  SELECT doc_id, s,
-       |    list_transform(generate_series(0, 11),
+       |    list_transform(generate_series(1, 12),
        |      sd -> list_min(list_transform(s,
-       |              v -> substr(sha256(sd || ':' || v), 1, 12)))) AS sig
+       |              v -> ($aList[sd] * list_reduce(
+       |                      list_transform(generate_series(1, 7),
+       |                        i -> CAST(strpos('0123456789abcdef',
+       |                               substr(sha256(v), i, 1)) - 1 AS BIGINT)),
+       |                      (a, c) -> a * 16 + c)
+       |                    + $bList[sd]) % $MinhashP))) AS sig
        |  FROM sh),
        |bands AS (
        |  SELECT doc_id, s,
        |    unnest(list_transform(generate_series(0, 3),
-       |      b -> b || ':' || sig[b*3 + 1] || sig[b*3 + 2] || sig[b*3 + 3])) AS band_key
+       |      b -> b || ':' || sig[b*3 + 1] || '_' || sig[b*3 + 2] ||
+       |           '_' || sig[b*3 + 3])) AS band_key
        |  FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -348,6 +381,7 @@ object TextOps {
        |  FROM cand
        |  JOIN sh x ON x.doc_id = a_id
        |  JOIN sh y ON y.doc_id = b_id)""".stripMargin
+  }
 
   val minhashNearDupSql: String =
     s"""WITH ${minhashCtesFrom("documents")}

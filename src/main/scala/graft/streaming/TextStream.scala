@@ -35,16 +35,22 @@ object TextStream {
   private val nBands = nSeeds / rowsPerBand
 
   /** Per-row band keys, value-identical to the batch pipeline's
-    * (seed `s` hashes shingle `v` as `substring(sha2(s + ':' + v), 1,
-    * 12)`; band key = band index + ':' + its 3 concatenated minima).
+    * (TextOps affine family: seed `i` hashes shingle `v` as
+    * `(Aᵢ·base(v) + Bᵢ) mod P` with base(v) the first 7 hex chars of
+    * sha256(v); band key = band index + ':' + its 3 '_'-joined minima).
     */
   private[streaming] val bandKeysExpr: String = {
-    def minhash(seed: String) =
-      s"array_min(transform(sh, v -> substring(sha2(concat($seed, ':', v), 256), 1, 12)))"
+    def minhash(seed: Int) = {
+      val (a, b) = (graft.operators.TextOps.MinhashA(seed),
+        graft.operators.TextOps.MinhashB(seed))
+      s"array_min(transform(sh, v -> (${a}L * cast(conv(substring(" +
+        s"sha2(v, 256), 1, 7), 16, 10) as bigint) + ${b}L) % " +
+        s"${graft.operators.TextOps.MinhashP}L))"
+    }
     val bandCols = (0 until nBands).map { b =>
       val mins = (0 until rowsPerBand)
-        .map(r => minhash(s"cast(${b * rowsPerBand + r} as string)"))
-        .mkString(", ")
+        .map(r => minhash(b * rowsPerBand + r))
+        .mkString(", '_', ")
       s"concat('$b', ':', $mins)"
     }
     s"array(${bandCols.mkString(", ")})"

@@ -67,14 +67,18 @@ class TextStreamSpec extends SparkSpecBase {
     val bands = df.select(explode(col("bands"))).as[String].collect()
     assert(bands.length === 4)
     val shingles = docA._2.split(" ").sliding(3).map(_.mkString(" ")).toSet
-    def h(seed: Int, v: String): String = {
+    def h(seed: Int, v: String): Long = {
       val d = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(s"$seed:$v".getBytes("UTF-8"))
-      d.map("%02x".format(_)).mkString.substring(0, 12)
+        .digest(v.getBytes("UTF-8"))
+      val base = java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 7), 16)
+      (graft.operators.TextOps.MinhashA(seed) * base +
+        graft.operators.TextOps.MinhashB(seed)) %
+        graft.operators.TextOps.MinhashP
     }
     val expected = (0 until 4).map { b =>
       val mins = (0 until 3).map(r =>
-        shingles.map(v => h(b * 3 + r, v)).min).mkString
+        shingles.map(v => h(b * 3 + r, v)).min).mkString("_")
       s"$b:$mins"
     }
     assert(bands.toSeq === expected)
