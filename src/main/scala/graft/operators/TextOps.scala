@@ -287,19 +287,23 @@ object TextOps {
       .select(col("doc_id"), expr(shingles).as("sh"))
       .cache()
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("v"))
-    // ONE sha256 per distinct shingle (28-bit hex prefix → BIGINT base
+    // ONE sha256 per shingle occurrence (28-bit hex prefix → BIGINT base
     // fingerprint), then 12 affine transforms (aᵢ·base + bᵢ) mod 2³¹−1 —
     // a universal hash family whose integer arithmetic both engines
     // evaluate identically with no 64-bit overflow (aᵢ < 2³¹, base < 2²⁸
-    // ⇒ product < 2⁵⁹). Replaces the previous 12-seeded-sha256 scheme:
-    // same banding semantics, 12× less sha2 work per distinct shingle.
+    // ⇒ product < 2⁵⁹). The earlier distinct-vocabulary join existed to
+    // amortize 12 sha256s per shingle; with one sha256 + cheap affine
+    // arithmetic the distinct + join-back SHUFFLES cost more than the
+    // hashing they save at every scale (shuffling an occurrence twice is
+    // dearer than hashing it once), so hashing is inline again and the
+    // signature stage is shuffle-free up to the per-doc min aggregate —
+    // which partial-aggregates map-side (explode output is doc-contiguous,
+    // so each partition collapses to ~1 row per doc before the exchange).
     val base = conv(substring(sha2(col("v"), 256), 1, 7), 16, 10)
       .cast("long")
-    val hashedVocab = exploded.select("v").distinct()
-      .select(col("v") +: (0 until nSeeds).map(s =>
-        ((lit(MinhashA(s)) * base + lit(MinhashB(s))) % MinhashP)
-          .as(s"h$s")): _*)
-    val hashed = exploded.join(hashedVocab, "v").drop("v")
+    val hashed = exploded.select(col("doc_id") +: (0 until nSeeds).map(s =>
+      ((lit(MinhashA(s)) * base + lit(MinhashB(s))) % MinhashP)
+        .as(s"h$s")): _*)
     val sigs = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until nSeeds).map(s => min(col(s"h$s")).as(s"m$s")): _*)
