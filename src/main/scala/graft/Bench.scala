@@ -23,6 +23,7 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q9_product_profit", "q13_order_distribution", "q21_waiting_suppliers",
     "fs_dir_rollup_explode", "fs_dir_rollup_theta", "fs_merge_upsert",
     "fs_es_docs", "fs_deletions", "fs_stale_links",
     "docs_dedup_exact", "docs_minhash_neardup", "docs_neardup_clusters",

@@ -352,22 +352,23 @@ object TextOps {
     * survivor CTE.
     */
   private def minhashCtesFrom(table: String): String = {
-    val aList = MinhashA.mkString("[", ", ", "]")
-    val bList = MinhashB.mkString("[", ", ", "]")
-    // base(v): first 7 hex chars of sha256 folded to BIGINT digit-by-digit
-    // (DuckDB has no hex→int cast); mirrors Spark's conv(substr(sha2),16,10)
+    // base(v): first 7 hex chars of sha256 via DuckDB's 0x-literal cast;
+    // mirrors Spark's conv(substr(sha2), 16, 10), computed once per
+    // shingle. The 12 seed transforms are UNROLLED with literal
+    // constants: an indexed `[a...][sd]` lambda re-builds the constant
+    // list per element in DuckDB (measured 9x slower).
+    val seedMins = (0 until 12).map(s =>
+      s"list_min(list_transform(bases, x -> (${MinhashA(s)} * x + " +
+        s"${MinhashB(s)}) % $MinhashP))").mkString(",\n    ")
     s"""sh AS (SELECT doc_id, $duckShingles AS s FROM $table),
-       |sigs AS (
+       |shb AS (
        |  SELECT doc_id, s,
-       |    list_transform(generate_series(1, 12),
-       |      sd -> list_min(list_transform(s,
-       |              v -> ($aList[sd] * list_reduce(
-       |                      list_transform(generate_series(1, 7),
-       |                        i -> CAST(strpos('0123456789abcdef',
-       |                               substr(sha256(v), i, 1)) - 1 AS BIGINT)),
-       |                      (a, c) -> a * 16 + c)
-       |                    + $bList[sd]) % $MinhashP))) AS sig
+       |    list_transform(s, v ->
+       |      CAST('0x' || substr(sha256(v), 1, 7) AS BIGINT)) AS bases
        |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, s, [$seedMins] AS sig
+       |  FROM shb),
        |bands AS (
        |  SELECT doc_id, s,
        |    unnest(list_transform(generate_series(0, 3),
