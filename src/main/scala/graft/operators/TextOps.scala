@@ -519,6 +519,119 @@ object TextOps {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Near-dup KEEP-BEST: the curation policy on top of the clusters —    //
+  // one kept representative per near-dup cluster, chosen by quality     //
+  // score (tie → min doc_id), not by graph label. This is what a real   //
+  // dedup run does with the clusters: drop all but the best copy.       //
+  // -------------------------------------------------------------------- //
+
+  /** One row per near-dup cluster: its size, the best quality score
+    * inside it, and the kept doc (max quality, ties to the smallest
+    * doc_id — picked via explicit max-then-min aggregation so the
+    * choice is deterministic in both engines, no argmax tie ambiguity).
+    * Scale shape: labels come from [[components]] (bounded near-dup
+    * nodes only), quality joins per node, and both aggregations are
+    * map-side-combinable on the cluster label.
+    */
+  def neardupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sh, rawPairs) = minhashPairs(spark, sfDir)
+    val labels = components(rawPairs.select("a_id", "b_id"))
+    val quality = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"))
+      .select(col("doc_id"), qualityCol(col("n_stop"), col("n_tokens"))
+        .as("quality"))
+    val cl = labels
+      .join(quality, col("node") === col("doc_id"))
+      .select(col("label"), col("doc_id"), col("quality"))
+    val perCluster = cl.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col("quality")).as("best_quality"))
+    val out = cl
+      .join(perCluster, col("label") === col("cluster_rep") &&
+        col("quality") === col("best_quality"))
+      .groupBy(col("cluster_rep"), col("cluster_size"), col("best_quality"))
+      .agg(min(col("doc_id")).as("kept_doc"))
+      .orderBy(col("cluster_rep"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  val neardupKeepBestSql: String =
+    s"""WITH RECURSIVE ${minhashCtesFrom("documents")},
+       |npairs AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
+       |edges AS (
+       |  SELECT a_id AS s, b_id AS d FROM npairs
+       |  UNION ALL SELECT b_id, a_id FROM npairs),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, label) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+       |labels AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+       |        + 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 4)
+       |      AS quality
+       |  FROM (SELECT doc_id, len($duckToks) AS n_tokens,
+       |          len(list_filter($duckToks, t -> t IN ($stopList))) AS n_stop
+       |        FROM documents)),
+       |cl AS (
+       |  SELECT l.label, q.doc_id, q.quality
+       |  FROM labels l JOIN q ON q.doc_id = l.node),
+       |per_cluster AS (
+       |  SELECT label AS cluster_rep, count(*) AS cluster_size,
+       |    max(quality) AS best_quality
+       |  FROM cl GROUP BY label)
+       |SELECT cluster_rep, cluster_size, best_quality,
+       |  min(doc_id) AS kept_doc
+       |FROM cl JOIN per_cluster
+       |  ON label = cluster_rep AND quality = best_quality
+       |GROUP BY cluster_rep, cluster_size, best_quality
+       |ORDER BY cluster_rep""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // BPE merge candidates: one iteration of byte-pair-encoding training  //
+  // — count adjacent token pairs corpus-wide, rank the top merges.      //
+  // -------------------------------------------------------------------- //
+
+  /** The pair-counting step a BPE tokenizer trainer runs per merge
+    * round: adjacent (tokenᵢ, tokenᵢ₊₁) occurrences counted corpus-wide,
+    * top-20 by frequency (ties broken by pair text). Scale shape: the
+    * explode is map-local, the count partial-aggregates per partition
+    * (pair vocabulary ≪ occurrences), and the top-20 compiles to
+    * TakeOrderedAndProject — the full pair distribution never sorts.
+    * A real trainer iterates: apply the best merge, recount; each round
+    * is exactly this plan over the re-tokenized corpus.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(explode(expr(
+        s"""CASE WHEN size($toks) >= 2 THEN
+           |  transform(sequence(1, size($toks) - 1),
+           |    i -> concat(element_at($toks, i), '|',
+           |                element_at($toks, i + 1)))
+           |ELSE cast(array() AS array<string>) END""".stripMargin))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+
+  val bpeMergesSql: String =
+    s"""SELECT pair, count(*) AS pair_count
+       |FROM (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, len($duckToks) - 1),
+       |    i -> $duckToks[i] || '|' || $duckToks[i + 1])) AS pair
+       |  FROM documents)
+       |GROUP BY pair
+       |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // SimHash: 16-bit fingerprint — per-bit majority vote over sha2 bits   //
   // of the distinct token set. Integer arithmetic end-to-end.            //
   // -------------------------------------------------------------------- //
@@ -1483,6 +1596,8 @@ object TextOps {
     "docs_rolling_hash" -> rollingHash,
     "docs_minhash_neardup" -> minhashNearDup,
     "docs_neardup_clusters" -> neardupClusters,
+    "docs_neardup_keep_best" -> neardupKeepBest,
+    "docs_bpe_merges" -> bpeMerges,
     "docs_simhash" -> simhash,
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
@@ -1515,6 +1630,8 @@ object TextOps {
     "docs_rolling_hash" -> rollingHashSql,
     "docs_minhash_neardup" -> minhashNearDupSql,
     "docs_neardup_clusters" -> neardupClustersSql,
+    "docs_neardup_keep_best" -> neardupKeepBestSql,
+    "docs_bpe_merges" -> bpeMergesSql,
     "docs_simhash" -> simhashSql,
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,

@@ -174,4 +174,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows.last._2 < rows.head._2 * 9 / 10,
       s"final corpus ${rows.last._2} barely filtered from ${rows.head._2}")
   }
+
+  test("keep-best picks the max-quality doc (min id on ties) per cluster") {
+    val clusters = TextOps.neardupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc -> rep
+    val quality = TextOps.qualityScore(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toMap
+    val kept = TextOps.neardupKeepBest(spark, sf).collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      val rep = r.getAs[Long]("cluster_rep")
+      val members = clusters.collect { case (d, l) if l == rep => d }.toSeq
+      assert(members.size == r.getAs[Long]("cluster_size"))
+      val best = members.map(quality).max
+      assert(r.getAs[Double]("best_quality") == best)
+      assert(r.getAs[Long]("kept_doc") ==
+        members.filter(quality(_) == best).min)
+    }
+  }
+
+  test("bpe merges: counts descend and pairs are adjacent-token joins") {
+    val rows = TextOps.bpeMerges(spark, sf).collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("pair").count(_ == '|') >= 1))
+  }
 }
