@@ -126,6 +126,31 @@ object EventsStream {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-STREAM interval join (attribution shape): each left event
+    * matches right events for the same user within `[l_ts, l_ts +
+    * horizon]`. Both sides carry watermarks, and the range condition
+    * bounds them against each other, so the engine derives a state
+    * eviction bound for BOTH buffers (left rows expire `horizon` past
+    * the right watermark; right rows expire at the left watermark +
+    * horizon) — the state-bounded form of a fact-fact event join. Inner
+    * join ⇒ results emit as soon as both sides arrive; no watermark
+    * wait. At scale this is a key-partitioned symmetric hash join with
+    * per-key time-pruned buffers — the streaming twin of
+    * [[graft.operators.TemporalJoins.rangeJoin]].
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      horizon: String = "1 hour", delay: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_type").as("l_type")).withWatermark("l_ts", delay)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_type").as("r_type")).withWatermark("r_ts", delay)
+    l.join(r, expr(
+      s"""l_user = r_user AND
+         |r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("l_user").as("user_id"), col("l_ts"), col("l_type"),
+        col("r_ts"), col("r_type"))
+  }
+
   /** Streaming point-in-time (as-of) enrichment — the streaming twin of
     * [[graft.operators.TemporalJoins.asof]]: each probe event is joined
     * to the latest build-side row with `build.ts <= probe.ts` for its

@@ -9,6 +9,7 @@ import graft.SparkSpecBase
 import graft.sinks.ParquetIndex
 
 case class Ev(ts: Timestamp, event_type: String)
+case class KEv(user_id: String, ts: Timestamp, event_type: String)
 case class DEv(event_id: String, ts: Timestamp)
 case class UEv(ts: Timestamp, user_id: String)
 case class Entry(key: String, size: Long, mtime: Timestamp)
@@ -230,6 +231,35 @@ class EventsStreamSpec extends SparkSpecBase {
       assert(rows.contains(("b", truthAll("b"))), s"$rows vs $truthAll")
       // ties broken by id: b has two score-2.0 observations (5 and 8)
       assert(truthAll("b") === Seq(7L, 5L, 8L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: matches within horizon, same user") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[KEv]
+    val clicks = MemoryStream[KEv]
+    val q = EventsStream.intervalJoinStream(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        KEv("u1", ts("2024-01-01 10:00:00"), "imp"),
+        KEv("u2", ts("2024-01-01 10:00:00"), "imp"))
+      clicks.addData(
+        KEv("u1", ts("2024-01-01 10:30:00"), "click"), // in horizon
+        KEv("u1", ts("2024-01-01 11:30:00"), "click"), // past 1h horizon
+        KEv("u2", ts("2024-01-01 09:30:00"), "click"), // before the imp
+        KEv("u3", ts("2024-01-01 10:15:00"), "click")) // no matching imp
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getString(0), r.getTimestamp(3))).toSet
+      assert(got == Set(("u1", ts("2024-01-01 10:30:00"))))
+      // inner join emits immediately; a LATER click for an OLD imp still
+      // joins while both rows are within watermark bounds
+      clicks.addData(KEv("u2", ts("2024-01-01 10:45:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("ij").count() == 2)
     } finally q.stop()
   }
 
