@@ -404,4 +404,46 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q19: disjunctive bundles push per-table residuals to BOTH scans") {
+    val p = finalPlan(SparkEntry.queries("q19_disjunctive_revenue")(spark, sf))
+    // the lineitem scan carries the OR of the quantity windows, the part
+    // scan the OR of the brand/size bundles — neither side scans raw
+    assert(p.contains("l_quantity"), p)
+    assert(p.contains("Brand#12"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the cross-table OR itself evaluates at the join, not post-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q21: decorrelated EXISTS pair — aggregates, never a per-row rescan") {
+    val p = finalPlan(SparkEntry.queries("q21_waiting_suppliers")(spark, sf))
+    // the two correlated subqueries became ONE per-order aggregate:
+    // expanded count-distinct, no nested-loop/cartesian anywhere
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the returned-flag filter reached the lineitem scan
+    assert(p.contains("l_returnflag"), p)
+    // top-100 never globally sorts
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q2: min-cost join meets on (part, cost) — equi only, top-k heap") {
+    val p = finalPlan(SparkEntry.queries("q2_min_cost_supplier")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the part filter was pushed to its scan, not evaluated post-join
+    assert(p.contains("p_size"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q13: outer join keeps zero-order customers; two-level aggregation") {
+    val p = finalPlan(SparkEntry.queries("q13_order_distribution")(spark, sf))
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    // the priority filter prunes the orders side BEFORE the join
+    assert(p.contains("1-URGENT"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
 }
