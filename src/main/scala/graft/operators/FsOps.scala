@@ -399,6 +399,71 @@ object FsOps {
       |ORDER BY id""".stripMargin)
 
   // -------------------------------------------------------------------- //
+  // Snapshot DIFF: classify added/removed/modified between two index    //
+  // generations via ONE full-outer join — the verification/audit query  //
+  // an operator runs after a reindex (J9's ask as a single plan, and    //
+  // the FULL OUTER member of the join family: J1/J4 inner+left,         //
+  // J5 left+filter, J6 anti, J4 semi — this completes the set).         //
+  // -------------------------------------------------------------------- //
+
+  /** Row-level diff of two snapshot generations: the previous snapshot
+    * vs a next state with modifications (orderkey%7: newer + bigger),
+    * deletions (orderkey%11), and additions (orderkey%13 spawn a `.new`
+    * sibling). One hash shuffle per side on the path key; `unchanged`
+    * rows are filtered BEFORE the sort so the output is only the delta
+    * (at 100 TB the delta, not the index, is what moves).
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = SyntheticFs.files(spark, sfDir)
+    val prev = files.select("relative_path", "size_bytes", "modified_time")
+    val kept = files.filter(col("l_orderkey") % 11 =!= 0).select(
+      col("relative_path"),
+      when(col("l_orderkey") % 7 === 0, col("size_bytes") + 777)
+        .otherwise(col("size_bytes")).as("size_bytes"),
+      when(col("l_orderkey") % 7 === 0,
+        col("modified_time") + expr("INTERVAL 5 DAYS"))
+        .otherwise(col("modified_time")).as("modified_time"))
+    val added = files.filter(col("l_orderkey") % 13 === 0)
+      .select(concat(col("relative_path"), lit(".new")).as("relative_path"),
+        col("size_bytes"), col("modified_time"))
+    val next = kept.union(added)
+    prev.as("p").join(next.as("n"),
+        col("p.relative_path") === col("n.relative_path"), "full_outer")
+      .select(
+        coalesce(col("p.relative_path"), col("n.relative_path"))
+          .as("relative_path"),
+        when(col("p.relative_path").isNull, "added")
+          .when(col("n.relative_path").isNull, "removed")
+          .otherwise("modified").as("change"))
+      .where(col("p.relative_path").isNull || col("n.relative_path").isNull ||
+        col("p.size_bytes") =!= col("n.size_bytes") ||
+        col("p.modified_time") =!= col("n.modified_time"))
+      .orderBy("change", "relative_path")
+  }
+
+  val snapshotDiffSql: String = SyntheticFs.withCtes(
+    """, next AS (
+      |  SELECT relative_path,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN size_bytes + 777
+      |         ELSE size_bytes END AS size_bytes,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN modified_time + INTERVAL 5 DAY
+      |         ELSE modified_time END AS modified_time
+      |  FROM fs_files WHERE l_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT relative_path || '.new', size_bytes, modified_time
+      |  FROM fs_files WHERE l_orderkey % 13 = 0)
+       |SELECT COALESCE(p.relative_path, n.relative_path) AS relative_path,
+       |  CASE WHEN p.relative_path IS NULL THEN 'added'
+       |       WHEN n.relative_path IS NULL THEN 'removed'
+       |       ELSE 'modified' END AS change
+       |FROM fs_files p FULL OUTER JOIN next n
+       |  ON p.relative_path = n.relative_path
+       |WHERE p.relative_path IS NULL OR n.relative_path IS NULL
+       |   OR p.size_bytes <> n.size_bytes
+       |   OR p.modified_time <> n.modified_time
+       |ORDER BY change, relative_path""".stripMargin)
+
+  // -------------------------------------------------------------------- //
   // J4 + F3/F11/F15/F16: the ES-document enrichment join                 //
   // (elasticsearch_integration.py:354-400) — the reference's most        //
   // complex query plan (SURVEY.md §3.2).                                 //
@@ -641,6 +706,7 @@ object FsOps {
     "fs_merge_upsert" -> mergeUpsert,
     "fs_merge_replace" -> mergeReplace,
     "fs_deletions" -> deletions,
+    "fs_snapshot_diff" -> snapshotDiff,
     "fs_deletions_ids" -> deletionsIds,
     "fs_es_docs" -> esDocs,
     "fs_stale_links" -> staleLinks,
@@ -665,6 +731,7 @@ object FsOps {
     "fs_merge_upsert" -> mergeUpsertSql,
     "fs_merge_replace" -> mergeReplaceSql,
     "fs_deletions" -> deletionsSql,
+    "fs_snapshot_diff" -> snapshotDiffSql,
     "fs_deletions_ids" -> deletionsIdsSql,
     "fs_es_docs" -> esDocsSql,
     "fs_stale_links" -> staleLinksSql,
