@@ -59,6 +59,40 @@ object EventsOps {
       |GROUP BY hour_start, event_type
       |ORDER BY hour_start, event_type""".stripMargin
 
+  /** ROLLUP hierarchy aggregation (day → (day, type) → grand total) —
+    * the multi-grouping shape beyond `fs_cube_counts`' CUBE: one scan
+    * feeds every grouping level (Spark expands to a single Expand +
+    * hash aggregate, partial-combined map-side; no per-level rescan).
+    * `grouping(...)` flags disambiguate real NULLs from subtotal rows,
+    * and subtotal keys are COALESCEd to sentinels so the hash compare
+    * is null-free and deterministic in both engines.
+    */
+  def dailyRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+          .as("value_sum"),
+        (grouping(col("day")) * 2 + grouping(col("event_type")))
+          .cast("int").as("level"))
+      .select(
+        coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("level"), col("n"), col("value_sum"))
+      .orderBy("level", "day", "event_type")
+
+  val dailyRollupSql: String =
+    """SELECT COALESCE(day, 'ALL') AS day,
+      |  COALESCE(event_type, 'ALL') AS event_type,
+      |  CAST(grouping(day) * 2 + grouping(event_type) AS INT) AS level,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+      |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value
+      |      FROM events)
+      |GROUP BY ROLLUP (day, event_type)
+      |ORDER BY level, day, event_type""".stripMargin
+
   /** F10/F11: epoch↔timestamp round-trip (ns-epoch handling of
     * lucidlink_api.py:71-74 and the ISO formatting of
     * elasticsearch_integration.py:98-112). Seconds are floor-truncated on
@@ -732,6 +766,7 @@ object EventsOps {
     "events_column_stats" -> columnStats,
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
+    "events_daily_rollup" -> dailyRollup,
     "events_epoch_roundtrip" -> epochRoundtrip,
     "events_sessionize" -> sessionize,
     "events_value_quantiles" -> valueQuantiles,
@@ -754,6 +789,7 @@ object EventsOps {
     "events_approx_stats" -> approxStatsSql,
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
+    "events_daily_rollup" -> dailyRollupSql,
     "events_epoch_roundtrip" -> epochRoundtripSql,
     "events_sessionize" -> sessionizeSql,
     "events_value_quantiles" -> valueQuantilesSql,
