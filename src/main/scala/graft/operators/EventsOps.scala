@@ -93,6 +93,31 @@ object EventsOps {
       |GROUP BY ROLLUP (day, event_type)
       |ORDER BY level, day, event_type""".stripMargin
 
+  /** Equi-width histogram of the value column (20 × 25-unit bins, the
+    * dashboard-tier binning op): bucket index via integer floor division
+    * — deliberately not `width_bucket`, whose open-interval edge rules
+    * differ between engines; `floor(x/w)` is bit-identical in both.
+    * Map-side combinable single shuffle on ≤21 bucket keys.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .withColumn("bucket",
+        least(floor(col("value") / 25).cast("int"), lit(19)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
+          .as("value_sum"))
+      .withColumn("lo", (col("bucket") * 25).cast("int"))
+      .select("bucket", "lo", "n", "value_sum")
+      .orderBy("bucket")
+
+  val valueHistogramSql: String =
+    """SELECT bucket, CAST(bucket * 25 AS INT) AS lo, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+      |FROM (SELECT least(CAST(floor(value / 25) AS INT), 19) AS bucket, value
+      |      FROM events)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** F10/F11: epoch↔timestamp round-trip (ns-epoch handling of
     * lucidlink_api.py:71-74 and the ISO formatting of
     * elasticsearch_integration.py:98-112). Seconds are floor-truncated on
@@ -767,6 +792,7 @@ object EventsOps {
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
     "events_daily_rollup" -> dailyRollup,
+    "events_value_histogram" -> valueHistogram,
     "events_epoch_roundtrip" -> epochRoundtrip,
     "events_sessionize" -> sessionize,
     "events_value_quantiles" -> valueQuantiles,
@@ -790,6 +816,7 @@ object EventsOps {
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
     "events_daily_rollup" -> dailyRollupSql,
+    "events_value_histogram" -> valueHistogramSql,
     "events_epoch_roundtrip" -> epochRoundtripSql,
     "events_sessionize" -> sessionizeSql,
     "events_value_quantiles" -> valueQuantilesSql,

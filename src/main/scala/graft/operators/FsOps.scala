@@ -399,6 +399,41 @@ object FsOps {
       |ORDER BY id""".stripMargin)
 
   // -------------------------------------------------------------------- //
+  // Storage growth timeline: monthly new bytes + running total — the    //
+  // Kibana dashboard's growth-over-time panel (kibana sink saved        //
+  // objects) as a first-class query. The cumulative window runs over    //
+  // the AGGREGATED month frame (bounded by the calendar, ~10² rows at   //
+  // any corpus size), never over raw files — the safe way to own a      //
+  // running total at 100 TB.                                            //
+  // -------------------------------------------------------------------- //
+
+  def growthTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = SyntheticFs.entries(spark, sfDir)
+      .filter(col("type") === "file")
+      .withColumn("month", date_format(col("modified_time"), "yyyy-MM"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("files_added"),
+        sum("size_bytes").as("bytes_added"))
+    monthly
+      .withColumn("bytes_total", sum("bytes_added").over(Window
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("month")
+  }
+
+  val growthTimelineSql: String = SyntheticFs.withCtes(
+    """, monthly AS (
+      |  SELECT strftime(modified_time, '%Y-%m') AS month,
+      |    count(*) AS files_added,
+      |    CAST(sum(size_bytes) AS BIGINT) AS bytes_added
+      |  FROM fs_entries WHERE type = 'file' GROUP BY month)
+      |SELECT month, files_added, bytes_added,
+      |  CAST(sum(bytes_added) OVER (ORDER BY month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS bytes_total
+      |FROM monthly ORDER BY month""".stripMargin)
+
+  // -------------------------------------------------------------------- //
   // Snapshot DIFF: classify added/removed/modified between two index    //
   // generations via ONE full-outer join — the verification/audit query  //
   // an operator runs after a reindex (J9's ask as a single plan, and    //
@@ -707,6 +742,7 @@ object FsOps {
     "fs_merge_replace" -> mergeReplace,
     "fs_deletions" -> deletions,
     "fs_snapshot_diff" -> snapshotDiff,
+    "fs_growth_timeline" -> growthTimeline,
     "fs_deletions_ids" -> deletionsIds,
     "fs_es_docs" -> esDocs,
     "fs_stale_links" -> staleLinks,
@@ -732,6 +768,7 @@ object FsOps {
     "fs_merge_replace" -> mergeReplaceSql,
     "fs_deletions" -> deletionsSql,
     "fs_snapshot_diff" -> snapshotDiffSql,
+    "fs_growth_timeline" -> growthTimelineSql,
     "fs_deletions_ids" -> deletionsIdsSql,
     "fs_es_docs" -> esDocsSql,
     "fs_stale_links" -> staleLinksSql,
