@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable INCREMENTAL near-duplicate index — the production shape of
+  * continuous dedup at corpus scale: a parquet-backed band store where a
+  * new batch of documents hashes ONLY itself and probes the existing
+  * bands, instead of re-running MinHash over the whole corpus per run
+  * (the batch pass [[TextOps.minhashNearDup]] re-hashes everything; the
+  * in-memory streaming twin [[graft.streaming.TextStream]] loses its
+  * state with the query — this one persists it).
+  *
+  * Store layout under `dir/`:
+  *   - `bands/`    (band_key, doc_id)        — the LSH postings
+  *   - `shingles/` (doc_id, sh)              — for the exact-Jaccard verify
+  *
+  * Per update: candidates = new⋈store band postings ∪ new⋈new bands,
+  * verified with the SAME rounded Jaccard ≥ threshold as the batch
+  * operator, then the new postings/shingles are APPENDED. Every pair is
+  * reported exactly once across the update history (a pair surfaces in
+  * the update that delivers its second member; later updates only probe
+  * new×old and new×new). NearDupIndexSpec proves the union of
+  * incremental results equals the full-corpus batch pass.
+  *
+  * Scale: the probe is an equi-join on band_key (same shape as the batch
+  * band self-join, but one side is only the new batch); appends are
+  * blind parquet writes; nothing rescans the corpus. Store compaction
+  * (many small appended files) is the same job as
+  * [[graft.sinks.ParquetIndex]] compaction and can reuse it verbatim.
+  */
+object NearDupIndex {
+
+  /** Update the store at `dir` with `docs` (doc_id, text); returns the
+    * NEW verified pairs (a_id < b_id, jac) this batch surfaced, fully
+    * materialized (the caller may write them wherever pairs live).
+    */
+  def update(spark: SparkSession, dir: String, docs: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val bandsPath = s"$dir/bands"
+    val shinglesPath = s"$dir/shingles"
+
+    val fresh = docs
+      .withColumn("sh", expr(TextOps.shingles))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        expr(graft.streaming.TextStream.bandKeysExpr).as("band_keys"))
+      .localCheckpoint(true) // hash each new doc ONCE, not per consumer
+    val freshBands = fresh
+      .select(col("doc_id"), explode(col("band_keys")).as("band_key"))
+    val freshSh = fresh.select(col("doc_id"), col("sh"))
+
+    val hasStore = Files.exists(Paths.get(bandsPath))
+    val oldBands =
+      if (hasStore) spark.read.parquet(bandsPath)
+      else spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit("").as("band_key")).limit(0)
+
+    // new×old meets through the store's postings; new×new through the
+    // fresh bands' self-join — both pure equi-joins on band_key.
+    val candNewOld = freshBands.as("n")
+      .join(oldBands.as("o"), col("n.band_key") === col("o.band_key") &&
+        col("n.doc_id") =!= col("o.doc_id")) // re-sent ids never self-pair
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("a_id"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("b_id"))
+    val candNewNew = freshBands.as("x")
+      .join(freshBands.as("y"), col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val cand = candNewOld.union(candNewNew).distinct()
+
+    // verify against shingles from BOTH generations (an old doc's set
+    // lives in the store; a new doc's in this batch's frame)
+    val allSh =
+      (if (hasStore) spark.read.parquet(shinglesPath).union(freshSh)
+       else freshSh)
+    val pairs = cand
+      .join(allSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        "a_id")
+      .join(allSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .withColumn("jac", round(
+        expr("size(array_intersect(a_sh, b_sh))").cast("double") /
+          expr("size(array_union(a_sh, b_sh))"), 4))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+      .localCheckpoint(true) // materialize BEFORE the store mutates
+
+    freshBands.write.mode("append").parquet(bandsPath)
+    freshSh.write.mode("append").parquet(shinglesPath)
+    pairs
+  }
+}

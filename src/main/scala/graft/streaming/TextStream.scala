@@ -39,7 +39,7 @@ object TextStream {
     * `(Aᵢ·base(v) + Bᵢ) mod P` with base(v) the first 7 hex chars of
     * sha256(v); band key = band index + ':' + its 3 '_'-joined minima).
     */
-  private[streaming] val bandKeysExpr: String = {
+  private[graft] val bandKeysExpr: String = {
     def minhash(seed: Int) = {
       val (a, b) = (graft.operators.TextOps.MinhashA(seed),
         graft.operators.TextOps.MinhashB(seed))

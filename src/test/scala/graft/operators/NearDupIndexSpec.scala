@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The incremental-vs-batch equivalence proof: feeding the corpus to the
+  * durable index in chunks surfaces exactly the batch pass's pair set,
+  * each pair exactly once, in the update that completes it.
+  */
+class NearDupIndexSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("a_id", "b_id", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("two incremental updates equal the full-corpus batch pass") {
+    val dir = Files.createTempDirectory("ndidx").toString
+    val docs = graft.Tables(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+
+    val p1 = pairSet(NearDupIndex.update(spark, dir, half1))
+    val p2 = pairSet(NearDupIndex.update(spark, dir, half2))
+    val batch = pairSet(TextOps.minhashNearDup(spark, sf))
+
+    assert(p1.intersect(p2).isEmpty, "a pair surfaced twice")
+    assert(p1.union(p2) == batch,
+      s"incremental ${p1.size}+${p2.size} != batch ${batch.size}")
+    // update 1 can only contain even-even pairs (half2 not yet indexed)
+    assert(p1.forall { case (a, b, _) => a % 2 == 0 && b % 2 == 0 })
+  }
+
+  test("an empty update finds nothing and leaves the store intact") {
+    val dir = Files.createTempDirectory("ndidx2").toString
+    val docs = graft.Tables(spark, sf, "documents")
+    assert(NearDupIndex.update(spark, dir, docs).count() ==
+      TextOps.minhashNearDup(spark, sf).count())
+    val empty = docs.filter(lit(false))
+    assert(NearDupIndex.update(spark, dir, empty).count() == 0)
+    // re-sending the SAME corpus: colliding doc_ids must never emit
+    // self-pairs (the probe join excludes identical ids); duplicate-id
+    // hygiene beyond that is the caller's concern
+    val again = NearDupIndex.update(spark, dir, docs)
+    assert(again.filter(col("a_id") === col("b_id")).count() == 0)
+  }
+}
