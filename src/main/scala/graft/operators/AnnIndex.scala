@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable INCREMENTAL IVF vector index — the ANN twin of
+  * [[NearDupIndex]]: centroids and cell postings persist as parquet, new
+  * embedding batches assign themselves against the broadcast centroid
+  * table and APPEND their postings, and a search probes only its nprobe
+  * nearest cells. Postings are `partitionBy("c_id")`, so the probe's
+  * literal cell filter becomes PARTITION PRUNING — a search touches
+  * nprobe directories of the store, never the corpus
+  * (AnnIndexSpec pins the pruned-scan plan).
+  *
+  * The quantizer is [[VectorOps]]' deterministic 8-seed coarse quantizer
+  * (same assignment rule: min rounded L2, ties to the lower cell id), so
+  * index-backed results are comparable to the `ann_topk_ivf` query; a
+  * real deployment would re-seed centroids with `ann_kmeans_step`'s
+  * Lloyd updates and rebuild — the store layout doesn't change.
+  *
+  * Scale: assignment is a map-side broadcast pass (K centroids);
+  * appends are blind partitioned writes; search reads nprobe cells and
+  * runs one TakeOrderedAndProject. Store compaction of many small
+  * appended files is the same job as ParquetIndex compaction.
+  */
+object AnnIndex {
+
+  private def vecFns(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
+  private def dist2(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"vec_dot($a, $a) - 2 * vec_dot($a, $b) + vec_dot($b, $b)")
+
+  /** Initialize the store: centroids = the deterministic seed vectors
+    * (vec_id 1–8) of `emb`; then index every row of `emb`.
+    */
+  def build(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
+    emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    update(spark, dir, emb)
+  }
+
+  /** Assign a new embedding batch to cells and append its postings. */
+  def update(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    vecFns(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", round(dist2("embedding", "ce"), 4))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(s"$dir/postings")
+  }
+
+  /** Top-k cosine neighbors of `query` from the nprobe nearest cells.
+    * The centroid table is tiny, so cell selection collects K rows to
+    * the driver and the postings scan gets a LITERAL `c_id IN (...)`
+    * filter — which prunes store partitions at planning time.
+    */
+  def search(spark: SparkSession, dir: String, query: Seq[Float],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    vecFns(spark)
+    val q = typedLit(query)
+    val probed = spark.read.parquet(s"$dir/centroids")
+      .withColumn("qe", q)
+      .withColumn("d2", round(dist2("ce", "qe"), 4))
+      .orderBy(col("d2"), col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+    // int literals against the (integer-inferred) partition column — a
+    // cast on the COLUMN side would defeat partition pruning
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("c_id").isin(probed.toIndexedSeq: _*))
+      .withColumn("qe", q)
+      .withColumn("cos_sim", round(
+        expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) *
+            sqrt(expr("vec_dot(qe, qe)"))), 4))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Durable IVF store: incremental build ≡ all-cells search ≡ brute
+  * force, and the nprobe probe prunes store PARTITIONS, not just rows.
+  */
+class AnnIndexSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("build + update, searched with all cells, equals brute force") {
+    val dir = Files.createTempDirectory("annidx").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    // centroids (1-8) must be in the BUILD half; split the rest by parity
+    AnnIndex.build(spark, dir, emb.filter(
+      col("vec_id").between(1, 8) ||
+        (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
+    AnnIndex.update(spark, dir,
+      emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val got = AnnIndex.search(spark, dir, q, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+
+    graft.functions.GraftFunctions.register(spark)
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .withColumn("qe", typedLit(q))
+      .withColumn("cos_sim", round(
+        expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) *
+            sqrt(expr("vec_dot(qe, qe)"))), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos_sim")))
+    assert(got.toSeq == brute.toSeq)
+  }
+
+  test("nprobe search prunes store partitions at planning time") {
+    val dir = Files.createTempDirectory("annidx2").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val df = AnnIndex.search(spark, dir, q, k = 5, nprobe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the literal cell filter must reach PartitionFilters (pruned scan,
+    // not a post-scan row filter over all 8 cell directories)
+    assert(plan.contains("PartitionFilters: [c_id"), plan)
+    // and results come only from the probed cells
+    assert(df.count() <= 5)
+  }
+}
