@@ -587,6 +587,42 @@ object FsOps {
       |FROM pending WHERE rn > 100 AND rn <= 200
       |ORDER BY relative_path""".stripMargin)
 
+  /** The KEYSET form of the same work queue — the scale-safe pagination
+    * the LIMIT/OFFSET parity shape's scaladoc promises: the cursor is
+    * the last (modified_time, relative_path) of the previous page, the
+    * predicate reaches the scan, and the page compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global window, no
+    * row numbering of everything before the page).
+    */
+  def staleLinksKeyset(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = SyntheticFs.files(spark, sfDir)
+    val links = SyntheticFs.directLinks(spark, sfDir)
+      .select("file_id", "last_updated")
+    val cursorTs = lit("1997-06-01 00:00:00").cast("timestamp")
+    f.join(links, col("id") === col("file_id"), "left")
+      .filter(col("file_id").isNull ||
+        col("last_updated") < col("modified_time"))
+      .filter(col("modified_time") < cursorTs)
+      .orderBy(col("modified_time").desc, col("relative_path"))
+      .limit(100)
+      .select(col("relative_path"),
+        date_format(col("modified_time"), "yyyy-MM-dd HH:mm:ss")
+          .as("modified_time"),
+        col("file_id").isNull.as("is_missing"))
+  }
+
+  val staleLinksKeysetSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path,
+      |  strftime(modified_time, '%Y-%m-%d %H:%M:%S') AS modified_time,
+      |  (file_id IS NULL) AS is_missing
+      |FROM (
+      |  SELECT f.relative_path, f.modified_time, l.file_id
+      |  FROM fs_files f
+      |  LEFT JOIN fs_links l ON f.id = l.file_id
+      |  WHERE (l.file_id IS NULL OR l.last_updated < f.modified_time)
+      |    AND f.modified_time < TIMESTAMP '1997-06-01 00:00:00'
+      |  ORDER BY f.modified_time DESC, f.relative_path LIMIT 100)""".stripMargin)
+
   // -------------------------------------------------------------------- //
   // A6/F17: DISTINCT link projection (elasticsearch_integration.py:      //
   // 475-482) — the pre-enrichment link dedup.                            //
@@ -746,6 +782,7 @@ object FsOps {
     "fs_deletions_ids" -> deletionsIds,
     "fs_es_docs" -> esDocs,
     "fs_stale_links" -> staleLinks,
+    "fs_stale_links_keyset" -> staleLinksKeyset,
     "fs_links_distinct" -> linksDistinct,
     "fs_composite_ids" -> compositeIds,
     "fs_link_cache_fresh" -> linkCacheFresh,
@@ -772,6 +809,7 @@ object FsOps {
     "fs_deletions_ids" -> deletionsIdsSql,
     "fs_es_docs" -> esDocsSql,
     "fs_stale_links" -> staleLinksSql,
+    "fs_stale_links_keyset" -> staleLinksKeysetSql,
     "fs_links_distinct" -> linksDistinctSql,
     "fs_composite_ids" -> compositeIdsSql,
     "fs_link_cache_fresh" -> linkCacheFreshSql,

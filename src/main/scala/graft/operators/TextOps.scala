@@ -804,6 +804,41 @@ object TextOps {
        |  CAST(sum(nt) AS BIGINT) AS tokens
        |FROM c GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** The SHARDED form of sequence packing — the scale-safe variant the
+    * global-window parity shape's scaladoc promises: documents hash into
+    * 8 shards (`doc_id % 8`, deterministic in both engines), the
+    * running-sum window partitions BY SHARD (one hash exchange, 1/8th of
+    * the corpus per window state), and bins are local to their shard.
+    * Packing quality is unchanged (each bin still fills to the budget);
+    * only cross-shard bin numbering differs from the global form, which
+    * no trainer depends on.
+    */
+  def tokenPackingSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        expr(s"size($toks)").cast("long").as("nt"))
+      .withColumn("cum", sum("nt").over(w))
+      .withColumn("bin", expr("(cum - nt) div 2048"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  val tokenPackingShardedSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    CAST(len($duckToks) AS BIGINT) AS nt,
+       |    sum(CAST(len($duckToks) AS BIGINT)) OVER (
+       |      PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)
+       |SELECT shard, CAST((cum - nt) // 2048 AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens
+       |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Decontamination: flag corpus documents sharing any 4-gram with the   //
   // eval/benchmark set (the standard n-gram-overlap test-set-leakage     //
@@ -1603,6 +1638,7 @@ object TextOps {
     "docs_bm25_topk" -> bm25Topk,
     "docs_hash_split" -> hashSplit,
     "docs_token_packing" -> tokenPacking,
+    "docs_token_packing_sharded" -> tokenPackingSharded,
     "docs_ngram_topk" -> ngramTopk,
     "docs_tfidf_topk" -> tfidfTopk,
     "docs_stratified_sample" -> stratifiedSample,
@@ -1637,6 +1673,7 @@ object TextOps {
     "docs_bm25_topk" -> bm25TopkSql,
     "docs_hash_split" -> hashSplitSql,
     "docs_token_packing" -> tokenPackingSql,
+    "docs_token_packing_sharded" -> tokenPackingShardedSql,
     "docs_ngram_topk" -> ngramTopkSql,
     "docs_tfidf_topk" -> tfidfTopkSql,
     "docs_stratified_sample" -> stratifiedSampleSql,

@@ -438,6 +438,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("keyset pagination: heap top-k, no window over the full queue") {
+    val p = finalPlan(SparkEntry.queries("fs_stale_links_keyset")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "), p)
+  }
+
+  test("sharded packing: the running-sum window partitions by shard") {
+    val p = finalPlan(
+      SparkEntry.queries("docs_token_packing_sharded")(spark, sf))
+    // the window's required distribution is the shard hash — one
+    // bounded exchange, never a single-partition global sort
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
   test("q13: outer join keeps zero-order customers; two-level aggregation") {
     val p = finalPlan(SparkEntry.queries("q13_order_distribution")(spark, sf))
     assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
