@@ -48,4 +48,28 @@ class NearDupIndexSpec extends SparkSpecBase {
     val again = NearDupIndex.update(spark, dir, docs)
     assert(again.filter(col("a_id") === col("b_id")).count() == 0)
   }
+
+  test("a document STREAM drained through foreachBatch builds the index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ndidx3").toString
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val found = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        found ++= NearDupIndex.update(spark, dir, batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        (): Unit
+      }
+      .start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      ms.addData(h1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(h2.toIndexedSeq); q.processAllAvailable()
+      assert(found.toSet == pairSet(TextOps.minhashNearDup(spark, sf)))
+    } finally q.stop()
+  }
 }
