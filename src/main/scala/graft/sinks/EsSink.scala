@@ -25,8 +25,7 @@ final class EsSink(
     batchSize: Int = 1000,
     maxRetries: Int = 3,
     backoffMs: Long = 0L) extends Serializable {
-
-  final case class BulkStats(indexed: Long, failed: Long, retries: Long)
+  import EsSink.BulkStats
 
   /** Bulk-index `df` into `index`, `_id` taken from `idCol`. */
   def bulkIndex(df: DataFrame, index: String, idCol: String): BulkStats = {
@@ -66,6 +65,8 @@ final class EsSink(
 }
 
 object EsSink {
+  final case class BulkStats(indexed: Long, failed: Long, retries: Long)
+
 
   /** Bulk payload lines → one status code per item (not per line). */
   trait Transport extends (Seq[String] => Seq[Int]) with Serializable

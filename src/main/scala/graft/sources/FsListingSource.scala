@@ -90,8 +90,8 @@ private[sources] class FsListingScanBuilder(root: String)
     // different entry_type values) therefore correctly yield zero rows —
     // which is exactly what "fully enforced, removed from the residual"
     // promises Spark.
-    prefixes = accepted.collect { case StringStartsWith("filepath", p) => p }
-    entryTypes = accepted.collect { case EqualTo("entry_type", t: String) => t }
+    prefixes = accepted.collect { case StringStartsWith("filepath", p) => p }.toIndexedSeq
+    entryTypes = accepted.collect { case EqualTo("entry_type", t: String) => t }.toIndexedSeq
     pushed = accepted
     rejected
   }
@@ -190,13 +190,7 @@ private[sources] class FsListingReader(
     entryTypes: Seq[String],
     fields: Array[String]) extends PartitionReader[InternalRow] {
 
-  /** One visited entry: path/type/link-ness resolved ONCE during the
-    * walk (the walk needs them for recursion anyway); size/mtime stat
-    * calls are left on the File so column pruning skips them entirely
-    * for projections that don't read them.
-    */
-  private final case class Ent(f: File, relPath: String, isDir: Boolean,
-      isLink: Boolean)
+  import FsListingReader.Ent
 
   private def rel(f: File): String =
     f.getPath.stripPrefix(root) match {
@@ -256,4 +250,14 @@ private[sources] class FsListingReader(
   }
 
   override def close(): Unit = ()
+}
+
+private[sources] object FsListingReader {
+  /** One visited entry: path/type/link-ness resolved ONCE during the
+    * walk (the walk needs them for recursion anyway); size/mtime stat
+    * calls are left on the File so column pruning skips them entirely
+    * for projections that don't read them.
+    */
+  final case class Ent(f: File, relPath: String, isDir: Boolean,
+      isLink: Boolean)
 }
