@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * Scale: assignment is a map-side broadcast pass (K centroids);
   * appends are blind partitioned writes; search reads nprobe cells and
   * runs one TakeOrderedAndProject. Store compaction of many small
-  * appended files is the same job as ParquetIndex compaction.
+  * appended files is [[graft.sinks.DirCompaction]] (per cell
+  * directory, partition layout preserved).
   */
 object AnnIndex {
 

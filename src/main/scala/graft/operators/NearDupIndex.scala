@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * Scale: the probe is an equi-join on band_key (same shape as the batch
   * band self-join, but one side is only the new batch); appends are
   * blind parquet writes; nothing rescans the corpus. Store compaction
-  * (many small appended files) is the same job as
-  * [[graft.sinks.ParquetIndex]] compaction and can reuse it verbatim.
+  * (many small appended files) is [[graft.sinks.DirCompaction]] — the
+  * pointer-less sibling of ParquetIndex compaction, spec-proven to
+  * leave update results unchanged.
   */
 object NearDupIndex {
 
