@@ -28,4 +28,17 @@ object Tables {
       case None => df
     }
   }
+
+  /** SQL surface: register every table of `sfDir` as a temp view (plus
+    * the library's scalar functions), so `spark.sql("SELECT ... FROM
+    * lineitem ...")` works exactly like the reference's SQL entry point
+    * — a user who queried the reference through DuckDB SQL keeps
+    * querying through SQL. Views are lazy plans over the parquet scans:
+    * registration reads nothing, and pushdown/pruning behave as if the
+    * DataFrame were used directly.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+  }
 }
