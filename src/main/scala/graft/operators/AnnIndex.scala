@@ -87,4 +87,41 @@ object AnnIndex {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** BATCH serving: top-k neighbors for a whole frame of queries
+    * (q_id, qe) in one plan — the offline-inference shape (embed a
+    * shard of requests, answer all of them in one pass). Per query:
+    * its nprobe nearest cells via a bounded per-query rank over the
+    * broadcast centroid cross (K×Q tiny), then ONE equi-join of the
+    * probed (q_id, c_id) pairs against the postings, and the per-query
+    * top-k runs on the NATIVE GroupTopK operator — bounded map-side
+    * heaps per q_id, so the exchange carries ≤ partitions × queries × k
+    * rows instead of every scored candidate.
+    */
+  def searchAll(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    vecFns(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probed = graft.plans.GroupTopK.topK(
+      queries.crossJoin(broadcast(cents))
+        .withColumn("d2", round(dist2("qe", "ce"), 4))
+        .select(col("q_id"), col("c_id"), col("d2")),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("d2", false), ("c_id", false)),
+      k = nprobe)
+      .select(col("q_id"), col("c_id"))
+    val scored = spark.read.parquet(s"$dir/postings")
+      .join(probed, Seq("c_id"))
+      .join(queries, Seq("q_id"))
+      .withColumn("cos_sim", round(
+        expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) *
+            sqrt(expr("vec_dot(qe, qe)"))), 4))
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)),
+      k = k)
+      .select("q_id", "vec_id", "label", "cos_sim", "rk")
+  }
 }

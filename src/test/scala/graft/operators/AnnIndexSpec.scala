@@ -57,4 +57,25 @@ class AnnIndexSpec extends SparkSpecBase {
     // and results come only from the probed cells
     assert(df.count() <= 5)
   }
+
+  test("batch search with all cells matches per-query single search") {
+    val dir = Files.createTempDirectory("annidx3").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") =!= 0))
+    // three query vectors, incl. the held-out one
+    val qids = Seq(0L, 100L, 200L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val batch = AnnIndex.searchAll(spark, dir, queries, k = 5, nprobe = 8)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(4)).map(_.getLong(1)).toSeq).toMap
+    qids.foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val single = AnnIndex.search(spark, dir, q, k = 5, nprobe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == single, s"q=$qid")
+    }
+  }
 }
