@@ -34,12 +34,26 @@ import org.apache.spark.sql.functions._
   */
 object NearDupIndex {
 
+  /** Read-only serving call: which documents of `docs` near-duplicate
+    * something ALREADY IN the store (or each other)? Same probe plan as
+    * [[update]] but nothing is appended — the admission check a
+    * curation service runs before deciding whether to keep a candidate
+    * batch (reject dups, then `update` with the survivors).
+    */
+  def probe(spark: SparkSession, dir: String, docs: DataFrame,
+      threshold: Double = 0.3): DataFrame =
+    run(spark, dir, docs, threshold, append = false)
+
   /** Update the store at `dir` with `docs` (doc_id, text); returns the
     * NEW verified pairs (a_id < b_id, jac) this batch surfaced, fully
     * materialized (the caller may write them wherever pairs live).
     */
   def update(spark: SparkSession, dir: String, docs: DataFrame,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3): DataFrame =
+    run(spark, dir, docs, threshold, append = true)
+
+  private def run(spark: SparkSession, dir: String, docs: DataFrame,
+      threshold: Double, append: Boolean): DataFrame = {
     val bandsPath = s"$dir/bands"
     val shinglesPath = s"$dir/shingles"
 
@@ -89,8 +103,10 @@ object NearDupIndex {
       .select("a_id", "b_id", "jac")
       .localCheckpoint(true) // materialize BEFORE the store mutates
 
-    freshBands.write.mode("append").parquet(bandsPath)
-    freshSh.write.mode("append").parquet(shinglesPath)
+    if (append) {
+      freshBands.write.mode("append").parquet(bandsPath)
+      freshSh.write.mode("append").parquet(shinglesPath)
+    }
     pairs
   }
 }

@@ -49,6 +49,19 @@ class NearDupIndexSpec extends SparkSpecBase {
     assert(again.filter(col("a_id") === col("b_id")).count() == 0)
   }
 
+  test("probe() finds the same pairs as update() but mutates nothing") {
+    val dir = Files.createTempDirectory("ndidx4").toString
+    val docs = graft.Tables(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    NearDupIndex.update(spark, dir, half1): Unit
+    val probed = pairSet(NearDupIndex.probe(spark, dir, half2))
+    // probing again: identical (the store didn't grow)
+    assert(pairSet(NearDupIndex.probe(spark, dir, half2)) == probed)
+    // committing the same batch surfaces exactly the probed pairs
+    assert(pairSet(NearDupIndex.update(spark, dir, half2)) == probed)
+  }
+
   test("a document STREAM drained through foreachBatch builds the index") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
