@@ -36,10 +36,16 @@ object AnnIndex {
     * (vec_id 1–8) of `emb`; then index every row of `emb`.
     */
   def build(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
-    emb.filter(col("vec_id").between(1, 8))
+    val cents = emb.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // fail fast on a corpus without the seed ids — an empty/partial
+    // centroid table would make update() a silent no-op and search()
+    // return nothing, with no error anywhere downstream
+    val n = cents.count()
+    require(n == 8, s"build: expected seed vectors vec_id 1..8 in the " +
+      s"corpus (the deterministic coarse quantizer), found $n — pass a " +
+      "frame containing them or re-seed the quantizer")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     update(spark, dir, emb)
   }
 

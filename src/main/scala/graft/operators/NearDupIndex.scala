@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,7 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: the probe is an equi-join on band_key (same shape as the batch
   * band self-join, but one side is only the new batch); appends are
-  * blind parquet writes; nothing rescans the corpus. Store compaction
+  * blind parquet writes; the verify joins are semi-join pruned to the
+  * candidate ids, so no wide data beyond the candidates ever shuffles
+  * per update. Store compaction
   * (many small appended files) is [[graft.sinks.DirCompaction]] — the
   * pointer-less sibling of ParquetIndex compaction, spec-proven to
   * leave update results unchanged.
@@ -67,7 +67,12 @@ object NearDupIndex {
       .select(col("doc_id"), explode(col("band_keys")).as("band_key"))
     val freshSh = fresh.select(col("doc_id"), col("sh"))
 
-    val hasStore = Files.exists(Paths.get(bandsPath))
+    // store detection through Spark's Hadoop FS layer, not java.nio —
+    // an hdfs:// or s3a:// store must not silently read as absent
+    val hasStore = {
+      val p = new org.apache.hadoop.fs.Path(bandsPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     val oldBands =
       if (hasStore) spark.read.parquet(bandsPath)
       else spark.emptyDataFrame
@@ -87,10 +92,18 @@ object NearDupIndex {
     val cand = candNewOld.union(candNewNew).distinct()
 
     // verify against shingles from BOTH generations (an old doc's set
-    // lives in the store; a new doc's in this batch's frame)
+    // lives in the store; a new doc's in this batch's frame), SEMI-JOIN
+    // pruned to candidate ids first: the wide shingle arrays of
+    // non-candidate documents never shuffle through the verify joins —
+    // per-update join cost is bounded by the candidate set, not the
+    // corpus (the store scan itself streams once and is dominated by
+    // the narrow id column after pruning)
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val allSh =
       (if (hasStore) spark.read.parquet(shinglesPath).union(freshSh)
        else freshSh)
+        .join(candIds, Seq("doc_id"), "left_semi")
     val pairs = cand
       .join(allSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
         "a_id")

@@ -16,23 +16,29 @@ import org.apache.spark.sql.SparkSession
   * Single-writer stores only: callers pause updates for the swap (the
   * same discipline their `update()` already assumes — concurrent
   * appends to one store are undefined with or without compaction).
-  * The rewrite is restartable: the temp dir is written completely
-  * before the original is removed, so a crash leaves either the old
-  * or the new layout plus at worst an orphan `.compact-tmp` to sweep.
+  * The rewrite is restartable and never deletes live data mid-swap:
+  * the temp dir is written completely, then the original renames to
+  * `.compact-old`, the temp renames into place, and only then is the
+  * old copy removed — a crash at any point leaves the rows intact in
+  * exactly one of the three names (orphan `.compact-tmp`/`.compact-old`
+  * dirs are swept on the next run and excluded from leaf discovery).
   */
 object DirCompaction {
 
+  private def listed(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator.asScala.toSeq finally s.close()
+  }
+
   private def parquetFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator.asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        Files.isRegularFile(p))
-      .toSeq
+    listed(dir).filter(p => p.getFileName.toString.endsWith(".parquet") &&
+      Files.isRegularFile(p))
 
   private def leafDirs(root: Path): Seq[Path] = {
     if (!Files.isDirectory(root)) return Nil
-    val children = Files.list(root).iterator.asScala.toSeq
-    val subdirs = children.filter(p => Files.isDirectory(p) &&
-      !p.getFileName.toString.endsWith(".compact-tmp"))
+    val subdirs = listed(root).filter(p => Files.isDirectory(p) &&
+      !p.getFileName.toString.endsWith(".compact-tmp") &&
+      !p.getFileName.toString.endsWith(".compact-old"))
     if (subdirs.isEmpty) Seq(root) else subdirs.flatMap(leafDirs)
   }
 
@@ -60,11 +66,19 @@ object DirCompaction {
         if (files.size > math.max(maxFilesPerDir, target)) {
           val tmp = dir.resolveSibling(
             dir.getFileName.toString + ".compact-tmp")
-          rm(tmp)
+          val old = dir.resolveSibling(
+            dir.getFileName.toString + ".compact-old")
+          rm(tmp); rm(old)
           spark.read.parquet(dir.toString).coalesce(target)
             .write.mode("overwrite").parquet(tmp.toString)
-          rm(dir)
+          // swap via two renames, never a delete of live data: a crash
+          // at any point leaves the rows in exactly one of dir /
+          // .compact-tmp / .compact-old — recoverable, never silently
+          // missing (rm-before-move would lose the dir on a crash
+          // between the two calls)
+          Files.move(dir, old)
           Files.move(tmp, dir)
+          rm(old)
           done += 1
         }
       }

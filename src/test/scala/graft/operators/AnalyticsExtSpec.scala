@@ -112,7 +112,7 @@ class AnalyticsExtSpec extends SparkSpecBase {
 
   test("all ext queries return non-empty results at smoke scale") {
     AnalyticsExt.queries.foreach { case (name, q) =>
-      assert(q(spark, sf).limit(1).count() >= 0, name)
+      assert(q(spark, sf).limit(1).count() == 1, s"$name returned 0 rows")
     }
   }
 }
