@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Upsert semantics on immutable columnar storage (the reference's two
@@ -14,10 +13,14 @@ import org.apache.spark.sql.functions._
   *    -wins — the batch row always replaces on key conflict
   *    (`batchWinsTies = true`).
   *
-  * Implementation: union + one `row_number` window partitioned by the
-  * key — a single hash shuffle on the merge key, no driver involvement,
-  * no nested-loop. At 100 TB both inputs would be bucketed by the key so
-  * the window runs shuffle-free.
+  * Implementation: union + ONE hash AGGREGATE on the merge key —
+  * `max_by(row, (ts, tie))` picks each key's winner. Strictly better
+  * than the row_number-window form it replaced: the aggregate
+  * partial-combines map-side (each partition collapses to one candidate
+  * row per key BEFORE the exchange, where a window shuffles and sorts
+  * every input row), and the reconcile flag (`max(tag)`) rides the same
+  * pass. At 100 TB both inputs would be bucketed by the key so even the
+  * one exchange disappears.
   */
 object Merge {
 
@@ -59,16 +62,20 @@ object Merge {
       s"schema mismatch: ${cols.sorted} vs ${batch.columns.toSeq.sorted}")
     val tagged = existing.withColumn("__tag", lit(0))
       .unionByName(batch.select(cols.map(col): _*).withColumn("__tag", lit(1)))
-    val byKey = Window.partitionBy(keyCol)
-    val tieOrder = if (batchWinsTies) col("__tag").desc else col("__tag").asc
-    val w = byKey.orderBy(col(tsCol).desc, tieOrder)
-    val ranked = tagged.withColumn("__rn", row_number().over(w))
-    // both windows share the keyCol partitioning — one exchange total
+    // winner = lexicographic max of (ts, tie-breaker): newest wins, and
+    // on an exact-ts tie the batch row wins iff batchWinsTies (J2) —
+    // identical to the previous row_number-window semantics (and equally
+    // deterministic: per key the (ts, tag) pair is unique for one
+    // existing + one batch row; duplicate keys WITHIN one side tie in
+    // both formulations)
+    val tieOrd = if (batchWinsTies) col("__tag") else -col("__tag")
+    val agg = tagged.groupBy(col(keyCol).as("__k"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(tsCol), tieOrd)).as("__w"),
+        max(col("__tag")).as("__scanned"))
     val kept =
-      if (restrictToBatch)
-        ranked.withColumn("__scanned", max("__tag").over(byKey))
-          .filter(col("__rn") === 1 && col("__scanned") === 1)
-      else ranked.filter(col("__rn") === 1)
-    kept.select(cols.map(col): _*)
+      if (restrictToBatch) agg.filter(col("__scanned") === 1)
+      else agg
+    kept.select(cols.map(c => col(s"__w.$c").as(c)): _*)
   }
 }
