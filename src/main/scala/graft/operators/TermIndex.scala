@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable INCREMENTAL inverted text index — the third of the store
+  * trio ([[NearDupIndex]] = LSH bands, [[AnnIndex]] = IVF cells, this =
+  * term postings): the Spark-native counterpart of the Elasticsearch
+  * index the reference delegates relevance search to
+  * (elasticsearch_integration.py bulk index + `multi_match` query).
+  * Instead of shipping documents to an external search engine, the
+  * postings live as parquet the same executors that produced them can
+  * serve BM25 from.
+  *
+  * Store layout under `dir/`:
+  *   - `postings/` (term, doc_id, tf) partitioned by `t_b` =
+  *     crc32(term) mod [[NBuckets]] — a search's terms map to literal
+  *     bucket values, so the scan PRUNES store partitions (TermIndexSpec
+  *     pins the pruned plan), the parquet analogue of ES routing a term
+  *     query to its shards.
+  *   - `doclen/` (doc_id, dl) — per-document token counts for the BM25
+  *     length norm; also the store's membership list (updates anti-join
+  *     it, so re-sending a batch is a no-op) and its commit marker
+  *     (written AFTER postings: a torn update re-runs cleanly).
+  *
+  * Scale shape: an update tokenizes ONLY its batch (one groupBy on
+  * (doc_id, term), map-side combinable) and blind-appends; a search
+  * reads |terms| buckets of the store — never the corpus — and the
+  * per-term frequency table it derives is a few-row broadcast against
+  * the pruned postings. Compaction of many appended files is
+  * [[graft.sinks.DirCompaction]] (per bucket directory, layout
+  * preserved).
+  *
+  * Score parity: search() reproduces [[TextOps.bm25Topk]]'s formula
+  * term-by-term in the same evaluation order (tf pivoted to fixed
+  * columns, not summed in row order), so index-served results equal the
+  * from-scratch batch query bit-for-bit — `docs_bm25_indexed` shares
+  * `docs_bm25_topk`'s DuckDB oracle.
+  */
+object TermIndex {
+
+  /** Postings partition count. crc32 matches Spark's `crc32` function
+    * (java.util.zip.CRC32), so the driver can compute a literal bucket
+    * for each query term — the precondition for partition pruning.
+    */
+  val NBuckets = 16
+
+  private[operators] def bucketOf(term: String): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % NBuckets).toInt
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Index a batch of (doc_id, text). Already-indexed doc_ids are
+    * skipped (anti-join on the doclen membership list), so re-running a
+    * failed or duplicated batch cannot double-count a document.
+    */
+  def update(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
+    val doclenPath = s"$dir/doclen"
+    val fresh =
+      (if (exists(spark, doclenPath))
+         docs.join(spark.read.parquet(doclenPath).select("doc_id"),
+           Seq("doc_id"), "left_anti")
+       else docs)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(true) // tokenize once; stable across both writes
+    fresh
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("t_b", pmod(crc32(col("term")), lit(NBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("t_b").parquet(s"$dir/postings")
+    // dl as DOUBLE at write time: bm25Topk averages doubles, and a
+    // long-summing avg differs in the last bits — parity needs the
+    // same input type on both paths
+    fresh
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+      .write.mode("append").parquet(doclenPath)
+  }
+
+  /** BM25 top-k served FROM the store: reads only the query terms'
+    * bucket partitions, derives (n, avgdl, per-term df) as a one-row
+    * broadcast, and scores with [[TextOps.bm25Topk]]'s exact formula.
+    */
+  def search(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "search: need at least one term")
+    val buckets = terms.map(bucketOf).distinct
+    // int literals against the partition column → partition pruning
+    val pruned = spark.read.parquet(s"$dir/postings")
+      .filter(col("t_b").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    val doclen = spark.read.parquet(s"$dir/doclen")
+
+    // per-doc tf pivoted to FIXED columns (duplicate postings from a
+    // torn update collapse via max — same tf value)
+    val perDoc = pruned.groupBy("doc_id").agg(
+      max(when(col("term") === terms.head, col("tf")))
+        .cast("double").as("tf0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("tf")))
+          .cast("double").as(s"tf${i + 1}")
+      }: _*)
+
+    // corpus stats: one row, broadcast. df counts DISTINCT docs per
+    // term (robust to duplicate postings), matching the batch query's
+    // "docs with tf > 0" definition.
+    val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val dfs = pruned.agg(
+      countDistinct(when(col("term") === terms.head, col("doc_id")))
+        .cast("double").as("df0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        countDistinct(when(col("term") === t, col("doc_id")))
+          .cast("double").as(s"df${i + 1}")
+      }: _*)
+
+    val score: Column = terms.indices.map { i =>
+      val tf = coalesce(col(s"tf$i"), lit(0.0))
+      val idf = log((col("n") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + 0.5) + 1.0)
+      val norm = tf +
+        lit(TextOps.bm25K1) * (lit(1 - TextOps.bm25B) +
+          lit(TextOps.bm25B) * col("dl") / col("avgdl"))
+      idf * (tf * lit(TextOps.bm25K1 + 1)) / norm
+    }.reduce(_ + _)
+
+    perDoc
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(dfs))
+      .withColumn("score", round(score, 4))
+      .filter(col("score") > 0)
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

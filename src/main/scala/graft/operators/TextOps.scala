@@ -693,9 +693,11 @@ object TextOps {
   // so both engines emit identical bits.                                 //
   // -------------------------------------------------------------------- //
 
-  private val bmTerms = Seq("spark", "hash", "window")
-  private val k1 = 1.2
-  private val b = 0.75
+  private[operators] val bmTerms = Seq("spark", "hash", "window")
+  private[operators] val bm25K1 = 1.2
+  private[operators] val bm25B = 0.75
+  private val k1 = bm25K1
+  private val b = bm25B
 
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     val docCols = Seq(col("doc_id"),
@@ -746,6 +748,22 @@ object TextOps {
        |FROM d, st
        |WHERE round($scoreExpr, 4) > 0
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** The same BM25 top-k served from the DURABLE [[TermIndex]] store:
+    * the corpus is indexed incrementally in two halves (doc_id parity —
+    * proving updates compose), then the search reads only the query
+    * terms' bucket partitions. Shares `docs_bm25_topk`'s oracle: the
+    * index-served scores must be bit-identical to the from-scratch
+    * batch query.
+    */
+  def bm25Indexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-termindex").toString
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    TermIndex.search(spark, dir, bmTerms, k = 20)
   }
 
   // -------------------------------------------------------------------- //
@@ -1636,6 +1654,7 @@ object TextOps {
     "docs_simhash" -> simhash,
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
+    "docs_bm25_indexed" -> bm25Indexed,
     "docs_hash_split" -> hashSplit,
     "docs_token_packing" -> tokenPacking,
     "docs_token_packing_sharded" -> tokenPackingSharded,
@@ -1671,6 +1690,7 @@ object TextOps {
     "docs_simhash" -> simhashSql,
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
+    "docs_bm25_indexed" -> bm25TopkSql,
     "docs_hash_split" -> hashSplitSql,
     "docs_token_packing" -> tokenPackingSql,
     "docs_token_packing_sharded" -> tokenPackingShardedSql,
