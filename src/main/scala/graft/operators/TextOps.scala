@@ -1159,6 +1159,60 @@ object TextOps {
        |GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Temperature-weighted language rebalancing — the multilingual-corpus  //
+  // counterpart of sourceMixing: sampling rates follow p_l ∝ c_l^α with  //
+  // α = 0.5 (the "temperature" of Conneau & Lample's XLM mixing), so    //
+  // rare languages are upsampled RELATIVE to their share while the       //
+  // overall take stays at 60%. Selection is content-hashed (the same     //
+  // 28-bit sha256 base as MinHash), so membership is deterministic,      //
+  // engine-independent, and stable under re-sharding. α=0.5 means the    //
+  // per-language rate is ∝ 1/sqrt(c_l) — sqrt is IEEE-exact, keeping     //
+  // the rate computation bit-identical across engines (a pow() would     //
+  // not be). Scale shape: the rate table is |languages| rows broadcast   //
+  // against the corpus; the take is one map-side filter + one grouped    //
+  // count.                                                               //
+  // -------------------------------------------------------------------- //
+
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(sha2(col("text"), 256), 1, 7), 16, 10)
+          .cast("long") / lit(268435456.0)).as("u"))
+    val c = d.groupBy("lang").agg(count(lit(1)).cast("double").as("cl"))
+    val tot = c.agg(sum(sqrt(col("cl"))).as("sw"), sum(col("cl")).as("n"))
+    val rates = c.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        round(lit(0.6) * col("n") * (sqrt(col("cl")) / col("sw")) /
+          col("cl"), 6)))
+      .select("lang", "cl", "rate")
+    d.join(broadcast(rates), "lang")
+      .filter(col("u") < col("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept"), max(col("rate")).as("rate"),
+        max(col("cl")).cast("long").as("total"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS DOUBLE) AS cl
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT sum(sqrt(cl)) AS sw, sum(cl) AS n FROM c),
+      |r AS (
+      |  SELECT lang, cl,
+      |    least(1.0, round(0.6 * n * (sqrt(cl) / sw) / cl, 6)) AS rate
+      |  FROM c, t),
+      |k AS (
+      |  SELECT d.lang, count(*) AS kept
+      |  FROM documents d JOIN r ON d.lang = r.lang
+      |  WHERE CAST('0x' || substr(sha256(d.text), 1, 7) AS BIGINT)
+      |    / 268435456.0 < r.rate
+      |  GROUP BY d.lang)
+      |SELECT r.lang, k.kept, r.rate, CAST(r.cl AS BIGINT) AS total
+      |FROM r JOIN k ON r.lang = k.lang
+      |ORDER BY r.lang""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // Cross-document duplicated spans (Lee et al. 2022, "Deduplicating     //
   // Training Data Makes Language Models Better", arXiv:2107.06499 —      //
   // window-granular approximation of the suffix-array pass): every       //
@@ -1662,6 +1716,7 @@ object TextOps {
     "docs_tfidf_topk" -> tfidfTopk,
     "docs_stratified_sample" -> stratifiedSample,
     "docs_source_mixing" -> sourceMixing,
+    "docs_temperature_mix" -> temperatureMix,
     "docs_dup_spans" -> dupSpans,
     "docs_lm_familiarity" -> lmFamiliarity,
     "docs_minhash_recall" -> minhashRecall,
@@ -1698,6 +1753,7 @@ object TextOps {
     "docs_tfidf_topk" -> tfidfTopkSql,
     "docs_stratified_sample" -> stratifiedSampleSql,
     "docs_source_mixing" -> sourceMixingSql,
+    "docs_temperature_mix" -> temperatureMixSql,
     "docs_dup_spans" -> dupSpansSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
     "docs_minhash_recall" -> minhashRecallSql,

@@ -193,6 +193,27 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("temperature mix upsamples rare languages, bounded by rate 1.0") {
+    val rows = TextOps.temperatureMix(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("kept"),
+        r.getAs[Double]("rate"), r.getAs[Long]("total")))
+    assert(rows.length >= 2)
+    rows.foreach { case (_, kept, rate, total) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(kept <= total)
+    }
+    // α = 0.5: rate ∝ 1/sqrt(count) — a strictly smaller language gets
+    // a strictly larger (or capped) sampling rate
+    val byCount = rows.sortBy(_._4)
+    byCount.zip(byCount.drop(1)).foreach { case (small, large) =>
+      if (small._4 < large._4) assert(small._3 >= large._3)
+    }
+    // and the realized take tracks the assigned rate (hash uniformity)
+    rows.foreach { case (_, kept, rate, total) =>
+      assert(math.abs(kept.toDouble / total - rate) <= 0.15)
+    }
+  }
+
   test("bpe merges: counts descend and pairs are adjacent-token joins") {
     val rows = TextOps.bpeMerges(spark, sf).collect()
     assert(rows.length == 20)
