@@ -1,0 +1,82 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) file layout: co-clusters TWO numeric columns
+  * into the same files so parquet min/max statistics prune reads for
+  * predicates on EITHER column — the layout-level complement of
+  * [[ParquetIndex]]'s first-segment partition pruning (which serves one
+  * key; this serves two with one copy of the data).
+  *
+  * A linear sort on column A gives perfect A-spans but every file
+  * carries the FULL range of B, so B-predicates scan everything.
+  * Interleaving the bits of both columns' 16-bit quantized positions
+  * makes each written file cover a small square of the (A, B) plane:
+  * both columns' per-file spans shrink to ~sqrt(files) of the range,
+  * and parquet row-group skipping (or a file-stats manifest at the
+  * table level) turns either predicate into a pruned read. At 100 TB
+  * this is the difference between "fast lookups on the sort key only"
+  * and "fast lookups on both of size and mtime" for one storage cost.
+  *
+  * The z-value is a pure codegen'd column expression (shift/mask/or
+  * chain — no UDF); the layout pass is one range repartition + local
+  * sort on it, i.e. exactly the cost of a global sort on a single
+  * derived key.
+  */
+object ZOrderLayout {
+
+  /** Bit-interleave of two columns quantized to 16-bit positions over
+    * [aMin, aMax] × [bMin, bMax] (inclusive ranges, computed by the
+    * caller — one tiny agg — so the expression stays literal-only and
+    * whole-stage codegen'd). a occupies the odd bits, b the even.
+    */
+  def zValue(a: Column, b: Column, aMin: Long, aMax: Long,
+      bMin: Long, bMax: Long): Column = {
+    def quant(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      // 64-bit-safe linear scale to 0..65535 without overflow for any
+      // long range: scale in double, clamp, floor
+      else least(lit(65535L), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo.toDouble)) /
+          lit((hi - lo).toDouble) * 65535.0).cast("long")))
+    val qa = quant(a, aMin, aMax)
+    val qb = quant(b, bMin, bMax)
+    (0 until 16).map { i =>
+      (shiftleft(shiftrightunsigned(qa, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(qb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` to `dir` z-ordered on (`colA`, `colB`) into `files`
+    * files: range-partition on the z-value (even file sizes under skew
+    * via range sampling), sort within each partition, drop the helper
+    * column at the writer.
+    */
+  def write(df: DataFrame, dir: String, colA: String, colB: String,
+      files: Int): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).cast("long").as("a_lo"),
+      max(col(colA)).cast("long").as("a_hi"),
+      min(col(colB)).cast("long").as("b_lo"),
+      max(col(colB)).cast("long").as("b_hi")).collect()(0)
+    val z = zValue(col(colA), col(colB), bounds.getLong(0),
+      bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Per-file (min, max) spans of `c` in a written layout — the
+    * fraction of files a point/range predicate on `c` must read, which
+    * is what a table-level stats manifest (or parquet's own row-group
+    * stats) prunes by. Diagnostic used by the spec and PERF probes.
+    */
+  def fileSpans(df: DataFrame, c: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(c)).cast("long").as("lo"),
+        max(col(c)).cast("long").as("hi"))
+}
