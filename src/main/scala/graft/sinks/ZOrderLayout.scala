@@ -79,4 +79,41 @@ object ZOrderLayout {
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(c)).cast("long").as("lo"),
         max(col(c)).cast("long").as("hi"))
+
+  /** Materialize the per-file min/max manifest for `cols` at
+    * `dir/_manifest` (underscore prefix = invisible to Spark's file
+    * index, the `_delta_log` convention). One narrow scan at write
+    * time buys file-level skipping for every later read.
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cols: Seq[String]): Unit = {
+    val base = spark.read.parquet(dir)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"${c}_lo"),
+      max(col(c)).cast("long").as(s"${c}_hi")))
+    base.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+  }
+
+  /** Read `dir` with FILE-LEVEL pruning from the manifest: only files
+    * whose [lo, hi] span of `c` overlaps [lo, hi] are opened; the exact
+    * row predicate is re-applied on top (span overlap is necessary, not
+    * sufficient). The manifest is |files| rows — collecting the
+    * surviving paths to the driver is the same plan Delta/Iceberg
+    * readers run. Returns the same rows as
+    * `read.parquet(dir).filter(c between lo and hi)`.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      c: String, lo: Long, hi: Long): DataFrame = {
+    val files = spark.read.parquet(s"$dir/_manifest")
+      .filter(col(s"${c}_hi") >= lo && col(s"${c}_lo") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(dir).limit(0) // schema-preserving empty
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(c).cast("long").between(lo, hi))
+  }
 }

@@ -56,6 +56,39 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
+  test("manifest-pruned read opens fewer files yet returns exact rows") {
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = Files.createTempDirectory("zorder4").toString
+    ZOrderLayout.write(li, dir, "l_orderkey", "l_partkey", nFiles)
+    ZOrderLayout.writeManifest(spark, dir, Seq("l_orderkey", "l_partkey"))
+
+    // a narrow range on EACH clustered column
+    for (c <- Seq("l_orderkey", "l_partkey")) {
+      val Array(lo, hi) = li.agg(min(col(c)).cast("long"),
+        max(col(c)).cast("long")).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val qLo = lo + (hi - lo) / 2
+      val qHi = qLo + (hi - lo) / 10
+      val pruned = ZOrderLayout.prunedRead(spark, dir, c, qLo, qHi)
+      val full = spark.read.parquet(dir)
+        .filter(col(c).cast("long").between(qLo, qHi))
+      assert(pruned.count() == full.count(), c)
+      assert(pruned.exceptAll(full).isEmpty, c)
+      // the manifest actually pruned: a 10% range must not need all files
+      val opened = pruned.select(input_file_name()).distinct().count()
+      assert(opened < nFiles, s"$c opened=$opened")
+    }
+
+    // an empty range prunes everything and keeps the schema
+    val none = ZOrderLayout.prunedRead(spark, dir, "l_orderkey",
+      Long.MaxValue - 1, Long.MaxValue)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq ==
+      Seq("l_orderkey", "l_partkey", "l_quantity"))
+  }
+
   test("degenerate ranges (constant column) still write and round-trip") {
     val one = graft.Tables(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey").limit(100)
