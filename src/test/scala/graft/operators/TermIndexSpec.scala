@@ -41,6 +41,45 @@ class TermIndexSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/doclen").count() == docs.count())
   }
 
+  test("a document STREAM drained through foreachBatch builds the index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("termidx4").toString
+    val rows = docs.as[(Long, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TermIndex.update(spark, dir, batch)
+        (): Unit
+      }
+      .start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      ms.addData(h1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(h2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val served = TermIndex.search(spark, dir, TextOps.bmTerms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = TextOps.bm25Topk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == batch)
+  }
+
+  test("store compaction leaves search results identical") {
+    val dir = Files.createTempDirectory("termidx5").toString
+    // many tiny appends → fragmented bucket dirs
+    (0L until 8L).foreach { i =>
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 8 === i))
+    }
+    val before = TermIndex.search(spark, dir, TextOps.bmTerms, k = 20)
+      .collect().toSeq
+    graft.sinks.DirCompaction.compact(spark, dir)
+    val after = TermIndex.search(spark, dir, TextOps.bmTerms, k = 20)
+      .collect().toSeq
+    assert(after == before)
+  }
+
   test("search prunes postings partitions to the query terms' buckets") {
     val dir = Files.createTempDirectory("termidx3").toString
     TermIndex.update(spark, dir, docs)
