@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Durable-store timing harness: `graft.StoreProbe <term|ann|neardup>
+  * [sfDir] [batches]` — builds the store incrementally in `batches`
+  * updates and times BUILD and SERVE separately ([[Bench]]'s session;
+  * serve is warmup+min-of-2 like QueryTime), so PERF.md can state the
+  * amortization point of each index: a from-scratch batch query pays
+  * its full cost per run, the store pays build once and serves reads
+  * after.
+  */
+object StoreProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: graft.StoreProbe <term|ann|neardup|zorder> [sfDir] [batches]")
+    val kind = args(0)
+    val sfDir =
+      if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val batches = if (args.length > 2) args(2).toInt else 4
+    val spark = Bench.buildSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-probe-$kind").toString
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    val (buildSec, serve): (Double, () => Long) = kind match {
+      case "term" =>
+        val docs = Tables(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        val (b, _) = time((0 until batches).foreach { i =>
+          operators.TermIndex.update(spark, dir,
+            docs.filter(pmod(col("doc_id"), lit(batches)) === i))
+        })
+        (b, () => operators.TermIndex
+          .search(spark, dir, operators.TextOps.bmTerms, k = 20).count())
+      case "ann" =>
+        val emb = Tables(spark, sfDir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0)
+        val (b, _) = time {
+          operators.AnnIndex.build(spark, dir, emb.filter(
+            col("vec_id").between(1, 8) ||
+              pmod(col("vec_id"), lit(batches)) === 0))
+          (1 until batches).foreach { i =>
+            operators.AnnIndex.update(spark, dir, emb.filter(
+              !col("vec_id").between(1, 8) &&
+                pmod(col("vec_id"), lit(batches)) === i))
+          }
+        }
+        (b, () => operators.AnnIndex
+          .search(spark, dir, q, k = 10, nprobe = 2).count())
+      case "neardup" =>
+        val docs = Tables(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        var pairs = 0L
+        val (b, _) = time((0 until batches).foreach { i =>
+          pairs += operators.NearDupIndex.update(spark, dir,
+            docs.filter(pmod(col("doc_id"), lit(batches)) === i)).count()
+        })
+        val probeHalf = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        (b, () => operators.NearDupIndex
+          .probe(spark, dir, probeHalf).count())
+      case "zorder" =>
+        // layout "store": build = the z-order write + manifest; serve =
+        // a manifest-pruned 10% range read on the SECOND clustered
+        // column (the one a linear sort cannot serve). Span fractions
+        // for both layouts go to stderr for PERF.md.
+        val li = Tables(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val (b, _) = time {
+          sinks.ZOrderLayout.write(li, dir, "l_orderkey", "l_partkey", 16)
+          sinks.ZOrderLayout.writeManifest(spark, dir,
+            Seq("l_orderkey", "l_partkey"))
+        }
+        def meanFrac(d: String, c: String): Double = {
+          val sp = sinks.ZOrderLayout.fileSpans(spark.read.parquet(d), c)
+            .collect().map(r => (r.getLong(1), r.getLong(2)))
+          val (lo, hi) = (sp.map(_._1).min, sp.map(_._2).max)
+          sp.map(s => (s._2 - s._1).toDouble / (hi - lo)).sum / sp.length
+        }
+        val linDir = s"$dir-linear"
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(linDir)
+        System.err.println(
+          f"zorder spans: orderkey=${meanFrac(dir, "l_orderkey")}%.3f " +
+            f"partkey=${meanFrac(dir, "l_partkey")}%.3f; linear: " +
+            f"orderkey=${meanFrac(linDir, "l_orderkey")}%.3f " +
+            f"partkey=${meanFrac(linDir, "l_partkey")}%.3f")
+        val Array(pLo, pHi) = li
+          .agg(min(col("l_partkey")).cast("long"),
+            max(col("l_partkey")).cast("long")).collect()(0) match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        val qLo = pLo + (pHi - pLo) / 2
+        val qHi = qLo + (pHi - pLo) / 10
+        (b, () => sinks.ZOrderLayout
+          .prunedRead(spark, dir, "l_partkey", qLo, qHi).count())
+      case other => sys.error(s"unknown store kind: $other")
+    }
+
+    serve() // warmup
+    val (s1, n) = time(serve())
+    val (s2, _) = time(serve())
+    val serveSec = math.min(s1, s2)
+    println(f"""{"store":"$kind","build_sec":$buildSec%.3f,"batches":$batches,"serve_sec":$serveSec%.3f,"serve_rows":$n,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

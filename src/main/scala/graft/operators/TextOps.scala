@@ -693,7 +693,7 @@ object TextOps {
   // so both engines emit identical bits.                                 //
   // -------------------------------------------------------------------- //
 
-  private[operators] val bmTerms = Seq("spark", "hash", "window")
+  private[graft] val bmTerms = Seq("spark", "hash", "window")
   private[operators] val bm25K1 = 1.2
   private[operators] val bm25B = 0.75
   private val k1 = bm25K1
