@@ -394,9 +394,156 @@ final class ParquetIndex(root: String, keep: Int = 2,
         "left_semi").select(cur.columns.map(col).toIndexedSeq: _*))
     }
 
+  // ------------------------------------------------------------------ //
+  // Merge-on-read (MOR): the lakehouse deferred-merge write path. The  //
+  // copy-on-write paths above (upsert/upsertReconcile) rewrite the     //
+  // FULL snapshot per run — correct, but at 100 TB the full-index      //
+  // write dominates pipeline I/O even when a micro-batch touched 0.1%  //
+  // of keys. MOR appends only the batch (plus key-only delete          //
+  // sidecars) and defers the merge to read time; `checkpointMor` folds //
+  // the log back into a real snapshot when read amplification has      //
+  // accumulated. Write cost ∝ batch, read cost ∝ base + log — the      //
+  // Delta/Iceberg trade, on this store's own atomic-pointer layout.    //
+  //                                                                    //
+  // Resolution is EXACTLY the sequential fold of [[Merge.merge]] +     //
+  // key-reconcile over the log, proven equivalent in MorIndexSpec:     //
+  //   aliveUpserts(key) = generations after the key's last delete      //
+  //   winner(key)       = max_by(row, (ts, ±gen)) over aliveUpserts    //
+  // (+gen = J2 batch-wins-ties, −gen = J1 existing-wins-ties; the      //
+  // sequential pairwise merge keeps a running max of the same          //
+  // ordering, so the global max is the same row.)                      //
+  // ------------------------------------------------------------------ //
+
+  private def morRoot(baseId: String) = Paths.get(root, s"mor-$baseId")
+  private def morManifest(baseId: String) =
+    morRoot(baseId).resolve("DELTAS")
+
+  /** Committed MOR log entries for `baseId`, in commit order:
+    * (kind `u`|`d`, dir name).
+    */
+  def morEntries(baseId: String): Seq[(String, String)] =
+    if (!Files.exists(morManifest(baseId))) Nil
+    else Files.readString(morManifest(baseId)).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(k, n) = l.split(":", 2); (k, n) }
+
+  private def commitMorEntry(baseId: String, kind: String,
+      name: String): Unit = {
+    Files.createDirectories(morRoot(baseId))
+    val lines = morEntries(baseId).map { case (k, n) => s"$k:$n" } :+
+      s"$kind:$name"
+    val tmp = morRoot(baseId).resolve(".DELTAS.tmp")
+    Files.writeString(tmp, lines.mkString("\n") + "\n")
+    Files.move(tmp, morManifest(baseId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def writeMorDir(baseId: String, name: String,
+      df: DataFrame): Unit = {
+    val dir = morRoot(baseId).resolve(name)
+    df.write.mode("overwrite").parquet(dir.toString)
+    // schema sidecar, as for snapshots: an empty delta/delete dir must
+    // still read back with its schema
+    Files.writeString(dir.resolve(SchemaFile), df.schema.toDDL)
+  }
+
+  private def readMorDir(spark: SparkSession, baseId: String,
+      name: String): DataFrame = {
+    val dir = morRoot(baseId).resolve(name)
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+      Files.readString(dir.resolve(SchemaFile))))
+      .parquet(dir.toString)
+  }
+
+  /** Append an upsert batch to the MOR log of the current base (write
+    * cost ∝ batch). With no base yet, the batch BECOMES the base
+    * snapshot. Returns the committed log entry (or new base id).
+    */
+  def appendDelta(spark: SparkSession, batch: DataFrame): String =
+    currentId match {
+      case None => write(batch)
+      case Some(cid) =>
+        val cols = readSnapshot(spark, cid).columns.toSet
+        require(batch.columns.toSet == cols,
+          s"appendDelta: schema mismatch: ${batch.columns.toSeq.sorted}" +
+            s" vs ${cols.toSeq.sorted}")
+        val name = f"delta-${morEntries(cid).size}%05d"
+        writeMorDir(cid, name, batch)
+        commitMorEntry(cid, "u", name)
+        name
+    }
+
+  /** Append a key-only delete sidecar (the MOR form of [[reconcile]]'s
+    * key-vanished drops — or an explicit retention purge).
+    */
+  def appendDelete(spark: SparkSession, keys: DataFrame,
+      keyCol: String): Option[String] =
+    currentId.map { cid =>
+      val name = f"delete-${morEntries(cid).size}%05d"
+      writeMorDir(cid, name, keys.select(keyCol).distinct())
+      commitMorEntry(cid, "d", name)
+      name
+    }
+
+  /** Read the MOR view: base + log resolved to one row per live key.
+    * Plan shape: map-only unions, ONE key-shuffled aggregate for the
+    * winner, one co-partitioned left join against the (tiny, distinct)
+    * delete keys — independent of log length; log dirs are narrow
+    * appended parquet.
+    */
+  def readMor(spark: SparkSession, keyCol: String, tsCol: String,
+      batchWinsTies: Boolean = false): Option[DataFrame] =
+    currentId.map { cid =>
+      import org.apache.spark.sql.functions._
+      val base = readSnapshot(spark, cid)
+      val entries = morEntries(cid)
+      if (entries.isEmpty) base
+      else {
+        val cols = base.columns.toSeq
+        val gens = entries.zipWithIndex
+        val ups = (base.withColumn("__gen", lit(0L)) +:
+          gens.collect { case (("u", name), i) =>
+            readMorDir(spark, cid, name).select(cols.map(col): _*)
+              .withColumn("__gen", lit((i + 1).toLong))
+          }).reduce(_ unionByName _)
+        val dels = gens.collect { case (("d", name), i) =>
+          readMorDir(spark, cid, name)
+            .select(col(keyCol), lit((i + 1).toLong).as("__dgen"))
+        }
+        val lastDel = dels.reduceOption(_ unionByName _)
+          .map(_.groupBy(keyCol).agg(max("__dgen").as("__dgen")))
+        val alive = lastDel match {
+          case None => ups
+          case Some(d) => ups.join(d, Seq(keyCol), "left")
+            .filter(col("__dgen").isNull || col("__gen") > col("__dgen"))
+        }
+        val tieOrd = if (batchWinsTies) col("__gen") else -col("__gen")
+        alive.groupBy(col(keyCol).as("__k"))
+          .agg(max_by(struct(cols.map(col): _*),
+            struct(col(tsCol), tieOrd)).as("__w"))
+          .select(cols.map(c => col(s"__w.$c").as(c)): _*)
+      }
+    }
+
+  /** Fold the MOR log into a new base snapshot (same atomic pointer
+    * swap; old base + its log are dropped once the new base commits).
+    * No-op (None) when there is no log to fold.
+    */
+  def checkpointMor(spark: SparkSession, keyCol: String, tsCol: String,
+      batchWinsTies: Boolean = false): Option[String] =
+    currentId.flatMap { cid =>
+      if (morEntries(cid).isEmpty) None
+      else readMor(spark, keyCol, tsCol, batchWinsTies).map { resolved =>
+        val id = write(resolved)
+        deleteRec(morRoot(cid))
+        id
+      }
+    }
+
   private def prune(committed: Seq[String]): Unit = {
     val (drop, kept) = committed.splitAt(math.max(0, committed.size - keep))
     drop.foreach(id => deleteRec(Paths.get(root, s"snap-$id")))
+    drop.foreach(id => deleteRec(morRoot(id)))
     val tmp = Paths.get(root, ".MANIFEST.tmp")
     Files.writeString(tmp, kept.mkString("\n") + "\n")
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,

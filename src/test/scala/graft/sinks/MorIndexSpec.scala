@@ -1,0 +1,119 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.operators.Merge
+
+/** Merge-on-read: the appended-log read resolves to EXACTLY the state
+  * the copy-on-write path (sequential Merge.merge + key drops) reaches,
+  * in both tie modes; checkpoint folds the log and clears it; deltas
+  * write only their batch.
+  */
+class MorIndexSpec extends SparkSpecBase {
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("ts", LongType),
+    StructField("v", StringType)))
+
+  private def df(rows: (String, Long, String)*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      schema)
+
+  private def state(d: DataFrame): Set[(String, Long, String)] =
+    d.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+
+  // base; overlapping newer+older+tied updates; deletes; a re-add after
+  // delete with an OLDER ts (the revive case that breaks naive
+  // global-max resolution)
+  private val b0 = df(("a", 5L, "a0"), ("b", 3L, "b0"), ("c", 7L, "c0"),
+    ("d", 1L, "d0"))
+  private val b1 = df(("a", 6L, "a1"), ("b", 3L, "b1"), ("c", 2L, "c1"),
+    ("e", 4L, "e1"))
+  private val delKeys = Seq("a", "d")
+  private val b2 = df(("a", 2L, "a2"), ("f", 9L, "f2"))
+
+  private def cowState(ties: Boolean): Set[(String, Long, String)] = {
+    val s1 = Merge.merge(b0, b1, "k", "ts", ties)
+    val s2 = s1.filter(!col("k").isin(delKeys: _*))
+    state(Merge.merge(s2, b2, "k", "ts", ties))
+  }
+
+  private def buildMor(ties: Boolean): ParquetIndex = {
+    val idx = new ParquetIndex(
+      Files.createTempDirectory(s"mor-$ties").toString)
+    idx.appendDelta(spark, b0) // no base yet → becomes the base
+    idx.appendDelta(spark, b1)
+    idx.appendDelete(spark, df(delKeys.map(k => (k, 0L, "")): _*), "k")
+    idx.appendDelta(spark, b2)
+    idx
+  }
+
+  for (ties <- Seq(false, true)) {
+    val mode = if (ties) "J2 batch-wins" else "J1 existing-wins"
+    test(s"MOR read ≡ sequential copy-on-write fold ($mode)") {
+      val idx = buildMor(ties)
+      assert(state(idx.readMor(spark, "k", "ts", ties).get) ==
+        cowState(ties))
+    }
+  }
+
+  test("the revive case: a re-add after delete wins over the dead row") {
+    val idx = buildMor(false)
+    val a = idx.readMor(spark, "k", "ts", false).get
+      .filter(col("k") === "a").collect()
+    // base had (a,5); deleted; re-added at ts=2 — the OLD row must not
+    // resurrect even though its ts is higher
+    assert(a.map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((2L, "a2")))
+  }
+
+  test("checkpoint folds the log, clears it, and read() serves the fold") {
+    val idx = buildMor(false)
+    val before = state(idx.readMor(spark, "k", "ts", false).get)
+    val oldBase = idx.currentId.get
+    val newBase = idx.checkpointMor(spark, "k", "ts", false)
+    assert(newBase.isDefined && newBase.get != oldBase)
+    assert(idx.morEntries(idx.currentId.get).isEmpty)
+    assert(state(idx.read(spark).get) == before)
+    assert(state(idx.readMor(spark, "k", "ts", false).get) == before)
+    // a second checkpoint with an empty log is a no-op
+    assert(idx.checkpointMor(spark, "k", "ts", false).isEmpty)
+    // and the log keeps working against the new base
+    idx.appendDelta(spark, df(("g", 1L, "g0")))
+    assert(state(idx.readMor(spark, "k", "ts", false).get) ==
+      before + (("g", 1L, "g0")))
+  }
+
+  test("a delta writes only its batch (write cost ∝ batch, not index)") {
+    val idx = buildMor(false)
+    val root = java.nio.file.Paths.get(
+      idx.read(spark).get.inputFiles.head
+        .stripPrefix("file:").split("/snap-").head)
+    val morDir = java.nio.file.Files.list(root).iterator()
+    val mor = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (morDir.hasNext) { val p = morDir.next()
+      if (p.getFileName.toString.startsWith("mor-")) mor += p }
+    assert(mor.size == 1)
+    // delta-00000 carries exactly b1's rows
+    val d0 = spark.read.parquet(s"${mor.head}/delta-00000")
+    assert(d0.count() == b1.count())
+  }
+
+  test("empty delta and empty delete dirs read back cleanly") {
+    val idx = new ParquetIndex(
+      Files.createTempDirectory("mor-empty").toString)
+    idx.appendDelta(spark, b0)
+    idx.appendDelta(spark, b0.limit(0))
+    idx.appendDelete(spark, b0.limit(0), "k")
+    assert(state(idx.readMor(spark, "k", "ts", false).get) == state(b0))
+  }
+}
