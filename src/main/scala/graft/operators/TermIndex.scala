@@ -70,9 +70,13 @@ object TermIndex {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .localCheckpoint(true) // tokenize once; stable across both writes
     fresh
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      // POSITIONAL postings (what Lucene stores for phrase queries):
+      // tf rides along for the BM25 path, sorted 0-based positions for
+      // the phrase path
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("t_b", pmod(crc32(col("term")), lit(NBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("t_b").parquet(s"$dir/postings")
     // dl as DOUBLE at write time: bm25Topk averages doubles, and a
@@ -138,6 +142,30 @@ object TermIndex {
       .filter(col("score") > 0)
       .select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Exact 2-token phrase occurrences served FROM the store's
+    * positional postings: reads the two terms' buckets only, explodes
+    * their (deduplicated — torn-update-safe) position lists and counts
+    * adjacency pairs, with OVERLAP semantics identical to
+    * [[TextOps.phraseSearch]] ("w w w" = 2 matches of "w w").
+    */
+  def phraseSearch(spark: SparkSession, dir: String, first: String,
+      second: String, k: Int = 20): DataFrame = {
+    val buckets = Seq(first, second).map(bucketOf).distinct
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("t_b").isin(buckets: _*))
+    def positions(term: String) = posts
+      .filter(col("term") === term)
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+      .distinct()
+    val a = positions(first)
+    val b = positions(second)
+      .select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"))
+    a.join(b, col("doc_id") === col("d2") && col("pos") === col("p2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occur"))
+      .orderBy(col("n_occur").desc, col("doc_id"))
       .limit(k)
   }
 }

@@ -1585,6 +1585,19 @@ object TextOps {
       |FROM p JOIN q ON p.doc_id = q.doc_id AND q.pos = p.pos + 1
       |GROUP BY p.doc_id ORDER BY n_occur DESC, p.doc_id LIMIT 20""".stripMargin
 
+  /** The same phrase count served from [[TermIndex]]'s positional
+    * postings (two-half incremental build, as `docs_bm25_indexed`);
+    * shares `docs_phrase_search`'s oracle.
+    */
+  def phraseIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phraseidx").toString
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    TermIndex.phraseSearch(spark, dir, "order", "order", k = 20)
+  }
+
   // -------------------------------------------------------------------- //
   // Deterministic training-order shuffle — the last step of a curation  //
   // pipeline: order the corpus by a seeded content hash so every run    //
@@ -1709,6 +1722,7 @@ object TextOps {
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
     "docs_bm25_indexed" -> bm25Indexed,
+    "docs_phrase_indexed" -> phraseIndexed,
     "docs_hash_split" -> hashSplit,
     "docs_token_packing" -> tokenPacking,
     "docs_token_packing_sharded" -> tokenPackingSharded,
@@ -1746,6 +1760,7 @@ object TextOps {
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
     "docs_bm25_indexed" -> bm25TopkSql,
+    "docs_phrase_indexed" -> phraseSearchSql,
     "docs_hash_split" -> hashSplitSql,
     "docs_token_packing" -> tokenPackingSql,
     "docs_token_packing_sharded" -> tokenPackingShardedSql,

@@ -80,6 +80,17 @@ class TermIndexSpec extends SparkSpecBase {
     assert(after == before)
   }
 
+  test("positional phrase serving matches the batch phrase query") {
+    val dir = Files.createTempDirectory("termidx6").toString
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    val served = TermIndex.phraseSearch(spark, dir, "order", "order")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = TextOps.phraseSearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batch)
+  }
+
   test("search prunes postings partitions to the query terms' buckets") {
     val dir = Files.createTempDirectory("termidx3").toString
     TermIndex.update(spark, dir, docs)
