@@ -145,6 +145,75 @@ object TermIndex {
       .limit(k)
   }
 
+  /** Batch BM25 serving: answer a whole frame of queries
+    * (`q_id`, `terms: array<string>`) in ONE plan — the scale path when
+    * queries arrive in volume (N plans of [[search]] pay N store scans;
+    * this pays one, pruned to the union of all queried terms' buckets).
+    * Per-query results are BIT-IDENTICAL to [[search]]: contributions
+    * fold in ascending term order via a sorted `aggregate()` (the same
+    * order `search` sums its fixed columns; a term the doc lacks
+    * contributes exactly +0.0 there, so skipping it here is the same
+    * sum), and df/n/avgdl are the same store-derived values.
+    * Output: (q_id, doc_id, score, rank), rank 1-based per query.
+    */
+  def searchAll(spark: SparkSession, queries: DataFrame,
+      dir: String, k: Int = 20): DataFrame = {
+    // the union of queried terms is small (it's a query workload, not
+    // the corpus) — collecting it makes the bucket filter literal,
+    // which is what prunes store partitions (AnnIndex collects its
+    // centroids for the same reason)
+    val terms = queries
+      .select(explode(col("terms")).as("term")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(terms.nonEmpty, "searchAll: no terms in the query frame")
+    val buckets = terms.map(bucketOf).distinct
+    val pruned = spark.read.parquet(s"$dir/postings")
+      .filter(col("t_b").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf")
+    val doclen = spark.read.parquet(s"$dir/doclen")
+    val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    // per-term document frequency over the pruned postings (distinct
+    // doc_ids — duplicate postings from a torn update count once)
+    val dfByTerm = pruned.groupBy("term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+
+    val qTerms = queries
+      .select(col("q_id"), posexplode(col("terms")).as(Seq("t_i", "term")))
+    val contrib = qTerms
+      .join(pruned, "term") // only docs containing the term contribute
+      .join(doclen, "doc_id")
+      .join(broadcast(dfByTerm), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("c",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf").cast("double") * lit(TextOps.bm25K1 + 1)) /
+          (col("tf").cast("double") +
+            lit(TextOps.bm25K1) * (lit(1 - TextOps.bm25B) +
+              lit(TextOps.bm25B) * col("dl") / col("avgdl"))))
+    // deterministic fold: sort each doc's contributions by the query's
+    // term position, then left-fold — the float addition order search()
+    // uses, independent of join/row order
+    val scored = contrib
+      .groupBy("q_id", "doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("t_i"), col("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("s"))
+      .withColumn("score", round(col("s"), 4))
+      .filter(col("score") > 0)
+    // per-query top-k on the NATIVE GroupTopK operator (map-side
+    // bounded heaps — no per-query window shuffle), as AnnIndex's
+    // batch serving does
+    graft.plans.GroupTopK.topK(
+      scored.select("q_id", "doc_id", "score"),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("score", true), ("doc_id", false)),
+      k = k)
+      .select(col("q_id"), col("doc_id"), col("score"),
+        col("rk").as("rank"))
+  }
+
   /** Exact 2-token phrase occurrences served FROM the store's
     * positional postings: reads the two terms' buckets only, explodes
     * their (deduplicated — torn-update-safe) position lists and counts

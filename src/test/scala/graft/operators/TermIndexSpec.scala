@@ -80,6 +80,29 @@ class TermIndexSpec extends SparkSpecBase {
     assert(after == before)
   }
 
+  test("batch searchAll matches per-query search bit-for-bit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("termidx7").toString
+    TermIndex.update(spark, dir, docs)
+    val queryFrame = Seq(
+      (1L, Seq("spark", "hash", "window")),
+      (2L, Seq("hash")),
+      (3L, Seq("window", "spark")),
+      (4L, Seq("zzz_absent_term", "spark"))).toDF("q_id", "terms")
+    val batch = TermIndex.searchAll(spark, queryFrame, dir, k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    queryFrame.collect().foreach { q =>
+      val qid = q.getLong(0)
+      val ts = q.getSeq[String](1)
+      val single = TermIndex.search(spark, dir, ts, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Nil) == single, s"q=$qid terms=$ts")
+    }
+  }
+
   test("positional phrase serving matches the batch phrase query") {
     val dir = Files.createTempDirectory("termidx6").toString
     TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
