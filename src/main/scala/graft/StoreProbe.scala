@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object StoreProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.StoreProbe <term|ann|neardup|zorder> [sfDir] [batches]")
+      "usage: graft.StoreProbe <term|ann|neardup|zorder> [sfDir] " +
+        "[batches] [replicate]")
     val kind = args(0)
     val sfDir =
       if (args.length > 1) args(1)
@@ -31,8 +32,28 @@ object StoreProbe {
 
     val (buildSec, serve): (Double, () => Long) = kind match {
       case "term" =>
-        val docs = Tables(spark, sfDir, "documents")
+        // optional 4th arg: corpus replication factor — the
+        // amortization probe (unique ids, one-token suffix difference;
+        // batch-query cost grows with the corpus, store serving
+        // shouldn't)
+        val replicate = if (args.length > 3) args(3).toInt else 1
+        val base = Tables(spark, sfDir, "documents")
           .select("doc_id", "text")
+        val docs =
+          if (replicate == 1) base
+          else base
+            .withColumn("r",
+              explode(sequence(lit(0), lit(replicate - 1))))
+            .select((col("doc_id") * replicate + col("r")).as("doc_id"),
+              concat(col("text"), lit(" rep"), col("r")).as("text"))
+            .localCheckpoint(true) // probe the ops, not the replication
+        val (bq1, nHits) = time(
+          operators.TextOps.bm25TopkOf(docs).collect().length)
+        val (bq2, _) = time(
+          operators.TextOps.bm25TopkOf(docs).collect().length)
+        System.err.println(
+          f"term from-scratch batch query at ${replicate}x: " +
+            f"${math.min(bq1, bq2)}%.3f s ($nHits rows, min of 2)")
         val (b, _) = time((0 until batches).foreach { i =>
           operators.TermIndex.update(spark, dir,
             docs.filter(pmod(col("doc_id"), lit(batches)) === i))

@@ -699,14 +699,21 @@ object TextOps {
   private val k1 = bm25K1
   private val b = bm25B
 
-  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkOf(Tables(spark, sfDir, "documents"))
+
+  /** The same plan over an arbitrary (doc_id, text) frame — the probe
+    * harness feeds replicated corpora through this to compare
+    * from-scratch cost against [[TermIndex]] serving at N× scale.
+    */
+  private[graft] def bm25TopkOf(corpus: DataFrame): DataFrame = {
     val docCols = Seq(col("doc_id"),
       expr(s"size($toks)").cast("double").as("dl")) ++
       bmTerms.zipWithIndex.map { case (t, i) =>
         expr(s"size(filter($toks, x -> x = '$t'))").cast("double")
           .as(s"tf$i")
       }
-    val docs = Tables(spark, sfDir, "documents").select(docCols: _*)
+    val docs = corpus.select(docCols: _*)
     val statCols = Seq(avg(col("dl")).as("avgdl")) ++
       bmTerms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
