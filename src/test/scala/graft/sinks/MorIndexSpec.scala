@@ -108,6 +108,41 @@ class MorIndexSpec extends SparkSpecBase {
     assert(d0.count() == b1.count())
   }
 
+  test("MOR checkpoints drive changeFeed → IncrementalView maintenance") {
+    import graft.operators.IncrementalView
+    val s4 = StructType(Seq(
+      StructField("k", StringType), StructField("ts", LongType),
+      StructField("g", StringType), StructField("x", LongType)))
+    def df4(rows: (String, Long, String, Long)*): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)): _*), s4)
+
+    val idx = new ParquetIndex(
+      Files.createTempDirectory("mor-view").toString, keep = 3)
+    idx.appendDelta(spark, df4(("k1", 1L, "a", 10L), ("k2", 1L, "a", 20L),
+      ("k3", 1L, "b", 30L)))
+    val id1 = idx.currentId.get
+    val view1 = IncrementalView.fromScratch(
+      idx.read(spark).get, Seq("g"), Seq("x"))
+
+    // update k2, add k4, delete k3 — all through the MOR log
+    idx.appendDelta(spark, df4(("k2", 2L, "a", 25L), ("k4", 2L, "b", 5L)))
+    idx.appendDelete(spark, df4(("k3", 0L, "", 0L)), "k")
+    idx.checkpointMor(spark, "k", "ts", batchWinsTies = false)
+    val id2 = idx.currentId.get
+
+    val feed = idx.changeFeed(spark, id1, id2, "k",
+      includeOld = true).get
+    val folded = IncrementalView.applyFeed(view1, feed, Seq("g"), Seq("x"))
+    val scratch = IncrementalView.fromScratch(
+      idx.read(spark).get, Seq("g"), Seq("x"))
+    def vstate(d: DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(vstate(folded) == vstate(scratch))
+    // sanity: the deletion really flowed through (group b lost k3)
+    assert(vstate(folded).contains(("b", 1L, 5L)))
+  }
+
   test("empty delta and empty delete dirs read back cleanly") {
     val idx = new ParquetIndex(
       Files.createTempDirectory("mor-empty").toString)
