@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object StoreProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.StoreProbe <term|ann|neardup|zorder> [sfDir] " +
+      "usage: graft.StoreProbe <term|ann|neardup|zorder|mor> [sfDir] " +
         "[batches] [replicate]")
     val kind = args(0)
     val sfDir =
@@ -87,6 +87,31 @@ object StoreProbe {
         val probeHalf = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         (b, () => operators.NearDupIndex
           .probe(spark, dir, probeHalf).count())
+      case "mor" =>
+        // write-amplification probe: the same 1% batch upserted into a
+        // copy-on-write index (full snapshot rewrite) vs appended to
+        // the MOR log (write ∝ batch); read legs show the MOR read tax
+        val orders = Tables(spark, sfDir, "orders")
+        val idxC = new sinks.ParquetIndex(s"$dir/cow")
+        val idxM = new sinks.ParquetIndex(s"$dir/mor")
+        val (b, _) = time {
+          idxC.write(orders): Unit
+          idxM.appendDelta(spark, orders): Unit
+        }
+        val batch = orders.filter(col("o_orderkey") % 97 === 0)
+        val (tCow, _) = time(idxC.upsert(spark, batch, "o_orderkey",
+          "o_orderdate", batchWinsTies = true))
+        val (tMor, _) = time(idxM.appendDelta(spark, batch))
+        val (rCow, _) = time(idxC.read(spark).get.count())
+        val (rMor, _) = time(idxM.readMor(spark, "o_orderkey",
+          "o_orderdate", batchWinsTies = true).get.count())
+        System.err.println(
+          f"mor probe: batch=${batch.count()} of ${orders.count()} " +
+            f"rows; write cow=$tCow%.3f s vs mor=$tMor%.3f s " +
+            f"(${tCow / tMor}%.1fx); read cow=$rCow%.3f s vs " +
+            f"mor=$rMor%.3f s")
+        (b, () => idxM.readMor(spark, "o_orderkey", "o_orderdate",
+          batchWinsTies = true).get.count())
       case "zorder" =>
         // layout "store": build = the z-order write + manifest; serve =
         // a manifest-pruned 10% range read on the SECOND clustered

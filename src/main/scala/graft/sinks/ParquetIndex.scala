@@ -525,6 +525,32 @@ final class ParquetIndex(root: String, keep: Int = 2,
       }
     }
 
+  /** Partial-scope MOR reconcile — the event-driven incremental
+    * indexing primitive the copy-on-write paths can't express cheaply:
+    * rescan ONE scope (e.g. a single directory, the reference's S6
+    * batch source) and reconcile only within it. Appends a delete
+    * sidecar for scope keys the scan no longer contains, then the
+    * scoped scan as a delta (delete first, so the scan's own rows are
+    * the later generation and stay alive). Keys outside `scopeFilter`
+    * are untouched. Write cost ∝ scope; a [[reconcile]] with the same
+    * effect rewrites the full index.
+    */
+  def refreshScopeMor(spark: SparkSession, scan: DataFrame,
+      scopeFilter: org.apache.spark.sql.Column, keyCol: String,
+      tsCol: String, batchWinsTies: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val gone = readMor(spark, keyCol, tsCol, batchWinsTies)
+      .getOrElse(sys.error("refreshScopeMor: no base snapshot"))
+      .filter(scopeFilter)
+      .select(keyCol)
+      .join(scan.select(col(keyCol)), Seq(keyCol), "left_anti")
+      // materialize BEFORE the log mutates: the plan reads the current
+      // log dirs and must not observe its own append
+      .localCheckpoint(true)
+    appendDelete(spark, gone, keyCol): Unit
+    appendDelta(spark, scan): Unit
+  }
+
   /** Fold the MOR log into a new base snapshot (same atomic pointer
     * swap; old base + its log are dropped once the new base commits).
     * No-op (None) when there is no log to fold.

@@ -108,6 +108,29 @@ class MorIndexSpec extends SparkSpecBase {
     assert(d0.count() == b1.count())
   }
 
+  test("scope refresh reconciles inside the scope, touches nothing else") {
+    val idx = new ParquetIndex(
+      Files.createTempDirectory("mor-scope").toString)
+    // two "directories" by key prefix
+    idx.appendDelta(spark, df(("a/1", 1L, "a1"), ("a/2", 1L, "a2"),
+      ("a/3", 1L, "a3"), ("b/1", 1L, "b1"), ("b/2", 1L, "b2")))
+    // rescan of a/: a/1 updated, a/2 unchanged, a/3 VANISHED, a/4 new
+    val rescan = df(("a/1", 2L, "a1x"), ("a/2", 1L, "a2"),
+      ("a/4", 2L, "a4"))
+    idx.refreshScopeMor(spark, rescan, col("k").startsWith("a/"),
+      "k", "ts")
+    val got = state(idx.readMor(spark, "k", "ts", false).get)
+    assert(got == Set(("a/1", 2L, "a1x"), ("a/2", 1L, "a2"),
+      ("a/4", 2L, "a4"), ("b/1", 1L, "b1"), ("b/2", 1L, "b2")))
+    // a second identical refresh is idempotent
+    idx.refreshScopeMor(spark, rescan, col("k").startsWith("a/"),
+      "k", "ts")
+    assert(state(idx.readMor(spark, "k", "ts", false).get) == got)
+    // and the fold preserves it all
+    idx.checkpointMor(spark, "k", "ts", false)
+    assert(state(idx.read(spark).get) == got)
+  }
+
   test("MOR checkpoints drive changeFeed → IncrementalView maintenance") {
     import graft.operators.IncrementalView
     val s4 = StructType(Seq(
