@@ -26,27 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object ZOrderLayout {
 
-  /** Bit-interleave of two columns quantized to 16-bit positions over
+  /** Morton key of two columns quantized to 16-bit positions over
     * [aMin, aMax] × [bMin, bMax] (inclusive ranges, computed by the
     * caller — one tiny agg — so the expression stays literal-only and
-    * whole-stage codegen'd). a occupies the odd bits, b the even.
+    * whole-stage codegen'd). The interleave itself is the NATIVE
+    * [[graft.functions.ZOrder2]] Catalyst expression (magic-number bit
+    * spread with `doGenCode`), resolved from the function registry —
+    * callers outside [[write]] must have run
+    * `GraftFunctions.register(spark)` first.
     */
   def zValue(a: Column, b: Column, aMin: Long, aMax: Long,
       bMin: Long, bMax: Long): Column = {
     def quant(c: Column, lo: Long, hi: Long): Column =
-      if (hi <= lo) lit(0L)
+      if (hi <= lo) lit(0)
       // 64-bit-safe linear scale to 0..65535 without overflow for any
       // long range: scale in double, clamp, floor
       else least(lit(65535L), greatest(lit(0L),
         floor((c.cast("double") - lit(lo.toDouble)) /
-          lit((hi - lo).toDouble) * 65535.0).cast("long")))
-    val qa = quant(a, aMin, aMax)
-    val qb = quant(b, bMin, bMax)
-    (0 until 16).map { i =>
-      (shiftleft(shiftrightunsigned(qa, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(
-          shiftleft(shiftrightunsigned(qb, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_ bitwiseOR _)
+          lit((hi - lo).toDouble) * 65535.0).cast("long"))).cast("int")
+    call_function("zorder2", quant(a, aMin, aMax), quant(b, bMin, bMax))
   }
 
   /** Write `df` to `dir` z-ordered on (`colA`, `colB`) into `files`
@@ -56,6 +54,7 @@ object ZOrderLayout {
     */
   def write(df: DataFrame, dir: String, colA: String, colB: String,
       files: Int): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val bounds = df.agg(
       min(col(colA)).cast("long").as("a_lo"),
       max(col(colA)).cast("long").as("a_hi"),
