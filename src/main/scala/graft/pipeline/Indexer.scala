@@ -160,6 +160,61 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       .groupBy(col("directory_path").as("filepath"))
       .agg(sum("size_bytes").as("total_size"))
 
+  private def store(): ParquetIndex = new ParquetIndex(cfg.indexRoot,
+    partitionBy =
+      if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol) else Nil,
+    writeFiles = cfg.snapshotFiles,
+    // row-group stats stay selective for point/prefix lookups within
+    // each partition bucket (the read-side predicate is always a
+    // relative_path point or prefix — pathPrefixFilter)
+    sortWithin = Seq("relative_path"))
+
+  /** Event-driven incremental run — the 100 TB mode a periodic full
+    * rescan cannot be: refresh ONLY the subtrees under `changedDirs`
+    * (root-relative paths, e.g. from inotify/object-store
+    * notifications) through the snapshot store's merge-on-read log.
+    * Scan cost ∝ the changed subtrees, write cost ∝ their entries
+    * ([[ParquetIndex.refreshScopeMor]]); every other key is untouched.
+    * A vanished subtree resolves to an empty rescan = scope-wide
+    * deletion (the dir's OWN entry is its parent's child — a parent
+    * event covers it). Returns the number of entries refreshed. Fold
+    * the log with [[checkpointScoped]]; any later full [[run]]
+    * supersedes the log by scan-is-truth.
+    */
+  def runScoped(spark: SparkSession, changedDirs: Seq[String]): Long = {
+    val idx = store()
+    require(idx.currentId.isDefined,
+      "runScoped: no base snapshot — run a full scan first")
+    val baseCols = idx.read(spark).get.columns.toSeq
+    changedDirs.map { d0 =>
+      val d = d0.stripPrefix("/").stripSuffix("/")
+      require(d.nonEmpty,
+        "runScoped: a root-wide event is a full rescan — use run()")
+      val abs = cfg.rootPath.stripSuffix("/") + "/" + d
+      val entries =
+        (if (new java.io.File(abs).exists())
+           normalize(FsListing.list(spark, abs, cfg.skipPatterns,
+             cfg.includeHidden)
+             // the subtree walk emits paths relative to ITS root;
+             // re-root them so ids/keys match full-scan entries
+             .withColumn("filepath",
+               concat(lit("/" + d), col("filepath"))))
+             .select(baseCols.map(col): _*)
+         else idx.read(spark).get.limit(0))
+          .localCheckpoint(true) // walk the subtree once, not per write
+      idx.refreshScopeMor(spark, entries,
+        col("relative_path").startsWith(d + "/"),
+        "relative_path", "modified_time")
+      entries.count()
+    }.sum
+  }
+
+  /** Fold the scoped-run MOR log into a real snapshot (periodic, or
+    * when read amplification accumulates). None = nothing to fold.
+    */
+  def checkpointScoped(spark: SparkSession): Option[String] =
+    store().checkpointMor(spark, "relative_path", "modified_time")
+
   def run(spark: SparkSession): RunReport = {
     val t0 = System.nanoTime()
     val listing = FsListing.list(spark, cfg.rootPath, cfg.skipPatterns,
@@ -174,14 +229,7 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // scanned keys in a single key shuffle, so the run does one
     // full-index write instead of merge-write → read-back → semi-join
     // write (at 100 TB that write is the dominant cost; this halves it).
-    val idx = new ParquetIndex(cfg.indexRoot,
-      partitionBy =
-        if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol) else Nil,
-      writeFiles = cfg.snapshotFiles,
-      // row-group stats stay selective for point/prefix lookups within
-      // each partition bucket (the read-side predicate is always a
-      // relative_path point or prefix — pathPrefixFilter)
-      sortWithin = Seq("relative_path"))
+    val idx = store()
     // Upgrade path: a snapshot written before path-partitioning lacks
     // the p0 column — derive it so the merge schemas line up and the
     // NEXT write migrates the store to the partitioned layout.
