@@ -151,10 +151,7 @@ object StoreProbe {
       case other => sys.error(s"unknown store kind: $other")
     }
 
-    serve() // warmup
-    val (s1, n) = time(serve())
-    val (s2, _) = time(serve())
-    val serveSec = math.min(s1, s2)
+    val (serveSec, n) = Bench.timedMinOf2(serve)
     println(f"""{"store":"$kind","build_sec":$buildSec%.3f,"batches":$batches,"serve_sec":$serveSec%.3f,"serve_rows":$n,"sf":"$sfDir"}""")
     spark.stop()
   }

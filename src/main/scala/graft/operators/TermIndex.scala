@@ -167,9 +167,12 @@ object TermIndex {
       .collect().map(_.getString(0)).toIndexedSeq
     require(terms.nonEmpty, "searchAll: no terms in the query frame")
     val buckets = terms.map(bucketOf).distinct
+    // max-collapse duplicate postings from a torn update (same tf),
+    // as search()'s pivot and phraseSearch's distinct do — without it
+    // a duplicated posting would double a doc's contribution sum
     val pruned = spark.read.parquet(s"$dir/postings")
       .filter(col("t_b").isin(buckets: _*) && col("term").isin(terms: _*))
-      .select("term", "doc_id", "tf")
+      .groupBy("term", "doc_id").agg(max(col("tf")).as("tf"))
     val doclen = spark.read.parquet(s"$dir/doclen")
     val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))

@@ -186,15 +186,37 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     require(idx.currentId.isDefined,
       "runScoped: no base snapshot — run a full scan first")
     val baseCols = idx.read(spark).get.columns.toSeq
+    val skipRe =
+      if (cfg.skipPatterns.isEmpty) None
+      else Some(graft.functions.Globs.skipRegex(cfg.skipPatterns).r)
     changedDirs.map { d0 =>
       val d = d0.stripPrefix("/").stripSuffix("/")
       require(d.nonEmpty,
         "runScoped: a root-wide event is a full rescan — use run()")
       val abs = cfg.rootPath.stripSuffix("/") + "/" + d
+      // full-scan parity for the scope dir ITSELF: a full run prunes a
+      // skip-matched or hidden directory before recursing, so an event
+      // for (or under) one resolves to an empty rescan = subtree
+      // deletion; a symlinked dir is likewise never recursed into by
+      // the full scan (find -P), so its event must not index the
+      // target's children
+      val prefixes = d.split("/").toSeq
+        .scanLeft("")((acc, s) => if (acc.isEmpty) s else s"$acc/$s")
+        .drop(1)
+      val prunedByFullScan =
+        prefixes.exists(p =>
+          skipRe.exists(_.findFirstIn(p).isDefined)) ||
+          (!cfg.includeHidden &&
+            d.split("/").exists(_.startsWith("."))) ||
+          java.nio.file.Files.isSymbolicLink(
+            java.nio.file.Paths.get(abs))
       val entries =
-        (if (new java.io.File(abs).exists())
+        (if (!prunedByFullScan && new java.io.File(abs).isDirectory)
            normalize(FsListing.list(spark, abs, cfg.skipPatterns,
-             cfg.includeHidden)
+             cfg.includeHidden,
+             // skip patterns are ROOT-relative: anchor the subtree
+             // walk's matching at the subtree's own prefix
+             matchPrefix = d + "/")
              // the subtree walk emits paths relative to ITS root;
              // re-root them so ids/keys match full-scan entries
              .withColumn("filepath",
@@ -233,7 +255,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // Upgrade path: a snapshot written before path-partitioning lacks
     // the p0 column — derive it so the merge schemas line up and the
     // NEXT write migrates the store to the partitioned layout.
-    val previous = idx.read(spark).map { prev =>
+    // readMor (not read): a pending event-driven log folds into this
+    // full-rescan merge — its tie-kept metadata (last_seen) survives —
+    // and the write then consumes the log (scan is truth).
+    val previous = idx.readMor(spark, "relative_path",
+      "modified_time").map { prev =>
       if (prev.columns.contains(ParquetIndex.PathPartitionCol)) prev
       else prev.withColumn(ParquetIndex.PathPartitionCol,
         ParquetIndex.pathPartitionExpr(col("relative_path")))

@@ -174,8 +174,18 @@ final class ParquetIndex(root: String, keep: Int = 2,
     id
   }
 
-  /** Write `df` as the new current snapshot; returns the snapshot id. */
+  /** Write `df` as the new current snapshot; returns the snapshot id.
+    *
+    * LOG LIFECYCLE: committing a new base CONSUMES the previous base's
+    * merge-on-read log — `df` is the new truth, so the log is either
+    * already folded into it ([[checkpointMor]], [[upsert]]/
+    * [[upsertReconcile]] resolve through [[readMor]]) or deliberately
+    * superseded (a full-rescan write: scan is truth). The previous
+    * log directory is deleted after the pointer swap, so a stale log
+    * can never silently re-attach to a later base.
+    */
   def write(df: DataFrame): String = {
+    val prevBase = currentId
     val id = newId()
     import org.apache.spark.sql.functions.col
     // partitioned + bounded-width: repartition BY the partition columns
@@ -203,7 +213,11 @@ final class ParquetIndex(root: String, keep: Int = 2,
     // the read-side contract for empty snapshots + partition types
     Files.writeString(Paths.get(root, s"snap-$id", SchemaFile),
       df.schema.toDDL)
-    commit(id)
+    val committed = commit(id)
+    // after the swap: the plan that produced df has fully executed, so
+    // dropping the old base's log can't pull files out from under it
+    prevBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
+    committed
   }
 
   /** Layout maintenance (the lakehouse OPTIMIZE / bin-packing step the
@@ -242,6 +256,18 @@ final class ParquetIndex(root: String, keep: Int = 2,
   def compact(spark: SparkSession, maxFilesPerDir: Int = 4,
       targetFileBytes: Long = 128L << 20): Option[String] =
     currentId.flatMap { cid =>
+      import org.apache.spark.sql.functions.col
+      // A pending MOR log defers maintenance: compaction rewrites the
+      // BASE only and has no (key, ts) knowledge to fold the log, and
+      // committing a new base consumes the old one's log (see write) —
+      // proceeding would silently drop un-checkpointed deltas. Fold
+      // with checkpointMor first, then compact.
+      if (morEntries(cid).nonEmpty) None
+      else compactBase(spark, cid, maxFilesPerDir, targetFileBytes)
+    }
+
+  private def compactBase(spark: SparkSession, cid: String,
+      maxFilesPerDir: Int, targetFileBytes: Long): Option[String] = {
       import org.apache.spark.sql.functions.col
       val snapDir = Paths.get(root, s"snap-$cid")
       lazy val stringPart = partitionBy.size == 1 &&
@@ -359,10 +385,13 @@ final class ParquetIndex(root: String, keep: Int = 2,
     sb.toString
   }
 
-  /** J1/J2: merge a scan batch into the current snapshot. */
+  /** J1/J2: merge a scan batch into the current snapshot. A pending
+    * MOR log is resolved INTO the merge (same key/ts/tie rule), then
+    * consumed by the write — mixing the two write paths loses nothing.
+    */
   def upsert(spark: SparkSession, batch: DataFrame, keyCol: String,
       tsCol: String, batchWinsTies: Boolean = false): String =
-    read(spark) match {
+    readMor(spark, keyCol, tsCol, batchWinsTies) match {
       case None => write(batch)
       case Some(cur) =>
         write(Merge.merge(cur, batch, keyCol, tsCol, batchWinsTies))
@@ -375,7 +404,7 @@ final class ParquetIndex(root: String, keep: Int = 2,
     */
   def upsertReconcile(spark: SparkSession, scan: DataFrame, keyCol: String,
       tsCol: String, batchWinsTies: Boolean = false): String =
-    read(spark) match {
+    readMor(spark, keyCol, tsCol, batchWinsTies) match {
       case None => write(scan)
       case Some(cur) =>
         write(Merge.mergeReconcile(cur, scan, keyCol, tsCol, batchWinsTies))
@@ -383,10 +412,14 @@ final class ParquetIndex(root: String, keep: Int = 2,
 
   /** J6/ST3: drop rows whose key vanished from the current scan; returns
     * the new snapshot id (left_semi keeps only still-present keys).
+    * Refuses while a MOR log is pending: with no ts column there is no
+    * way to resolve the log here — fold it first ([[checkpointMor]]).
     */
   def reconcile(spark: SparkSession, scanKeys: DataFrame,
       keyCol: String): Option[String] =
     read(spark).map { cur =>
+      require(morEntries(currentId.get).isEmpty,
+        "reconcile: pending merge-on-read log — checkpointMor first")
       import org.apache.spark.sql.functions.col
       // re-select the original column order (a USING join moves the key
       // column first, which would flip the stored schema between runs)
@@ -412,6 +445,15 @@ final class ParquetIndex(root: String, keep: Int = 2,
   // (+gen = J2 batch-wins-ties, −gen = J1 existing-wins-ties; the      //
   // sequential pairwise merge keeps a running max of the same          //
   // ordering, so the global max is the same row.)                      //
+  //                                                                    //
+  // LOG LIFECYCLE INVARIANT: every new base commit consumes the        //
+  // pending log. checkpointMor and upsert/upsertReconcile FOLD it      //
+  // (they resolve through readMor before writing); a direct write()    //
+  // SUPERSEDES it (full-rescan semantics: the written frame is the     //
+  // truth); reconcile() refuses while a log is pending (it has no ts   //
+  // to resolve with) and compact() defers (it rewrites layout only     //
+  // and must not consume data). A log can therefore never silently    //
+  // re-attach to, or be orphaned by, a later base.                     //
   // ------------------------------------------------------------------ //
 
   private def morRoot(baseId: String) = Paths.get(root, s"mor-$baseId")
@@ -521,7 +563,14 @@ final class ParquetIndex(root: String, keep: Int = 2,
         alive.groupBy(col(keyCol).as("__k"))
           .agg(max_by(struct(cols.map(col): _*),
             struct(col(tsCol), tieOrd)).as("__w"))
-          .select(cols.map(c => col(s"__w.$c").as(c)): _*)
+          // the key comes from the GROUPING column, not the winner
+          // struct: a key predicate (refreshScopeMor's scope filter, a
+          // point lookup) then pushes BELOW the aggregate into the
+          // base/log scans instead of filtering the whole resolved
+          // index — the winner's key is the group key by definition
+          .select(cols.map(c =>
+            (if (c == keyCol) col("__k") else col(s"__w.$c"))
+              .as(c)): _*)
       }
     }
 
@@ -559,11 +608,8 @@ final class ParquetIndex(root: String, keep: Int = 2,
       batchWinsTies: Boolean = false): Option[String] =
     currentId.flatMap { cid =>
       if (morEntries(cid).isEmpty) None
-      else readMor(spark, keyCol, tsCol, batchWinsTies).map { resolved =>
-        val id = write(resolved)
-        deleteRec(morRoot(cid))
-        id
-      }
+      else readMor(spark, keyCol, tsCol, batchWinsTies).map(write)
+      // write() consumes the old base's log after its commit
     }
 
   private def prune(committed: Seq[String]): Unit = {

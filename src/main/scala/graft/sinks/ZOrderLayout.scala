@@ -60,6 +60,12 @@ object ZOrderLayout {
       max(col(colA)).cast("long").as("a_hi"),
       min(col(colB)).cast("long").as("b_lo"),
       max(col(colB)).cast("long").as("b_hi")).collect()(0)
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) {
+      // empty input (or all-null cluster column): write the empty-but-
+      // valid layout instead of NPEing on the null bounds
+      df.write.mode("overwrite").parquet(dir)
+      return
+    }
     val z = zValue(col(colA), col(colB), bounds.getLong(0),
       bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
     df.withColumn("__z", z)

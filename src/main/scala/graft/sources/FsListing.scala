@@ -47,12 +47,20 @@ object FsListing {
     * @param extraDepth   0 ⇒ partition per top-level dir; 1 ⇒ per
     *                     grandchild (for skewed trees)
     */
+  /** @param matchPrefix prepended to each entry's root-relative path
+    *   BEFORE skip-pattern matching (with a trailing '/'): a scoped
+    *   subtree walk (`Indexer.runScoped`) passes the subtree's own
+    *   root-relative prefix so path-anchored patterns (e.g. `b/g1*`)
+    *   match exactly as they would in a full-root walk. Emitted
+    *   filepaths are unaffected.
+    */
   def list(
       spark: SparkSession,
       root: String,
       skipPatterns: Seq[String] = Nil,
       includeHidden: Boolean = false,
-      extraDepth: Int = 0): DataFrame = {
+      extraDepth: Int = 0,
+      matchPrefix: String = ""): DataFrame = {
     import spark.implicits._
 
     val skipRe = if (skipPatterns.isEmpty) None
@@ -65,7 +73,8 @@ object FsListing {
     // directory's subtree is never listed (find `-not -path` parity).
     def keep(f: File): Boolean = {
       val hidden = f.getName.startsWith(".")
-      val skipped = skipRe.exists(_.findFirstIn(rel(f)).isDefined)
+      val skipped =
+        skipRe.exists(_.findFirstIn(matchPrefix + rel(f)).isDefined)
       (includeHidden || !hidden) && !skipped
     }
 

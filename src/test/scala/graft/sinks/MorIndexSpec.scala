@@ -166,6 +166,36 @@ class MorIndexSpec extends SparkSpecBase {
     assert(vstate(folded).contains(("b", 1L, 5L)))
   }
 
+  test("log lifecycle: upsert folds a pending log; compact defers; " +
+      "a direct write supersedes and consumes it") {
+    // upsert folds: the log's update must survive a COW upsert
+    val idx = new ParquetIndex(
+      Files.createTempDirectory("mor-life").toString)
+    idx.appendDelta(spark, b0)
+    idx.appendDelta(spark, df(("e", 4L, "e1"))) // pending log entry
+    idx.upsert(spark, df(("f", 1L, "f0")), "k", "ts")
+    assert(idx.morEntries(idx.currentId.get).isEmpty)
+    val s = state(idx.read(spark).get)
+    assert(s.contains(("e", 4L, "e1")) && s.contains(("f", 1L, "f0")))
+
+    // compact defers while a log is pending (layout-only maintenance
+    // must not consume data), reconcile refuses outright
+    val idx2 = new ParquetIndex(
+      Files.createTempDirectory("mor-life2").toString)
+    idx2.appendDelta(spark, b0)
+    idx2.appendDelta(spark, df(("e", 4L, "e1")))
+    assert(idx2.compact(spark, maxFilesPerDir = 0).isEmpty)
+    intercept[IllegalArgumentException] {
+      idx2.reconcile(spark, b0.select("k"), "k")
+    }
+    // ...and a direct write (full-rescan semantics) supersedes the log
+    val superseded = df(("z", 9L, "z0"))
+    idx2.write(superseded)
+    assert(idx2.morEntries(idx2.currentId.get).isEmpty)
+    assert(state(idx2.readMor(spark, "k", "ts", false).get) ==
+      state(superseded))
+  }
+
   test("empty delta and empty delete dirs read back cleanly") {
     val idx = new ParquetIndex(
       Files.createTempDirectory("mor-empty").toString)

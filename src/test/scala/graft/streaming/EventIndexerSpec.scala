@@ -88,6 +88,35 @@ class EventIndexerSpec extends SparkSpecBase {
     assert(keyed(idxRoot) == keyed(rescanRoot))
   }
 
+  test("scoped refresh honors ROOT-relative skip patterns and " +
+      "skip-listed scope dirs") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("evstore4").toString
+    // a path-ANCHORED pattern: matches only relative to the index root
+    val cfg = IndexerConfig(root.toString, idxRoot, mode = "index-only",
+      skipPatterns = Seq("b/g1*", "a/sub"))
+    val indexer = new Indexer(cfg, None)
+    indexer.run(spark)
+    val store = new graft.sinks.ParquetIndex(idxRoot)
+    val full = paths(store.read(spark).get)
+    assert(!full.contains("b/g1.txt") && !full.contains("a/sub/f3.log"))
+
+    // an event on b must NOT resurrect b/g1.txt (subtree-relative
+    // matching would see only "g1.txt" and miss the pattern)
+    Files.writeString(root.resolve("b/g2.txt"), "new")
+    indexer.runScoped(spark, Seq("b"))
+    val mor = paths(store.readMor(spark, "relative_path",
+      "modified_time").get)
+    assert(mor.contains("b/g2.txt") && !mor.contains("b/g1.txt"))
+
+    // an event on (or under) a skip-listed dir is an empty rescan —
+    // it must not index the pruned subtree
+    assert(indexer.runScoped(spark, Seq("a/sub")) == 0L)
+    val mor2 = paths(store.readMor(spark, "relative_path",
+      "modified_time").get)
+    assert(!mor2.exists(_.startsWith("a/sub/")))
+  }
+
   test("a vanished subtree event deletes the subtree's entries") {
     val root = mkTree()
     val idxRoot = Files.createTempDirectory("evstore3").toString
