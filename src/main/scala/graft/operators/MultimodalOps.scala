@@ -78,6 +78,64 @@ object MultimodalOps {
       }
   }
 
+  /** One dynamic inference batch: which rows ride together through the
+    * (stubbed) model call, and how big the payload is.
+    */
+  final case class InferenceBatch(
+      part_id: Int, batch_ord: Int, n_rows: Int, n_bytes: Long,
+      doc_ids: Seq[Long])
+
+  /** DYNAMIC BATCHING for model inference over opaque blobs — the
+    * scheduler half of a GPU serving path (the decode half is
+    * [[decodeBatched]]): within each partition, stream rows into the
+    * current batch until adding the next row would exceed
+    * `maxBatchBytes`, then seal it. An oversized single row becomes its
+    * own batch (it must still be processed; the alternative is a stuck
+    * pipeline). Batches preserve partition row order, so a downstream
+    * `flatMap(batch => model(batch))` emits results in a deterministic
+    * order per partition.
+    *
+    * Scale shape: map-only — no shuffle; the batch boundaries are a
+    * pure fold over each partition's iterator, and executor memory is
+    * bounded by ONE batch (`maxBatchBytes`), never the partition.
+    */
+  def inferenceBatches(df: DataFrame, idCol: String, binCol: String,
+      maxBatchBytes: Long): org.apache.spark.sql.Dataset[InferenceBatch] = {
+    import df.sparkSession.implicits._
+    require(maxBatchBytes > 0, "maxBatchBytes must be positive")
+    df.select(col(idCol).cast("long"), col(binCol))
+      .filter(col(idCol).isNotNull && col(binCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        new Iterator[InferenceBatch] {
+          private var ord = 0
+          private var pending: Option[(Long, Array[Byte])] = None
+          def hasNext: Boolean = pending.isDefined || rows.hasNext
+          def next(): InferenceBatch = {
+            val ids = Seq.newBuilder[Long]
+            var bytes = 0L
+            var n = 0
+            var full = false
+            while (!full && (pending.isDefined || rows.hasNext)) {
+              val (id, b) = pending.getOrElse(rows.next())
+              pending = None
+              if (n > 0 && bytes + b.length > maxBatchBytes) {
+                pending = Some((id, b)) // starts the NEXT batch
+                full = true
+              } else {
+                ids += id; bytes += b.length; n += 1
+                if (bytes >= maxBatchBytes) full = true
+              }
+            }
+            val out = InferenceBatch(pid, ord, n, bytes, ids.result())
+            ord += 1
+            out
+          }
+        }
+      }
+  }
+
   /** Declared query: treat each document's text bytes as an opaque blob
     * and compute the binary-side statistics a media pipeline needs —
     * size, content digest, head bytes, and a stride-32 sample checksum
