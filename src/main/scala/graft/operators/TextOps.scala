@@ -706,7 +706,15 @@ object TextOps {
     * harness feeds replicated corpora through this to compare
     * from-scratch cost against [[TermIndex]] serving at N× scale.
     */
-  private[graft] def bm25TopkOf(corpus: DataFrame): DataFrame = {
+  private[graft] def bm25TopkOf(corpus: DataFrame): DataFrame =
+    bm25ScoresOf(corpus)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** The unlimited scored set (doc_id, score > 0) — the text leg the
+    * hybrid RRF fusion ranks over.
+    */
+  private[graft] def bm25ScoresOf(corpus: DataFrame): DataFrame = {
     val docCols = Seq(col("doc_id"),
       expr(s"size($toks)").cast("double").as("dl")) ++
       bmTerms.zipWithIndex.map { case (t, i) =>
@@ -730,32 +738,39 @@ object TextOps {
       .withColumn("score", round(score, 4))
       .filter(col("score") > 0)
       .select("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
   }
 
-  val bm25TopkSql: String = {
+  /** DuckDB CTE body (`d`, `st`) + the score expression — shared by the
+    * standalone top-k oracle and the hybrid-search oracle so the
+    * formula text exists exactly once.
+    */
+  private[graft] val bm25CtesSql: String = {
     val tfSelects = bmTerms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter($duckToks, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(", ")
     val dfSelects = bmTerms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
       .mkString(", ")
-    val scoreExpr = bmTerms.indices.map(i =>
-      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
-         | * (tf$i * (1.2 + 1)) / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"""
-        .stripMargin).mkString(" + ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, $tfSelects
        |  FROM documents),
        |st AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfSelects
-       |  FROM d)
-       |SELECT doc_id, round($scoreExpr, 4) AS score
-       |FROM d, st
-       |WHERE round($scoreExpr, 4) > 0
-       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+       |  FROM d)""".stripMargin
   }
+
+  private[graft] val bm25ScoreExprSql: String =
+    bmTerms.indices.map(i =>
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+         | * (tf$i * (1.2 + 1)) / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"""
+        .stripMargin).mkString(" + ")
+
+  val bm25TopkSql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, round($bm25ScoreExprSql, 4) AS score
+       |FROM d, st
+       |WHERE round($bm25ScoreExprSql, 4) > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** The same BM25 top-k served from the DURABLE [[TermIndex]] store:
     * the corpus is indexed incrementally in two halves (doc_id parity —

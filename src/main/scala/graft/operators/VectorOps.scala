@@ -543,7 +543,69 @@ object VectorOps {
        |SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 10 AS k
        |FROM qs LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Hybrid retrieval: the BM25 text leg and the exact-cosine vector leg //
+  // fused by reciprocal-rank fusion (RRF, k=60 — Cormack et al. 2009,   //
+  // the fusion modern search stacks default to because it needs no      //
+  // score calibration between legs). Both legs rank deterministically   //
+  // (rounded scores, id tie-breaks), missing membership contributes 0.  //
+  // The global rank windows are the oracle-parity shape — at corpus     //
+  // scale each leg is served top-N from its own index (TermIndex /     //
+  // AnnIndex searchAll) and the fusion joins two N-row frames.          //
+  // -------------------------------------------------------------------- //
+
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withVecFns(spark)
+    val text = TextOps.bm25ScoresOf(Tables(spark, sfDir, "documents"))
+      .withColumn("r_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "r_text")
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val vec = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), cosine.as("cos_sim"))
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "r_vec")
+    val rrf =
+      coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(rrf, 6))
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val hybridSearchSql: String =
+    s"""WITH ${TextOps.bm25CtesSql},
+       |ts AS (
+       |  SELECT doc_id, round(${TextOps.bm25ScoreExprSql}, 4) AS score
+       |  FROM d, st
+       |  WHERE round(${TextOps.bm25ScoreExprSql}, 4) > 0),
+       |t AS (
+       |  SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY score DESC, doc_id) AS INT) AS r_text FROM ts),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |vs AS (
+       |  SELECT vec_id AS doc_id, $duckCosine AS cos_sim
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |v AS (
+       |  SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY cos_sim DESC, doc_id) AS INT) AS r_vec FROM vs)
+       |SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + t.r_text),
+       |          CAST(0 AS DOUBLE)) +
+       |        coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r_vec),
+       |          CAST(0 AS DOUBLE)), 6) AS rrf
+       |FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_hybrid_search" -> hybridSearch,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -554,6 +616,7 @@ object VectorOps {
     "ann_ivf_recall" -> ivfRecall)
 
   def oracleSql: Map[String, String] = Map(
+    "docs_hybrid_search" -> hybridSearchSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,
