@@ -433,6 +433,62 @@ object FsOps {
       |    AS bytes_total
       |FROM monthly ORDER BY month""".stripMargin)
 
+  /** Capacity forecast over the monthly growth series: ordinary least
+    * squares of bytes-added vs month ordinal, with the NEXT month's
+    * prediction — the "when do we buy disks" query every index operator
+    * runs on [[growthTimeline]]'s output. The slope/intercept use the
+    * EXPLICIT closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) written
+    * identically in both engines, because regr_slope's internal
+    * summation algorithm is engine-specific; the sums are
+    * map-side-combinable aggregates, one row out.
+    */
+  def growthForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = SyntheticFs.entries(spark, sfDir)
+      .filter(col("type") === "file")
+      .withColumn("month", date_format(col("modified_time"), "yyyy-MM"))
+      .groupBy("month")
+      .agg(sum("size_bytes").cast("double").as("y"))
+    val xy = monthly.withColumn("x",
+      row_number().over(Window.orderBy("month")).cast("double"))
+    xy.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), max(col("x")).as("mx"))
+      .select(
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 2).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 2).as("intercept"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n") +
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("mx") + 1), 2).as("forecast_next_bytes"))
+  }
+
+  val growthForecastSql: String = SyntheticFs.withCtes(
+    """, monthly AS (
+      |  SELECT strftime(modified_time, '%Y-%m') AS month,
+      |    CAST(sum(size_bytes) AS DOUBLE) AS y
+      |  FROM fs_entries WHERE type = 'file' GROUP BY month),
+      |xy AS (
+      |  SELECT y, CAST(row_number() OVER (ORDER BY month) AS DOUBLE) AS x
+      |  FROM monthly),
+      |a AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, max(x) AS mx
+      |  FROM xy)
+      |SELECT
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 2) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+      |    2) AS intercept,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n +
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) * (mx + 1), 2)
+      |    AS forecast_next_bytes
+      |FROM a""".stripMargin)
+
   // -------------------------------------------------------------------- //
   // Snapshot DIFF: classify added/removed/modified between two index    //
   // generations via ONE full-outer join — the verification/audit query  //
@@ -779,6 +835,7 @@ object FsOps {
     "fs_deletions" -> deletions,
     "fs_snapshot_diff" -> snapshotDiff,
     "fs_growth_timeline" -> growthTimeline,
+    "fs_growth_forecast" -> growthForecast,
     "fs_deletions_ids" -> deletionsIds,
     "fs_es_docs" -> esDocs,
     "fs_stale_links" -> staleLinks,
@@ -806,6 +863,7 @@ object FsOps {
     "fs_deletions" -> deletionsSql,
     "fs_snapshot_diff" -> snapshotDiffSql,
     "fs_growth_timeline" -> growthTimelineSql,
+    "fs_growth_forecast" -> growthForecastSql,
     "fs_deletions_ids" -> deletionsIdsSql,
     "fs_es_docs" -> esDocsSql,
     "fs_stale_links" -> staleLinksSql,
