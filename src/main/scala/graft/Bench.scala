@@ -198,8 +198,15 @@ object Bench {
         System.err.println(s"[bench] scan bench failed: ${e.getMessage}")
         (0L, 0.0, 0.0, 0.0)
     }
+    // self-document the measurement environment: a saturated co-tenant
+    // machine makes wall-clock numbers look like 2-6x regressions; the
+    // 1-min load average at capture time lets a reader adjudicate
+    // without re-running (loadavg >> cores => numbers are not clean)
+    val loadavg = try {
+      Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"loadavg_1m":$loadavg,"cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)

@@ -49,20 +49,39 @@ object AnnIndex {
     update(spark, dir, emb)
   }
 
-  /** Assign a new embedding batch to cells and append its postings. */
+  /** Assign a new embedding batch to cells and append its postings.
+    * Already-indexed vec_ids are dropped first (anti-join on the
+    * postings' id set — the narrow vec_id column of the store, the
+    * same membership discipline as [[TermIndex.update]]), so a retried
+    * or duplicated batch appends nothing: without it a re-sent vec_id
+    * would appear twice in top-k results, crowding out genuine
+    * neighbors. Postings are the store's only per-update write, so
+    * they are their own commit marker — a torn (crashed) update
+    * committed nothing and re-runs cleanly.
+    */
   def update(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
+    val postingsPath = s"$dir/postings"
+    val hasPostings = {
+      val p = new org.apache.hadoop.fs.Path(postingsPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val incoming =
+      if (hasPostings)
+        emb.join(spark.read.parquet(postingsPath).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      else emb
     val cents = spark.read.parquet(s"$dir/centroids")
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
-    emb.select(col("vec_id"), col("label"), col("embedding"))
+    incoming.select(col("vec_id"), col("label"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("d2", round(dist2("embedding", "ce"), 4))
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(s"$dir/postings")
+      .write.mode("append").partitionBy("c_id").parquet(postingsPath)
   }
 
   /** Top-k cosine neighbors of `query` from the nprobe nearest cells.

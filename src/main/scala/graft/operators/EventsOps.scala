@@ -323,13 +323,23 @@ object EventsOps {
   def topkValues(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "events")
       .groupBy("event_type")
-      .agg(expr("topk_list(value, 5)").as("top_values"))
-      .orderBy("event_type")
+      .agg(expr("topk_list(value, 5)").as("tv"))
+      // explode to one (event_type, rk, top_value) row per kept value:
+      // the aggregate's array is descending-sorted, so rk-th value ==
+      // the rk-th largest of the group's multiset — deterministic under
+      // ties, and scalar columns the oracle comparator can sort/hash
+      // (an array<double> column is not)
+      .select(col("event_type"), posexplode(col("tv")).as(Seq("rk0", "top_value")))
+      .select(col("event_type"), (col("rk0") + 1).cast("long").as("rk"),
+        col("top_value"))
+      .orderBy("event_type", "rk")
 
   val topkValuesSql: String =
-    """SELECT event_type,
-      |  (list(value ORDER BY value DESC))[1:5] AS top_values
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    """SELECT event_type, rk, top_value FROM (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk,
+      |    value AS top_value
+      |  FROM events) WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
 
   /** [[topUsersPerType]] on the NATIVE GroupTopK operator (graft.plans)
     * instead of a window: identical rows (the ordering is total, so

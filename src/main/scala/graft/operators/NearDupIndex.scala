@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
   *   - `bands/`    (band_key, doc_id)        — the LSH postings
   *   - `shingles/` (doc_id, sh)              — for the exact-Jaccard verify
   *
-  * Per update: candidates = new⋈store band postings ∪ new⋈new bands,
+  * Per update: already-indexed doc_ids are dropped first (anti-join on
+  * the shingle membership list — a retried or duplicated batch is a
+  * no-op), then candidates = new⋈store band postings ∪ new⋈new bands,
   * verified with the SAME rounded Jaccard ≥ threshold as the batch
-  * operator, then the new postings/shingles are APPENDED. Every pair is
+  * operator, then the new postings/shingles are APPENDED (shingles
+  * last: it is the membership list, so it doubles as the commit
+  * marker and a torn update re-runs cleanly). Every pair is
   * reported exactly once across the update history (a pair surfaces in
   * the update that delivers its second member; later updates only probe
   * new×old and new×new). NearDupIndexSpec proves the union of
-  * incremental results equals the full-corpus batch pass.
+  * incremental results equals the full-corpus batch pass, and that a
+  * re-sent batch appends nothing and reports nothing.
   *
   * Scale: the probe is an equi-join on band_key (same shape as the batch
   * band self-join, but one side is only the new batch); appends are
@@ -33,6 +38,11 @@ import org.apache.spark.sql.functions._
   * leave update results unchanged.
   */
 object NearDupIndex {
+
+  private def hExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Read-only serving call: which documents of `docs` near-duplicate
     * something ALREADY IN the store (or each other)? Same probe plan as
@@ -57,7 +67,23 @@ object NearDupIndex {
     val bandsPath = s"$dir/bands"
     val shinglesPath = s"$dir/shingles"
 
-    val fresh = docs
+    // An UPDATE is idempotent: already-indexed doc_ids are dropped via
+    // anti-join on the shingle store's id set (the membership list,
+    // written LAST — so it doubles as the commit marker and a torn
+    // update re-runs cleanly), mirroring TermIndex.update's doclen
+    // anti-join. Without it a retried batch appends duplicate shingle
+    // rows and the verify join multiplies over them, re-reporting pairs
+    // and breaking the "every pair exactly once" contract. A PROBE
+    // deliberately keeps all incoming docs — the admission question
+    // "does this near-duplicate anything in the store?" applies to
+    // already-admitted ids too.
+    val incoming =
+      if (append && hExists(spark, shinglesPath))
+        docs.join(spark.read.parquet(shinglesPath).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docs
+
+    val fresh = incoming
       .withColumn("sh", expr(TextOps.shingles))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
@@ -69,10 +95,7 @@ object NearDupIndex {
 
     // store detection through Spark's Hadoop FS layer, not java.nio —
     // an hdfs:// or s3a:// store must not silently read as absent
-    val hasStore = {
-      val p = new org.apache.hadoop.fs.Path(bandsPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val hasStore = hExists(spark, bandsPath)
     val oldBands =
       if (hasStore) spark.read.parquet(bandsPath)
       else spark.emptyDataFrame

@@ -58,6 +58,23 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(df.count() <= 5)
   }
 
+  test("a re-sent (retried) batch appends nothing; top-k has no dup ids") {
+    val dir = Files.createTempDirectory("annidx4").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") =!= 0))
+    val before = spark.read.parquet(s"$dir/postings").count()
+    // the retry: duplicated batch must be a no-op — without the
+    // membership anti-join a re-sent vec_id appears twice in top-k,
+    // crowding out a genuine neighbor
+    AnnIndex.update(spark, dir, emb.filter(col("vec_id") =!= 0))
+    assert(spark.read.parquet(s"$dir/postings").count() == before)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val ids = AnnIndex.search(spark, dir, q, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct == ids, s"duplicate vec_ids in top-k: $ids")
+  }
+
   test("batch search with all cells matches per-query single search") {
     val dir = Files.createTempDirectory("annidx3").toString
     val emb = graft.Tables(spark, sf, "embeddings")

@@ -49,6 +49,25 @@ class NearDupIndexSpec extends SparkSpecBase {
     assert(again.filter(col("a_id") === col("b_id")).count() == 0)
   }
 
+  test("a re-sent (retried) batch appends nothing and reports nothing") {
+    val dir = Files.createTempDirectory("ndidx5").toString
+    val docs = graft.Tables(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val p1 = pairSet(NearDupIndex.update(spark, dir, half1))
+    val bandsBefore = spark.read.parquet(s"$dir/bands").count()
+    val shBefore = spark.read.parquet(s"$dir/shingles").count()
+    // the retry: same batch again — idempotent, no duplicate shingle
+    // rows (which would multiply the verify join), no re-reported pairs
+    assert(NearDupIndex.update(spark, dir, half1).count() == 0)
+    assert(spark.read.parquet(s"$dir/bands").count() == bandsBefore)
+    assert(spark.read.parquet(s"$dir/shingles").count() == shBefore)
+    // and history continues correctly after the retry: the second half
+    // still completes exactly the batch pass's pair set
+    val p2 = pairSet(NearDupIndex.update(spark, dir,
+      docs.filter(col("doc_id") % 2 === 1)))
+    assert(p1.union(p2) == pairSet(TextOps.minhashNearDup(spark, sf)))
+  }
+
   test("probe() finds the same pairs as update() but mutates nothing") {
     val dir = Files.createTempDirectory("ndidx4").toString
     val docs = graft.Tables(spark, sf, "documents")

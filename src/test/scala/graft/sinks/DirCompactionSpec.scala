@@ -41,9 +41,51 @@ class DirCompactionSpec extends SparkSpecBase {
         docs.filter(col("doc_id") % 4 === i)): Unit
     }
     val probe = docs.limit(50)
-    def pairs(d: String) = NearDupIndex.update(spark, d, probe)
+    def pairs(d: String) = NearDupIndex.probe(spark, d, probe)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(dir) == pairs(fresh))
+  }
+
+  test("recovery: a crash between the two swap renames is repaired") {
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("dcrash").toString
+    val live = s"$root/bands"
+    spark.range(100).selectExpr("id", "cast(id as string) AS s")
+      .repartition(6).write.mode(SaveMode.Overwrite).parquet(live)
+    val rows = spark.read.parquet(live).count()
+    // simulate the compactor dying between rename(dir→old) and
+    // rename(tmp→dir): tmp holds the COMPLETE compacted copy, old the
+    // original, and the live name is missing
+    spark.read.parquet(live).coalesce(1)
+      .write.parquet(s"$live.compact-tmp")
+    Files.move(Paths.get(live), Paths.get(s"$live.compact-old"))
+    assert(!Files.exists(Paths.get(live)))
+    // next run repairs before compacting: live restored from tmp,
+    // no suffixed siblings left to corrupt partition discovery
+    DirCompaction.compact(spark, root): Unit
+    assert(Files.exists(Paths.get(live)))
+    assert(!Files.exists(Paths.get(s"$live.compact-old")))
+    assert(!Files.exists(Paths.get(s"$live.compact-tmp")))
+    assert(spark.read.parquet(live).count() == rows)
+  }
+
+  test("recovery: orphans next to an intact live dir are swept") {
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("dcrash2").toString
+    val live = s"$root/postings"
+    spark.range(50).selectExpr("id")
+      .write.mode(SaveMode.Overwrite).parquet(live)
+    // crash AFTER the second rename but before rm(old): live is the
+    // compacted result, old lingers (and an incomplete tmp from an
+    // even earlier aborted write)
+    spark.range(50).selectExpr("id")
+      .write.parquet(s"$live.compact-old")
+    Files.createDirectory(Paths.get(s"$live.compact-tmp")): Unit
+    DirCompaction.compact(spark, root): Unit
+    assert(Files.exists(Paths.get(live)))
+    assert(!Files.exists(Paths.get(s"$live.compact-old")))
+    assert(!Files.exists(Paths.get(s"$live.compact-tmp")))
+    assert(spark.read.parquet(live).count() == 50)
   }
 
   test("IVF store: cell dirs compact in place; search identical") {
