@@ -32,19 +32,65 @@ object AnnIndex {
   private def dist2(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"vec_dot($a, $a) - 2 * vec_dot($a, $b) + vec_dot($b, $b)")
 
-  /** Initialize the store: centroids = the deterministic seed vectors
-    * (vec_id 1–8) of `emb`; then index every row of `emb`.
+  /** One deterministic Lloyd (k-means) update: assign every vector to
+    * its nearest centroid (rounded L2, ties to the lower c_id — the
+    * SAME rule update()/search() quantize with), then recompute each
+    * cell's per-dimension mean in FIXED-POINT micro-units
+    * (`floor(x·10⁶)` longs, floor-divided mean — the order-independent
+    * arithmetic `ann_kmeans_step` uses, so training is bit-stable
+    * across partitionings and re-runs). An emptied cell keeps its
+    * previous centroid (k never shrinks). Output values are float, the
+    * store's element type.
     */
-  def build(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
-    val cents = emb.filter(col("vec_id").between(1, 8))
+  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", round(dist2("embedding", "ce"), 4))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val trained = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("xq"))
+      .join(assigned, Seq("vec_id"))
+      .groupBy("c_id", "pos")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s"))
+      .select(col("c_id"), col("pos"),
+        (floor(col("s").cast("double") / col("n")) / lit(1000000.0))
+          .cast("float").as("v"))
+      .groupBy("c_id")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, v)))," +
+        " x -> x.v)").as("ce_new"))
+    cents.join(trained, Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
+  }
+
+  /** Initialize the store: centroids = `lloydRounds` deterministic
+    * k-means refinements of the seed vectors (vec_id 1–8) of `emb` —
+    * a TRAINED coarse quantizer (store layout unchanged: same
+    * (c_id, ce) table, same cell-partitioned postings); then index
+    * every row of `emb`. `lloydRounds = 0` reproduces the old purely
+    * seeded quantizer. AnnIndexSpec proves trained nprobe recall ≥
+    * seeded recall on the test corpus.
+    */
+  def build(spark: SparkSession, dir: String, emb: DataFrame,
+      lloydRounds: Int = 3): Unit = {
+    vecFns(spark)
+    var cents = emb.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     // fail fast on a corpus without the seed ids — an empty/partial
     // centroid table would make update() a silent no-op and search()
     // return nothing, with no error anywhere downstream
     val n = cents.count()
     require(n == 8, s"build: expected seed vectors vec_id 1..8 in the " +
-      s"corpus (the deterministic coarse quantizer), found $n — pass a " +
-      "frame containing them or re-seed the quantizer")
+      s"corpus (the deterministic coarse quantizer seeds), found $n — " +
+      "pass a frame containing them or re-seed the quantizer")
+    for (_ <- 1 to lloydRounds)
+      cents = lloydStep(emb, cents).localCheckpoint(true)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     update(spark, dir, emb)
   }

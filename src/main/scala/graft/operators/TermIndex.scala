@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Durable INCREMENTAL inverted text index — the third of the store
@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
   * [[graft.sinks.DirCompaction]] (per bucket directory, layout
   * preserved).
   *
-  * Score parity: search() reproduces [[TextOps.bm25Topk]]'s formula
-  * term-by-term in the same evaluation order (tf pivoted to fixed
-  * columns, not summed in row order), so index-served results equal the
+  * Score parity: ONE scoring path — search() is searchAll() with a
+  * single-row query frame, and searchAll reproduces
+  * [[TextOps.bm25Topk]]'s formula with contributions folded in query
+  * term order (not row order), so index-served results equal the
   * from-scratch batch query bit-for-bit — `docs_bm25_indexed` shares
   * `docs_bm25_topk`'s DuckDB oracle.
   */
@@ -90,59 +91,21 @@ object TermIndex {
   /** BM25 top-k served FROM the store: reads only the query terms'
     * bucket partitions, derives (n, avgdl, per-term df) as a one-row
     * broadcast, and scores with [[TextOps.bm25Topk]]'s exact formula.
+    *
+    * ONE scoring path: this is [[searchAll]] with a single-row query
+    * frame (there is no separate per-term pivot to keep bit-identical —
+    * a doc missing a term contributes exactly +0.0 in the old pivot
+    * form and is simply absent from the sorted fold here, the same
+    * double sum).
     */
   def search(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "search: need at least one term")
-    val buckets = terms.map(bucketOf).distinct
-    // int literals against the partition column → partition pruning
-    val pruned = spark.read.parquet(s"$dir/postings")
-      .filter(col("t_b").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
-    val doclen = spark.read.parquet(s"$dir/doclen")
-
-    // per-doc tf pivoted to FIXED columns (duplicate postings from a
-    // torn update collapse via max — same tf value)
-    val perDoc = pruned.groupBy("doc_id").agg(
-      max(when(col("term") === terms.head, col("tf")))
-        .cast("double").as("tf0"),
-      terms.tail.zipWithIndex.map { case (t, i) =>
-        max(when(col("term") === t, col("tf")))
-          .cast("double").as(s"tf${i + 1}")
-      }: _*)
-
-    // corpus stats: one row, broadcast. df counts DISTINCT docs per
-    // term (robust to duplicate postings), matching the batch query's
-    // "docs with tf > 0" definition.
-    val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl")).as("avgdl"))
-    val dfs = pruned.agg(
-      countDistinct(when(col("term") === terms.head, col("doc_id")))
-        .cast("double").as("df0"),
-      terms.tail.zipWithIndex.map { case (t, i) =>
-        countDistinct(when(col("term") === t, col("doc_id")))
-          .cast("double").as(s"df${i + 1}")
-      }: _*)
-
-    val score: Column = terms.indices.map { i =>
-      val tf = coalesce(col(s"tf$i"), lit(0.0))
-      val idf = log((col("n") - col(s"df$i") + 0.5) /
-        (col(s"df$i") + 0.5) + 1.0)
-      val norm = tf +
-        lit(TextOps.bm25K1) * (lit(1 - TextOps.bm25B) +
-          lit(TextOps.bm25B) * col("dl") / col("avgdl"))
-      idf * (tf * lit(TextOps.bm25K1 + 1)) / norm
-    }.reduce(_ + _)
-
-    perDoc
-      .join(doclen, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .crossJoin(broadcast(dfs))
-      .withColumn("score", round(score, 4))
-      .filter(col("score") > 0)
+    import spark.implicits._
+    val q = Seq((0L, terms)).toDF("q_id", "terms")
+    searchAll(spark, q, dir, k)
+      .orderBy("rank")
       .select("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** Batch BM25 serving: answer a whole frame of queries

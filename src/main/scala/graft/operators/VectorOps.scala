@@ -143,9 +143,14 @@ object VectorOps {
     emb.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
 
-  private def assignedCells(emb: DataFrame): DataFrame = {
+  private def assignedCells(emb: DataFrame): DataFrame =
+    assignedCellsTo(emb, centroids(emb))
+
+  /** The same deterministic argmin assignment against an ARBITRARY
+    * centroid frame `(c_id, ce)` — seeds or trained. */
+  private def assignedCellsTo(emb: DataFrame,
+      cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids(emb)
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
     emb.select(col("vec_id"), col("embedding"))
@@ -543,6 +548,184 @@ object VectorOps {
        |SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 10 AS k
        |FROM qs LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** Recall@10 of the TRAINED coarse quantizer vs the seeded one — the
+    * oracle-gated form of "training the centroids does not hurt
+    * recall" ([[graft.operators.AnnIndex.build]]'s Lloyd rounds,
+    * AnnIndexSpec's ≥ assertion): ONE deterministic Lloyd refinement
+    * of the 8 seeds ([[kmeansStep]]'s fixed-point micro-unit
+    * arithmetic; centroids stay DOUBLE arrays end-to-end so both
+    * engines compute identical bits), then the SAME sampled queries
+    * run the nprobe=2 IVF probe under BOTH quantizers against the
+    * shared brute-force truth. Output is all-integer per query:
+    * (q_id, hits_seeded, hits_trained, k).
+    *
+    * Scale shape: everything [[ivfRecall]] says, twice — the trained
+    * arm's extra cost is one more broadcast-argmin pass; the Lloyd
+    * round itself is the map-side (cell, dim) integer agg of
+    * `ann_kmeans_step`.
+    */
+  def ivfRecallTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents0 = centroids(emb)
+    // one Lloyd round over the seed assignment, micro-unit fixed point
+    val trainedAgg = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("xq"))
+      .join(assignedCells(emb), Seq("vec_id"))
+      .groupBy("c_id", "dim")
+      .agg(sum("xq").as("s"), count(lit(1)).as("n"))
+      .select(col("c_id"), col("dim"),
+        (floor(col("s").cast("double") / col("n")) / lit(1000000.0))
+          .as("v"))
+      .groupBy("c_id")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, v)))," +
+        " x -> x.v)").as("tce"))
+    // an emptied cell keeps its seed (cast to double for one element
+    // type across the coalesce)
+    val trained = cents0.join(trainedAgg, Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("tce"),
+        expr("transform(ce, x -> cast(x AS double))")).as("ce"))
+
+    val qs = emb.filter(col("vec_id") % 97 === 0 &&
+        !col("vec_id").between(1, 8))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val brute = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+      .localCheckpoint(true) // shared truth: evaluate once, not per arm
+
+    def ivfArm(cents: DataFrame): DataFrame = {
+      val byQd = Window.partitionBy("q_id")
+        .orderBy(col("d2"), col("c_id"))
+      val probed = qs.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("qe"), col("c_id"),
+          round(dist2("qe", "ce"), 4).as("d2"))
+        .withColumn("rk", row_number().over(byQd))
+        .filter(col("rk") <= 2)
+        .select("q_id", "qe", "c_id")
+      emb.join(assignedCellsTo(emb, cents), Seq("vec_id"))
+        .join(broadcast(probed), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+    }
+    def hitsOf(arm: DataFrame, name: String): DataFrame =
+      brute.join(arm, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as(name))
+
+    qs.select("q_id")
+      .join(hitsOf(ivfArm(cents0), "hs"), Seq("q_id"), "left")
+      .join(hitsOf(ivfArm(trained), "ht"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hs"), lit(0L)).as("hits_seeded"),
+        coalesce(col("ht"), lit(0L)).as("hits_trained"),
+        lit(10).as("k"))
+      .orderBy("q_id")
+  }
+
+  val ivfRecallTrainedSql: String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id % 97 = 0 AND vec_id NOT BETWEEN 1 AND 8),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY $duckCosine DESC, vec_id) AS rk
+       |    FROM (SELECT qs.q_id, qs.qe, e.vec_id, e.embedding
+       |          FROM embeddings e, qs WHERE e.vec_id <> qs.q_id))
+       |  WHERE rk <= 10),
+       |asg AS (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckDist2("e.embedding", "c.ce")}, 4), c.c_id)
+       |      AS rk
+       |  FROM embeddings e, c),
+       |cells AS (SELECT vec_id, c_id FROM asg WHERE rk = 1),
+       |x AS (
+       |  SELECT e.vec_id, CAST(t.i AS INT) AS dim,
+       |    CAST(floor(e.embedding[t.i]::DOUBLE * 1000000.0) AS BIGINT)
+       |      AS xq
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)),
+       |td AS (
+       |  SELECT cells.c_id, x.dim,
+       |    floor(CAST(sum(x.xq) AS DOUBLE) / count(*)) / 1000000.0 AS v
+       |  FROM x JOIN cells USING (vec_id) GROUP BY cells.c_id, x.dim),
+       |tca AS (SELECT c_id, list(v ORDER BY dim) AS tce
+       |        FROM td GROUP BY c_id),
+       |tc AS (SELECT c.c_id,
+       |         COALESCE(tca.tce, list_transform(c.ce, x -> x::DOUBLE))
+       |           AS ce
+       |       FROM c LEFT JOIN tca USING (c_id)),
+       |asgT AS (
+       |  SELECT e.vec_id, tc.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckDist2("e.embedding", "tc.ce")}, 4),
+       |        tc.c_id) AS rk
+       |  FROM embeddings e, tc),
+       |cellsT AS (SELECT vec_id, c_id FROM asgT WHERE rk = 1),
+       |probed AS (
+       |  SELECT q_id, qe, c_id FROM (
+       |    SELECT qs.q_id, qs.qe, c.c_id,
+       |      row_number() OVER (PARTITION BY qs.q_id
+       |        ORDER BY round(${duckDist2("qs.qe", "c.ce")}, 4), c.c_id)
+       |        AS rk
+       |    FROM qs, c)
+       |  WHERE rk <= 2),
+       |probedT AS (
+       |  SELECT q_id, qe, c_id FROM (
+       |    SELECT qs.q_id, qs.qe, tc.c_id,
+       |      row_number() OVER (PARTITION BY qs.q_id
+       |        ORDER BY round(${duckDist2("qs.qe", "tc.ce")}, 4), tc.c_id)
+       |        AS rk
+       |    FROM qs, tc)
+       |  WHERE rk <= 2),
+       |ivfS AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY $duckCosine DESC, vec_id) AS rk
+       |    FROM (SELECT p.q_id, p.qe, e.vec_id, e.embedding
+       |          FROM embeddings e
+       |          JOIN cells ON e.vec_id = cells.vec_id
+       |          JOIN probed p ON cells.c_id = p.c_id
+       |          WHERE e.vec_id <> p.q_id))
+       |  WHERE rk <= 10),
+       |ivfT AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY $duckCosine DESC, vec_id) AS rk
+       |    FROM (SELECT p.q_id, p.qe, e.vec_id, e.embedding
+       |          FROM embeddings e
+       |          JOIN cellsT ON e.vec_id = cellsT.vec_id
+       |          JOIN probedT p ON cellsT.c_id = p.c_id
+       |          WHERE e.vec_id <> p.q_id))
+       |  WHERE rk <= 10),
+       |hS AS (SELECT q_id, count(*) AS hits
+       |       FROM brute JOIN ivfS USING (q_id, vec_id) GROUP BY q_id),
+       |hT AS (SELECT q_id, count(*) AS hits
+       |       FROM brute JOIN ivfT USING (q_id, vec_id) GROUP BY q_id)
+       |SELECT qs.q_id,
+       |  CAST(COALESCE(hS.hits, 0) AS BIGINT) AS hits_seeded,
+       |  CAST(COALESCE(hT.hits, 0) AS BIGINT) AS hits_trained, 10 AS k
+       |FROM qs LEFT JOIN hS USING (q_id) LEFT JOIN hT USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Hybrid retrieval: the BM25 text leg and the exact-cosine vector leg //
   // fused by reciprocal-rank fusion (RRF, k=60 — Cormack et al. 2009,   //
@@ -604,8 +787,78 @@ object VectorOps {
        |FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** One [[AnnIndex]] store per (session, sfDir) — query vector (id 0)
+    * excluded, two-phase incremental build (build() with the seeds+even
+    * half, update() with the odd half — proving updates compose), temp
+    * dir deleted on JVM exit. The serving cache mirror of
+    * [[TextOps.termIndexFor]].
+    */
+  private val annIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def annIndexFor(spark: SparkSession,
+      sfDir: String): String =
+    annIndexCache.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-annindex").toFile
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+      val emb = Tables(spark, sfDir, "embeddings")
+      graft.operators.AnnIndex.build(spark, dir.toString,
+        emb.filter(col("vec_id").between(1, 8) ||
+          (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
+      graft.operators.AnnIndex.update(spark, dir.toString,
+        emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
+      dir.toString
+    })
+
+  /** [[hybridSearch]] with BOTH legs served from the durable indexes —
+    * the shape the batch query's docstring promises at corpus scale:
+    * the text leg is [[TermIndex.searchAll]] (one pruned postings scan),
+    * the vector leg is [[AnnIndex.searchAll]] over every cell, and the
+    * fusion joins the two ranked leg frames. Leg k covers the whole
+    * corpus here so the global RRF ranks are exact and the query shares
+    * `docs_hybrid_search`'s oracle (same discipline as
+    * `docs_bm25_indexed` sharing `docs_bm25_topk`'s); a production
+    * serving path would truncate each leg to its top-N and accept the
+    * fusion-tail approximation every RRF deployment accepts.
+    */
+  def hybridIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    // covers every positive-score doc / every vector at test scale —
+    // the legs' ranks ARE the global ranks
+    val legK = 100000
+    val tq = {
+      import spark.implicits._
+      Seq((0L, TextOps.bmTerms)).toDF("q_id", "terms")
+    }
+    val text = TermIndex
+      .searchAll(spark, tq, TextOps.termIndexFor(spark, sfDir), k = legK)
+      .select(col("doc_id"), col("rank").cast("int").as("r_text"))
+    val emb = Tables(spark, sfDir, "embeddings")
+    val vq = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("q_id"), col("embedding").as("qe"))
+    val vec = AnnIndex
+      .searchAll(spark, annIndexFor(spark, sfDir), vq, k = legK, nprobe = 8)
+      .select(col("vec_id").as("doc_id"), col("rk").cast("int").as("r_vec"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(rrf, 6))
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_hybrid_search" -> hybridSearch,
+    "docs_hybrid_indexed" -> hybridIndexed,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -613,10 +866,13 @@ object VectorOps {
     "ann_scalar_quant" -> scalarQuant,
     "ann_semdedup" -> semDedup,
     "ann_kmeans_step" -> kmeansStep,
-    "ann_ivf_recall" -> ivfRecall)
+    "ann_ivf_recall" -> ivfRecall,
+    "ann_ivf_recall_trained" -> ivfRecallTrained)
 
   def oracleSql: Map[String, String] = Map(
     "docs_hybrid_search" -> hybridSearchSql,
+    // index-served twin must reproduce the batch fusion bit-for-bit
+    "docs_hybrid_indexed" -> hybridSearchSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,
@@ -624,5 +880,6 @@ object VectorOps {
     "ann_scalar_quant" -> scalarQuantSql,
     "ann_semdedup" -> semDedupSql,
     "ann_kmeans_step" -> kmeansStepSql,
-    "ann_ivf_recall" -> ivfRecallSql)
+    "ann_ivf_recall" -> ivfRecallSql,
+    "ann_ivf_recall_trained" -> ivfRecallTrainedSql)
 }

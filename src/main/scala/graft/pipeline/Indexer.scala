@@ -25,7 +25,13 @@ final case class IndexerConfig(
     esBatchSize: Int = 1000,
     snapshotFiles: Int = 4,
     getDirectLinks: Boolean = true,
-    partitionByPath: Boolean = true)
+    partitionByPath: Boolean = true,
+    // z-ordered snapshot layout (path-bucket × mtime Morton interleave
+    // + per-file manifest) instead of path partitioning — the layout
+    // for deployments whose hot queries are path+TIME windows
+    // (growth timelines, retention cleanups) rather than pure
+    // path prefixes; see ParquetIndex.zorderExprs
+    zorderSnapshot: Boolean = false)
 
 object IndexerConfig {
   /** Reference defaults (config/indexer-config.yaml:121-152, abridged). */
@@ -63,7 +69,9 @@ object IndexerConfig {
       // replacement (SURVEY §4.1); off for flat trees where one segment
       // would hold everything
       partitionByPath =
-        kv.get("partition_by_path").forall(_.toBoolean))
+        kv.get("partition_by_path").forall(_.toBoolean),
+      zorderSnapshot =
+        kv.get("zorder_snapshot").exists(_.toBoolean))
   }
 
   /** Load the reference's actual YAML config surface
@@ -123,7 +131,10 @@ object IndexerConfig {
         .getOrElse(true),
       partitionByPath = over("partition_by_path").map(_.toBoolean)
         .orElse(Yaml.bool(doc, "partition_by_path"))
-        .getOrElse(true))
+        .getOrElse(true),
+      zorderSnapshot = over("zorder_snapshot").map(_.toBoolean)
+        .orElse(Yaml.bool(doc, "zorder_snapshot"))
+        .getOrElse(false))
   }
 }
 
@@ -160,14 +171,24 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       .groupBy(col("directory_path").as("filepath"))
       .agg(sum("size_bytes").as("total_size"))
 
-  private def store(): ParquetIndex = new ParquetIndex(cfg.indexRoot,
-    partitionBy =
-      if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol) else Nil,
-    writeFiles = cfg.snapshotFiles,
-    // row-group stats stay selective for point/prefix lookups within
-    // each partition bucket (the read-side predicate is always a
-    // relative_path point or prefix — pathPrefixFilter)
-    sortWithin = Seq("relative_path"))
+  private def store(): ParquetIndex =
+    if (cfg.zorderSnapshot)
+      // 2-D layout: path-bucket × modification time. A path point/
+      // prefix predicate maps to one bucket span, a time window to an
+      // epoch span — readPruned opens only overlapping files
+      // (ZOrderIndexSpec pins the pruning on this exact store shape)
+      new ParquetIndex(cfg.indexRoot,
+        writeFiles = cfg.snapshotFiles,
+        zorderExprs = Indexer.zorderSnapshotExprs)
+    else new ParquetIndex(cfg.indexRoot,
+      partitionBy =
+        if (cfg.partitionByPath) Seq(ParquetIndex.PathPartitionCol)
+        else Nil,
+      writeFiles = cfg.snapshotFiles,
+      // row-group stats stay selective for point/prefix lookups within
+      // each partition bucket (the read-side predicate is always a
+      // relative_path point or prefix — pathPrefixFilter)
+      sortWithin = Seq("relative_path"))
 
   /** Event-driven incremental run — the 100 TB mode a periodic full
     * rescan cannot be: refresh ONLY the subtrees under `changedDirs`
@@ -302,15 +323,21 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         // sibling direct_links DB (main.py:124)
         val linksIdx = new ParquetIndex(s"${cfg.indexRoot}/links",
           writeFiles = cfg.snapshotFiles)
+        // MERGE-ON-READ refresh: each run appends only its fetched
+        // batch (+ orphan delete keys) to the links store's MOR log
+        // instead of rewriting the snapshot — write cost ∝ stale set,
+        // not links-store size (LinkRefreshSpec pins equivalence with
+        // the copy-on-write twin)
         val nLinks = (cfg.getDirectLinks, linkFetch) match {
           case (true, Some(fetch)) =>
-            LinkRefresh.refreshIndex(spark,
+            LinkRefresh.refreshIndexMor(spark,
               current.filter(col("type") === "file"), linksIdx, fetch,
               skipPatterns = cfg.skipPatterns)
           case _ => 0L
         }
-        val links = LinkRefresh.align(linksIdx.read(spark).getOrElse(
-          LinkRefresh.emptyLinks(spark)))
+        val links = LinkRefresh.align(
+          LinkRefresh.readLinksMor(spark, linksIdx).getOrElse(
+            LinkRefresh.emptyLinks(spark)))
           .select(col("file_id"), col("direct_link").as("dl"),
             col("fsentry_id").as("fse"),
             col("api_creation_time").as("act"),
@@ -360,6 +387,27 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
 }
 
 object Indexer {
+
+  /** The z-ordered snapshot's two layout dimensions: a 64-way crc32
+    * bucket of the relative path (a path point/prefix predicate maps
+    * to one bucket value) and the modification time's epoch seconds (a
+    * time window maps to an epoch span). Shared by the store config
+    * and by callers deriving [[ParquetIndex.readPruned]] spans.
+    */
+  val zorderSnapshotExprs: Seq[String] = Seq(
+    "pmod(crc32(relative_path), 64)",
+    "unix_seconds(modified_time)")
+
+  /** Driver-side bucket of one relative path under
+    * [[zorderSnapshotExprs]]' first dimension (crc32 mod 64) — for
+    * turning a point lookup into a `readPruned` span.
+    */
+  def pathBucket(relativePath: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(relativePath.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, 64L)
+  }
 
   /** Normalize a listing to the canonical FsEntry columns (P5/P6/F1) —
     * shared by the batch pipeline and continuous indexing. The id hashes

@@ -91,7 +91,13 @@ object LinkRefresh {
       api_creation_time: Option[java.sql.Timestamp],
       api_modified_time: Option[java.sql.Timestamp])
 
-  final case class Result(merged: DataFrame, refreshed: Long)
+  /** `merged` = the full LWW-merged links frame (the copy-on-write
+    * write-back); `batch` = just the freshly fetched rows in store
+    * schema (what the merge-on-read path appends); `refreshed` = the
+    * batch's row count.
+    */
+  final case class Result(merged: DataFrame, refreshed: Long,
+      batch: DataFrame)
 
   /** The work queue: files whose link is missing or older than the
     * file's mtime (same P8 predicate as the `fs_stale_links` query),
@@ -153,7 +159,7 @@ object LinkRefresh {
     // (its last_updated is `now`, but batchWinsTies guards equal stamps)
     val merged = Merge.merge(links, batch, "file_id", "last_updated",
       batchWinsTies = true)
-    Result(merged, batch.count())
+    Result(merged, batch.count(), batch)
   }
 
   /** The full store round-trip: read the links [[ParquetIndex]], refresh
@@ -203,6 +209,75 @@ object LinkRefresh {
       else 0L
     if (mustWrite || orphans > 0)
       linksIndex.write(finalLinks): Unit
+    r.refreshed
+  }
+
+  /** The MOR view of a links store: base + pending log resolved with
+    * the refresh's own LWW rule (J2, batch wins ties). Empty store →
+    * None.
+    */
+  def readLinksMor(spark: SparkSession,
+      linksIndex: ParquetIndex): Option[DataFrame] =
+    linksIndex.readMor(spark, "file_id", "last_updated",
+      batchWinsTies = true)
+
+  /** [[refreshIndex]] on the MERGE-ON-READ write path: identical
+    * observable store state (LinkRefreshSpec proves it against the
+    * copy-on-write twin), but each refresh writes ONLY its fetched
+    * batch as a log delta (plus a key-only delete sidecar for orphaned
+    * links) instead of rewriting the whole links snapshot — at index
+    * scale the links table is as big as the file index while a refresh
+    * batch is the handful of stale links, which is exactly the
+    * write-amplification case the MOR log exists for. The log folds
+    * back into a real snapshot every `checkpointEvery` entries
+    * (read amplification stays bounded; ParquetIndex measures the
+    * amortization in MorIndexSpec/PERF.md).
+    *
+    * A store with a pre-API-timestamp schema takes the copy-on-write
+    * path once (appendDelta requires base-schema parity; the CoW write
+    * IS the migration), then appends thereafter.
+    */
+  def refreshIndexMor(
+      spark: SparkSession,
+      files: DataFrame,
+      linksIndex: ParquetIndex,
+      fetch: Fetch,
+      version: Int = 2,
+      skipPatterns: Seq[String] = Nil,
+      now: java.sql.Timestamp = java.sql.Timestamp.from(
+        java.time.Instant.now()),
+      reconcile: Boolean = true,
+      checkpointEvery: Int = 16): Long = {
+    val stored = readLinksMor(spark, linksIndex)
+    if (stored.exists(_.columns.toSeq != schema.fieldNames.toSeq))
+      return refreshIndex(spark, files, linksIndex, fetch, version,
+        skipPatterns, now, reconcile)
+    val links = align(stored.getOrElse(emptyLinks(spark)))
+    val r = refresh(spark, files, links, fetch, version, skipPatterns, now)
+    // write ∝ batch: the fetched rows append as one log delta (the
+    // first-ever batch just becomes the base snapshot inside
+    // appendDelta); r.batch is already eagerly materialized by
+    // refresh(), so it cannot observe the log it is appended to
+    if (r.refreshed > 0)
+      linksIndex.appendDelta(spark,
+        r.batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)): Unit
+    if (reconcile && stored.nonEmpty) {
+      // links whose file vanished from the scan → key-only delete
+      // sidecar (readMor snapshots the log manifest eagerly, so this
+      // plan reads the pre-append log state; orphans and the delta's
+      // file_ids are disjoint by construction — fetched ⊆ files)
+      val keep = files.select(col("id")).distinct()
+      val orphans = links
+        .join(keep, links("file_id") === keep("id"), "left_anti")
+        .select("file_id")
+        .localCheckpoint(true)
+      if (orphans.count() > 0)
+        linksIndex.appendDelete(spark, orphans, "file_id"): Unit
+    }
+    if (linksIndex.currentId.exists(cid =>
+        linksIndex.morEntries(cid).size >= checkpointEvery))
+      linksIndex.checkpointMor(spark, "file_id", "last_updated",
+        batchWinsTies = true): Unit
     r.refreshed
   }
 }

@@ -37,9 +37,15 @@ import org.apache.spark.sql.types.IntegerType
   * reduction is observable in the partial operator's `numOutputRows`
   * metric and pinned by GroupTopKSpec's plan assertions.
   *
-  * Semantics = `row_number`: ties are broken by the caller-supplied order
-  * (callers must pass a total order — append a key column — for
-  * deterministic output, exactly as the window form requires).
+  * Semantics = `row_number` by default: ties are broken by the
+  * caller-supplied order (callers must pass a total order — append a key
+  * column — for deterministic output, exactly as the window form
+  * requires). With `withTies = true` the semantics are `rank()`: every
+  * row whose gap-rank is ≤ k survives (tied rows share a rank, so a tie
+  * crossing the boundary emits MORE than k rows, exactly as the window
+  * form would); the map-side state then is k rows plus the current
+  * boundary tie-run — still bounded unless one order key value
+  * dominates a group.
   */
 object GroupTopK {
 
@@ -49,7 +55,7 @@ object GroupTopK {
     */
   def topK(df: DataFrame, groupCols: Seq[String],
       orderKeys: Seq[(String, Boolean)], k: Int,
-      rankName: String = "rk"): DataFrame = {
+      rankName: String = "rk", withTies: Boolean = false): DataFrame = {
     require(k > 0, s"topK needs k > 0, got $k")
     require(orderKeys.nonEmpty, "topK needs at least one order key")
     val spark = df.sparkSession
@@ -64,7 +70,8 @@ object GroupTopK {
     val rankAttr = AttributeReference(rankName, IntegerType,
       nullable = false)()
     PlanBridge.ofRows(spark,
-      GroupTopKNode(groupCols.map(attr), order, k, rankAttr, plan))
+      GroupTopKNode(groupCols.map(attr), order, k, rankAttr, plan,
+        withTies))
   }
 
   /** Idempotently register the planner strategy on a live session —
@@ -89,7 +96,8 @@ case class GroupTopKNode(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -101,41 +109,72 @@ case class GroupTopKNode(
   * EnsureRequirements) → final-heap. */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopKNode(groups, order, k, rankAttr, child) =>
+    case GroupTopKNode(groups, order, k, rankAttr, child, ties) =>
       GroupTopKFinalExec(groups, order, k, rankAttr,
-        GroupTopKPartialExec(groups, order, k, planLater(child))) :: Nil
+        GroupTopKPartialExec(groups, order, k, planLater(child), ties),
+        ties) :: Nil
     case _ => Nil
   }
 }
 
 private[plans] object GroupTopKHeaps {
+
+  /** Per-group retained state: the k-row heap, plus (rank semantics
+    * only) the rows tied with the heap's current max — those may still
+    * have gap-rank ≤ k even though the heap is full.
+    */
+  final class Keep(val pq: mutable.PriorityQueue[UnsafeRow]) {
+    var ties: mutable.ArrayBuffer[UnsafeRow] = null
+    def addTie(r: UnsafeRow): Unit = {
+      if (ties == null) ties = mutable.ArrayBuffer.empty[UnsafeRow]
+      ties += r
+    }
+    def size: Int = pq.size + (if (ties == null) 0 else ties.size)
+    def iterator: Iterator[UnsafeRow] =
+      if (ties == null) pq.iterator else pq.iterator ++ ties.iterator
+  }
+
   /** One pass over a partition: bounded k-row heap per group key.
     * The heap's max (head) is the row sorting LAST under `order`, so a
     * better row evicts it in O(log k); group keys and retained rows are
     * copied out of the scan's reused buffers.
+    *
+    * `withTies` (rank semantics) additionally retains every row EQUAL
+    * to the heap max: a row r must survive the partial iff fewer than k
+    * local rows sort strictly before it, and rows tied with the max
+    * satisfy that while rows strictly above it cannot. When an eviction
+    * pushes the max strictly down, the stale tie-run (now above the
+    * max) is dropped wholesale — so state is k + current-boundary-ties.
     */
   def build(iter: Iterator[InternalRow], schema: Seq[Attribute],
-      groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int)
-      : (mutable.HashMap[UnsafeRow, mutable.PriorityQueue[UnsafeRow]],
-         Ordering[InternalRow]) = {
+      groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
+      withTies: Boolean = false)
+      : (mutable.HashMap[UnsafeRow, Keep], Ordering[InternalRow]) = {
     val keyProj = UnsafeProjection.create(groupExprs, schema)
     val toUnsafe = UnsafeProjection.create(schema, schema)
     val ord: Ordering[InternalRow] = RowOrdering.create(order, schema)
     val uOrd: Ordering[UnsafeRow] = ord.on(identity[UnsafeRow])
-    val heaps =
-      mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+    val heaps = mutable.HashMap.empty[UnsafeRow, Keep]
     while (iter.hasNext) {
       val row = iter.next()
       val key = keyProj(row) // reused buffer: safe for lookup only
-      val pq = heaps.getOrElse(key, {
-        val fresh = mutable.PriorityQueue.empty[UnsafeRow](uOrd)
+      val keep = heaps.getOrElse(key, {
+        val fresh = new Keep(mutable.PriorityQueue.empty[UnsafeRow](uOrd))
         heaps.put(key.copy(), fresh)
         fresh
       })
+      val pq = keep.pq
       if (pq.size < k) pq.enqueue(toUnsafe(row).copy())
-      else if (ord.compare(row, pq.head) < 0) {
-        pq.dequeue()
-        pq.enqueue(toUnsafe(row).copy())
+      else {
+        val c = ord.compare(row, pq.head)
+        if (c < 0) {
+          val evicted = pq.dequeue()
+          pq.enqueue(toUnsafe(row).copy())
+          if (withTies) {
+            if (uOrd.compare(evicted, pq.head) == 0) keep.addTie(evicted)
+            else if (keep.ties != null) keep.ties.clear()
+          }
+        } else if (c == 0 && withTies) keep.addTie(toUnsafe(row).copy())
       }
     }
     (heaps, ord)
@@ -150,7 +189,8 @@ case class GroupTopKPartialExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -163,12 +203,13 @@ case class GroupTopKPartialExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOut = longMetric("numOutputRows")
-    val (schema, g, o, kk) = (child.output, groupExprs, order, k)
+    val (schema, g, o, kk, ties) =
+      (child.output, groupExprs, order, k, withTies)
     child.execute().mapPartitions({ iter =>
-      val (heaps, _) = GroupTopKHeaps.build(iter, schema, g, o, kk)
-      heaps.valuesIterator.flatMap { pq =>
-        numOut += pq.size
-        pq.iterator
+      val (heaps, _) = GroupTopKHeaps.build(iter, schema, g, o, kk, ties)
+      heaps.valuesIterator.flatMap { keep =>
+        numOut += keep.size
+        keep.iterator
       }
     }, preservesPartitioning = true)
   }
@@ -190,7 +231,8 @@ case class GroupTopKFinalExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -208,22 +250,36 @@ case class GroupTopKFinalExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOut = longMetric("numOutputRows")
-    val (schema, g, kk) = (child.output, groupExprs, k)
+    val (schema, g, o, kk, ties) =
+      (child.output, groupExprs, order, k, withTies)
     val out = output
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, schema)
+      val toUnsafe = UnsafeProjection.create(schema, schema)
       val proj = UnsafeProjection.create(out, out)
+      val ord: Ordering[InternalRow] = RowOrdering.create(o, schema)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       var curKey: UnsafeRow = null
+      var pos = 0
       var rank = 0
+      var prevRow: UnsafeRow = null // rank mode: head of the equal-run
       iter.flatMap { row =>
         val key = keyProj(row)
         if (curKey == null || key != curKey) {
           curKey = key.copy()
+          pos = 0
           rank = 0
+          prevRow = null
         }
-        rank += 1
+        pos += 1
+        if (ties) {
+          // rank(): tied rows share the run-head's 1-based position
+          if (prevRow == null || ord.compare(row, prevRow) != 0) {
+            rank = pos
+            prevRow = toUnsafe(row).copy()
+          }
+        } else rank = pos
         if (rank <= kk) {
           numOut += 1
           rankRow.update(0, rank)

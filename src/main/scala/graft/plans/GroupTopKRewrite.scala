@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   AttributeReference, CurrentRow, Expression, IntegerLiteral, LessThan,
-  LessThanOrEqual, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame,
-  UnboundedPreceding, UnspecifiedFrame, WindowExpression,
-  WindowSpecDefinition}
+  LessThanOrEqual, RangeFrame, Rank, RowFrame, RowNumber, SortOrder,
+  SpecifiedWindowFrame, UnboundedPreceding, UnspecifiedFrame,
+  WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
   Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -21,10 +21,20 @@ import org.apache.spark.sql.types.IntegerType
   * instead of a shuffle-everything window sort. Registered through
   * [[graft.functions.GraftExtensions]] alongside the planner strategy.
   *
+  * Also rewrites the `rank()` form of the idiom: [[GroupTopKNode]]'s
+  * `withTies` mode reproduces rank's gap-rank tie semantics exactly
+  * (tied rows share a rank; a tie crossing k emits them all), so the
+  * rewrite is sound with or without a total ordering — and when the
+  * ordering IS total (the common trailing-id-column discipline) rank ≡
+  * row_number and the plans coincide. `dense_rank` stays unrewritten
+  * (its boundary is "k distinct key values", a different retention
+  * bound).
+  *
   * Deliberately conservative — the rewrite fires only when ALL hold:
   *  - the Window computes exactly ONE expression, a `row_number()` over
-  *    the default running ROWS frame (rank/dense_rank tie semantics
-  *    differ; multi-expression windows need the full operator);
+  *    the default running ROWS frame or a `rank()` over its default
+  *    running RANGE frame (multi-expression windows need the full
+  *    operator);
   *  - the filter bounds that rank from above with an integer literal
   *    (`rk <= k` or `rk < k`); `rk = 1` idioms (e.g. the merge winner)
   *    are left alone so their pinned plans don't churn;
@@ -60,20 +70,35 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def isRunningRowFrame(frame: Expression): Boolean = frame match {
+  /** A running frame (UNBOUNDED PRECEDING .. CURRENT ROW, rows or
+    * range) — the default every rank-family function resolves to; any
+    * other frame means the user asked for something else. */
+  private def isRunningFrame(frame: Expression): Boolean = frame match {
     case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
       true
+    case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding,
+      CurrentRow) => true
     case UnspecifiedFrame => true
     case _ => false
   }
 
+  /** Is this window expression a rewritable rank function, and does it
+    * need tie (rank) semantics? */
+  private def rankKind(we: WindowExpression): Option[Boolean] = we match {
+    case WindowExpression(RowNumber(),
+        WindowSpecDefinition(_, _, frame))
+      if isRunningFrame(frame) => Some(false)
+    case WindowExpression(Rank(_),
+        WindowSpecDefinition(_, _, frame))
+      if isRunningFrame(frame) => Some(true)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond,
-        Window(Seq(alias @ Alias(
-          WindowExpression(RowNumber(),
-            WindowSpecDefinition(_, _, frame)), _)),
+        Window(Seq(alias @ Alias(we: WindowExpression, _)),
         partSpec, orderSpec, child, _))
-        if isRunningRowFrame(frame) &&
+        if rankKind(we).isDefined &&
           partSpec.forall(_.isInstanceOf[Attribute]) &&
           orderSpec.nonEmpty &&
           orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
@@ -84,7 +109,8 @@ object GroupTopKRewrite extends Rule[LogicalPlan] {
             nullable = false)(exprId = alias.exprId)
           val topk = GroupTopKNode(
             partSpec.map(_.asInstanceOf[Attribute]),
-            orderSpec, k, rankAttr, child)
+            orderSpec, k, rankAttr, child,
+            withTies = rankKind(we).get)
           rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
         case _ => f
       }

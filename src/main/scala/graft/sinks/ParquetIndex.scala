@@ -39,10 +39,27 @@ import graft.operators.Merge
   *   at write time, nothing at read time. For multi-dimensional
   *   predicates, pass a single `zorder2(a, b)`-derived column instead
   *   of two raw ones.
+  * @param zorderExprs OPTIONAL two-dimensional layout (the Delta
+  *   `OPTIMIZE ZORDER BY` shape): exactly two SQL expressions over the
+  *   snapshot's columns (each castable to long, e.g.
+  *   `pmod(crc32(relative_path), 64)` and
+  *   `unix_seconds(modified_time)`). Every snapshot write then
+  *   range-partitions + sorts on the interleaved [[ZOrderLayout]]
+  *   Morton key and materializes a per-file min/max `_manifest` of
+  *   BOTH expressions inside the snapshot dir (it swaps atomically
+  *   with the pointer), so [[readPruned]] opens only the files whose
+  *   span overlaps a path+time predicate — the time-windowed queries'
+  *   layout (`fs_growth_timeline` / `fs_removed_last_cleanup` shapes)
+  *   without giving up path selectivity. Mutually exclusive with
+  *   `partitionBy` (the layouts would fight over file placement).
   */
 final class ParquetIndex(root: String, keep: Int = 2,
     partitionBy: Seq[String] = Nil, writeFiles: Int = 0,
-    sortWithin: Seq[String] = Nil) {
+    sortWithin: Seq[String] = Nil, zorderExprs: Seq[String] = Nil) {
+
+  require(zorderExprs.isEmpty ||
+    (zorderExprs.size == 2 && partitionBy.isEmpty),
+    "zorderExprs: exactly two expressions, and no partitionBy")
 
   private val pointer = Paths.get(root, "CURRENT")
   private val manifest = Paths.get(root, "MANIFEST")
@@ -202,7 +219,8 @@ final class ParquetIndex(root: String, keep: Int = 2,
     // this one (letting EliminateSorts drop the inner key sort) — one
     // combined sort satisfies the writer AND lays rows out by the key
     val out =
-      if (sortWithin.nonEmpty)
+      if (zorderExprs.nonEmpty) zorderShaped(df)
+      else if (sortWithin.nonEmpty)
         shaped.sortWithinPartitions(
           (partitionBy ++ sortWithin).distinct.map(col): _*)
       else shaped
@@ -213,11 +231,88 @@ final class ParquetIndex(root: String, keep: Int = 2,
     // the read-side contract for empty snapshots + partition types
     Files.writeString(Paths.get(root, s"snap-$id", SchemaFile),
       df.schema.toDDL)
+    if (zorderExprs.nonEmpty)
+      writeZManifest(df.sparkSession, s"$root/snap-$id")
     val committed = commit(id)
     // after the swap: the plan that produced df has fully executed, so
     // dropping the old base's log can't pull files out from under it
     prevBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
     committed
+  }
+
+  /** Z-order the snapshot frame: derive the two layout dimensions,
+    * range-partition + sort on their Morton interleave, drop helpers.
+    * Empty/all-null input degenerates to the plain shape (no bounds to
+    * quantize against).
+    */
+  private def zorderShaped(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val withDims = df
+      .withColumn("__za", expr(zorderExprs(0)).cast("long"))
+      .withColumn("__zb", expr(zorderExprs(1)).cast("long"))
+    val b = withDims.agg(
+      min("__za"), max("__za"), min("__zb"), max("__zb")).collect()(0)
+    if (b.isNullAt(0) || b.isNullAt(2))
+      return if (writeFiles > 0) df.coalesce(writeFiles) else df
+    val z = ZOrderLayout.zValue(col("__za"), col("__zb"),
+      b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zz = withDims.withColumn("__z", z)
+    (if (writeFiles > 0) zz.repartitionByRange(writeFiles, col("__z"))
+     else zz.repartitionByRange(col("__z")))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__za", "__zb")
+  }
+
+  /** Per-file min/max manifest of the two z-order expressions, written
+    * inside the snapshot dir ('_'-prefixed → invisible to readers of
+    * the data files; swaps atomically with the snapshot pointer).
+    */
+  private def writeZManifest(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(dir)
+    base.groupBy(input_file_name().as("file"))
+      .agg(
+        min(expr(zorderExprs(0)).cast("long")).as("z0_lo"),
+        max(expr(zorderExprs(0)).cast("long")).as("z0_hi"),
+        min(expr(zorderExprs(1)).cast("long")).as("z1_lo"),
+        max(expr(zorderExprs(1)).cast("long")).as("z1_hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+  }
+
+  /** FILE-pruned read of the current snapshot for a conjunctive range
+    * predicate over the two z-order dimensions (`spans` aligns with
+    * `zorderExprs`; a point predicate is `(v, v)`): only files whose
+    * manifest span overlaps BOTH ranges are opened, and the exact row
+    * predicate is re-applied on top (span overlap is necessary, not
+    * sufficient). Row-identical to `read().filter(both ranges)`;
+    * ZOrderIndexSpec pins that it opens strictly fewer files.
+    */
+  def readPruned(spark: SparkSession,
+      spans: Seq[(Long, Long)]): Option[DataFrame] = {
+    require(zorderExprs.size == 2, "readPruned: not a z-ordered store")
+    require(spans.size == 2, "readPruned: need one span per dimension")
+    import org.apache.spark.sql.functions._
+    currentId.map { cid =>
+      val dir = s"$root/snap-$cid"
+      val survivors = spark.read.parquet(s"$dir/_manifest")
+        .filter(
+          col("z0_hi") >= spans(0)._1 && col("z0_lo") <= spans(0)._2 &&
+            col("z1_hi") >= spans(1)._1 && col("z1_lo") <= spans(1)._2)
+        .select("file").collect().map(_.getString(0))
+      val base =
+        if (survivors.isEmpty) readSnapshot(spark, cid).limit(0)
+        else spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            Files.readString(Paths.get(dir, SchemaFile))))
+          .parquet(survivors.toIndexedSeq: _*)
+      base.filter(
+        expr(zorderExprs(0)).cast("long")
+          .between(spans(0)._1, spans(0)._2) &&
+          expr(zorderExprs(1)).cast("long")
+            .between(spans(1)._1, spans(1)._2))
+    }
   }
 
   /** Layout maintenance (the lakehouse OPTIMIZE / bin-packing step the
@@ -262,7 +357,10 @@ final class ParquetIndex(root: String, keep: Int = 2,
       // committing a new base consumes the old one's log (see write) —
       // proceeding would silently drop un-checkpointed deltas. Fold
       // with checkpointMor first, then compact.
-      if (morEntries(cid).nonEmpty) None
+      // A z-ordered store never compacts: every write is already
+      // range-bounded to `writeFiles` files, and a coalescing rewrite
+      // would destroy the Morton layout its manifest pruning relies on.
+      if (morEntries(cid).nonEmpty || zorderExprs.nonEmpty) None
       else compactBase(spark, cid, maxFilesPerDir, targetFileBytes)
     }
 

@@ -4,10 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The optimizer rule that swaps the declarative `row_number <= k` window
-  * idiom for the native GroupTopK operator. Ground truths use `rank()`
-  * windows (NOT rewritten — different tie semantics) with total orders,
-  * where rank == row_number.
+/** The optimizer rule that swaps the declarative `row_number <= k` and
+  * `rank() <= k` window idioms for the native GroupTopK operator
+  * (row_number → exact-k heaps; rank → withTies gap-rank heaps).
+  * Ground truths collect the UNFILTERED window (no Filter node → the
+  * rule cannot fire) and bound the rank Scala-side.
   */
 class GroupTopKRewriteSpec extends SparkSpecBase {
 
@@ -25,9 +26,10 @@ class GroupTopKRewriteSpec extends SparkSpecBase {
 
   private def rankTruth(k: Int): Set[(String, Long, Int)] = {
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
-    df.withColumn("rk", rank().over(w)).filter(col("rk") <= k)
+    df.withColumn("rk", rank().over(w))
       .select("g", "id", "rk")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= k).toSet
   }
 
   test("SQL row_number <= k rewrites to the native operator") {
@@ -76,11 +78,43 @@ class GroupTopKRewriteSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
-  test("rank() and row_number = 1 idioms are NOT rewritten") {
+  test("rank() <= k rewrites to the native operator (total order)") {
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
-    val rankQ = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
-    assert(planOf(rankQ).contains("Window"), planOf(rankQ))
-    assert(!planOf(rankQ).contains("GroupTopK"), planOf(rankQ))
+    val q = df.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2).select("g", "id", "rk")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getInt(2))).toSet
+    assert(got === rankTruth(2))
+    val p = planOf(q)
+    assert(p.contains("GroupTopKFinal"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("rank() ties crossing k all survive with shared gap ranks") {
+    // ids 2,3,5 tie at 20.0 under a NON-total order: rank() assigns
+    // them all rank 2 and rank<=2 emits FOUR rows — the semantics the
+    // withTies operator must reproduce, where row_number would cut at 2
+    val tied = Seq(("a", 1L, 30.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 5.0), ("a", 5L, 20.0), ("b", 6L, 1.0), ("b", 7L, 1.0)
+    ).toDF("g", "id", "score").repartition(3)
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+    val q = tied.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2).select("g", "id", "rk")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getInt(2))).toSet
+    assert(got === Set(("a", 1L, 1), ("a", 2L, 2), ("a", 3L, 2),
+      ("a", 5L, 2), ("b", 6L, 1), ("b", 7L, 1)))
+    val p = planOf(q)
+    assert(p.contains("GroupTopKFinal"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("dense_rank and row_number = 1 idioms are NOT rewritten") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val denseQ = df.withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 2)
+    assert(planOf(denseQ).contains("Window"), planOf(denseQ))
+    assert(!planOf(denseQ).contains("GroupTopK"), planOf(denseQ))
     // the merge-winner idiom (rk = 1) keeps its pinned window plan
     val winnerQ = df.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)

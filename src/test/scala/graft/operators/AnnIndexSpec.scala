@@ -58,6 +58,33 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(df.count() <= 5)
   }
 
+  test("trained centroids: nprobe recall at least matches the seeded quantizer") {
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val trained = Files.createTempDirectory("annTr").toString
+    val seeded = Files.createTempDirectory("annSe").toString
+    AnnIndex.build(spark, trained, emb) // default: 3 Lloyd rounds
+    AnnIndex.build(spark, seeded, emb, lloydRounds = 0)
+    // deterministic query sample (ivfRecall's 1-in-97 rule, seeds and
+    // the query vector excluded from the roles they'd distort)
+    val qs = emb.filter(col("vec_id") % 97 === 0 &&
+        !col("vec_id").between(1, 8))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(qs.nonEmpty)
+    def top10(dir: String, qid: Long, q: Seq[Float], nprobe: Int) =
+      AnnIndex.search(spark, dir, q, k = 11, nprobe = nprobe)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+    def recall(dir: String): Int = qs.map { case (qid, q) =>
+      // ground truth: all-cells search IS brute force (store contains
+      // every vector; same scoring/rounding path as the probe arm)
+      val truth = top10(dir, qid, q, nprobe = 8)
+      (top10(dir, qid, q, nprobe = 2) & truth).size
+    }.sum
+    val (rTrained, rSeeded) = (recall(trained), recall(seeded))
+    assert(rTrained >= rSeeded,
+      s"trained recall $rTrained < seeded recall $rSeeded")
+  }
+
   test("a re-sent (retried) batch appends nothing; top-k has no dup ids") {
     val dir = Files.createTempDirectory("annidx4").toString
     val emb = graft.Tables(spark, sf, "embeddings")

@@ -146,6 +146,50 @@ class LinkRefreshSpec extends SparkSpecBase {
     assert(persisted.getAs[Timestamp]("api_modified_time") == apiMod)
   }
 
+  test("MOR-backed refresh: same store view as copy-on-write, but the " +
+      "base snapshot is untouched and only the delta is written") {
+    def withOrphan = linksDf.union(spark.createDataFrame(Seq(
+      ("f9", "https://fs.example/dead", "v2", None: Option[String],
+        None: Option[Timestamp], None: Option[Timestamp],
+        ts("2026-07-01 00:00:00"))))
+      .toDF(linksDf.columns.toIndexedSeq: _*))
+    val idxC = new ParquetIndex(
+      Files.createTempDirectory("links-cow").toString)
+    val idxM = new ParquetIndex(
+      Files.createTempDirectory("links-mor").toString)
+    idxC.write(withOrphan)
+    idxM.write(withOrphan)
+    val baseId = idxM.currentId
+
+    val nC = LinkRefresh.refreshIndex(spark, filesDf, idxC, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    val nM = LinkRefresh.refreshIndexMor(spark, filesDf, idxM, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    assert(nC == nM)
+    // the MOR run appended to the log — the base snapshot was NOT
+    // rewritten (write ∝ batch, the entire point)
+    assert(idxM.currentId == baseId)
+    val entries = idxM.morEntries(baseId.get)
+    assert(entries.exists(_._1 == "u") && entries.exists(_._1 == "d"),
+      entries.toString) // fetched delta + orphan delete sidecar
+    def view(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    // resolved MOR view ≡ the copy-on-write snapshot, row for row
+    // (incl. the dropped f9 orphan and untouched f2/f4/f5)
+    assert(view(LinkRefresh.readLinksMor(spark, idxM).get) ==
+      view(idxC.read(spark).get))
+    // steady state: re-run fetches nothing and appends nothing
+    val n2 = LinkRefresh.refreshIndexMor(spark, filesDf, idxM, FakeFetch,
+      version = 2, skipPatterns = Seq("tmp-*"), now = now)
+    assert(n2 == 0)
+    assert(idxM.morEntries(baseId.get).size == entries.size)
+    // folding the log reproduces the CoW snapshot exactly
+    idxM.checkpointMor(spark, "file_id", "last_updated",
+      batchWinsTies = true): Unit
+    assert(idxM.morEntries(idxM.currentId.get).isEmpty)
+    assert(view(idxM.read(spark).get) == view(idxC.read(spark).get))
+  }
+
   test("links for files gone from the scan are reconciled away") {
     val root = Files.createTempDirectory("links-idx-orph").toString
     val idx = new ParquetIndex(root)
