@@ -548,6 +548,157 @@ object VectorOps {
        |SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 10 AS k
        |FROM qs LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Product quantization (PQ) — the memory tier of the ANN ladder       //
+  // (IVF prunes WHICH vectors to score; PQ shrinks WHAT is stored):     //
+  // the 64-dim vector splits into M=4 subvectors of 16 dims, each       //
+  // quantized independently against the 8 seed centroids' matching     //
+  // slice. A vector becomes 4 small codes (4 bytes vs 256 — the 64×    //
+  // compression IVF-PQ deployments bank on), and a query scores codes  //
+  // via a 32-entry lookup table instead of touching raw vectors:       //
+  // asymmetric distance computation (ADC), Jégou et al., TPAMI 2011.   //
+  // Same determinism discipline as the IVF family: per-subspace d2     //
+  // rounded to 4dp BEFORE the argmin, ties to the lower centroid id,   //
+  // and every cross-engine sum spelled as an explicit left-to-right    //
+  // fold.                                                              //
+  // -------------------------------------------------------------------- //
+
+  private val pqM = 4
+  private val pqSub = 16 // 64 dims / 4 subspaces
+
+  /** Per-vector PQ assignment: one row per vector with the M chosen
+    * codes and each subspace's (rounded) quantization error. */
+  private def pqAssign(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(emb)
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    (0 until pqM).map { m =>
+      val off = m * pqSub + 1
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"),
+          round(expr(s"vec_dist2(slice(embedding, $off, $pqSub), " +
+            s"slice(ce, $off, $pqSub))"), 4).as("d2"))
+        .withColumn("rk", row_number().over(byDist))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"),
+          (col("c_id") - 1).cast("int").as(s"c$m"),
+          col("d2").as(s"e$m"))
+    }.reduce((a, b) => a.join(b, Seq("vec_id")))
+  }
+
+  /** PQ code book assignment for the whole corpus: (vec_id, c0..c3,
+    * recon_err). recon_err = the summed per-subspace quantization
+    * error — the measurable compression/accuracy trade.
+    *
+    * Scale shape: M broadcast-argmin passes over a skinny projection
+    * (the M joins share the vec_id exchange under AQE), no all-pairs
+    * anything; the emitted codes table is 4 ints per vector — the
+    * thing that still fits in memory when raw vectors don't.
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    pqAssign(Tables(spark, sfDir, "embeddings"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        round(col("e0") + col("e1") + col("e2") + col("e3"), 4)
+          .as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  val pqCodesSql: String = {
+    val subD2 = (m: Int, a: String, b: String) =>
+      s"""round(list_sum(list_transform(generate_series(1, $pqSub),
+         |  i -> ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE)
+         |     * ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE))), 4)"""
+        .stripMargin
+    val perM = (0 until pqM).map { m =>
+      s"""a$m AS (
+         |  SELECT vec_id, c_id, d2 FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ${subD2(m, "e.embedding", "c.ce")} AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${subD2(m, "e.embedding", "c.ce")}, c.c_id) AS rk
+         |    FROM embeddings e, c)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |$perM
+       |SELECT a0.vec_id,
+       |  CAST(a0.c_id - 1 AS INT) AS c0, CAST(a1.c_id - 1 AS INT) AS c1,
+       |  CAST(a2.c_id - 1 AS INT) AS c2, CAST(a3.c_id - 1 AS INT) AS c3,
+       |  round(a0.d2 + a1.d2 + a2.d2 + a3.d2, 4) AS recon_err
+       |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+       |  JOIN a3 USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** ADC top-k serving: the query (vec_id 0) scores every CODED vector
+    * through a per-(subspace, centroid) lookup table — M×K = 32 rounded
+    * distances, broadcast — summed left-to-right, never touching the
+    * stored vectors. The approximation every IVF-PQ system serves with;
+    * `ann_topk_brute` stays the exact baseline.
+    */
+  def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = centroids(emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    // the 32-entry lookup table: distance of the query's m-th slice to
+    // every centroid's m-th slice
+    val lut = (0 until pqM).map { m =>
+      val off = m * pqSub + 1
+      cents.crossJoin(broadcast(q))
+        .select((col("c_id") - 1).cast("int").as(s"c$m"),
+          round(expr(s"vec_dist2(slice(qe, $off, $pqSub), " +
+            s"slice(ce, $off, $pqSub))"), 4).as(s"q$m"))
+    }
+    val codes = pqAssign(emb).filter(col("vec_id") =!= 0)
+    (0 until pqM).foldLeft(codes)((df, m) =>
+      df.join(broadcast(lut(m)), Seq(s"c$m")))
+      .select(col("vec_id"),
+        round(col("q0") + col("q1") + col("q2") + col("q3"), 4)
+          .as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(10)
+  }
+
+  val pqAdcTopkSql: String = {
+    val subD2 = (m: Int, a: String, b: String) =>
+      s"""round(list_sum(list_transform(generate_series(1, $pqSub),
+         |  i -> ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE)
+         |     * ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE))), 4)"""
+        .stripMargin
+    val perM = (0 until pqM).map { m =>
+      s"""a$m AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${subD2(m, "e.embedding", "c.ce")}, c.c_id) AS rk
+         |    FROM embeddings e, c)
+         |  WHERE rk = 1),
+         |l$m AS (
+         |  SELECT c.c_id, ${subD2(m, "q.qe", "c.ce")} AS qd
+         |  FROM c, q)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |$perM
+       |SELECT a0.vec_id,
+       |  round(l0.qd + l1.qd + l2.qd + l3.qd, 4) AS adc_d2
+       |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+       |  JOIN a3 USING (vec_id)
+       |  JOIN l0 ON l0.c_id = a0.c_id
+       |  JOIN l1 ON l1.c_id = a1.c_id
+       |  JOIN l2 ON l2.c_id = a2.c_id
+       |  JOIN l3 ON l3.c_id = a3.c_id
+       |WHERE a0.vec_id <> 0
+       |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Recall@10 of the TRAINED coarse quantizer vs the seeded one — the
     * oracle-gated form of "training the centroids does not hurt
     * recall" ([[graft.operators.AnnIndex.build]]'s Lloyd rounds,
@@ -867,7 +1018,9 @@ object VectorOps {
     "ann_semdedup" -> semDedup,
     "ann_kmeans_step" -> kmeansStep,
     "ann_ivf_recall" -> ivfRecall,
-    "ann_ivf_recall_trained" -> ivfRecallTrained)
+    "ann_ivf_recall_trained" -> ivfRecallTrained,
+    "ann_pq_codes" -> pqCodes,
+    "ann_pq_adc" -> pqAdcTopk)
 
   def oracleSql: Map[String, String] = Map(
     "docs_hybrid_search" -> hybridSearchSql,
@@ -881,5 +1034,7 @@ object VectorOps {
     "ann_semdedup" -> semDedupSql,
     "ann_kmeans_step" -> kmeansStepSql,
     "ann_ivf_recall" -> ivfRecallSql,
-    "ann_ivf_recall_trained" -> ivfRecallTrainedSql)
+    "ann_ivf_recall_trained" -> ivfRecallTrainedSql,
+    "ann_pq_codes" -> pqCodesSql,
+    "ann_pq_adc" -> pqAdcTopkSql)
 }

@@ -48,6 +48,31 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("PQ codes: in range, reconstruction error sane, ADC beats chance") {
+    val codes = VectorOps.pqCodes(spark, sf).collect()
+    assert(codes.length == graft.Tables(spark, sf, "embeddings").count())
+    codes.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getInt(i) >= 0 && r.getInt(i) <= 7,
+        s"code out of range: $r"))
+      assert(r.getDouble(5) >= 0.0, s"negative recon error: $r")
+    }
+    // the 8 seed vectors quantize to themselves in every subspace:
+    // their reconstruction error is exactly 0
+    codes.filter(r => r.getLong(0) >= 1 && r.getLong(0) <= 8)
+      .foreach(r => assert(r.getDouble(5) == 0.0, s"seed not exact: $r"))
+    // ADC serving: the compressed-domain top-10 must overlap the exact
+    // brute-force top-10 better than chance (500 candidates — chance
+    // overlap ~0.2 ids; require at least 3: PQ with 4×8 codes is
+    // coarse, but not useless)
+    val adc = VectorOps.pqAdcTopk(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val brute = VectorOps.topkBrute(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(adc.size == 10)
+    assert((adc & brute).size >= 3,
+      s"ADC top-10 overlaps brute top-10 only ${(adc & brute).size}")
+  }
+
   test("semdedup: removals point at a smaller same-cluster keeper") {
     val rows = VectorOps.semDedup(spark, sf).collect()
     assert(rows.nonEmpty)
