@@ -567,10 +567,13 @@ object VectorOps {
   private val pqSub = 16 // 64 dims / 4 subspaces
 
   /** Per-vector PQ assignment: one row per vector with the M chosen
-    * codes and each subspace's (rounded) quantization error. */
-  private def pqAssign(emb: DataFrame): DataFrame = {
+    * codes and each subspace's (rounded) quantization error. `cents`
+    * is the codebook source — ALWAYS the full corpus's seed centroids,
+    * never derived from a filtered candidate frame (a candidate set
+    * that lacks some seed ids would silently shrink the codebook).
+    */
+  private def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids(emb)
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
     (0 until pqM).map { m =>
@@ -599,7 +602,8 @@ object VectorOps {
     */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     withVecFns(spark)
-    pqAssign(Tables(spark, sfDir, "embeddings"))
+    val emb = Tables(spark, sfDir, "embeddings")
+    pqAssign(emb, centroids(emb))
       .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         round(col("e0") + col("e1") + col("e2") + col("e3"), 4)
           .as("recon_err"))
@@ -655,7 +659,7 @@ object VectorOps {
           round(expr(s"vec_dist2(slice(qe, $off, $pqSub), " +
             s"slice(ce, $off, $pqSub))"), 4).as(s"q$m"))
     }
-    val codes = pqAssign(emb).filter(col("vec_id") =!= 0)
+    val codes = pqAssign(emb, cents).filter(col("vec_id") =!= 0)
     (0 until pqM).foldLeft(codes)((df, m) =>
       df.join(broadcast(lut(m)), Seq(s"c$m")))
       .select(col("vec_id"),
@@ -696,6 +700,103 @@ object VectorOps {
        |  JOIN l2 ON l2.c_id = a2.c_id
        |  JOIN l3 ON l3.c_id = a3.c_id
        |WHERE a0.vec_id <> 0
+       |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** IVF-PQ: the two tiers composed exactly as production ANN systems
+    * ship them (FAISS's IVFPQ index) — the coarse quantizer prunes
+    * WHICH vectors to score (nprobe=2 cells), PQ's lookup table scores
+    * those candidates in the compressed domain (ADC, no raw vectors).
+    * At 100 TB: the postings are cell-partitioned CODES (4 bytes each),
+    * the probe reads nprobe partitions, and the scan's only per-row
+    * work is 4 table lookups + 3 adds.
+    */
+  def ivfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = centroids(emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    // coarse tier: the query's nprobe=2 nearest cells (same rule as
+    // topkIvf), then the members of those cells
+    val byQd = Window.orderBy(col("d2"), col("c_id"))
+    val probedCells = cents.crossJoin(broadcast(q))
+      .select(col("c_id"), round(dist2("ce", "qe"), 4).as("d2"))
+      .withColumn("rk", row_number().over(byQd))
+      .filter(col("rk") <= 2)
+      .select(col("c_id").as("cell"))
+    val members = emb.join(assignedCells(emb)
+        .withColumnRenamed("c_id", "cell"), Seq("vec_id"))
+      .join(broadcast(probedCells), Seq("cell"))
+      .filter(col("vec_id") =!= 0)
+    // fine tier: ADC over the candidates' PQ codes
+    val lut = (0 until pqM).map { m =>
+      val off = m * pqSub + 1
+      cents.crossJoin(broadcast(q))
+        .select((col("c_id") - 1).cast("int").as(s"c$m"),
+          round(expr(s"vec_dist2(slice(qe, $off, $pqSub), " +
+            s"slice(ce, $off, $pqSub))"), 4).as(s"q$m"))
+    }
+    val codes = pqAssign(members, cents)
+    (0 until pqM).foldLeft(codes)((df, m) =>
+      df.join(broadcast(lut(m)), Seq(s"c$m")))
+      .select(col("vec_id"),
+        round(col("q0") + col("q1") + col("q2") + col("q3"), 4)
+          .as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(10)
+  }
+
+  val ivfPqTopkSql: String = {
+    val subD2 = (m: Int, a: String, b: String) =>
+      s"""round(list_sum(list_transform(generate_series(1, $pqSub),
+         |  i -> ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE)
+         |     * ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE))), 4)"""
+        .stripMargin
+    val perM = (0 until pqM).map { m =>
+      s"""a$m AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${subD2(m, "e.embedding", "c.ce")}, c.c_id) AS rk
+         |    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, c)
+         |  WHERE rk = 1),
+         |l$m AS (
+         |  SELECT c.c_id, ${subD2(m, "q.qe", "c.ce")} AS qd
+         |  FROM c, q)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckDist2("e.embedding", "c.ce")}, 4), c.c_id)
+       |      AS rk
+       |  FROM embeddings e, c),
+       |cells AS (SELECT vec_id, c_id FROM asg WHERE rk = 1),
+       |probed AS (
+       |  SELECT c_id FROM (
+       |    SELECT c.c_id,
+       |      row_number() OVER (
+       |        ORDER BY round(${duckDist2("c.ce", "q.qe")}, 4), c.c_id)
+       |        AS rk
+       |    FROM c, q)
+       |  WHERE rk <= 2),
+       |cand AS (
+       |  SELECT cells.vec_id FROM cells
+       |  JOIN probed ON cells.c_id = probed.c_id
+       |  WHERE cells.vec_id <> 0),
+       |$perM
+       |SELECT a0.vec_id,
+       |  round(l0.qd + l1.qd + l2.qd + l3.qd, 4) AS adc_d2
+       |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+       |  JOIN a3 USING (vec_id)
+       |  JOIN l0 ON l0.c_id = a0.c_id
+       |  JOIN l1 ON l1.c_id = a1.c_id
+       |  JOIN l2 ON l2.c_id = a2.c_id
+       |  JOIN l3 ON l3.c_id = a3.c_id
        |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
   }
 
@@ -1020,7 +1121,8 @@ object VectorOps {
     "ann_ivf_recall" -> ivfRecall,
     "ann_ivf_recall_trained" -> ivfRecallTrained,
     "ann_pq_codes" -> pqCodes,
-    "ann_pq_adc" -> pqAdcTopk)
+    "ann_pq_adc" -> pqAdcTopk,
+    "ann_ivfpq_topk" -> ivfPqTopk)
 
   def oracleSql: Map[String, String] = Map(
     "docs_hybrid_search" -> hybridSearchSql,
@@ -1036,5 +1138,6 @@ object VectorOps {
     "ann_ivf_recall" -> ivfRecallSql,
     "ann_ivf_recall_trained" -> ivfRecallTrainedSql,
     "ann_pq_codes" -> pqCodesSql,
-    "ann_pq_adc" -> pqAdcTopkSql)
+    "ann_pq_adc" -> pqAdcTopkSql,
+    "ann_ivfpq_topk" -> ivfPqTopkSql)
 }

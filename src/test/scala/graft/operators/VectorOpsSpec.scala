@@ -71,6 +71,19 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(adc.size == 10)
     assert((adc & brute).size >= 3,
       s"ADC top-10 overlaps brute top-10 only ${(adc & brute).size}")
+    // the composed IVF-PQ results are a SUBSET of full-corpus ADC
+    // semantics: every returned id carries the same ADC score the
+    // uncomposed query assigns it (cell pruning changes the candidate
+    // set, never a survivor's score)
+    val adcScores = VectorOps.pqAdcTopk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivfpq = VectorOps.ivfPqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivfpq.length == 10)
+    ivfpq.foreach { case (id, d) =>
+      adcScores.get(id).foreach(expected =>
+        assert(expected == d, s"score drift for $id: $d vs $expected"))
+    }
   }
 
   test("semdedup: removals point at a smaller same-cluster keeper") {
