@@ -105,6 +105,39 @@ object AnnIndex {
     * they are their own commit marker — a torn (crashed) update
     * committed nothing and re-runs cleanly.
     */
+  /** PQ geometry: 4 subspaces over the store's centroid slices. */
+  private val PqM = 4
+
+  private def subLen(spark: SparkSession, dir: String): Int = {
+    val d = spark.read.parquet(s"$dir/centroids")
+      .select(size(col("ce"))).limit(1).collect()(0).getInt(0)
+    require(d % PqM == 0, s"embedding dim $d not divisible by $PqM")
+    d / PqM
+  }
+
+  /** Per-subspace code assignment of `emb` against the store centroids'
+    * matching slices: (vec_id, pq0..pq3). Codes are centroid ids — the
+    * codebook is the stored (possibly Lloyd-trained) centroid table, so
+    * serving and indexing can never disagree about it.
+    */
+  private def pqCodesOf(emb: DataFrame, cents: DataFrame,
+      sub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    (0 until PqM).map { m =>
+      val off = m * sub + 1
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"),
+          round(expr(s"vec_dist2(slice(embedding, $off, $sub), " +
+            s"slice(ce, $off, $sub))"), 4).as("d2"))
+        .withColumn("rk", row_number().over(byDist))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("c_id").as(s"pq$m"))
+    }.reduce((a, b) => a.join(b, Seq("vec_id")))
+  }
+
   def update(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
@@ -121,12 +154,20 @@ object AnnIndex {
     val cents = spark.read.parquet(s"$dir/centroids")
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
-    incoming.select(col("vec_id"), col("label"), col("embedding"))
+    val assigned = incoming
+      .select(col("vec_id"), col("label"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("d2", round(dist2("embedding", "ce"), 4))
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
+    // PQ codes ride along in the same postings write (one commit): the
+    // compressed-domain serving columns for searchAdc — 4 small ids a
+    // 100 TB deployment can scan where raw vectors don't fit in memory
+    assigned
+      .join(pqCodesOf(incoming, cents, subLen(spark, dir)), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("pq0"), col("pq1"), col("pq2"), col("pq3"), col("c_id"))
       .write.mode("append").partitionBy("c_id").parquet(postingsPath)
   }
 
@@ -156,6 +197,49 @@ object AnnIndex {
             sqrt(expr("vec_dot(qe, qe)"))), 4))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ serving from the store: top-k by ASYMMETRIC DISTANCE over
+    * the nprobe nearest cells' stored PQ codes — the scan never touches
+    * the `embedding` column (column pruning drops it), its per-row
+    * work is 4 broadcast-table lookups + 3 adds, and the cell filter
+    * still prunes store partitions. The approximation IVF-PQ systems
+    * serve with; [[search]] (exact cosine over the probed cells) is
+    * the re-ranking tier above it.
+    */
+  def searchAdc(spark: SparkSession, dir: String, query: Seq[Float],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    vecFns(spark)
+    val q = typedLit(query)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val sub = subLen(spark, dir)
+    require(query.length == sub * PqM,
+      s"query dim ${query.length} != store dim ${sub * PqM}")
+    val probed = cents
+      .withColumn("qe", q)
+      .withColumn("d2", round(dist2("ce", "qe"), 4))
+      .orderBy(col("d2"), col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+    // M×K lookup table: query slice → every centroid slice, broadcast
+    val lut = (0 until PqM).map { m =>
+      val off = m * sub + 1
+      cents.withColumn("qe", q)
+        .select(col("c_id").as(s"pq$m"),
+          round(expr(s"vec_dist2(slice(qe, $off, $sub), " +
+            s"slice(ce, $off, $sub))"), 4).as(s"qd$m"))
+    }
+    val base = spark.read.parquet(s"$dir/postings")
+      .filter(col("c_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("label"),
+        col("pq0"), col("pq1"), col("pq2"), col("pq3"))
+    (0 until PqM).foldLeft(base)((df, m) =>
+      df.join(broadcast(lut(m)), Seq(s"pq$m")))
+      .select(col("vec_id"), col("label"),
+        round(col("qd0") + col("qd1") + col("qd2") + col("qd3"), 4)
+          .as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
       .limit(k)
   }
 

@@ -102,6 +102,27 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(ids.distinct == ids, s"duplicate vec_ids in top-k: $ids")
   }
 
+  test("ADC serving: pruned code scan; cell pruning never drifts a score") {
+    val dir = Files.createTempDirectory("annadc").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") =!= 0))
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val all = AnnIndex.searchAdc(spark, dir, q, k = 1000, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pruned = AnnIndex.searchAdc(spark, dir, q, k = 10, nprobe = 2)
+    pruned.collect().foreach { r =>
+      // a probed-cell survivor must carry exactly its all-cells ADC
+      // score — pruning selects candidates, it never rescores them
+      assert(all(r.getLong(0)) == r.getDouble(2), r.toString)
+    }
+    // the scan is partition-pruned AND column-pruned: no embedding
+    // column is read in the compressed-domain serve
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c_id"), plan)
+    assert(!plan.contains("embedding"), plan)
+  }
+
   test("batch search with all cells matches per-query single search") {
     val dir = Files.createTempDirectory("annidx3").toString
     val emb = graft.Tables(spark, sf, "embeddings")
