@@ -80,6 +80,15 @@ object AnnIndex {
   def build(spark: SparkSession, dir: String, emb: DataFrame,
       lloydRounds: Int = 3): Unit = {
     vecFns(spark)
+    // fail fast on re-building over live postings: overwriting the
+    // centroids while update()'s membership anti-join skips every
+    // already-indexed id would leave the postings partitioned under
+    // the OLD assignment — searches would probe new cells against
+    // stale layout and silently return wrong neighbors. Rebuild =
+    // build into a fresh dir (or delete this store first).
+    require(!StoreUtil.exists(spark, s"$dir/postings"),
+      s"build: $dir already has postings — a re-build cannot re-cell " +
+        "them (updates skip indexed ids); build into a fresh dir")
     var cents = emb.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     // fail fast on a corpus without the seed ids — an empty/partial
@@ -108,54 +117,50 @@ object AnnIndex {
   /** PQ geometry: 4 subspaces over the store's centroid slices. */
   private val PqM = 4
 
-  private def subLen(spark: SparkSession, dir: String): Int = {
-    val d = spark.read.parquet(s"$dir/centroids")
-      .select(size(col("ce"))).limit(1).collect()(0).getInt(0)
+  private def subLenOf(cents: DataFrame): Int = {
+    val d = cents.select(size(col("ce"))).limit(1).collect()(0).getInt(0)
     require(d % PqM == 0, s"embedding dim $d not divisible by $PqM")
     d / PqM
   }
 
   /** Per-subspace code assignment of `emb` against the store centroids'
-    * matching slices: (vec_id, pq0..pq3). Codes are centroid ids — the
-    * codebook is the stored (possibly Lloyd-trained) centroid table, so
-    * serving and indexing can never disagree about it.
+    * matching slices — the shared [[Pq.subAssign]] argmin, codes =
+    * centroid ids: the codebook is the stored (possibly Lloyd-trained)
+    * centroid table, so serving and indexing can never disagree.
     */
   private def pqCodesOf(emb: DataFrame, cents: DataFrame,
-      sub: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(col("d2"), col("c_id"))
+      sub: Int): DataFrame =
     (0 until PqM).map { m =>
-      val off = m * sub + 1
-      emb.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_id"),
-          round(expr(s"vec_dist2(slice(embedding, $off, $sub), " +
-            s"slice(ce, $off, $sub))"), 4).as("d2"))
-        .withColumn("rk", row_number().over(byDist))
-        .filter(col("rk") === 1)
+      Pq.subAssign(emb, cents, m, sub)
         .select(col("vec_id"), col("c_id").as(s"pq$m"))
     }.reduce((a, b) => a.join(b, Seq("vec_id")))
-  }
 
   def update(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
     val postingsPath = s"$dir/postings"
-    val hasPostings = {
-      val p = new org.apache.hadoop.fs.Path(postingsPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val hasPostings = StoreUtil.exists(spark, postingsPath)
+    if (hasPostings)
+      // fail fast on a store written before postings carried PQ codes:
+      // appending mixed schemas would make searchAdc silently drop (or
+      // crash on) every pre-upgrade row depending on footer pick order
+      require(spark.read.parquet(postingsPath).columns.contains("pq0"),
+        "update: postings lack PQ code columns (store predates the " +
+          "IVF-PQ layout) — rebuild the store with build()")
+    // materialize the batch ONCE: it feeds the cell assignment AND the
+    // four PQ subspace passes — without the checkpoint the anti-join
+    // plan (and its postings scan) would re-execute five times
     val incoming =
-      if (hasPostings)
-        emb.join(spark.read.parquet(postingsPath).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else emb
+      (if (hasPostings)
+         emb.join(spark.read.parquet(postingsPath).select("vec_id"),
+           Seq("vec_id"), "left_anti")
+       else emb)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .localCheckpoint(true)
     val cents = spark.read.parquet(s"$dir/centroids")
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
     val assigned = incoming
-      .select(col("vec_id"), col("label"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("d2", round(dist2("embedding", "ce"), 4))
       .withColumn("rk", row_number().over(byDist))
@@ -165,7 +170,7 @@ object AnnIndex {
     // compressed-domain serving columns for searchAdc — 4 small ids a
     // 100 TB deployment can scan where raw vectors don't fit in memory
     assigned
-      .join(pqCodesOf(incoming, cents, subLen(spark, dir)), Seq("vec_id"))
+      .join(pqCodesOf(incoming, cents, subLenOf(cents)), Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("pq0"), col("pq1"), col("pq2"), col("pq3"), col("c_id"))
       .write.mode("append").partitionBy("c_id").parquet(postingsPath)
@@ -213,7 +218,7 @@ object AnnIndex {
     vecFns(spark)
     val q = typedLit(query)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val sub = subLen(spark, dir)
+    val sub = subLenOf(cents)
     require(query.length == sub * PqM,
       s"query dim ${query.length} != store dim ${sub * PqM}")
     val probed = cents

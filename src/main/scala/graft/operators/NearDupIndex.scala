@@ -39,10 +39,8 @@ import org.apache.spark.sql.functions._
   */
 object NearDupIndex {
 
-  private def hExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def hExists(spark: SparkSession, path: String): Boolean =
+    StoreUtil.exists(spark, path)
 
   /** Read-only serving call: which documents of `docs` near-duplicate
     * something ALREADY IN the store (or each other)? Same probe plan as

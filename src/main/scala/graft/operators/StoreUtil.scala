@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared store plumbing for the durable index trio
+  * ([[TermIndex]]/[[NearDupIndex]]/[[AnnIndex]]): one definition of
+  * "does this store path exist" through Spark's Hadoop FS layer — an
+  * hdfs:// or s3a:// store must not silently read as absent, and the
+  * check must not live as three slightly different inline blocks.
+  */
+private[operators] object StoreUtil {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** ONE definition of the deterministic per-subspace PQ assignment,
+  * shared by the batch queries ([[VectorOps]] `ann_pq_*`) and the
+  * durable store ([[AnnIndex]] code columns + `searchAdc`) — the two
+  * must never disagree about codebook geometry or tie rules. The
+  * argmin centroid of `emb`'s m-th slice against each centroid's m-th
+  * slice, d2 rounded to 4dp BEFORE the argmin (cell membership must
+  * not hinge on the last ulp), ties to the lower c_id.
+  */
+private[operators] object Pq {
+  def subAssign(emb: DataFrame, cents: DataFrame, m: Int,
+      sub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val off = m * sub + 1
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("c_id"))
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        round(expr(s"vec_dist2(slice(embedding, $off, $sub), " +
+          s"slice(ce, $off, $sub))"), 4).as("d2"))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+      .select("vec_id", "c_id", "d2")
+  }
+}

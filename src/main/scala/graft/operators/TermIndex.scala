@@ -52,10 +52,8 @@ object TermIndex {
     (c.getValue % NBuckets).toInt
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    StoreUtil.exists(spark, path)
 
   /** Index a batch of (doc_id, text). Already-indexed doc_ids are
     * skipped (anti-join on the doclen membership list), so re-running a

@@ -572,24 +572,15 @@ object VectorOps {
     * never derived from a filtered candidate frame (a candidate set
     * that lacks some seed ids would silently shrink the codebook).
     */
-  private def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(col("d2"), col("c_id"))
+  private def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame =
     (0 until pqM).map { m =>
-      val off = m * pqSub + 1
-      emb.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_id"),
-          round(expr(s"vec_dist2(slice(embedding, $off, $pqSub), " +
-            s"slice(ce, $off, $pqSub))"), 4).as("d2"))
-        .withColumn("rk", row_number().over(byDist))
-        .filter(col("rk") === 1)
+      // the shared Pq.subAssign argmin (one definition with AnnIndex's
+      // stored codes); this query dialect 0-bases the code ids
+      Pq.subAssign(emb, cents, m, pqSub)
         .select(col("vec_id"),
           (col("c_id") - 1).cast("int").as(s"c$m"),
           col("d2").as(s"e$m"))
     }.reduce((a, b) => a.join(b, Seq("vec_id")))
-  }
 
   /** PQ code book assignment for the whole corpus: (vec_id, c0..c3,
     * recon_err). recon_err = the summed per-subspace quantization

@@ -248,13 +248,18 @@ final class ParquetIndex(root: String, keep: Int = 2,
   private def zorderShaped(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val withDims = df
+    // materialize ONCE: the bounds agg below is a full action on the
+    // upstream plan, and the parquet write re-executes it — for a
+    // pipeline snapshot that plan is the filesystem walk + merge, which
+    // must not run twice (nor observe two different tree states)
+    val snap = df.localCheckpoint(true)
+    val withDims = snap
       .withColumn("__za", expr(zorderExprs(0)).cast("long"))
       .withColumn("__zb", expr(zorderExprs(1)).cast("long"))
     val b = withDims.agg(
       min("__za"), max("__za"), min("__zb"), max("__zb")).collect()(0)
     if (b.isNullAt(0) || b.isNullAt(2))
-      return if (writeFiles > 0) df.coalesce(writeFiles) else df
+      return if (writeFiles > 0) snap.coalesce(writeFiles) else snap
     val z = ZOrderLayout.zValue(col("__za"), col("__zb"),
       b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val zz = withDims.withColumn("__z", z)
@@ -295,6 +300,11 @@ final class ParquetIndex(root: String, keep: Int = 2,
     require(spans.size == 2, "readPruned: need one span per dimension")
     import org.apache.spark.sql.functions._
     currentId.map { cid =>
+      // same discipline as reconcile(): the manifest prunes the BASE
+      // only — serving it with a pending MOR log would silently miss
+      // every logged upsert and resurrect logged deletes. Fold first.
+      require(morEntries(cid).isEmpty,
+        "readPruned: pending MOR log — checkpointMor() before pruned reads")
       val dir = s"$root/snap-$cid"
       val survivors = spark.read.parquet(s"$dir/_manifest")
         .filter(

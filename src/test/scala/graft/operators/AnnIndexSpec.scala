@@ -102,6 +102,19 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(ids.distinct == ids, s"duplicate vec_ids in top-k: $ids")
   }
 
+  test("re-building over live postings fails fast (stale cell layout)") {
+    val dir = Files.createTempDirectory("annrebuild").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb)
+    // a second build would overwrite the centroids while the update
+    // anti-join skips every indexed id — postings would stay celled
+    // under the OLD quantizer; the store must refuse, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.build(spark, dir, emb)
+    }
+    assert(e.getMessage.contains("already has postings"), e.getMessage)
+  }
+
   test("ADC serving: pruned code scan; cell pruning never drifts a score") {
     val dir = Files.createTempDirectory("annadc").toString
     val emb = graft.Tables(spark, sf, "embeddings")
