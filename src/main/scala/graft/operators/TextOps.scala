@@ -1307,6 +1307,101 @@ object TextOps {
        |FROM h GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY gram_hash""".stripMargin
 
+  /** Exact-substring SCRUB at span granularity — the removal step the
+    * detection query [[dupSpans]] feeds (C4's "drop duplicated spans,
+    * keep one" / RefinedWeb's exact-substring dedup, reshaped for
+    * determinism): every occurrence of a cross-document duplicated
+    * 8-token span is scrubbed EXCEPT the corpus-wide first one (min
+    * (doc_id, start) — a total order, so the kept copy is
+    * engine-independent), and each document reports how many of its
+    * tokens survived plus a hash of the scrubbed text (position-ordered
+    * join, so the hash pins the exact surviving token sequence, not
+    * just a count).
+    *
+    * Scale shape: one gram-hash shuffle for the duplicate set + winner
+    * (map-side combinable), one explode of ONLY the scrubbed
+    * occurrences into covered positions (∝ duplicated volume, not the
+    * corpus), one anti-join per token — no all-pairs anything.
+    */
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val occ = docs
+      .select(col("doc_id"), posexplode(expr(spans)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"),
+        sha2(col("gram"), 256).as("gram_hash"))
+    val byGram = occ.groupBy("gram_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        min(struct(col("doc_id"), col("start"))).as("keep"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram_hash"), col("keep.doc_id").as("k_doc"),
+        col("keep.start").as("k_start"))
+    val scrubbed = occ.join(byGram, Seq("gram_hash"))
+      .filter(col("doc_id") =!= col("k_doc") ||
+        col("start") =!= col("k_start"))
+    val covered = scrubbed
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${spanToks - 1})"))
+          .as("tpos"))
+      .distinct()
+    val tokens = docs
+      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
+    val kept = tokens.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sha2(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(tpos, tok))), x -> x.tok), ' ')"), 256)
+          .as("kept_hash"))
+    docs.select(col("doc_id"), expr(s"size($toks)").cast("long")
+        .as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_scrubbed"),
+        coalesce(col("kept_hash"),
+          sha2(lit(""), 256)).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  val spanScrubSql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+       |    sha256(array_to_string($duckToks[u.i:u.i+${spanToks - 1}], ' '))
+       |      AS gram_hash
+       |  FROM documents, LATERAL unnest(
+       |    generate_series(1, len($duckToks) - ${spanToks - 1})) AS u(i)),
+       |dup AS (
+       |  SELECT gram_hash FROM occ GROUP BY gram_hash
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |scrub AS (
+       |  SELECT doc_id, start FROM (
+       |    SELECT o.doc_id, o.start,
+       |      row_number() OVER (PARTITION BY o.gram_hash
+       |        ORDER BY o.doc_id, o.start) AS rk
+       |    FROM occ o JOIN dup USING (gram_hash))
+       |  WHERE rk > 1),
+       |covered AS (
+       |  SELECT DISTINCT s.doc_id, CAST(c.tpos AS BIGINT) AS tpos
+       |  FROM scrub s, LATERAL unnest(
+       |    generate_series(s.start, s.start + ${spanToks - 1})) AS c(tpos)),
+       |toks AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, $duckToks[u.i] AS tok
+       |  FROM documents, LATERAL unnest(
+       |    generate_series(1, len($duckToks))) AS u(i)),
+       |kept AS (
+       |  SELECT t.doc_id, count(*) AS n_kept,
+       |    sha256(string_agg(t.tok, ' ' ORDER BY t.tpos)) AS kept_hash
+       |  FROM toks t LEFT JOIN covered c
+       |    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+       |  CAST(len($duckToks) - COALESCE(k.n_kept, 0) AS BIGINT)
+       |    AS n_scrubbed,
+       |  COALESCE(k.kept_hash, sha256('')) AS kept_hash
+       |FROM documents d LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------- //
   // N-gram LM familiarity (the CCNet-style LM quality filter,            //
   // arXiv:1911.00359, reshaped for cross-engine determinism): train      //
@@ -1777,6 +1872,7 @@ object TextOps {
     "docs_source_mixing" -> sourceMixing,
     "docs_temperature_mix" -> temperatureMix,
     "docs_dup_spans" -> dupSpans,
+    "docs_span_scrub" -> spanScrub,
     "docs_lm_familiarity" -> lmFamiliarity,
     "docs_minhash_recall" -> minhashRecall,
     "docs_curation_pipeline" -> curationPipeline)
@@ -1815,6 +1911,7 @@ object TextOps {
     "docs_source_mixing" -> sourceMixingSql,
     "docs_temperature_mix" -> temperatureMixSql,
     "docs_dup_spans" -> dupSpansSql,
+    "docs_span_scrub" -> spanScrubSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
     "docs_minhash_recall" -> minhashRecallSql,
     "docs_curation_pipeline" -> curationPipelineSql)

@@ -102,6 +102,42 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(ids.distinct == ids, s"duplicate vec_ids in top-k: $ids")
   }
 
+  test("an embedding STREAM drained through foreachBatch builds the store") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("annstream").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    // seeds must be in the store before the stream appends: build()
+    // trains and writes the centroids from the first (non-query) slice
+    AnnIndex.build(spark, dir,
+      emb.filter(col("vec_id").between(1, 8)))
+    val rows = emb.filter(col("vec_id") > 8)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Array[Float])]
+    val q = ms.toDF().toDF("vec_id", "label", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.update(spark, dir, batch)
+        (): Unit
+      }
+      .start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      ms.addData(h1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(h2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the stream-built store serves the same neighbors as a batch-built
+    // one (vec 0 excluded from both — it was never streamed)
+    val ref = Files.createTempDirectory("annstream2").toString
+    AnnIndex.build(spark, ref, emb.filter(col("vec_id") =!= 0))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    def top(d: String) = AnnIndex.search(spark, d, qv, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(top(dir) == top(ref))
+  }
+
   test("re-building over live postings fails fast (stale cell layout)") {
     val dir = Files.createTempDirectory("annrebuild").toString
     val emb = graft.Tables(spark, sf, "embeddings")

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.{col, sha2}
+import org.apache.spark.sql.functions.{col, expr, sha2}
 
 import graft.SparkSpecBase
 
@@ -89,6 +89,40 @@ class TextOpsSpec extends SparkSpecBase {
     val touched = rows.filter { case (id, _) => id % 7 == 0 }
     assert(touched.nonEmpty &&
       touched.forall { case (id, (_, _, h)) => h != clean(id) })
+  }
+
+  test("span scrub keeps exactly one copy of a duplicated span") {
+    val rows = TextOps.spanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(rows.size == graft.Tables(spark, sf, "documents").count())
+    rows.foreach { case (id, (n, s, h)) =>
+      assert(s >= 0 && s <= n, s"doc $id scrubbed $s of $n")
+      assert(h.length == 64)
+    }
+    // the corpus HAS cross-doc duplicated spans (docs_dup_spans is
+    // non-empty), so something must have been scrubbed somewhere —
+    // and an untouched doc's kept_hash equals the hash of its own
+    // token join (the scrub is the identity off the duplicated spans)
+    assert(rows.values.exists(_._2 > 0), "nothing scrubbed")
+    val cleanHash = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        sha2(expr("array_join(split(text, ' '), ' ')"), 256).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = rows.filter { case (_, (_, s, _)) => s == 0 }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, (_, _, h)) =>
+      assert(h == cleanHash(id), s"doc $id changed despite 0 scrubbed")
+    }
+    // keep-one semantics: for every duplicated span, at least one
+    // occurrence survived — the total scrubbed volume is strictly
+    // less than the total duplicated-occurrence volume
+    val dupOcc = TextOps.dupSpans(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_occ")).collect()(0)
+      .getLong(0)
+    val totalScrubbed = rows.values.map(_._2).sum
+    assert(totalScrubbed < dupOcc * 8,
+      s"scrubbed $totalScrubbed >= all duplicated volume ${dupOcc * 8}")
   }
 
   test("repetition fractions are in [0,1] and flag threshold crossings") {
