@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
 object StoreProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.StoreProbe <term|ann|neardup|zorder|mor> [sfDir] " +
-        "[batches] [replicate]")
+      "usage: graft.StoreProbe <term|ann|annadc|neardup|zorder|mor> " +
+        "[sfDir] [batches] [replicate]")
     val kind = args(0)
     val sfDir =
       if (args.length > 1) args(1)
@@ -76,6 +76,24 @@ object StoreProbe {
         }
         (b, () => operators.AnnIndex
           .search(spark, dir, q, k = 10, nprobe = 2).count())
+      case "annadc" =>
+        // same store, compressed-domain serving: the ADC path reads
+        // only the probed cells' PQ code columns (never the vectors)
+        val emb = Tables(spark, sfDir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0)
+        val (b, _) = time {
+          operators.AnnIndex.build(spark, dir, emb.filter(
+            col("vec_id").between(1, 8) ||
+              pmod(col("vec_id"), lit(batches)) === 0))
+          (1 until batches).foreach { i =>
+            operators.AnnIndex.update(spark, dir, emb.filter(
+              !col("vec_id").between(1, 8) &&
+                pmod(col("vec_id"), lit(batches)) === i))
+          }
+        }
+        (b, () => operators.AnnIndex
+          .searchAdc(spark, dir, q, k = 10, nprobe = 2).count())
       case "neardup" =>
         val docs = Tables(spark, sfDir, "documents")
           .select("doc_id", "text")

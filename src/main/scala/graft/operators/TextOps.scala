@@ -1838,8 +1838,39 @@ object TextOps {
       |  FROM documents)
       |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
+  /** Deterministic per-group reservoir sample — balanced per-(source,
+    * lang) subsets without a random number generator: rank every doc
+    * inside its group by a seeded CONTENT-HASH (uniform, so the top-k
+    * by hash IS a uniform k-sample, the standard hash-reservoir trick)
+    * and keep k=5, on the NATIVE GroupTopK operator — bounded map-side
+    * heaps, no per-group window shuffle, and the same sample no matter
+    * how the corpus is partitioned, re-sharded or re-run. Changing the
+    * seed string draws a fresh sample.
+    */
+  def groupSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        sha2(concat(lit("sample7:"), col("doc_id").cast("string")), 256)
+          .as("draw"))
+    graft.plans.GroupTopK
+      .topK(keyed, Seq("source", "lang"),
+        Seq(("draw", false), ("doc_id", false)), k = 5)
+      .select("source", "lang", "doc_id", "rk")
+      .orderBy("source", "lang", "rk")
+  }
+
+  val groupSampleSql: String =
+    """SELECT source, lang, doc_id, rk FROM (
+      |  SELECT source, lang, doc_id,
+      |    row_number() OVER (PARTITION BY source, lang
+      |      ORDER BY sha256('sample7:' || CAST(doc_id AS VARCHAR)),
+      |        doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 5 ORDER BY source, lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_domain_cap" -> domainCap,
+    "docs_group_sample" -> groupSample,
     "docs_blocklist_filter" -> blocklistFilter,
     "docs_train_order" -> trainOrder,
     "docs_phrase_search" -> phraseSearch,
@@ -1879,6 +1910,7 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "docs_domain_cap" -> domainCapSql,
+    "docs_group_sample" -> groupSampleSql,
     "docs_blocklist_filter" -> blocklistFilterSql,
     "docs_train_order" -> trainOrderSql,
     "docs_phrase_search" -> phraseSearchSql,
