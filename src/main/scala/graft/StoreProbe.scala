@@ -60,7 +60,12 @@ object StoreProbe {
         })
         (b, () => operators.TermIndex
           .search(spark, dir, operators.TextOps.bmTerms, k = 20).count())
-      case "ann" =>
+      case "ann" | "annadc" =>
+        // ONE build recipe for both serving probes — "annadc" times the
+        // compressed-domain path (probed cells' PQ code columns only,
+        // never the vectors) against the SAME store shape "ann" serves
+        // exact cosine from; a drifted recipe would invalidate the
+        // PERF.md ADC-vs-exact comparison
         val emb = Tables(spark, sfDir, "embeddings")
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0)
@@ -74,26 +79,14 @@ object StoreProbe {
                 pmod(col("vec_id"), lit(batches)) === i))
           }
         }
-        (b, () => operators.AnnIndex
-          .search(spark, dir, q, k = 10, nprobe = 2).count())
-      case "annadc" =>
-        // same store, compressed-domain serving: the ADC path reads
-        // only the probed cells' PQ code columns (never the vectors)
-        val emb = Tables(spark, sfDir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .select("embedding").collect()(0).getSeq[Float](0)
-        val (b, _) = time {
-          operators.AnnIndex.build(spark, dir, emb.filter(
-            col("vec_id").between(1, 8) ||
-              pmod(col("vec_id"), lit(batches)) === 0))
-          (1 until batches).foreach { i =>
-            operators.AnnIndex.update(spark, dir, emb.filter(
-              !col("vec_id").between(1, 8) &&
-                pmod(col("vec_id"), lit(batches)) === i))
-          }
-        }
-        (b, () => operators.AnnIndex
-          .searchAdc(spark, dir, q, k = 10, nprobe = 2).count())
+        val serve: () => Long =
+          if (kind == "ann")
+            () => operators.AnnIndex
+              .search(spark, dir, q, k = 10, nprobe = 2).count()
+          else
+            () => operators.AnnIndex
+              .searchAdc(spark, dir, q, k = 10, nprobe = 2).count()
+        (b, serve)
       case "neardup" =>
         val docs = Tables(spark, sfDir, "documents")
           .select("doc_id", "text")

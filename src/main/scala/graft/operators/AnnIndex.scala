@@ -139,22 +139,28 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
     val postingsPath = s"$dir/postings"
-    val hasPostings = StoreUtil.exists(spark, postingsPath)
-    if (hasPostings)
+    // ONE postings relation for both the schema guard and the
+    // anti-join — two separate reads would pay partition discovery
+    // and footer inference twice per incremental batch
+    val postings =
+      if (StoreUtil.exists(spark, postingsPath))
+        Some(spark.read.parquet(postingsPath))
+      else None
+    postings.foreach { p =>
       // fail fast on a store written before postings carried PQ codes:
       // appending mixed schemas would make searchAdc silently drop (or
       // crash on) every pre-upgrade row depending on footer pick order
-      require(spark.read.parquet(postingsPath).columns.contains("pq0"),
+      require(p.columns.contains("pq0"),
         "update: postings lack PQ code columns (store predates the " +
           "IVF-PQ layout) — rebuild the store with build()")
+    }
     // materialize the batch ONCE: it feeds the cell assignment AND the
     // four PQ subspace passes — without the checkpoint the anti-join
     // plan (and its postings scan) would re-execute five times
     val incoming =
-      (if (hasPostings)
-         emb.join(spark.read.parquet(postingsPath).select("vec_id"),
-           Seq("vec_id"), "left_anti")
-       else emb)
+      postings.map(p =>
+        emb.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+        .getOrElse(emb)
         .select(col("vec_id"), col("label"), col("embedding"))
         .localCheckpoint(true)
     val cents = spark.read.parquet(s"$dir/centroids")

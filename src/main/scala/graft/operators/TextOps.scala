@@ -1840,12 +1840,15 @@ object TextOps {
 
   /** Deterministic per-group reservoir sample — balanced per-(source,
     * lang) subsets without a random number generator: rank every doc
-    * inside its group by a seeded CONTENT-HASH (uniform, so the top-k
-    * by hash IS a uniform k-sample, the standard hash-reservoir trick)
-    * and keep k=5, on the NATIVE GroupTopK operator — bounded map-side
-    * heaps, no per-group window shuffle, and the same sample no matter
-    * how the corpus is partitioned, re-sharded or re-run. Changing the
-    * seed string draws a fresh sample.
+    * inside its group by a seeded ID-HASH (uniform over ids, so the
+    * top-k by hash IS a uniform k-sample, the standard hash-reservoir
+    * trick; hashing the ID keeps byte-identical duplicate documents
+    * independently sampleable — hash the content instead if the draw
+    * should follow the bytes) and keep k=5, on the NATIVE GroupTopK
+    * operator — bounded map-side heaps, no per-group window shuffle,
+    * and the same sample no matter how the corpus is partitioned,
+    * re-sharded or re-run. Changing the seed string draws a fresh
+    * sample.
     */
   def groupSample(spark: SparkSession, sfDir: String): DataFrame = {
     val keyed = Tables(spark, sfDir, "documents")
