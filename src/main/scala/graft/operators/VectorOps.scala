@@ -1071,11 +1071,16 @@ object VectorOps {
     * serving path would truncate each leg to its top-N and accept the
     * fusion-tail approximation every RRF deployment accepts.
     */
-  def hybridIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+  def hybridIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    // legK covers every positive-score doc / every vector at test
+    // scale — the legs' ranks ARE the global ranks (exact oracle
+    // parity); VectorOpsSpec separately pins that a TRUNCATED leg
+    // (the production serving shape) reproduces the same fusion head
+    hybridIndexedK(spark, sfDir, legK = 100000)
+
+  private[operators] def hybridIndexedK(spark: SparkSession,
+      sfDir: String, legK: Int): DataFrame = {
     withVecFns(spark)
-    // covers every positive-score doc / every vector at test scale —
-    // the legs' ranks ARE the global ranks
-    val legK = 100000
     val tq = {
       import spark.implicits._
       Seq((0L, TextOps.bmTerms)).toDF("q_id", "terms")

@@ -86,6 +86,25 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("hybrid fusion head converges under leg truncation (the scale shape)") {
+    // production serving truncates each index-served leg to top-N and
+    // accepts the fusion-tail approximation. This runs the validation
+    // any deployment should run when picking its N — and documents
+    // BOTH sides of it on this corpus: N=400 reproduces the full
+    // fusion's top-20 exactly, while N=200 measurably does not (a
+    // tail-rank contribution 1/(60+r) still reorders the head when
+    // top-20 is 4% of a 500-doc corpus). The threshold is corpus-
+    // relative; what transfers to 1e9 docs is the convergence check,
+    // not the constant.
+    def fusion(legK: Int) =
+      VectorOps.hybridIndexedK(spark, sf, legK).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val full = fusion(100000)
+    assert(fusion(400) == full, "N=400 should already be converged")
+    assert(fusion(200) != full,
+      "N=200 unexpectedly converged — corpus changed? tighten the doc")
+  }
+
   test("semdedup: removals point at a smaller same-cluster keeper") {
     val rows = VectorOps.semDedup(spark, sf).collect()
     assert(rows.nonEmpty)
