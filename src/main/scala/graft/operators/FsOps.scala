@@ -433,6 +433,67 @@ object FsOps {
       |    AS bytes_total
       |FROM monthly ORDER BY month""".stripMargin)
 
+  /** One z-ordered snapshot store per (session, sfDir) for the pruned
+    * time-window query below — built once from the entries frame with
+    * the pipeline's own layout ([[graft.pipeline.Indexer
+    * .zorderSnapshotExprs]]: path-bucket × mtime Morton key + per-file
+    * manifest), deleted on JVM exit. The same serve-from-a-built-store
+    * discipline as [[TextOps.termIndexFor]].
+    */
+  private val zSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.sinks.ParquetIndex]()
+
+  private def zSnapFor(spark: SparkSession,
+      sfDir: String): graft.sinks.ParquetIndex =
+    zSnapCache.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-zsnap").toFile
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+      val idx = new graft.sinks.ParquetIndex(dir.toString,
+        writeFiles = 16,
+        zorderExprs = graft.pipeline.Indexer.zorderSnapshotExprs)
+      idx.write(SyntheticFs.entries(spark, sfDir)): Unit
+      idx
+    })
+
+  /** Recent-window read SERVED from the z-ordered snapshot with
+    * manifest FILE pruning ([[graft.sinks.ParquetIndex.readPruned]]):
+    * the `fs_removed_last_cleanup` / growth-timeline query shape — all
+    * entries touched in the trailing 30 days — opening only the files
+    * whose (path-bucket, mtime) span overlaps the window instead of
+    * the whole snapshot. Oracle = the plain window filter over the
+    * same entries: pruning must be invisible in the rows (necessary
+    * overlap, exact predicate re-applied) and only visible in the
+    * files opened (ZOrderIndexSpec pins that half).
+    */
+  def windowPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = zSnapFor(spark, sfDir)
+    val hi = SyntheticFs.entries(spark, sfDir)
+      .agg(max(expr("unix_seconds(modified_time)"))).collect()(0)
+      .getLong(0)
+    val lo = hi - 30L * 86400L
+    idx.readPruned(spark, Seq((0L, 63L), (lo, hi))).get
+      .select(col("relative_path"), col("type"), col("size_bytes"),
+        col("modified_time"))
+      .orderBy("relative_path")
+  }
+
+  val windowPrunedSql: String = SyntheticFs.withCtes(
+    """, b AS (SELECT max(CAST(epoch(modified_time) AS BIGINT)) AS hi
+      |        FROM fs_entries)
+      |SELECT relative_path, type, size_bytes, modified_time
+      |FROM fs_entries, b
+      |WHERE CAST(epoch(modified_time) AS BIGINT)
+      |  BETWEEN b.hi - 2592000 AND b.hi
+      |ORDER BY relative_path""".stripMargin)
+
   /** Capacity forecast over the monthly growth series: ordinary least
     * squares of bytes-added vs month ordinal, with the NEXT month's
     * prediction — the "when do we buy disks" query every index operator
@@ -835,6 +896,7 @@ object FsOps {
     "fs_deletions" -> deletions,
     "fs_snapshot_diff" -> snapshotDiff,
     "fs_growth_timeline" -> growthTimeline,
+    "fs_window_pruned" -> windowPruned,
     "fs_growth_forecast" -> growthForecast,
     "fs_deletions_ids" -> deletionsIds,
     "fs_es_docs" -> esDocs,
@@ -863,6 +925,7 @@ object FsOps {
     "fs_deletions" -> deletionsSql,
     "fs_snapshot_diff" -> snapshotDiffSql,
     "fs_growth_timeline" -> growthTimelineSql,
+    "fs_window_pruned" -> windowPrunedSql,
     "fs_growth_forecast" -> growthForecastSql,
     "fs_deletions_ids" -> deletionsIdsSql,
     "fs_es_docs" -> esDocsSql,
