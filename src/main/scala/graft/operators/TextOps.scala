@@ -334,6 +334,44 @@ object TextOps {
     (sh, pairs)
   }
 
+  /** The same pair set served from the DURABLE [[NearDupIndex]] store —
+    * the third store's `docs_bm25_indexed` analogue: the corpus is
+    * indexed incrementally in two halves (doc_id parity — proving
+    * updates compose) and the two updates' reported pairs union to
+    * exactly the batch pass's set, each pair surfacing once in the
+    * update that completes it. Shares `docs_minhash_neardup`'s oracle.
+    * The pair union is materialized once per (session, sfDir) — a
+    * store update is not idempotent in its RETURN value (a re-sent
+    * batch correctly reports nothing), so the cache holds the result,
+    * not just the store.
+    */
+  private val neardupPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def neardupIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = neardupPairsCache.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ndserve").toFile
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+      val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      val store = s"$dir/store"
+      val p1 = NearDupIndex.update(spark, store,
+        docs.filter(col("doc_id") % 2 === 0))
+      val p2 = NearDupIndex.update(spark, store,
+        docs.filter(col("doc_id") % 2 === 1))
+      val out = s"$dir/pairs"
+      p1.unionByName(p2).write.parquet(out)
+      out
+    })
+    spark.read.parquet(path).orderBy("a_id", "b_id")
+  }
+
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     // Materialize eagerly (the pair set is tiny — banded candidates that
     // survived the verify) so the shingle cache can be RELEASED here:
@@ -1889,6 +1927,7 @@ object TextOps {
     "docs_fingerprint" -> fingerprint,
     "docs_rolling_hash" -> rollingHash,
     "docs_minhash_neardup" -> minhashNearDup,
+    "docs_neardup_indexed" -> neardupIndexed,
     "docs_neardup_clusters" -> neardupClusters,
     "docs_neardup_keep_best" -> neardupKeepBest,
     "docs_bpe_merges" -> bpeMerges,
@@ -1929,6 +1968,8 @@ object TextOps {
     "docs_fingerprint" -> fingerprintSql,
     "docs_rolling_hash" -> rollingHashSql,
     "docs_minhash_neardup" -> minhashNearDupSql,
+    // index-served twin must reproduce the batch pair set exactly
+    "docs_neardup_indexed" -> minhashNearDupSql,
     "docs_neardup_clusters" -> neardupClustersSql,
     "docs_neardup_keep_best" -> neardupKeepBestSql,
     "docs_bpe_merges" -> bpeMergesSql,
