@@ -433,7 +433,7 @@ object FsOps {
       |    AS bytes_total
       |FROM monthly ORDER BY month""".stripMargin)
 
-  /** One z-ordered snapshot store per (session, sfDir) for the pruned
+  /** One z-ordered snapshot store per JVM per sfDir for the pruned
     * time-window query below — built once from the entries frame with
     * the pipeline's own layout ([[graft.pipeline.Indexer
     * .zorderSnapshotExprs]]: path-bucket × mtime Morton key + per-file
@@ -441,27 +441,30 @@ object FsOps {
     * discipline as [[TextOps.termIndexFor]].
     */
   private val zSnapCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      graft.sinks.ParquetIndex]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Corpus max mtime epoch, computed once at store-build time — the
+    * same value the snapshot's own `_manifest` materializes as
+    * max(z1_hi); caching it keeps the serving query free of a
+    * full-corpus aggregation per invocation.
+    */
+  private val zSnapHiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def zSnapFor(spark: SparkSession,
-      sfDir: String): graft.sinks.ParquetIndex =
-    zSnapCache.computeIfAbsent(sfDir, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-zsnap").toFile
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
-      }
-      val idx = new graft.sinks.ParquetIndex(dir.toString,
-        writeFiles = 16,
-        zorderExprs = graft.pipeline.Indexer.zorderSnapshotExprs)
-      idx.write(SyntheticFs.entries(spark, sfDir)): Unit
-      idx
-    })
+      sfDir: String): graft.sinks.ParquetIndex = {
+    val dir = StoreUtil.cachedTempDir(zSnapCache, sfDir, "graft-zsnap") {
+      d =>
+        val idx = new graft.sinks.ParquetIndex(d, writeFiles = 16,
+          zorderExprs = graft.pipeline.Indexer.zorderSnapshotExprs)
+        val entries = SyntheticFs.entries(spark, sfDir)
+        idx.write(entries): Unit
+        zSnapHiCache.put(sfDir, entries
+          .agg(max(expr("unix_seconds(modified_time)"))).collect()(0)
+          .getLong(0)): Unit
+    }
+    new graft.sinks.ParquetIndex(dir, writeFiles = 16,
+      zorderExprs = graft.pipeline.Indexer.zorderSnapshotExprs)
+  }
 
   /** Recent-window read SERVED from the z-ordered snapshot with
     * manifest FILE pruning ([[graft.sinks.ParquetIndex.readPruned]]):
@@ -475,9 +478,7 @@ object FsOps {
     */
   def windowPruned(spark: SparkSession, sfDir: String): DataFrame = {
     val idx = zSnapFor(spark, sfDir)
-    val hi = SyntheticFs.entries(spark, sfDir)
-      .agg(max(expr("unix_seconds(modified_time)"))).collect()(0)
-      .getLong(0)
+    val hi: Long = zSnapHiCache.get(sfDir)
     val lo = hi - 30L * 86400L
     idx.readPruned(spark, Seq((0L, 63L), (lo, hi))).get
       .select(col("relative_path"), col("type"), col("size_bytes"),

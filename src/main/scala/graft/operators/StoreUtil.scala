@@ -14,6 +14,34 @@ private[operators] object StoreUtil {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** JVM-lifetime temp-store cache — ONE definition of the
+    * build-once-serve-many discipline every index-serving registry
+    * query uses (term index, ANN store, near-dup pairs, z-ordered
+    * snapshot): the first call for a key creates a temp dir, runs
+    * `build` into it, and registers a shutdown-hook delete; later
+    * calls (any session in this JVM — the stores are plain files any
+    * session can read) reuse the path. Without the shared helper this
+    * boilerplate existed four times with independently drifting
+    * cleanup code.
+    */
+  def cachedTempDir(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      key: String, prefix: String)(build: String => Unit): String =
+    cache.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles
+          // null-guard: an external tmp cleaner may race the hook
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+      build(dir.toString)
+      dir.toString
+    })
 }
 
 /** ONE definition of the deterministic per-subspace PQ assignment,

@@ -340,7 +340,7 @@ object TextOps {
     * updates compose) and the two updates' reported pairs union to
     * exactly the batch pass's set, each pair surfacing once in the
     * update that completes it. Shares `docs_minhash_neardup`'s oracle.
-    * The pair union is materialized once per (session, sfDir) — a
+    * The pair union is materialized once per JVM per sfDir — a
     * store update is not idempotent in its RETURN value (a re-sent
     * batch correctly reports nothing), so the cache holds the result,
     * not just the store.
@@ -349,27 +349,17 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def neardupIndexed(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = neardupPairsCache.computeIfAbsent(sfDir, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ndserve").toFile
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
-      }
+    val dir = StoreUtil.cachedTempDir(neardupPairsCache, sfDir,
+      "graft-ndserve") { d =>
       val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
-      val store = s"$dir/store"
+      val store = s"$d/store"
       val p1 = NearDupIndex.update(spark, store,
         docs.filter(col("doc_id") % 2 === 0))
       val p2 = NearDupIndex.update(spark, store,
         docs.filter(col("doc_id") % 2 === 1))
-      val out = s"$dir/pairs"
-      p1.unionByName(p2).write.parquet(out)
-      out
-    })
-    spark.read.parquet(path).orderBy("a_id", "b_id")
+      p1.unionByName(p2).write.parquet(s"$d/pairs")
+    }
+    spark.read.parquet(s"$dir/pairs").orderBy("a_id", "b_id")
   }
 
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -817,7 +807,8 @@ object TextOps {
     * index-served scores must be bit-identical to the from-scratch
     * batch query.
     */
-  /** One TermIndex store per (session, sfDir), built on first use and
+  /** One TermIndex store per JVM per sfDir ([[StoreUtil.cachedTempDir]]
+    * — plain files, any session can read them), built on first use and
     * shared by every index-served registry query (`docs_bm25_indexed`,
     * `docs_phrase_indexed`, `docs_hybrid_indexed` — tf and positional
     * postings live in the same store), deleted on JVM exit. Without the
@@ -831,25 +822,15 @@ object TextOps {
 
   private[graft] def termIndexFor(spark: SparkSession,
       sfDir: String): String =
-    termIndexCache.computeIfAbsent(sfDir, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-termindex").toFile
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
-      }
-      val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
-      // two-half incremental build (doc_id parity) — proves updates
-      // compose, same shape the store specs pin
-      TermIndex.update(spark, dir.toString,
-        docs.filter(col("doc_id") % 2 === 0))
-      TermIndex.update(spark, dir.toString,
-        docs.filter(col("doc_id") % 2 === 1))
-      dir.toString
-    })
+    StoreUtil.cachedTempDir(termIndexCache, sfDir, "graft-termindex") {
+      dir =>
+        val docs = Tables(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        // two-half incremental build (doc_id parity) — proves updates
+        // compose, same shape the store specs pin
+        TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+        TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    }
 
   def bm25Indexed(spark: SparkSession, sfDir: String): DataFrame =
     TermIndex.search(spark, termIndexFor(spark, sfDir), bmTerms, k = 20)

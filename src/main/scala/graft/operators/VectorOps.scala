@@ -1030,7 +1030,7 @@ object VectorOps {
        |FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
-  /** One [[AnnIndex]] store per (session, sfDir) — query vector (id 0)
+  /** One [[AnnIndex]] store per JVM per sfDir — query vector (id 0)
     * excluded, two-phase incremental build (build() with the seeds+even
     * half, update() with the odd half — proving updates compose), temp
     * dir deleted on JVM exit. The serving cache mirror of
@@ -1041,24 +1041,15 @@ object VectorOps {
 
   private[graft] def annIndexFor(spark: SparkSession,
       sfDir: String): String =
-    annIndexCache.computeIfAbsent(sfDir, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-annindex").toFile
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
-      }
-      val emb = Tables(spark, sfDir, "embeddings")
-      graft.operators.AnnIndex.build(spark, dir.toString,
-        emb.filter(col("vec_id").between(1, 8) ||
-          (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
-      graft.operators.AnnIndex.update(spark, dir.toString,
-        emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
-      dir.toString
-    })
+    StoreUtil.cachedTempDir(annIndexCache, sfDir, "graft-annindex") {
+      dir =>
+        val emb = Tables(spark, sfDir, "embeddings")
+        AnnIndex.build(spark, dir,
+          emb.filter(col("vec_id").between(1, 8) ||
+            (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
+        AnnIndex.update(spark, dir,
+          emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
+    }
 
   /** [[hybridSearch]] with BOTH legs served from the durable indexes —
     * the shape the batch query's docstring promises at corpus scale:

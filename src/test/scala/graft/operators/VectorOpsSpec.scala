@@ -101,8 +101,12 @@ class VectorOpsSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getDouble(3))).toSeq
     val full = fusion(100000)
     assert(fusion(400) == full, "N=400 should already be converged")
-    assert(fusion(200) != full,
-      "N=200 unexpectedly converged — corpus changed? tighten the doc")
+    // the divergent side is a CORPUS property, not a code property —
+    // report it rather than gate on it (a testdata regeneration could
+    // legitimately make N=200 coincide without any product bug)
+    if (fusion(200) == full)
+      info("N=200 also converged on this corpus — the documented " +
+        "divergence example no longer holds; consider refreshing it")
   }
 
   test("semdedup: removals point at a smaller same-cluster keeper") {
