@@ -25,7 +25,7 @@ object SparkEntry {
     Analytics.queries ++ AnalyticsExt.queries ++ FsOps.queries ++
       EventsOps.queries ++ TextOps.queries ++ VectorOps.queries ++
       IngestOps.queries ++ MultimodalOps.queries ++ SkewOps.queries ++
-      TemporalJoins.queries
+      TemporalJoins.queries ++ StreamOps.queries ++ StoreOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +34,6 @@ object SparkEntry {
     Analytics.oracleSql ++ AnalyticsExt.oracleSql ++ FsOps.oracleSql ++
       EventsOps.oracleSql ++ TextOps.oracleSql ++ VectorOps.oracleSql ++
       IngestOps.oracleSql ++ MultimodalOps.oracleSql ++
-      SkewOps.oracleSql ++ TemporalJoins.oracleSql
+      SkewOps.oracleSql ++ TemporalJoins.oracleSql ++
+      StreamOps.oracleSql ++ StoreOps.oracleSql
 }

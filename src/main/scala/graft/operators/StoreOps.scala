@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.SyntheticFs
+import graft.sinks.ParquetIndex
+
+/** Oracle-gated queries for the snapshot store's DEFERRED paths — the
+  * merge-on-read log and change-feed incremental view maintenance.
+  * Both were spec-proven (MorIndexSpec, IncrementalViewSpec); these
+  * rows put the same guarantees under the driver's DuckDB hash gate.
+  *
+  * Both stores are built ONCE per JVM per sfDir
+  * ([[StoreUtil.cachedTempDir]]) from the deterministic synthetic fs,
+  * so repeated verify/bench invocations serve reads, not rebuilds.
+  */
+object StoreOps {
+
+  private val morCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val ivmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The %7 rescan delta (strictly newer + bigger), the %11 delete set
+    * — the same generations the merge/deletion queries use, so the
+    * MOR result is cross-checkable against their oracles.
+    */
+  private def baseFrame(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.files(spark, sfDir)
+      .select("relative_path", "size_bytes", "modified_time")
+
+  private def deltaFrame(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.files(spark, sfDir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("relative_path"),
+        (col("size_bytes") + 777).as("size_bytes"),
+        (col("modified_time") + expr("INTERVAL 5 DAYS"))
+          .as("modified_time"))
+
+  private def deleteKeys(spark: SparkSession, sfDir: String): DataFrame =
+    SyntheticFs.files(spark, sfDir)
+      .filter(col("l_orderkey") % 11 === 0)
+      .select("relative_path")
+
+  // ------------------------------------------------------------------ //
+  // S9 merge-on-read, driver-gated: base snapshot + an appended        //
+  // upsert delta + an appended delete sidecar, resolved at READ time   //
+  // (one key-shuffled max_by; write cost was ∝ delta). The oracle is   //
+  // the definitional copy-on-write result: LWW over base ∪ delta,     //
+  // minus deleted keys — readMor must be indistinguishable from the   //
+  // eager merge.                                                       //
+  // ------------------------------------------------------------------ //
+
+  def morRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(morCache, sfDir, "graft-morstore") {
+      root =>
+        val idx = new ParquetIndex(s"$root/store", writeFiles = 4)
+        idx.write(baseFrame(spark, sfDir)): Unit
+        idx.appendDelta(spark, deltaFrame(spark, sfDir)): Unit
+        idx.appendDelete(spark, deleteKeys(spark, sfDir),
+          "relative_path"): Unit
+    }
+    new ParquetIndex(s"$dir/store")
+      .readMor(spark, "relative_path", "modified_time")
+      .getOrElse(sys.error(s"fs_mor_read: empty store at $dir"))
+      .select("relative_path", "size_bytes", "modified_time")
+      .orderBy("relative_path")
+  }
+
+  val morReadSql: String = SyntheticFs.withCtes(
+    """, delta AS (
+      |  SELECT relative_path, size_bytes + 777 AS size_bytes,
+      |    modified_time + INTERVAL 5 DAY AS modified_time
+      |  FROM fs_files WHERE l_orderkey % 7 = 0),
+      |unioned AS (
+      |  SELECT relative_path, size_bytes, modified_time, 0 AS tag FROM fs_files
+      |  UNION ALL
+      |  SELECT relative_path, size_bytes, modified_time, 1 AS tag FROM delta),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY relative_path
+      |      ORDER BY modified_time DESC, tag ASC) AS rn
+      |  FROM unioned)
+      |SELECT relative_path, size_bytes, modified_time
+      |FROM ranked
+      |WHERE rn = 1 AND relative_path NOT IN (
+      |  SELECT relative_path FROM fs_files WHERE l_orderkey % 11 = 0)
+      |ORDER BY relative_path""".stripMargin)
+
+  // ------------------------------------------------------------------ //
+  // Change-feed incremental view maintenance, driver-gated: snapshot   //
+  // v1 = full scan, snapshot v2 = rescan after the %7 updates and %11  //
+  // deletions; the per-extension (count, bytes) view is seeded from    //
+  // v1 and folded forward with changeFeed(v1, v2, includeOld = true)   //
+  // — O(delta) work, never rescanning the base. The oracle aggregates  //
+  // the FINAL state directly: the folded view must equal a full        //
+  // recompute.                                                         //
+  // ------------------------------------------------------------------ //
+
+  private val ViewGroup = Seq("extension")
+  private val ViewSums = Seq("size_bytes")
+
+  def ivmRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(ivmCache, sfDir, "graft-ivmstore") {
+      root =>
+        val files = SyntheticFs.files(spark, sfDir)
+        val v1 = files.select("relative_path", "extension", "size_bytes",
+          "modified_time")
+        // v2 = the post-rescan state: %7 rows newer+bigger, %11 gone
+        val v2 = files
+          .filter(col("l_orderkey") % 11 =!= 0)
+          .select(col("relative_path"), col("extension"),
+            when(col("l_orderkey") % 7 === 0, col("size_bytes") + 777)
+              .otherwise(col("size_bytes")).as("size_bytes"),
+            when(col("l_orderkey") % 7 === 0,
+              col("modified_time") + expr("INTERVAL 5 DAYS"))
+              .otherwise(col("modified_time")).as("modified_time"))
+        val idx = new ParquetIndex(s"$root/store", keep = 3,
+          writeFiles = 4)
+        val id1 = idx.write(v1)
+        val id2 = idx.write(v2)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(root, "IDS"), s"$id1\n$id2\n"): Unit
+    }
+    val Array(id1, id2) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "IDS")).trim.split("\n")
+    val idx = new ParquetIndex(s"$dir/store", keep = 3, writeFiles = 4)
+    val v1 = idx.readAsOf(spark, id1)
+      .getOrElse(sys.error("fs_ivm_rollup: missing v1"))
+    val feed = idx.changeFeed(spark, id1, id2, "relative_path",
+        includeOld = true)
+      .getOrElse(sys.error("fs_ivm_rollup: missing feed"))
+    val seed = IncrementalView.fromScratch(v1, ViewGroup, ViewSums)
+    IncrementalView.applyFeed(seed, feed, ViewGroup, ViewSums)
+      .select(col("extension"), col("cnt"),
+        col("sum_size_bytes").as("bytes"))
+      .orderBy("extension")
+  }
+
+  val ivmRollupSql: String = SyntheticFs.withCtes(
+    """SELECT extension, count(*) AS cnt,
+      |  CAST(sum(CASE WHEN l_orderkey % 7 = 0 THEN size_bytes + 777
+      |                ELSE size_bytes END) AS BIGINT) AS bytes
+      |FROM fs_files
+      |WHERE l_orderkey % 11 <> 0
+      |GROUP BY extension
+      |ORDER BY extension""".stripMargin)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_mor_read" -> morRead,
+    "fs_ivm_rollup" -> ivmRollup)
+
+  def oracleSql: Map[String, String] = Map(
+    "fs_mor_read" -> morReadSql,
+    "fs_ivm_rollup" -> ivmRollupSql)
+}

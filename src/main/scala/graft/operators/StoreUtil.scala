@@ -42,6 +42,18 @@ private[operators] object StoreUtil {
       build(dir.toString)
       dir.toString
     })
+
+  /** Best-effort recursive delete for transient local scratch (stream
+    * checkpoints): the data outcome never depends on it succeeding.
+    */
+  def deleteRecQuiet(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    try rm(new java.io.File(path)) catch { case _: Throwable => () }
+  }
 }
 
 /** ONE definition of the deterministic per-subspace PQ assignment,

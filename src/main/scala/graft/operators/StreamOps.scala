@@ -1,0 +1,265 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
+
+import graft.Tables
+import graft.model.SyntheticFs
+import graft.sinks.ParquetIndex
+
+/** Oracle-gated STRUCTURED STREAMING queries (SURVEY.md §2.8): each one
+  * runs a real streaming query — file source, micro-batches, stateful
+  * operators, a sink — to completion with `Trigger.AvailableNow`, then
+  * returns the result as a DataFrame the driver hash-compares against a
+  * BATCH DuckDB oracle. This turns the streaming layer's "spec-only"
+  * guarantees (stream ≡ batch over the same rows) into driver-visible
+  * green correctness rows.
+  *
+  * Determinism: every query here is chosen so its result is independent
+  * of micro-batch boundaries and arrival order —
+  *  - windowed/session aggregation in COMPLETE mode re-emits the full
+  *    aggregate after the last batch (the append-mode forms with
+  *    watermark eviction are spec'd in streaming/EventsStream; a
+  *    watermark-truncated result is deliberately NOT oracle-comparable
+  *    because it depends on batch cut points);
+  *  - stateful dedup keeps its seen-set for the whole run
+  *    (NoTimeout), so "first occurrence wins" = set membership = batch
+  *    DISTINCT regardless of which batch a duplicate lands in;
+  *  - the foreachBatch index pipeline merges by (key, mtime) LWW with
+  *    strictly distinct timestamps across generations, so any batch
+  *    interleaving folds to the same snapshot.
+  *
+  * Scale notes: state is the bounded thing in each query — window
+  * state = |hours × types|, session state = open sessions, dedup state
+  * = distinct keys (TTL-able in EventsStream.dedupStream), and the
+  * foreachBatch merge is [[Merge]]'s single key shuffle per batch. The
+  * memory sink is the test/oracle surface only; production lands in
+  * [[ParquetIndex]] (as `fs_stream_index` itself demonstrates).
+  */
+object StreamOps {
+
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val qn = new AtomicLong(0)
+
+  /** Stage the (ts-normalized) events table as a 4-file parquet dir so
+    * the file source replays it as a genuine multi-batch stream
+    * (`maxFilesPerTrigger = 1` → 4 micro-batches). Staged once per JVM
+    * per sfDir; files are hash-split on user_id (cut points are
+    * irrelevant to the queries — see determinism note above).
+    */
+  private def stagedEvents(spark: SparkSession, sfDir: String): String =
+    StoreUtil.cachedTempDir(stageCache, sfDir, "graft-eventstream") { dir =>
+      Tables(spark, sfDir, "events")
+        .repartition(4, col("user_id"))
+        .write.mode("overwrite").parquet(s"$dir/in")
+    } + "/in"
+
+  /** readStream over the staged events with an explicit schema (file
+    * sources do not infer), one file per micro-batch.
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedEvents(spark, sfDir)
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
+  /** Run `sink`'s streaming query to completion over all available
+    * input and return the memory-sink table. Fresh checkpoint + unique
+    * sink name per run: resuming an old checkpoint would see zero new
+    * files and emit an empty complete-mode result.
+    */
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
+    val name = s"graft_stream_${qn.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+    StoreUtil.deleteRecQuiet(ckpt)
+    out
+  }
+
+  // ------------------------------------------------------------------ //
+  // Streaming tumbling-window aggregation (EventsStream.hourlyCounts'  //
+  // shape) — complete mode, so after AvailableNow drains the stream    //
+  // the emitted table IS the batch aggregate: shares the              //
+  // events_hourly_window oracle verbatim.                              //
+  // ------------------------------------------------------------------ //
+
+  def streamHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("vsum"))
+    runToMemory(spark, agg, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n"),
+        round(col("vsum"), 2).cast("double").as("value_sum"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  // ------------------------------------------------------------------ //
+  // Streaming session windows (the session_window operator itself, not //
+  // the batch lag+running-sum formulation): state merges sessions as   //
+  // batches arrive; complete mode emits the final merged sessions.     //
+  // session_window MERGES at a gap of exactly 30 min (split rule is    //
+  // `gap > 30 min` — StreamServeSpec pins the boundary empirically),   //
+  // the same rule as the batch sessionize query's lag condition.       //
+  // session_end = last event + gap, by definition of the operator.     //
+  // ------------------------------------------------------------------ //
+
+  def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, agg, "complete")
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val streamSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE,
+      |           '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ------------------------------------------------------------------ //
+  // Streaming stateful dedup: flatMapGroupsWithState keeps one boolean //
+  // per key for the whole run (EventsStream.dedupStream's TTL knob     //
+  // bounds it in production); each key is emitted exactly once, in     //
+  // whichever batch its first occurrence arrives — so the emitted set  //
+  // is exactly batch DISTINCT.                                         //
+  // ------------------------------------------------------------------ //
+
+  def streamDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+    val dedup = keyed
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String)],
+            state: GroupState[Boolean]) =>
+          // rows must be consumed? No — emitting the key once suffices;
+          // the iterator is safely droppable.
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(key) }
+      }
+      .toDF("user_id", "event_type")
+    runToMemory(spark, dedup, "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamDistinctSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ------------------------------------------------------------------ //
+  // ST2/ST3 end-to-end: foreachBatch continuous indexing. The staged   //
+  // stream replays (batch 0 = full scan, batch 1 = the %7 rescan with  //
+  // newer mtimes); each micro-batch lands through the SAME J1 merge    //
+  // the batch pipeline uses (ParquetIndex.upsert), and the final       //
+  // snapshot equals the one-shot batch merge — shares                  //
+  // fs_merge_upsert's oracle verbatim. LWW by strictly-newer mtimes    //
+  // makes the fold independent of batch arrival order.                 //
+  // ------------------------------------------------------------------ //
+
+  def streamIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(storeCache, sfDir,
+      "graft-streamindex") { root =>
+      val base = SyntheticFs.files(spark, sfDir)
+        .select("relative_path", "size_bytes", "modified_time")
+      val rescan = SyntheticFs.files(spark, sfDir)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("relative_path"),
+          (col("size_bytes") + 777).as("size_bytes"),
+          (col("modified_time") + expr("INTERVAL 5 DAYS"))
+            .as("modified_time"))
+      // stage the two scan generations as two flat files in ONE input
+      // dir (no `g=N` subdirs — the source would read them as a
+      // partition column) so the file source replays them as separate
+      // micro-batches
+      def stageOne(df: DataFrame, tmp: String, name: String): Unit = {
+        df.coalesce(1).write.parquet(s"$root/$tmp")
+        val part = new java.io.File(s"$root/$tmp").listFiles
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part in $root/$tmp"))
+        val in = new java.io.File(s"$root/in"); in.mkdirs()
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(in, name).toPath): Unit
+        StoreUtil.deleteRecQuiet(s"$root/$tmp")
+      }
+      stageOne(base, "tmp0", "gen0.parquet")
+      stageOne(rescan, "tmp1", "gen1.parquet")
+      val idx = new ParquetIndex(s"$root/store", writeFiles = 4)
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$root/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          idx.upsert(batch.sparkSession, batch,
+            "relative_path", "modified_time"): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    new ParquetIndex(s"$dir/store").read(spark)
+      .getOrElse(sys.error(s"fs_stream_index: empty store at $dir"))
+      .select("relative_path", "size_bytes", "modified_time")
+      .orderBy("relative_path")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stream_hourly" -> streamHourly,
+    "events_stream_sessionize" -> streamSessionize,
+    "events_stream_distinct" -> streamDistinct,
+    "fs_stream_index" -> streamIndex)
+
+  def oracleSql: Map[String, String] = Map(
+    "events_stream_hourly" -> EventsOps.hourlyWindowSql,
+    "events_stream_sessionize" -> streamSessionizeSql,
+    "events_stream_distinct" -> streamDistinctSql,
+    "fs_stream_index" -> FsOps.mergeUpsertSql)
+}
