@@ -14,18 +14,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-    // so it arrives as epoch-ns LongType — normalize it back to a µs
-    // TimestampType here (floor division, matching DuckDB's epoch_ms
-    // floor semantics in the oracles).
+    // Normalize events.ts to a session-tz (UTC) µs TimestampType
+    // whatever the generator wrote it as. Seen across driver rounds:
+    // TIMESTAMP(NANOS) — the vectorized reader rejects it, sessions set
+    // spark.sql.legacy.parquet.nanosAsLong so it arrives as epoch-ns
+    // LongType, floor-divided here to µs (DuckDB's epoch_ms floor
+    // semantics) — and TIMESTAMP(MICROS) without timezone, which
+    // arrives as TIMESTAMP_NTZ and is reinterpreted as UTC (sessions
+    // run with UTC session tz, so the wall clock is unchanged and the
+    // DuckDB oracle, which reads the same naive µs values, agrees).
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 

@@ -1890,6 +1890,85 @@ object TextOps {
       |  FROM documents)
       |WHERE rk <= 5 ORDER BY source, lang, rk""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // RAG chunking — overlapping token windows (size 32, stride 16), the   //
+  // standard retrieval-corpus prep: every chunk is independently         //
+  // embeddable and the overlap keeps sentences that straddle a boundary  //
+  // retrievable from both sides.                                         //
+  // -------------------------------------------------------------------- //
+
+  private val ChunkSize = 32
+  private val ChunkStride = 16
+
+  /** Explode each document into overlapping token windows. Chunk starts
+    * are 1, 1+stride, 1+2·stride, …; the last start is the smallest that
+    * still covers the final token (ceil((n-size)/stride) strides in), so
+    * every token lands in ≥1 chunk and a short doc yields exactly one.
+    * Per-row HOFs only (`sequence` + `slice`) — no shuffle at all until
+    * the output sort, and at 100 TB the sort is the consumer's choice;
+    * the chunk hash is the downstream embed-dedup key.
+    */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("starts", expr(
+        s"sequence(1, 1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)" +
+          s" + $ChunkStride - 1) div $ChunkStride), $ChunkStride)"))
+      .select(col("doc_id"), col("n"), col("tk"),
+        posexplode(col("starts")).as(Seq("pos", "start")))
+      .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+        col("start"),
+        least(lit(ChunkSize), col("n") - col("start") + 1).as("n_tok"),
+        sha2(expr(s"array_join(slice(tk, start, $ChunkSize), ' ')"), 256)
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS tk, len($duckToks) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, tk, CAST(t.s AS BIGINT) AS start,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY t.s)
+       |      AS BIGINT) AS chunk_idx
+       |  FROM d, LATERAL unnest(generate_series(1,
+       |    1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)
+       |      + $ChunkStride - 1) // $ChunkStride), $ChunkStride)) AS t(s))
+       |SELECT doc_id, chunk_idx, start,
+       |  least($ChunkSize, n - start + 1) AS n_tok,
+       |  sha256(array_to_string(tk[start : start + $ChunkSize - 1], ' '))
+       |    AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Normalized exact dedup — canonicalize before hashing (lowercase,     //
+  // strip punctuation, collapse whitespace): catches the trivial         //
+  // reformattings (case, smart quotes, double spaces) that byte-exact    //
+  // dedup misses but near-dup LSH is overkill for.                       //
+  // -------------------------------------------------------------------- //
+
+  /** Exact dedup over the canonical text form: same digest-shuffle plan
+    * as [[dedupExact]] (one map-side-combinable groupBy on a 64-hex
+    * key), the normalization entirely per-row. Emits one row per
+    * canonical group with the kept doc (min id) and the group size.
+    */
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("norm_hash", sha2(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")), 256))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("norm_hash")
+
+  val dedupNormalizedSql: String =
+    """SELECT sha256(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g'))) AS norm_hash,
+      |  min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY norm_hash ORDER BY norm_hash""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_domain_cap" -> domainCap,
     "docs_group_sample" -> groupSample,
@@ -1901,6 +1980,8 @@ object TextOps {
     "docs_pii_scrub" -> piiScrub,
     "docs_repetition_filter" -> repetitionFilter,
     "docs_dedup_exact" -> dedupExact,
+    "docs_dedup_normalized" -> dedupNormalized,
+    "docs_chunk_overlap" -> chunkOverlap,
     "docs_token_stats" -> tokenStats,
     "docs_token_bpe" -> tokenBpe,
     "docs_quality" -> qualityScore,
@@ -1942,6 +2023,8 @@ object TextOps {
     "docs_pii_scrub" -> piiScrubSql,
     "docs_repetition_filter" -> repetitionFilterSql,
     "docs_dedup_exact" -> dedupExactSql,
+    "docs_dedup_normalized" -> dedupNormalizedSql,
+    "docs_chunk_overlap" -> chunkOverlapSql,
     "docs_token_stats" -> tokenStatsSql,
     "docs_token_bpe" -> tokenBpeSql,
     "docs_quality" -> qualityScoreSql,

@@ -1095,9 +1095,115 @@ object VectorOps {
       .limit(20)
   }
 
+  // -------------------------------------------------------------------- //
+  // Hard-negative mining — contrastive-training data prep: for each      //
+  // query vector, the closest vectors that carry a DIFFERENT label are   //
+  // exactly the "close but wrong" negatives a retrieval/embedding        //
+  // trainer wants (in-batch negatives are too easy; these are mined).    //
+  // -------------------------------------------------------------------- //
+
+  /** Top-5 hard negatives for each of the first five vectors: nearest
+    * cosine neighbors whose label differs from the query's. The query
+    * frame is a bounded broadcast (5 rows) against one streaming corpus
+    * pass, and per-query ranking runs on the native
+    * [[graft.plans.GroupTopK]] operator (map-side bounded heaps — no
+    * per-query window shuffle), so at 100 TB this is one scan + one
+    * k-bounded exchange regardless of corpus size.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val scored = emb
+      .crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"), cosine.as("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 5)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+       |           FROM embeddings WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    ${duckCosine.replace("embedding", "e.embedding")} AS cos_sim
+       |  FROM embeddings e, q WHERE e.label <> q.q_label),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s)
+       |SELECT q_id, vec_id, label, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Label-outlier detection — data-quality audit: a vector far from its  //
+  // own label's centroid is a likely mislabel (or a genuinely hard       //
+  // example); surfacing the top-k farthest per label is the standard     //
+  // triage query before training on weak labels.                        //
+  // -------------------------------------------------------------------- //
+
+  /** Five farthest members from their own label centroid, per label.
+    * All arithmetic is fixed-point micro-units (floor(x·1e6) longs, the
+    * [[kmeansStep]] discipline) so the squared distance is an exact
+    * integer and the gate hash never sees a float. Plan shape: one
+    * (label, dim) aggregation — bounded by |labels|·d rows, broadcast
+    * back — then one per-vector aggregation and a k-bounded GroupTopK;
+    * two map-side-combinable exchanges total, corpus streamed once.
+    */
+  def labelOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val x = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("xq"))
+    val centroids = x.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s"))
+      .select(col("label"), col("dim"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("cq"))
+    val d2 = x.join(broadcast(centroids), Seq("label", "dim"))
+      .groupBy("label", "vec_id")
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq")))
+        .as("d2_micro"))
+    graft.plans.GroupTopK.topK(d2,
+      groupCols = Seq("label"),
+      orderKeys = Seq(("d2_micro", true), ("vec_id", false)), k = 5)
+      .select(col("label"), col("vec_id"), col("d2_micro"),
+        col("rk").as("rank"))
+      .orderBy("label", "rank")
+  }
+
+  val labelOutliersSql: String =
+    s"""WITH x AS (
+       |  SELECT e.vec_id, e.label, CAST(t.i AS INT) AS dim,
+       |    CAST(floor(e.embedding[t.i]::DOUBLE * 1000000.0) AS BIGINT) AS xq
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)),
+       |c AS (
+       |  SELECT label, dim,
+       |    CAST(floor(CAST(sum(xq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM x GROUP BY label, dim),
+       |d AS (
+       |  SELECT x.label, x.vec_id, sum((xq - cq) * (xq - cq)) AS d2_micro
+       |  FROM x JOIN c USING (label, dim) GROUP BY x.label, x.vec_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY d2_micro DESC, vec_id) AS rank FROM d)
+       |SELECT label, vec_id, CAST(d2_micro AS BIGINT) AS d2_micro,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_hybrid_search" -> hybridSearch,
     "docs_hybrid_indexed" -> hybridIndexed,
+    "ann_hard_negatives" -> hardNegatives,
+    "ann_label_outliers" -> labelOutliers,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -1115,6 +1221,8 @@ object VectorOps {
     "docs_hybrid_search" -> hybridSearchSql,
     // index-served twin must reproduce the batch fusion bit-for-bit
     "docs_hybrid_indexed" -> hybridSearchSql,
+    "ann_hard_negatives" -> hardNegativesSql,
+    "ann_label_outliers" -> labelOutliersSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,

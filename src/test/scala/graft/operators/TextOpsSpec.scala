@@ -2,7 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.{col, expr, sha2}
+import org.apache.spark.sql.functions.{col, expr, lit, min,
+  count, regexp_replace, sha2, size, split, trim, lower}
 
 import graft.SparkSpecBase
 
@@ -254,5 +255,52 @@ class TextOpsSpec extends SparkSpecBase {
     val counts = rows.map(_.getAs[Long]("pair_count"))
     assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
     assert(rows.forall(_.getAs[String]("pair").count(_ == '|') >= 1))
+  }
+
+  test("chunk windows: stride-aligned starts, every token covered") {
+    val nToks = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = TextOps.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2).toInt,
+        r.getLong(3).toInt))
+    assert(rows.map(_._1).toSet == nToks.keySet)
+    rows.groupBy(_._1).foreach { case (doc, g) =>
+      val n = nToks(doc)
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to g.length),
+        s"doc $doc chunk_idx gap")
+      sorted.foreach { case (_, idx, start, nTok) =>
+        assert(start == 1 + (idx - 1) * 16, s"doc $doc start off-stride")
+        assert(nTok >= 1 && nTok <= 32, s"doc $doc chunk size $nTok")
+        assert(nTok == math.min(32, n - start + 1))
+      }
+      // coverage: the last chunk reaches the final token, and no prior
+      // start jumps more than a window, so no token falls in a gap
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == n, s"doc $doc tail uncovered")
+      if (n <= 32) assert(g.length == 1, s"short doc $doc split")
+    }
+  }
+
+  test("normalized dedup: partitions the corpus, merges case variants") {
+    val total = graft.Tables(spark, sf, "documents").count()
+    val rows = TextOps.dedupNormalized(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dup_count")).sum == total)
+    // normalization is case/punct-insensitive: hashing the uppercased
+    // corpus must yield the identical group structure
+    val uppered = graft.Tables(spark, sf, "documents")
+      .withColumn("text", org.apache.spark.sql.functions.upper(col("text")))
+    val viaUpper = uppered
+      .withColumn("norm_hash", sha2(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")), 256))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val direct = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaUpper == direct)
   }
 }

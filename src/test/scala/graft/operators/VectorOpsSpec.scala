@@ -134,4 +134,45 @@ class VectorOpsSpec extends SparkSpecBase {
       assert(!rm.contains(k), s"keeper chain of ${r.getLong(0)} never exits")
     }
   }
+
+  test("hard negatives: cross-label only, similarity-ranked, 5 per query") {
+    val qLabels = graft.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 5).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = VectorOps.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.length == qLabels.size * 5)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to 5), s"query $q ranks")
+      // a negative never shares the query's label — that's the point
+      sorted.foreach { case (_, v, lbl, _, _) =>
+        assert(lbl != qLabels(q), s"query $q negative $v has own label")
+      }
+      val sims = sorted.map(_._4)
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b },
+        s"query $q not similarity-descending")
+    }
+  }
+
+  test("label outliers: own-label members, distance-ranked, 5 per label") {
+    val labelOf = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = VectorOps.labelOutliers(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val labels = labelOf.values.toSet
+    assert(rows.length == labels.size * 5)
+    rows.groupBy(_._1).foreach { case (lbl, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5), s"label $lbl ranks")
+      sorted.foreach { case (_, v, _, _) =>
+        assert(labelOf(v) == lbl, s"outlier $v reported under $lbl") }
+      val d = sorted.map(_._3)
+      assert(d.zip(d.drop(1)).forall { case (a, b) => a >= b },
+        s"label $lbl not distance-descending")
+      assert(d.forall(_ >= 0L))
+    }
+  }
 }
