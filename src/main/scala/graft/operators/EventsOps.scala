@@ -797,7 +797,76 @@ object EventsOps {
       |    min_value, max_value FROM s)
       |ORDER BY col_name""".stripMargin
 
+  /** Conversion latency — the timing companion to [[funnel]]: for every
+    * user who both viewed and (later) purchased, the first-view→first-
+    * purchase lag, summarized as exact interpolated quantiles (µs-exact
+    * lags, `percentile` ≙ `quantile_cont` as in [[valueQuantiles]]).
+    * Plan shape: ONE conditional-min aggregation on user_id (map-side
+    * combinable — never the first-view ⋈ first-purchase self-join that
+    * shuffles the event log twice), then a quantile over the converted
+    * users only, which is bounded by |users|, not |events|.
+    */
+  def conversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val firsts = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("first_purchase"))
+    val lags = firsts
+      .withColumn("lag_us",
+        unix_micros(col("first_purchase")) - unix_micros(col("first_view")))
+    lags.agg(
+      sum(when(col("first_view").isNotNull, 1L).otherwise(0L))
+        .as("n_viewed"),
+      sum(when(col("first_view").isNotNull &&
+        col("first_purchase").isNotNull && col("lag_us") >= 0, 1L)
+        .otherwise(0L)).as("n_converted"),
+      round(expr(
+        "percentile(CASE WHEN first_view IS NOT NULL AND lag_us >= 0" +
+          " THEN lag_us END, 0.5)") / 1000000.0, 4).as("lag_p50_s"),
+      round(expr(
+        "percentile(CASE WHEN first_view IS NOT NULL AND lag_us >= 0" +
+          " THEN lag_us END, 0.9)") / 1000000.0, 4).as("lag_p90_s"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_viewed"), 4))
+      .select("n_viewed", "n_converted", "conv_rate",
+        "lag_p50_s", "lag_p90_s")
+  }
+
+  val conversionLagSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+      |      AS first_purchase
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY user_id),
+      |l AS (
+      |  SELECT *, epoch_us(first_purchase) - epoch_us(first_view) AS lag_us
+      |  FROM f)
+      |SELECT
+      |  CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_viewed,
+      |  CAST(sum(CASE WHEN first_view IS NOT NULL
+      |    AND first_purchase IS NOT NULL AND lag_us >= 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  round(CAST(sum(CASE WHEN first_view IS NOT NULL
+      |      AND first_purchase IS NOT NULL AND lag_us >= 0
+      |      THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END), 4)
+      |    AS conv_rate,
+      |  round(quantile_cont(CASE WHEN first_view IS NOT NULL
+      |    AND lag_us >= 0 THEN lag_us END, 0.5) / 1000000.0, 4)
+      |    AS lag_p50_s,
+      |  round(quantile_cont(CASE WHEN first_view IS NOT NULL
+      |    AND lag_us >= 0 THEN lag_us END, 0.9) / 1000000.0, 4)
+      |    AS lag_p90_s
+      |FROM l""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_conversion_lag" -> conversionLag,
     "events_column_stats" -> columnStats,
     "events_json_extract" -> jsonExtract,
     "events_hourly_window" -> hourlyWindow,
@@ -821,6 +890,7 @@ object EventsOps {
     "events_freq_topk" -> freqTopk)
 
   def oracleSql: Map[String, String] = Map(
+    "events_conversion_lag" -> conversionLagSql,
     "events_column_stats" -> columnStatsSql,
     "events_approx_stats" -> approxStatsSql,
     "events_json_extract" -> jsonExtractSql,

@@ -1941,6 +1941,118 @@ object TextOps {
        |    AS chunk_hash
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Cross-document CHUNK dedup — the dedup granularity a RAG/embedding
+    * corpus actually needs: two different documents sharing a boilerplate
+    * window should embed it once. Reuses [[chunkOverlap]]'s frame and
+    * groups on the chunk hash (one map-side-combinable digest shuffle,
+    * the [[dedupExact]] plan at chunk granularity); only true duplicate
+    * groups are reported, keeper = lexicographic-min (doc, idx).
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    chunkOverlap(spark, sfDir)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        col("k.doc_id").as("keep_doc"), col("k.chunk_idx").as("keep_idx"))
+      .orderBy("chunk_hash")
+
+  val chunkDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToks AS tk, len($duckToks) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, tk, CAST(t.s AS BIGINT) AS start,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY t.s)
+       |      AS BIGINT) AS chunk_idx
+       |  FROM d, LATERAL unnest(generate_series(1,
+       |    1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)
+       |      + $ChunkStride - 1) // $ChunkStride), $ChunkStride)) AS t(s)),
+       |c AS (
+       |  SELECT doc_id, chunk_idx,
+       |    sha256(array_to_string(tk[start : start + $ChunkSize - 1], ' '))
+       |      AS chunk_hash
+       |  FROM s),
+       |g AS (
+       |  SELECT chunk_hash, count(*) AS n_copies,
+       |    count(DISTINCT doc_id) AS n_docs,
+       |    min(doc_id) AS keep_doc
+       |  FROM c GROUP BY chunk_hash HAVING count(*) > 1)
+       |SELECT g.chunk_hash, g.n_copies, g.n_docs, g.keep_doc,
+       |  min(c.chunk_idx) AS keep_idx
+       |FROM g JOIN c ON c.chunk_hash = g.chunk_hash
+       |  AND c.doc_id = g.keep_doc
+       |GROUP BY g.chunk_hash, g.n_copies, g.n_docs, g.keep_doc
+       |ORDER BY g.chunk_hash""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD'03 — the MOSS         //
+  // fingerprint): k-gram rolling hashes, minimum per sliding window,     //
+  // distinct selected values = the document sketch. The guarantee the   //
+  // plain rolling hash lacks: any shared substring of length ≥ k+w-1    //
+  // contributes at least one COMMON selected hash to both sketches.     //
+  // -------------------------------------------------------------------- //
+
+  private val WinK = 8 // k-gram length (chars)
+  private val WinW = 4 // winnowing window (grams)
+
+  /** Per-document winnowing sketch: char k-gram polynomial hashes (the
+    * same `(h·31+c) mod 2³¹−1` family as [[rollingHash]]), window-min
+    * selection, distinct selected values, all in per-row HOFs — zero
+    * shuffle, embarrassingly parallel at any corpus size. Output is the
+    * selected-set size plus its order-insensitive digest (sorted join →
+    * sha256), the form two corpora can be compared by.
+    */
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - WinK + 1).as("gl"))
+      .withColumn("grams", expr(
+        s"""CASE WHEN gl >= 1 THEN transform(sequence(1, gl), i ->
+           |  aggregate(transform(sequence(i, i + ${WinK - 1}),
+           |      j -> ascii(substring(text, j, 1))),
+           |    cast(0 AS bigint), (h, c) -> (h * 31 + c) % 2147483647))
+           |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+      .withColumn("sel", expr(
+        s"""array_sort(array_distinct(CASE WHEN size(grams) >= 1 THEN
+           |  transform(sequence(1, greatest(size(grams) - $WinW + 1, 1)),
+           |    j -> array_min(slice(grams, j, $WinW)))
+           |ELSE CAST(array() AS array<bigint>) END))""".stripMargin))
+      .select(col("doc_id"),
+        greatest(col("gl"), lit(0)).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        sha2(expr("array_join(transform(sel, v -> cast(v AS string)), ',')"),
+          256).as("sketch"))
+      .orderBy("doc_id")
+
+  val winnowingSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, length(text) - $WinK + 1 AS gl,
+       |    CASE WHEN length(text) - $WinK + 1 >= 1 THEN
+       |      list_transform(generate_series(1, length(text) - $WinK + 1),
+       |        i -> list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(generate_series(i, i + ${WinK - 1}),
+       |              j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+       |          (h, c) -> (h * 31 + c) % 2147483647))
+       |    ELSE [] END AS grams
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, gl,
+       |    list_sort(list_distinct(CASE WHEN len(grams) >= 1 THEN
+       |      list_transform(
+       |        generate_series(1, greatest(len(grams) - $WinW + 1, 1)),
+       |        j -> list_min(grams[j : j + ${WinW - 1}]))
+       |    ELSE [] END)) AS sel
+       |  FROM g)
+       |SELECT doc_id, CAST(greatest(gl, 0) AS BIGINT) AS n_grams,
+       |  CAST(len(sel) AS BIGINT) AS n_selected,
+       |  sha256(array_to_string(
+       |    list_transform(sel, v -> CAST(v AS VARCHAR)), ',')) AS sketch
+       |FROM w ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Normalized exact dedup — canonicalize before hashing (lowercase,     //
   // strip punctuation, collapse whitespace): catches the trivial         //
@@ -1982,6 +2094,8 @@ object TextOps {
     "docs_dedup_exact" -> dedupExact,
     "docs_dedup_normalized" -> dedupNormalized,
     "docs_chunk_overlap" -> chunkOverlap,
+    "docs_chunk_dedup" -> chunkDedup,
+    "docs_winnowing" -> winnowing,
     "docs_token_stats" -> tokenStats,
     "docs_token_bpe" -> tokenBpe,
     "docs_quality" -> qualityScore,
@@ -2025,6 +2139,8 @@ object TextOps {
     "docs_dedup_exact" -> dedupExactSql,
     "docs_dedup_normalized" -> dedupNormalizedSql,
     "docs_chunk_overlap" -> chunkOverlapSql,
+    "docs_chunk_dedup" -> chunkDedupSql,
+    "docs_winnowing" -> winnowingSql,
     "docs_token_stats" -> tokenStatsSql,
     "docs_token_bpe" -> tokenBpeSql,
     "docs_quality" -> qualityScoreSql,

@@ -101,4 +101,38 @@ class EventsOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("conversion lag: converted within viewed, quantiles ordered") {
+    val rows = EventsOps.conversionLag(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    val (viewed, converted, rate) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(converted >= 0 && converted <= viewed)
+    assert(rate >= 0.0 && rate <= 1.0)
+    assert(math.abs(rate - converted.toDouble / viewed) < 1e-3)
+    if (converted > 0) {
+      val (p50, p90) = (r.getDouble(3), r.getDouble(4))
+      assert(p50 >= 0.0 && p50 <= p90, s"p50 $p50 > p90 $p90")
+    }
+    // cross-check the conversion count by direct computation
+    val direct = graft.Tables(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("event_type") === "view",
+            org.apache.spark.sql.functions.col("ts"))).as("v"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("event_type") === "purchase",
+            org.apache.spark.sql.functions.col("ts"))).as("p"))
+      .collect()
+      .map(r => (Option(r.getTimestamp(1)), Option(r.getTimestamp(2))))
+    assert(viewed == direct.count(_._1.nonEmpty))
+    assert(converted == direct.count { case (v, p) =>
+      v.nonEmpty && p.nonEmpty && !p.get.before(v.get) })
+  }
 }

@@ -283,6 +283,45 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("chunk dedup: only true duplicate groups, keeper is the minimum") {
+    val chunks = TextOps.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getString(4), r.getLong(0), r.getInt(1)))
+    val byHash = chunks.groupBy(_._1)
+    val rows = TextOps.chunkDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val expected = byHash.filter(_._2.length > 1)
+    assert(rows.length == expected.size)
+    rows.foreach { case (h, nCopies, nDocs, keepDoc, keepIdx) =>
+      val g = byHash(h)
+      assert(nCopies == g.length && nCopies > 1)
+      assert(nDocs == g.map(_._2).distinct.length)
+      val (minDoc, minIdx) = g.map(t => (t._2, t._3)).min
+      assert(keepDoc == minDoc && keepIdx == minIdx,
+        s"hash $h keeper ($keepDoc,$keepIdx) != min ($minDoc,$minIdx)")
+    }
+  }
+
+  test("winnowing: identical docs share a sketch; sub-k docs are empty") {
+    val dir = shortDocsDir()
+    val rows = TextOps.winnowing(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(rows.size == 5)
+    // docs 0 ("one") and 2 ("") are shorter than k=8 chars: no grams,
+    // empty selection, and BOTH get the same empty-set digest
+    assert(rows(0L)._2 == 0 && rows(2L)._2 == 0)
+    assert(rows(0L)._3 == rows(2L)._3)
+    // docs 3 and 4 are byte-identical → identical sketches
+    assert(rows(3L)._1 > 0 && rows(3L)._2 > 0)
+    assert(rows(3L) == rows(4L))
+    // a selection never exceeds the number of windows
+    rows.values.foreach { case (gl, nSel, _) =>
+      if (gl <= 0) assert(nSel == 0)
+      else assert(nSel <= math.max(gl - 3, 1))
+    }
+  }
+
   test("normalized dedup: partitions the corpus, merges case variants") {
     val total = graft.Tables(spark, sf, "documents").count()
     val rows = TextOps.dedupNormalized(spark, sf).collect()
