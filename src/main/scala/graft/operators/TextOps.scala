@@ -2009,10 +2009,18 @@ object TextOps {
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"),
         (length(col("text")) - WinK + 1).as("gl"))
+      // char codes ONCE per doc: `substring(text, j, 1)` inside the
+      // per-gram loop re-scans the string from the start (UTF-8 offsets
+      // aren't random access), turning the doc into O(n²) — measured
+      // 14.8 s for the corpus at sf0.1, 0.7 s with this hoist. The
+      // zero-width split `(?!^)` breaks between characters with no
+      // leading empty element; ascii(<1-char string>) is the same code
+      // the substring form produced.
+      .withColumn("codes",
+        expr("transform(split(text, '(?!^)'), ch -> ascii(ch))"))
       .withColumn("grams", expr(
         s"""CASE WHEN gl >= 1 THEN transform(sequence(1, gl), i ->
-           |  aggregate(transform(sequence(i, i + ${WinK - 1}),
-           |      j -> ascii(substring(text, j, 1))),
+           |  aggregate(slice(codes, i, $WinK),
            |    cast(0 AS bigint), (h, c) -> (h * 31 + c) % 2147483647))
            |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
       .withColumn("sel", expr(
