@@ -461,4 +461,45 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("chunking: per-row HOFs, no exchange before the output sort") {
+    val p = finalPlan(SparkEntry.queries("docs_chunk_overlap")(spark, sf))
+    // the only exchange in the plan is the rangepartitioning the final
+    // ORDER BY needs — chunk generation itself never shuffles
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Window "), p)
+  }
+
+  test("winnowing: map-only until the output sort, pruned scan") {
+    val p = finalPlan(SparkEntry.queries("docs_winnowing")(spark, sf))
+    assert(!p.contains("hashpartitioning"), p)
+    // only doc_id and text are read; the metadata columns are pruned
+    assert(!p.contains("n_chars"), p)
+  }
+
+  test("hard negatives: broadcast query frame + native GroupTopK, no window") {
+    val p = finalPlan(SparkEntry.queries("ann_hard_negatives")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "), p)
+  }
+
+  test("label outliers: broadcast centroids, partial aggs, GroupTopK") {
+    val p = finalPlan(SparkEntry.queries("ann_label_outliers")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("conversion lag: one user-key exchange with map-side partial mins") {
+    val p = finalPlan(SparkEntry.queries("events_conversion_lag")(spark, sf))
+    // conditional-min form: no self-join of the event log
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_min"), p)
+    // the type filter is pushed into the parquet scan
+    assert(p.contains("PushedFilters"), p)
+    assert(p.toLowerCase.contains("in(event_type"), p)
+  }
+
 }
