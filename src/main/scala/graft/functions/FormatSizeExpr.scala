@@ -95,7 +95,20 @@ object GraftFunctions {
       binary("vec_dist2", VecDist2.apply),
       binary("zorder2", ZOrder2.apply),
       binary("topk_list", (v, k) => TopKListAgg(v, k)
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+      (FunctionIdentifier("winnow_select"),
+        new ExpressionInfo(classOf[WinnowSelect].getCanonicalName,
+          "winnow_select"),
+        { children =>
+          require(children.length == 3,
+            s"winnow_select expects (text, k, w), got ${children.length}")
+          def litInt(e: Expression, what: String): Int = {
+            require(e.foldable, s"winnow_select $what must be a literal")
+            e.eval().asInstanceOf[Number].intValue()
+          }
+          WinnowSelect(children.head, litInt(children(1), "k"),
+            litInt(children(2), "w"))
+        }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, inf, b) =>

@@ -2005,35 +2005,25 @@ object TextOps {
     * selected-set size plus its order-insensitive digest (sorted join →
     * sha256), the form two corpora can be compared by.
     */
-  def winnowing(spark: SparkSession, sfDir: String): DataFrame =
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    // gram hashing + window-min + distinct fused into the native
+    // codegen'd winnow_select kernel ([[graft.functions.WinnowSelect]]).
+    // The HOF pipeline it replaces ran interpreted lambdas with three
+    // intermediate arrays per row: 14.8 s naive, 3.1 s with the char
+    // codes hoisted, 0.6 s native — identical checksums at each step
+    // (WinnowExprSpec pins native ≡ HOF on the corpus).
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) - WinK + 1).as("gl"))
-      // char codes ONCE per doc: `substring(text, j, 1)` inside the
-      // per-gram loop re-scans the string from the start (UTF-8 offsets
-      // aren't random access), turning the doc into O(n²) — measured
-      // 14.8 s for the corpus at sf0.1, 0.7 s with this hoist. The
-      // zero-width split `(?!^)` breaks between characters with no
-      // leading empty element; ascii(<1-char string>) is the same code
-      // the substring form produced.
-      .withColumn("codes",
-        expr("transform(split(text, '(?!^)'), ch -> ascii(ch))"))
-      .withColumn("grams", expr(
-        s"""CASE WHEN gl >= 1 THEN transform(sequence(1, gl), i ->
-           |  aggregate(slice(codes, i, $WinK),
-           |    cast(0 AS bigint), (h, c) -> (h * 31 + c) % 2147483647))
-           |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
-      .withColumn("sel", expr(
-        s"""array_sort(array_distinct(CASE WHEN size(grams) >= 1 THEN
-           |  transform(sequence(1, greatest(size(grams) - $WinW + 1, 1)),
-           |    j -> array_min(slice(grams, j, $WinW)))
-           |ELSE CAST(array() AS array<bigint>) END))""".stripMargin))
+      .select(col("doc_id"),
+        (length(col("text")) - WinK + 1).as("gl"),
+        expr(s"winnow_select(text, $WinK, $WinW)").as("sel"))
       .select(col("doc_id"),
         greatest(col("gl"), lit(0)).cast("long").as("n_grams"),
         size(col("sel")).cast("long").as("n_selected"),
         sha2(expr("array_join(transform(sel, v -> cast(v AS string)), ',')"),
           256).as("sketch"))
       .orderBy("doc_id")
+  }
 
   val winnowingSql: String =
     s"""WITH g AS (
