@@ -1995,8 +1995,12 @@ object TextOps {
   // contributes at least one COMMON selected hash to both sketches.     //
   // -------------------------------------------------------------------- //
 
-  private val WinK = 8 // k-gram length (chars)
-  private val WinW = 4 // winnowing window (grams)
+  // k+w-1 = 23 chars (~4 words) is the guarantee threshold: any shared
+  // substring at least that long yields a common selected hash. k=8
+  // (2 words) marked two-thirds of all document pairs as related on
+  // this corpus — a detector that fires on everything detects nothing.
+  private val WinK = 16 // k-gram length (chars)
+  private val WinW = 8  // winnowing window (grams)
 
   /** Per-document winnowing sketch: char k-gram polynomial hashes (the
     * same `(h·31+c) mod 2³¹−1` family as [[rollingHash]]), window-min
@@ -2051,6 +2055,76 @@ object TextOps {
        |    list_transform(sel, v -> CAST(v AS VARCHAR)), ',')) AS sketch
        |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Documents-per-hash cap for [[winnowPairs]]: a selected hash present
+    * in more hashes than this is corpus boilerplate (a stop-hash) and is
+    * dropped BEFORE the self-join — the skew guard that keeps the
+    * hash-key join linear when one boilerplate sentence appears in
+    * millions of documents.
+    */
+  private val WinnowStopDocs = 50
+  private val WinnowMinShared = 3
+
+  /** Winnow-sketch MATCH detection — what the MOSS service does with
+    * the sketches [[winnowing]] computes: explode each document's
+    * selected hashes, drop stop-hashes (seen in > [[WinnowStopDocs]]
+    * docs), self-join on the hash value (a banded equi-join — candidate
+    * pairs only ever meet through a shared selected hash, never an
+    * all-pairs product), and report pairs sharing ≥ [[WinnowMinShared]]
+    * selected hashes. The winnowing guarantee makes this a substring
+    * detector: any shared run of ≥ k+w−1 chars contributes ≥ 1 shared
+    * selected hash, so heavy overlap ⇒ high shared count.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sel = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(expr(s"winnow_select(text, $WinK, $WinW)")).as("h"))
+    val keep = sel.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") <= WinnowStopDocs)
+      .select("h")
+    val pruned = sel.join(keep, "h")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, length(text) - $WinK + 1 AS gl,
+       |    CASE WHEN length(text) - $WinK + 1 >= 1 THEN
+       |      list_transform(generate_series(1, length(text) - $WinK + 1),
+       |        i -> list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(generate_series(i, i + ${WinK - 1}),
+       |              j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+       |          (h, c) -> (h * 31 + c) % 2147483647))
+       |    ELSE [] END AS grams
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(grams) >= 1 THEN
+       |      list_transform(
+       |        generate_series(1, greatest(len(grams) - $WinW + 1, 1)),
+       |        j -> list_min(grams[j : j + ${WinW - 1}]))
+       |    ELSE [] END) AS sel
+       |  FROM g),
+       |s AS (SELECT doc_id, unnest(sel) AS h FROM w),
+       |keep AS (
+       |  SELECT h FROM s GROUP BY h
+       |  HAVING count(DISTINCT doc_id) <= $WinnowStopDocs),
+       |p AS (SELECT s.doc_id, s.h FROM s JOIN keep USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared
+       |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Normalized exact dedup — canonicalize before hashing (lowercase,     //
   // strip punctuation, collapse whitespace): catches the trivial         //
@@ -2094,6 +2168,7 @@ object TextOps {
     "docs_chunk_overlap" -> chunkOverlap,
     "docs_chunk_dedup" -> chunkDedup,
     "docs_winnowing" -> winnowing,
+    "docs_winnow_pairs" -> winnowPairs,
     "docs_token_stats" -> tokenStats,
     "docs_token_bpe" -> tokenBpe,
     "docs_quality" -> qualityScore,
@@ -2139,6 +2214,7 @@ object TextOps {
     "docs_chunk_overlap" -> chunkOverlapSql,
     "docs_chunk_dedup" -> chunkDedupSql,
     "docs_winnowing" -> winnowingSql,
+    "docs_winnow_pairs" -> winnowPairsSql,
     "docs_token_stats" -> tokenStatsSql,
     "docs_token_bpe" -> tokenBpeSql,
     "docs_quality" -> qualityScoreSql,

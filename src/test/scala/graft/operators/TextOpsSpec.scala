@@ -322,6 +322,37 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("winnow pairs: identical docs pair with their full sketch overlap") {
+    // two byte-identical long docs (enough grams for several selected
+    // hashes) plus an unrelated one and a sub-k one
+    val dir = Files.createTempDirectory("winnowpairs").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i word$i").mkString(" ")
+    spark.createDataFrame(Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, other, "en", "src0", other.length.toLong),
+      (3L, "tiny", "en", "src0", 4L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sketch = TextOps.winnowing(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sketch(0L) >= 3, s"fixture too short: ${sketch(0L)} selected")
+    val pairs = TextOps.winnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the identical docs are the only pair, sharing the whole sketch
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(pairs.head._3 == sketch(0L),
+      s"shared ${pairs.head._3} != sketch size ${sketch(0L)}")
+    // corpus-level sanity: ordered pairs, threshold respected
+    val corpus = TextOps.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (a, b, n) =>
+      assert(a < b && n >= 3, s"bad pair ($a,$b,$n)")
+    }
+  }
+
   test("normalized dedup: partitions the corpus, merges case variants") {
     val total = graft.Tables(spark, sf, "documents").count()
     val rows = TextOps.dedupNormalized(spark, sf).collect()
