@@ -111,6 +111,45 @@ object EventsStream {
       }
   }
 
+  /** Streaming conversion detection — the streaming twin of
+    * [[graft.operators.EventsOps.conversionLag]]'s funnel timing: per
+    * user, remember the first 'view', and on the first 'purchase' at or
+    * after it emit ONE `(user_id, lag_us)` conversion record. State per
+    * user is two fields (first-view µs + converted flag) forever-bounded
+    * by |users|, the same mergeable-summary discipline as
+    * [[topkStream]]; a TTL knob would bound it further in production.
+    * Ordering contract (as [[asofStream]]): event-time order WITHIN a
+    * micro-batch (rows are sorted before the state update), arrival
+    * order across batches — a view arriving in a later batch than its
+    * purchase does not retro-convert; the batch query is the exact
+    * form.
+    */
+  def conversionStream(spark: SparkSession,
+      events: Dataset[(Long, Long, String)]): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[(Long, Boolean)]) =>
+          var (firstView, converted) =
+            state.getOption.getOrElse((Long.MinValue, false))
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, typ) =>
+            if (typ == "view" && firstView == Long.MinValue)
+              firstView = ts
+            else if (typ == "purchase" && !converted &&
+              firstView != Long.MinValue && ts >= firstView) {
+              converted = true
+              out += ((user, ts - firstView))
+            }
+          }
+          state.update((firstView, converted))
+          out.iterator
+      }
+  }
+
   /** Engine-native watermark-bounded streaming dedup
     * (`dropDuplicatesWithinWatermark`) — the zero-custom-code counterpart
     * of [[dedupStream]]: state for a key is dropped once the watermark

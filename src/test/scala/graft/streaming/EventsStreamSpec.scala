@@ -263,4 +263,40 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("conversionStream: one conversion per user, cross-batch state, " +
+    "in-batch event-time order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = EventsStream.conversionStream(spark, ms.toDS())
+      .writeStream.format("memory").queryName("conv")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 views; u2's purchase ARRIVES before its view but
+      // carries a later event time (in-batch sort converts it);
+      // u3 purchases with no view ever (never converts)
+      ms.addData(
+        (1L, 1000L, "view"),
+        (2L, 2500L, "purchase"), (2L, 2000L, "view"),
+        (3L, 500L, "purchase"))
+      q.processAllAvailable()
+      val after1 = spark.table("conv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after1 == Set((2L, 500L)))
+      // batch 2: u1's purchase lands (cross-batch state: lag measured
+      // from the batch-1 view); u2 purchases again — already converted,
+      // no second emission; u3's view arrives AFTER its purchase in
+      // arrival order — no retro-conversion, but a later purchase now
+      // converts normally
+      ms.addData(
+        (1L, 5000L, "purchase"),
+        (2L, 9000L, "purchase"),
+        (3L, 600L, "view"), (3L, 900L, "purchase"))
+      q.processAllAvailable()
+      val after2 = spark.table("conv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after2 == Set((2L, 500L), (1L, 4000L), (3L, 300L)))
+    } finally q.stop()
+  }
+
 }
