@@ -163,6 +163,49 @@ object TextOps {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source quantile quality gate — the curation form a threshold
+    * constant can't give: "keep each source's best 70%" adapts to every
+    * source's own score distribution (a fixed cutoff keeps all of a
+    * clean source and none of a noisy one). Thresholds are ONE exact
+    * interpolated quantile per source (`percentile` ≙ `quantile_cont`,
+    * the [[graft.operators.EventsOps.valueQuantiles]] parity pair) —
+    * a |sources|-row frame broadcast back against the scored stream,
+    * so the corpus is read once and shuffled never.
+    */
+  def qualityQuantileFilter(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val scored = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"))
+      .withColumn("quality", qualityCol(col("n_stop"), col("n_tokens")))
+      .select("doc_id", "source", "quality")
+    val thresholds = scored.groupBy("source")
+      .agg(round(expr("percentile(quality, 0.3)"), 4).as("q30"))
+    scored.join(broadcast(thresholds), "source")
+      .filter(col("quality") >= col("q30"))
+      .select("source", "doc_id", "quality", "q30")
+      .orderBy("source", "doc_id")
+  }
+
+  val qualityQuantileFilterSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+       |      + 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 4)
+       |      AS quality
+       |  FROM (SELECT doc_id, source, len($duckToks) AS n_tokens,
+       |          len(list_filter($duckToks, t -> t IN ($stopList)))
+       |            AS n_stop
+       |        FROM documents)),
+       |t AS (
+       |  SELECT source, round(quantile_cont(quality, 0.3), 4) AS q30
+       |  FROM scored GROUP BY source)
+       |SELECT source, doc_id, quality, q30
+       |FROM scored JOIN t USING (source)
+       |WHERE quality >= q30
+       |ORDER BY source, doc_id""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Language ID: marker-word hit counts + argmax (n-gram-free heuristic; //
   // deterministic and oracle-able, unlike a model-based LID).            //
@@ -2180,6 +2223,7 @@ object TextOps {
     "docs_token_stats" -> tokenStats,
     "docs_token_bpe" -> tokenBpe,
     "docs_quality" -> qualityScore,
+    "docs_quality_quantile" -> qualityQuantileFilter,
     "docs_lang_id" -> langId,
     "docs_fingerprint" -> fingerprint,
     "docs_rolling_hash" -> rollingHash,
@@ -2226,6 +2270,7 @@ object TextOps {
     "docs_token_stats" -> tokenStatsSql,
     "docs_token_bpe" -> tokenBpeSql,
     "docs_quality" -> qualityScoreSql,
+    "docs_quality_quantile" -> qualityQuantileFilterSql,
     "docs_lang_id" -> langIdSql,
     "docs_fingerprint" -> fingerprintSql,
     "docs_rolling_hash" -> rollingHashSql,

@@ -322,6 +322,26 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("quality quantile gate keeps ~70% of each source, all >= threshold") {
+    val perSource = graft.Tables(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextOps.qualityQuantileFilter(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    rows.foreach { case (src, id, q, thr) =>
+      assert(q >= thr, s"doc $id of $src kept below threshold")
+    }
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val frac = g.length.toDouble / perSource(src)
+      // ~70% per source: discrete (rounded) scores put the interpolated
+      // threshold between observed values, so the kept fraction floats
+      // a few points around 0.7 in either direction
+      assert(frac >= 0.6 && frac <= 0.85, s"$src kept $frac")
+    }
+    assert(rows.map(_._1).distinct.length == perSource.size)
+  }
+
   test("winnow pairs: identical docs pair with their full sketch overlap") {
     // two byte-identical long docs (enough grams for several selected
     // hashes) plus an unrelated one and a sub-k one
