@@ -168,9 +168,13 @@ object TextOps {
     * source's own score distribution (a fixed cutoff keeps all of a
     * clean source and none of a noisy one). Thresholds are ONE exact
     * interpolated quantile per source (`percentile` ≙ `quantile_cont`,
-    * the [[graft.operators.EventsOps.valueQuantiles]] parity pair) —
-    * a |sources|-row frame broadcast back against the scored stream,
-    * so the corpus is read once and shuffled never.
+    * the [[graft.operators.EventsOps.valueQuantiles]] parity pair),
+    * broadcast back against the scored stream. Cost shape: one hash
+    * exchange of the slim (doc_id, source, quality) projection for the
+    * quantile — and because scores are rounded to 4 decimals, the
+    * exact-percentile buffer holds ≤ 10⁴ distinct values per source,
+    * bounded at any corpus size — then a map-side broadcast join; the
+    * full-width corpus itself is read once and never shuffled.
     */
   def qualityQuantileFilter(spark: SparkSession,
       sfDir: String): DataFrame = {
