@@ -1548,21 +1548,31 @@ object TextOps {
     // partition (single-row-group parquet), and a cartesian's task count
     // is |left parts| × |right parts| — without this the whole audit
     // product runs as a single task on one core
+    // the exact-Jaccard audit runs on 60-bit shingle FINGERPRINTS
+    // (first 15 sha256 hex chars — the widened form of the minhash
+    // stage's 28-bit base, mirrored verbatim in the oracle): per-pair
+    // set intersection over longs costs a fraction of hashing ~30-char
+    // strings, and at ~10⁶ distinct shingles the collision expectation
+    // is ~1e-7 — the fingerprint Jaccard IS the string Jaccard.
+    // Measured at sf0.1: 68.8 → 6.0 s for the whole audit.
+    val fp = expr(
+      "array_distinct(transform(sh, v -> " +
+        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
     val sample = sh.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("s_id"), col("sh").as("s_sh"))
+      .select(col("doc_id").as("s_id"), fp.as("s_fp"))
       .repartition(32)
     // the size-ratio prefilter is implied by jac >= 0.3 (|A∩B|/|A∪B| ≥ t
     // forces |A|/|B| ∈ [t, 1/t]) but runs as three codegen'd integer
     // ops per pair, pruning most of the product before the expensive
     // set intersection — result-identical, mirrored in the oracle
     val truth = sample.crossJoin(
-        sh.select(col("doc_id").as("d_id"), col("sh").as("d_sh")))
+        sh.select(col("doc_id").as("d_id"), fp.as("d_fp")))
       .filter(col("s_id") =!= col("d_id"))
-      .filter(expr("size(s_sh) * 10 >= size(d_sh) * 3") &&
-        expr("size(d_sh) * 10 >= size(s_sh) * 3"))
+      .filter(expr("size(s_fp) * 10 >= size(d_fp) * 3") &&
+        expr("size(d_fp) * 10 >= size(s_fp) * 3"))
       .withColumn("jac", round(
-        expr("size(array_intersect(s_sh, d_sh))").cast("double") /
-          expr("size(array_union(s_sh, d_sh))"), 4))
+        expr("size(array_intersect(s_fp, d_fp))").cast("double") /
+          expr("size(array_union(s_fp, d_fp))"), 4))
       .filter(col("jac") >= 0.3)
       .select(least(col("s_id"), col("d_id")).as("a_id"),
         greatest(col("s_id"), col("d_id")).as("b_id"))
@@ -1584,16 +1594,21 @@ object TextOps {
   val minhashRecallSql: String =
     s"""WITH ${minhashCtesFrom("documents")},
        |lsh AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
-       |smp AS (SELECT doc_id AS s_id, s AS s_sh FROM sh WHERE doc_id % 10 = 0),
+       |fps AS (
+       |  SELECT doc_id, list_distinct(list_transform(s, v ->
+       |    CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS fp
+       |  FROM sh),
+       |smp AS (SELECT doc_id AS s_id, fp AS s_fp FROM fps
+       |        WHERE doc_id % 10 = 0),
        |truth AS (
        |  SELECT DISTINCT least(s_id, d.doc_id) AS a_id,
        |    greatest(s_id, d.doc_id) AS b_id
-       |  FROM smp, sh d
+       |  FROM smp, fps d
        |  WHERE s_id <> d.doc_id
-       |    AND len(s_sh) * 10 >= len(d.s) * 3
-       |    AND len(d.s) * 10 >= len(s_sh) * 3
-       |    AND round(CAST(len(list_intersect(s_sh, d.s)) AS DOUBLE)
-       |          / len(list_distinct(list_concat(s_sh, d.s))), 4) >= 0.3),
+       |    AND len(s_fp) * 10 >= len(d.fp) * 3
+       |    AND len(d.fp) * 10 >= len(s_fp) * 3
+       |    AND round(CAST(len(list_intersect(s_fp, d.fp)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(s_fp, d.fp))), 4) >= 0.3),
        |hit AS (SELECT * FROM truth WHERE EXISTS (
        |  SELECT 1 FROM lsh WHERE lsh.a_id = truth.a_id
        |    AND lsh.b_id = truth.b_id))
