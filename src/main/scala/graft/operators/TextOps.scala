@@ -1579,12 +1579,18 @@ object TextOps {
     val sample = sh.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("s_id"), fp.as("s_fp"))
       .repartition(32)
+    // materialize the corpus fingerprint leg BEFORE the cartesian: the
+    // product's right side re-evaluates once per LEFT partition, which
+    // re-ran the per-shingle sha256 projection 32× (the bench-all sweep
+    // caught it: 51 s cold, of which ~45 s was repeated hashing). A
+    // checkpointed leg is scanned 32×, not recomputed.
+    val corpusFp = sh.select(col("doc_id").as("d_id"), fp.as("d_fp"))
+      .localCheckpoint(true)
     // the size-ratio prefilter is implied by jac >= 0.3 (|A∩B|/|A∪B| ≥ t
     // forces |A|/|B| ∈ [t, 1/t]) but runs as three codegen'd integer
     // ops per pair, pruning most of the product before the expensive
     // set intersection — result-identical, mirrored in the oracle
-    val truth = sample.crossJoin(
-        sh.select(col("doc_id").as("d_id"), fp.as("d_fp")))
+    val truth = sample.crossJoin(corpusFp)
       .filter(col("s_id") =!= col("d_id"))
       .filter(expr("size(s_fp) * 10 >= size(d_fp) * 3") &&
         expr("size(d_fp) * 10 >= size(s_fp) * 3"))
