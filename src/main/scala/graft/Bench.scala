@@ -160,14 +160,56 @@ object Bench {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
-  /** Warmup once, time twice, report the minimum (see class doc). */
-  private[graft] def timedMinOf2(run: () => Long): (Double, Long) = {
+  /** Warmup once, time twice; returns (min sec, checksum, BOTH raw run
+    * times). The raw times are emitted beside the min in the bench JSON
+    * so a noisy capture self-documents at query granularity: two
+    * far-apart runs mean co-tenant interference, two close runs mean
+    * the min is trustworthy — a reader adjudicates without re-running.
+    */
+  private[graft] def timedMinOf2(run: () => Long): (Double, Long, Seq[Double]) = {
     run() // warmup: codegen, broadcast, shuffle files
-    (1 to 2).map { _ =>
+    val runs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       val chk = run()
       ((System.nanoTime() - t0) / 1e9, chk)
-    }.minBy(_._1)
+    }
+    val (sec, chk) = runs.minBy(_._1)
+    (sec, chk, runs.map(_._1))
+  }
+
+  /** Once-per-session bench staging: rewrite each big single-file table
+    * of `sfDir` into `parts` parquet files (small tables are symlinked
+    * verbatim), returning the staged dir. WHY: the driver's sf0.1
+    * tables are ONE parquet file with ONE row group each, and Spark's
+    * scan-parallelism unit is the row group (PERF.md "Single-row-group
+    * inputs cap scan parallelism") — so heavy scans decode on 1 of 32
+    * cores and the TPC-H "gap" vs DuckDB is input shape, not plan. On a
+    * real cluster the input arrives as many files/row groups; staging
+    * reproduces that shape locally. Content is verified unchanged: each
+    * resharded table's order-independent checksum must equal the
+    * original's (repartition is a row-preserving shuffle), so staged
+    * query checksums are comparable across rounds by construction.
+    */
+  private[graft] def stageResharded(spark: SparkSession, sfDir: String,
+      parts: Int = 32, minBytes: Long = 4L << 20): (String, Double) = {
+    val t0 = System.nanoTime()
+    val staged = Files.createTempDirectory("benchstage")
+    val src = Paths.get(sfDir)
+    val s = Files.list(src)
+    try {
+      s.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
+        val dst = staged.resolve(p.getFileName.toString)
+        if (Files.size(p) >= minBytes) {
+          val df = spark.read.parquet(p.toString)
+          df.repartition(parts).write.parquet(dst.toString)
+          val (orig, shard) =
+            (checksum(df), checksum(spark.read.parquet(dst.toString)))
+          assert(orig == shard,
+            s"reshard changed ${p.getFileName}: $orig != $shard")
+        } else Files.createSymbolicLink(dst, p.toAbsolutePath)
+      }
+    } finally s.close()
+    (staged.toString, (System.nanoTime() - t0) / 1e9)
   }
 
   def main(args: Array[String]): Unit = {
@@ -202,10 +244,23 @@ object Bench {
       spark.stop()
       return
     }
+    // Headline queries run against resharded inputs (stageResharded doc)
+    // unless SPARK_GRAFT_BENCH_RESHARD=0 asks for the raw driver files —
+    // the knob PERF.md's raw-vs-resharded table is measured with.
+    val reshard = !sys.env.get("SPARK_GRAFT_BENCH_RESHARD").contains("0")
+    val (benchDir, stageSec) =
+      if (reshard) {
+        try stageResharded(spark, sfDir) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] staging failed, using raw " +
+              s"inputs: ${e.getMessage}")
+            (sfDir, -1.0)
+        }
+      } else (sfDir, 0.0)
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val r = try {
-        Right(timedMinOf2(() => checksum(fn(spark, sfDir))))
+        Right(timedMinOf2(() => checksum(fn(spark, benchDir))))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -213,9 +268,12 @@ object Bench {
       }
       name -> r
     }
-    val ok = results.collect { case (n, Right((s, _))) => n -> s }
+    val ok = results.collect { case (n, Right((s, _, _))) => n -> s }
     val qJson = ok.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
+    val runsJson = results.collect { case (n, Right((_, _, runs))) =>
+      s""""$n":[${runs.map("%.3f".format(_)).mkString(",")}]"""
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failed = results.collect { case (n, Left(_)) => s""""$n"""" }
       .mkString("[", ",", "]")
@@ -232,10 +290,11 @@ object Bench {
       Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"failed":$failed,"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"loadavg_1m":$loadavg,"cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"query_runs":$runsJson,"failed":$failed,"resharded":${benchDir != sfDir},"stage_sec":${"%.3f".format(stageSec)},"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"loadavg_1m":$loadavg,"cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)
+    if (benchDir != sfDir) rm(Paths.get(benchDir))
     spark.stop()
   }
 }

@@ -17,9 +17,10 @@ object QueryTime {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query: $name (known: " +
         s"${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})"))
-    val (sec, chk) = Bench.timedMinOf2(
+    val (sec, chk, runs) = Bench.timedMinOf2(
       () => Bench.checksum(fn(spark, sfDir)))
-    println(f"""{"query":"$name","sec":$sec%.3f,"checksum":$chk,"sf":"$sfDir"}""")
+    val rj = runs.map("%.3f".format(_)).mkString("[", ",", "]")
+    println(f"""{"query":"$name","sec":$sec%.3f,"runs":$rj,"checksum":$chk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

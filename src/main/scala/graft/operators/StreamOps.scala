@@ -46,6 +46,10 @@ object StreamOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  // the MOR twin needs its OWN cache: cachedTempDir keys by sfDir, so
+  // sharing storeCache would hand one twin the other's store
+  private val morStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
   private val qn = new AtomicLong(0)
 
   /** Stage the (ts-normalized) events table as a 4-file parquet dir so
@@ -202,51 +206,115 @@ object StreamOps {
   // makes the fold independent of batch arrival order.                 //
   // ------------------------------------------------------------------ //
 
+  /** Stage the two scan generations (full scan, then the %7 rescan with
+    * newer mtimes — fs_merge_upsert's exact inputs) as two flat files
+    * in ONE input dir (no `g=N` subdirs — the source would read them as
+    * a partition column) so the file source replays them as separate
+    * micro-batches. Shared by [[streamIndex]] and [[streamIndexMor]].
+    */
+  private[operators] def stageScanGens(spark: SparkSession, sfDir: String,
+      root: String): Unit = {
+    val base = SyntheticFs.files(spark, sfDir)
+      .select("relative_path", "size_bytes", "modified_time")
+    val rescan = SyntheticFs.files(spark, sfDir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("relative_path"),
+        (col("size_bytes") + 777).as("size_bytes"),
+        (col("modified_time") + expr("INTERVAL 5 DAYS"))
+          .as("modified_time"))
+    def stageOne(df: DataFrame, tmp: String, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$root/$tmp")
+      val part = new java.io.File(s"$root/$tmp").listFiles
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part in $root/$tmp"))
+      val in = new java.io.File(s"$root/in"); in.mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, name).toPath): Unit
+      StoreUtil.deleteRecQuiet(s"$root/$tmp")
+    }
+    stageOne(base, "tmp0", "gen0.parquet")
+    stageOne(rescan, "tmp1", "gen1.parquet")
+  }
+
+  /** Run the staged generations through a foreachBatch stream into the
+    * store at `root/store`, one micro-batch per generation, applying
+    * `land` per batch. Shared plumbing of the COW and MOR index twins.
+    */
+  private[operators] def runIndexStream(spark: SparkSession, root: String)(
+      land: (ParquetIndex, DataFrame, Long) => Unit): Unit = {
+    val idx = new ParquetIndex(s"$root/store", writeFiles = 4)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$root/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in")
+    val q = src.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        land(idx, batch, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def streamIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = StoreUtil.cachedTempDir(storeCache, sfDir,
       "graft-streamindex") { root =>
-      val base = SyntheticFs.files(spark, sfDir)
-        .select("relative_path", "size_bytes", "modified_time")
-      val rescan = SyntheticFs.files(spark, sfDir)
-        .filter(col("l_orderkey") % 7 === 0)
-        .select(col("relative_path"),
-          (col("size_bytes") + 777).as("size_bytes"),
-          (col("modified_time") + expr("INTERVAL 5 DAYS"))
-            .as("modified_time"))
-      // stage the two scan generations as two flat files in ONE input
-      // dir (no `g=N` subdirs — the source would read them as a
-      // partition column) so the file source replays them as separate
-      // micro-batches
-      def stageOne(df: DataFrame, tmp: String, name: String): Unit = {
-        df.coalesce(1).write.parquet(s"$root/$tmp")
-        val part = new java.io.File(s"$root/$tmp").listFiles
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part in $root/$tmp"))
-        val in = new java.io.File(s"$root/in"); in.mkdirs()
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(in, name).toPath): Unit
-        StoreUtil.deleteRecQuiet(s"$root/$tmp")
+      stageScanGens(spark, sfDir, root)
+      runIndexStream(spark, root) { (idx, batch, _) =>
+        idx.upsert(batch.sparkSession, batch,
+          "relative_path", "modified_time"): Unit
       }
-      stageOne(base, "tmp0", "gen0.parquet")
-      stageOne(rescan, "tmp1", "gen1.parquet")
-      val idx = new ParquetIndex(s"$root/store", writeFiles = 4)
-      val src = spark.readStream
-        .schema(spark.read.parquet(s"$root/in").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$root/in")
-      val q = src.writeStream
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          idx.upsert(batch.sparkSession, batch,
-            "relative_path", "modified_time"): Unit
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
     }
     new ParquetIndex(s"$dir/store").read(spark)
       .getOrElse(sys.error(s"fs_stream_index: empty store at $dir"))
+      .select("relative_path", "size_bytes", "modified_time")
+      .orderBy("relative_path")
+  }
+
+  // ------------------------------------------------------------------ //
+  // The MOR twin: same stream, same final state, write cost ∝ batch.   //
+  // ------------------------------------------------------------------ //
+
+  /** How many micro-batches between [[ParquetIndex.checkpointMor]]
+    * folds in [[streamIndexMor]] — every 2nd batch, so the 2-generation
+    * green row exercises append → fold → read, not just append.
+    */
+  private[operators] val morCheckpointEvery = 2
+
+  /** Streaming MOR ingestion — [[streamIndex]]'s economics fix: the COW
+    * twin rewrites the whole snapshot every micro-batch (write ∝ index
+    * size), this one lands each batch as a MOR delta (write ∝ BATCH
+    * size — StreamMorSpec measures the byte ratio) and folds the log
+    * with a periodic [[ParquetIndex.checkpointMor]] (every
+    * [[morCheckpointEvery]] batches), exactly the appendDelta +
+    * checkpoint cadence the batch pipeline's MOR path uses. The final
+    * [[ParquetIndex.readMor]] state folds to the same (key, mtime) LWW
+    * snapshot as the per-batch COW merge — strictly-newer mtimes across
+    * generations make the fold independent of batch arrival order — so
+    * the row shares `fs_stream_index`'s oracle verbatim.
+    */
+  /** The MOR twin's cached store root for `sfDir`, if built in this JVM
+    * (StreamMorSpec inspects the store the green row actually serves).
+    */
+  private[operators] def streamIndexMorStoreDir(
+      sfDir: String): Option[String] = Option(morStoreCache.get(sfDir))
+
+  def streamIndexMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(morStoreCache, sfDir,
+      "graft-streamindexmor") { root =>
+      stageScanGens(spark, sfDir, root)
+      runIndexStream(spark, root) { (idx, batch, batchId) =>
+        idx.appendDelta(batch.sparkSession, batch): Unit
+        if ((batchId + 1) % morCheckpointEvery == 0)
+          idx.checkpointMor(batch.sparkSession,
+            "relative_path", "modified_time"): Unit
+      }
+    }
+    new ParquetIndex(s"$dir/store")
+      .readMor(spark, "relative_path", "modified_time")
+      .getOrElse(sys.error(s"fs_stream_index_mor: empty store at $dir"))
       .select("relative_path", "size_bytes", "modified_time")
       .orderBy("relative_path")
   }
@@ -255,11 +323,14 @@ object StreamOps {
     "events_stream_hourly" -> streamHourly,
     "events_stream_sessionize" -> streamSessionize,
     "events_stream_distinct" -> streamDistinct,
-    "fs_stream_index" -> streamIndex)
+    "fs_stream_index" -> streamIndex,
+    "fs_stream_index_mor" -> streamIndexMor)
 
   def oracleSql: Map[String, String] = Map(
     "events_stream_hourly" -> EventsOps.hourlyWindowSql,
     "events_stream_sessionize" -> streamSessionizeSql,
     "events_stream_distinct" -> streamDistinctSql,
-    "fs_stream_index" -> FsOps.mergeUpsertSql)
+    "fs_stream_index" -> FsOps.mergeUpsertSql,
+    // the MOR twin folds to the identical LWW snapshot — same oracle
+    "fs_stream_index_mor" -> FsOps.mergeUpsertSql)
 }

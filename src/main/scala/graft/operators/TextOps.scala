@@ -173,8 +173,12 @@ object TextOps {
     * exchange of the slim (doc_id, source, quality) projection for the
     * quantile — and because scores are rounded to 4 decimals, the
     * exact-percentile buffer holds ≤ 10⁴ distinct values per source,
-    * bounded at any corpus size — then a map-side broadcast join; the
-    * full-width corpus itself is read once and never shuffled.
+    * bounded at any corpus size — then a map-side broadcast join. The
+    * slim projection is localCheckpoint'ed before fanning into its two
+    * plan legs (the quantile aggregation and the probe side of the
+    * broadcast join), so the full-width documents parquet genuinely IS
+    * scanned once — without the checkpoint, two un-shared legs each
+    * re-scan it.
     */
   def qualityQuantileFilter(spark: SparkSession,
       sfDir: String): DataFrame = {
@@ -184,6 +188,7 @@ object TextOps {
         expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"))
       .withColumn("quality", qualityCol(col("n_stop"), col("n_tokens")))
       .select("doc_id", "source", "quality")
+      .localCheckpoint(true)
     val thresholds = scored.groupBy("source")
       .agg(round(expr("percentile(quality, 0.3)"), 4).as("q30"))
     scored.join(broadcast(thresholds), "source")
@@ -739,10 +744,15 @@ object TextOps {
     // (the docs_minhash_recall trick: long-array intersection costs a
     // fraction of string hashing, collisions ~1e-7 at this vocabulary,
     // recipe mirrored verbatim in the oracle), and the size-ratio
-    // prefilter implied by jac ≥ 0.6 prunes most pairs before any set
-    // op — both result-identical. sf0.1: 7.24 → 5.40 s warm,
-    // checksum-identical (the remaining cost is the blocked all-pairs
-    // join itself, which is this operator's definition).
+    // prefilter prunes most pairs before any set op. The kept predicate
+    // is round(jac, 4) >= 0.6, which admits true jac down to 0.59995
+    // (jac ≤ min/max), so the implied bound is min·100000 ≥ max·59995 —
+    // NOT min·10 ≥ max·6, which would prune pairs with |A|/|B| in
+    // [0.59995, 0.6) that the unfiltered query emits. Both engines
+    // carry the same bound, result-identical by construction.
+    // sf0.1: 7.24 → 5.40 s warm, checksum-identical (the remaining
+    // cost is the blocked all-pairs join itself, which is this
+    // operator's definition).
     val fp = expr(
       s"array_distinct(transform($toks, v -> " +
         "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
@@ -752,8 +762,8 @@ object TextOps {
     val b = t.select(col("source"), col("doc_id").as("b_id"), col("s").as("b_s"))
     a.join(b, Seq("source"))
       .filter(col("a_id") < col("b_id"))
-      .filter(expr("size(a_s) * 10 >= size(b_s) * 6") &&
-        expr("size(b_s) * 10 >= size(a_s) * 6"))
+      .filter(expr("size(a_s) * 100000L >= size(b_s) * 59995L") &&
+        expr("size(b_s) * 100000L >= size(a_s) * 59995L"))
       .withColumn("jac", round(
         expr("size(array_intersect(a_s, b_s))").cast("double") /
           expr("size(array_union(a_s, b_s))"), 4))
@@ -772,8 +782,8 @@ object TextOps {
        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-       |  AND len(a.s) * 10 >= len(b.s) * 6
-       |  AND len(b.s) * 10 >= len(a.s) * 6
+       |  AND len(a.s) * 100000 >= len(b.s) * 59995
+       |  AND len(b.s) * 100000 >= len(a.s) * 59995
        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |        / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin
@@ -1550,17 +1560,25 @@ object TextOps {
   // -------------------------------------------------------------------- //
   // MinHash-LSH recall audit — "measure, don't guess" for the banded     //
   // pipeline: ground-truth near-neighbors are computed exactly for a     //
-  // deterministic hash-sample of audit docs (each sampled doc against    //
-  // the WHOLE corpus), then compared with what the banded+verified LSH   //
-  // surfaced. This is the audit a production LSH dedup ships with: the   //
-  // quadratic term is bounded to |sample| × corpus (at 100 TB the        //
-  // sample rate shrinks, the audit stays O(corpus)), while the LSH       //
-  // side is the production path itself.                                  //
+  // FIXED-COUNT deterministic hash-sample of audit docs (each sampled    //
+  // doc against the WHOLE corpus), then compared with what the          //
+  // banded+verified LSH surfaced. This is the audit a production LSH     //
+  // dedup ships with. Cost model: the exact-truth term is |sample| ×     //
+  // corpus = O(N·k) with k = auditSampleK pinned (NOT a fraction — a     //
+  // fixed 10% sample would keep the cartesian quadratic, O(N²/10), and   //
+  // grow without bound at 100 TB), so the audit scales linearly with     //
+  // the corpus while the LSH side is the production path itself.         //
   // -------------------------------------------------------------------- //
+
+  /** Fixed audit-sample size: the k in the O(N·k) exact-truth leg. */
+  private[operators] val auditSampleK = 1000
 
   def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val (sh, rawPairs) = minhashPairs(spark, sfDir)
-    // deterministic 10% audit sample; truth = exact-Jaccard neighbors of
+    // deterministic fixed-count audit sample — the k docs whose
+    // sha256(doc_id) hex sorts smallest (the docs_group_sample
+    // discipline: selection is a pure function of the ids, no RNG, both
+    // engines agree bit-for-bit); truth = exact-Jaccard neighbors of
     // sampled docs across the whole corpus (unordered pairs, a < b)
     // repartition the sample leg: the cached corpus frame is often ONE
     // partition (single-row-group parquet), and a cartesian's task count
@@ -1576,7 +1594,9 @@ object TextOps {
     val fp = expr(
       "array_distinct(transform(sh, v -> " +
         "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
-    val sample = sh.filter(col("doc_id") % 10 === 0)
+    val sample = sh
+      .orderBy(sha2(col("doc_id").cast("string"), 256), col("doc_id"))
+      .limit(auditSampleK)
       .select(col("doc_id").as("s_id"), fp.as("s_fp"))
       .repartition(32)
     // materialize the corpus fingerprint leg BEFORE the cartesian: the
@@ -1586,14 +1606,17 @@ object TextOps {
     // checkpointed leg is scanned 32×, not recomputed.
     val corpusFp = sh.select(col("doc_id").as("d_id"), fp.as("d_fp"))
       .localCheckpoint(true)
-    // the size-ratio prefilter is implied by jac >= 0.3 (|A∩B|/|A∪B| ≥ t
-    // forces |A|/|B| ∈ [t, 1/t]) but runs as three codegen'd integer
-    // ops per pair, pruning most of the product before the expensive
-    // set intersection — result-identical, mirrored in the oracle
+    // the size-ratio prefilter is implied by the KEPT predicate
+    // round(jac, 4) >= 0.3, whose true-jac floor is 0.29995 (jac ≤
+    // min/max ⇒ min·100000 ≥ max·29995 — the rounded bound, not the
+    // naive 0.3 one, which would prune ratio-[0.29995, 0.3) pairs the
+    // unfiltered query emits); it runs as three codegen'd integer ops
+    // per pair, pruning most of the product before the expensive set
+    // intersection — result-identical, mirrored in the oracle
     val truth = sample.crossJoin(corpusFp)
       .filter(col("s_id") =!= col("d_id"))
-      .filter(expr("size(s_fp) * 10 >= size(d_fp) * 3") &&
-        expr("size(d_fp) * 10 >= size(s_fp) * 3"))
+      .filter(expr("size(s_fp) * 100000L >= size(d_fp) * 29995L") &&
+        expr("size(d_fp) * 100000L >= size(s_fp) * 29995L"))
       .withColumn("jac", round(
         expr("size(array_intersect(s_fp, d_fp))").cast("double") /
           expr("size(array_union(s_fp, d_fp))"), 4))
@@ -1623,14 +1646,15 @@ object TextOps {
        |    CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS fp
        |  FROM sh),
        |smp AS (SELECT doc_id AS s_id, fp AS s_fp FROM fps
-       |        WHERE doc_id % 10 = 0),
+       |        ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+       |        LIMIT 1000),
        |truth AS (
        |  SELECT DISTINCT least(s_id, d.doc_id) AS a_id,
        |    greatest(s_id, d.doc_id) AS b_id
        |  FROM smp, fps d
        |  WHERE s_id <> d.doc_id
-       |    AND len(s_fp) * 10 >= len(d.fp) * 3
-       |    AND len(d.fp) * 10 >= len(s_fp) * 3
+       |    AND len(s_fp) * 100000 >= len(d.fp) * 29995
+       |    AND len(d.fp) * 100000 >= len(s_fp) * 29995
        |    AND round(CAST(len(list_intersect(s_fp, d.fp)) AS DOUBLE)
        |          / len(list_distinct(list_concat(s_fp, d.fp))), 4) >= 0.3),
        |hit AS (SELECT * FROM truth WHERE EXISTS (

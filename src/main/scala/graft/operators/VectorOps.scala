@@ -791,6 +791,236 @@ object VectorOps {
        |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Trained PQ codebooks vs seeded — the PQ twin of
+    * [[ivfRecallTrained]]: each subspace's 8-entry codebook gets ONE
+    * Lloyd refinement (assign every vector's m-th slice to its nearest
+    * sub-centroid with the shared [[Pq.subAssign]] argmin, then take
+    * per-dimension means in [[kmeansStep]]'s micro-unit fixed point —
+    * floor(x·10⁶) BIGINT sums, floored integer mean, so the distributed
+    * sum is partition-order independent and both engines emit identical
+    * bits; an emptied sub-cell keeps its seed slice). Output is ONE
+    * all-integer audit row:
+    *   (n_vecs, err_seeded_q4, err_trained_q4, n_queries,
+    *    adc_hits_seeded, adc_hits_trained)
+    * where err_*_q4 is the corpus-summed PQ reconstruction error in
+    * 1e-4 units (Lloyd's monotonicity: trained < seeded — pinned by
+    * VectorOpsTrainedSpec) and adc_hits_* counts, over a fixed-count
+    * hash-selected query sample (64 queries — O(N·k) audit cost), the
+    * overlap of ADC top-10 with the exact-d2 top-10 under each codebook
+    * (training must not lose ADC accuracy).
+    *
+    * Scale shape: the Lloyd round is M broadcast-argmin passes plus a
+    * (cell, dim)-keyed integer agg (map-side combinable, M·K·d output
+    * rows); the audit arms are the bounded |sample| × N pattern of
+    * [[ivfRecall]] with queries broadcast — nothing all-pairs, nothing
+    * driver-side.
+    */
+  def pqTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents0 = centroids(emb)
+
+    // fixed-point dim explosion, shared by the M per-subspace aggs
+    val dims = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("xq"))
+
+    // one Lloyd round per SUBSPACE over the PQ (slice) assignment —
+    // not the full-vector assignment: PQ codebooks quantize slices
+    val trainedSubs = (0 until pqM).map { m =>
+      val off = m * pqSub + 1
+      Pq.subAssign(emb, cents0, m, pqSub).select("vec_id", "c_id")
+        .join(dims.filter(col("dim").between(off, off + pqSub - 1)),
+          Seq("vec_id"))
+        .groupBy("c_id", "dim")
+        .agg(sum("xq").as("s"), count(lit(1)).as("n"))
+        .select(col("c_id"), col("dim"),
+          (floor(col("s").cast("double") / col("n")) / lit(1000000.0))
+            .as("v"))
+        .groupBy("c_id")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, v)))," +
+          " x -> x.v)").as(s"t$m"))
+    }
+    val trained = trainedSubs.foldLeft(cents0)(
+      (df, t) => df.join(t, Seq("c_id"), "left"))
+      .select(col("c_id"),
+        concat((0 until pqM).map { m =>
+          val off = m * pqSub + 1
+          coalesce(col(s"t$m"), expr(
+            s"transform(slice(ce, $off, $pqSub), x -> cast(x AS double))"))
+        }: _*).as("ce"))
+      .localCheckpoint(true) // reused by the assignment and M LUTs
+
+    val seededCodes = pqAssign(emb, cents0)
+    val trainedCodes = pqAssign(emb, trained)
+    // corpus reconstruction error in 1e-4 fixed point: each e_m is a
+    // 4dp-rounded double, so the per-row 4-term sum ×10⁴ rounds to an
+    // exact integer — summing BIGINTs keeps the corpus total
+    // partition-order independent (the kmeansStep discipline)
+    def errFp(codes: DataFrame, name: String): DataFrame =
+      codes.select(round((col("e0") + col("e1") + col("e2") + col("e3"))
+          * lit(10000.0)).cast("long").as("x"))
+        .agg(sum("x").as(name))
+
+    // FIXED-COUNT audit queries (the docs_minhash_recall discipline:
+    // the k vec_ids whose sha256 hex sorts smallest — a fixed modulus
+    // would keep the exact arm a fraction sample, O(N²/m), at 100 TB;
+    // this keeps it O(N·k)). k=64 also bounds the estimator's variance:
+    // the 6-query %97 sample flipped the trained-vs-seeded comparison
+    // on sampling noise alone.
+    val qs = emb.filter(!col("vec_id").between(1, 8))
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(64)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val byQd = Window.partitionBy("q_id")
+      .orderBy(col("d2"), col("vec_id"))
+    val exact = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dist2("embedding", "qe"), 4).as("d2"))
+      .withColumn("rk", row_number().over(byQd))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+      .localCheckpoint(true) // shared truth: evaluate once, not per arm
+
+    def adcHits(cb: DataFrame, codes: DataFrame, name: String): DataFrame = {
+      val lut = (0 until pqM).map { m =>
+        val off = m * pqSub + 1
+        qs.crossJoin(broadcast(cb))
+          .select(col("q_id"), (col("c_id") - 1).cast("int").as(s"c$m"),
+            round(expr(s"vec_dist2(slice(qe, $off, $pqSub), " +
+              s"slice(ce, $off, $pqSub))"), 4).as(s"q$m"))
+      }
+      val byAdc = Window.partitionBy("q_id")
+        .orderBy(col("adc_d2"), col("vec_id"))
+      val top = (0 until pqM).foldLeft(
+        codes.select("vec_id", "c0", "c1", "c2", "c3")
+          .crossJoin(broadcast(qs.select("q_id"))))((df, m) =>
+        df.join(broadcast(lut(m)), Seq("q_id", s"c$m")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(col("q0") + col("q1") + col("q2") + col("q3"), 4)
+            .as("adc_d2"))
+        .withColumn("rk", row_number().over(byAdc))
+        .filter(col("rk") <= 10)
+      exact.join(top, Seq("q_id", "vec_id")).agg(count(lit(1)).as(name))
+    }
+
+    emb.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(errFp(seededCodes, "err_seeded_q4"))
+      .crossJoin(errFp(trainedCodes, "err_trained_q4"))
+      .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+      .crossJoin(adcHits(cents0, seededCodes, "adc_hits_seeded"))
+      .crossJoin(adcHits(trained, trainedCodes, "adc_hits_trained"))
+  }
+
+  val pqTrainedSql: String = {
+    val subD2 = (m: Int, a: String, b: String) =>
+      s"""round(list_sum(list_transform(generate_series(1, $pqSub),
+         |  i -> ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE)
+         |     * ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE))), 4)"""
+        .stripMargin
+    // per-subspace argmin assignment (vec_id, c_id, d2) against a
+    // codebook CTE `src` — a_m for seeds, b_m for trained
+    val asg = (pfx: String, src: String) => (0 until pqM).map { m =>
+      s"""$pfx$m AS (
+         |  SELECT vec_id, c_id, d2 FROM (
+         |    SELECT e.vec_id, k.c_id,
+         |      ${subD2(m, "e.embedding", "k.ce")} AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${subD2(m, "e.embedding", "k.ce")}, k.c_id) AS rk
+         |    FROM embeddings e, $src k)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val trainedSubs = (0 until pqM).map { m =>
+      val off = m * pqSub + 1
+      s"""t$m AS (
+         |  SELECT a.c_id, x.dim,
+         |    floor(CAST(sum(x.xq) AS DOUBLE) / count(*)) / 1000000.0 AS v
+         |  FROM x JOIN a$m a USING (vec_id)
+         |  WHERE x.dim BETWEEN $off AND ${off + pqSub - 1}
+         |  GROUP BY a.c_id, x.dim)""".stripMargin
+    }.mkString(",\n")
+    val luts = (pfx: String, src: String) => (0 until pqM).map { m =>
+      s"""$pfx$m AS (
+         |  SELECT q.q_id, k.c_id, ${subD2(m, "q.qe", "k.ce")} AS qd
+         |  FROM $src k, qs q)""".stripMargin
+    }.mkString(",\n")
+    val adcTop = (name: String, a: String, l: String) =>
+      s"""$name AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT l0.q_id, ${a}0.vec_id,
+         |      row_number() OVER (PARTITION BY l0.q_id
+         |        ORDER BY round(l0.qd + l1.qd + l2.qd + l3.qd, 4),
+         |          ${a}0.vec_id) AS rk
+         |    FROM ${a}0 JOIN ${a}1 USING (vec_id)
+         |      JOIN ${a}2 USING (vec_id) JOIN ${a}3 USING (vec_id)
+         |      JOIN ${l}0 l0 ON l0.c_id = ${a}0.c_id
+         |      JOIN ${l}1 l1 ON l1.c_id = ${a}1.c_id AND l1.q_id = l0.q_id
+         |      JOIN ${l}2 l2 ON l2.c_id = ${a}2.c_id AND l2.q_id = l0.q_id
+         |      JOIN ${l}3 l3 ON l3.c_id = ${a}3.c_id AND l3.q_id = l0.q_id
+         |    WHERE ${a}0.vec_id <> l0.q_id)
+         |  WHERE rk <= 10)""".stripMargin
+    val errOf = (name: String, a: String, as: String) =>
+      s"""$name AS (
+         |  SELECT sum(CAST(round((${a}0.d2 + ${a}1.d2 + ${a}2.d2 + ${a}3.d2)
+         |      * 10000) AS BIGINT)) AS $as
+         |  FROM ${a}0 JOIN ${a}1 USING (vec_id)
+         |    JOIN ${a}2 USING (vec_id) JOIN ${a}3 USING (vec_id))"""
+        .stripMargin
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |x AS (
+       |  SELECT e.vec_id, CAST(t.i AS INT) AS dim,
+       |    CAST(floor(e.embedding[t.i]::DOUBLE * 1000000.0) AS BIGINT) AS xq
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)),
+       |${asg("a", "c")},
+       |$trainedSubs,
+       |tv AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1
+       |       UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3),
+       |cd AS (
+       |  SELECT c.c_id, CAST(t.i AS INT) AS dim, c.ce[t.i]::DOUBLE AS seedv
+       |  FROM c, LATERAL unnest(generate_series(1, ${pqM * pqSub}))
+       |    AS t(i)),
+       |tc AS (
+       |  SELECT cd.c_id, list(coalesce(tv.v, cd.seedv) ORDER BY cd.dim)
+       |    AS ce
+       |  FROM cd LEFT JOIN tv ON tv.c_id = cd.c_id AND tv.dim = cd.dim
+       |  GROUP BY cd.c_id),
+       |${asg("b", "tc")},
+       |${errOf("err_s", "a", "err_seeded_q4")},
+       |${errOf("err_t", "b", "err_trained_q4")},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id NOT BETWEEN 1 AND 8
+       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
+       |       LIMIT 64),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(${duckDist2("e.embedding", "q.qe")}, 4),
+       |          e.vec_id) AS rk
+       |    FROM embeddings e, qs q WHERE e.vec_id <> q.q_id)
+       |  WHERE rk <= 10),
+       |${luts("ls", "c")},
+       |${luts("lt", "tc")},
+       |${adcTop("adcs", "a", "ls")},
+       |${adcTop("adct", "b", "lt")},
+       |hs AS (SELECT count(*) AS adc_hits_seeded
+       |       FROM exact JOIN adcs USING (q_id, vec_id)),
+       |ht AS (SELECT count(*) AS adc_hits_trained
+       |       FROM exact JOIN adct USING (q_id, vec_id))
+       |SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+       |  err_s.err_seeded_q4, err_t.err_trained_q4,
+       |  (SELECT count(*) FROM qs) AS n_queries,
+       |  hs.adc_hits_seeded, ht.adc_hits_trained
+       |FROM err_s, err_t, hs, ht""".stripMargin
+  }
+
   /** Recall@10 of the TRAINED coarse quantizer vs the seeded one — the
     * oracle-gated form of "training the centroids does not hurt
     * recall" ([[graft.operators.AnnIndex.build]]'s Lloyd rounds,
@@ -1215,6 +1445,7 @@ object VectorOps {
     "ann_ivf_recall_trained" -> ivfRecallTrained,
     "ann_pq_codes" -> pqCodes,
     "ann_pq_adc" -> pqAdcTopk,
+    "ann_pq_trained" -> pqTrained,
     "ann_ivfpq_topk" -> ivfPqTopk)
 
   def oracleSql: Map[String, String] = Map(
@@ -1234,5 +1465,6 @@ object VectorOps {
     "ann_ivf_recall_trained" -> ivfRecallTrainedSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc" -> pqAdcTopkSql,
+    "ann_pq_trained" -> pqTrainedSql,
     "ann_ivfpq_topk" -> ivfPqTopkSql)
 }

@@ -112,17 +112,23 @@ object EventsStream {
   }
 
   /** Streaming conversion detection — the streaming twin of
-    * [[graft.operators.EventsOps.conversionLag]]'s funnel timing: per
-    * user, remember the first 'view', and on the first 'purchase' at or
-    * after it emit ONE `(user_id, lag_us)` conversion record. State per
-    * user is two fields (first-view µs + converted flag) forever-bounded
-    * by |users|, the same mergeable-summary discipline as
-    * [[topkStream]]; a TTL knob would bound it further in production.
+    * [[graft.operators.EventsOps.conversionLag]]'s funnel timing, and
+    * under the ordering contract below its EXACT form: per user the
+    * state carries first-view µs and first-purchase µs (two longs,
+    * forever-bounded by |users|, the same mergeable-summary discipline
+    * as [[topkStream]]; a TTL knob would bound it further in
+    * production). A user converts iff their FIRST purchase is at or
+    * after their FIRST view — a purchase that precedes every view
+    * settles the user as non-converted permanently, matching the batch
+    * query's `min(purchase) - min(view) >= 0` predicate instead of
+    * waiting for a later purchase. On conversion, ONE
+    * `(user_id, first_purchase - first_view)` record is emitted.
     * Ordering contract (as [[asofStream]]): event-time order WITHIN a
     * micro-batch (rows are sorted before the state update), arrival
-    * order across batches — a view arriving in a later batch than its
-    * purchase does not retro-convert; the batch query is the exact
-    * form.
+    * order across batches — a view arriving in a later batch than the
+    * user's first purchase does not retro-convert or retro-cancel; when
+    * per-user arrival respects event time the stream result equals the
+    * batch query's.
     */
   def conversionStream(spark: SparkSession,
       events: Dataset[(Long, Long, String)]): Dataset[(Long, Long)] = {
@@ -132,20 +138,21 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, String)],
-            state: GroupState[(Long, Boolean)]) =>
-          var (firstView, converted) =
-            state.getOption.getOrElse((Long.MinValue, false))
+            state: GroupState[(Long, Long)]) =>
+          var (firstView, firstPurchase) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue))
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
           rows.toSeq.sortBy(_._2).foreach { case (_, ts, typ) =>
-            if (typ == "view" && firstView == Long.MinValue)
+            if (typ == "view" && firstView == Long.MinValue &&
+              firstPurchase == Long.MinValue)
               firstView = ts
-            else if (typ == "purchase" && !converted &&
-              firstView != Long.MinValue && ts >= firstView) {
-              converted = true
-              out += ((user, ts - firstView))
+            else if (typ == "purchase" && firstPurchase == Long.MinValue) {
+              firstPurchase = ts
+              if (firstView != Long.MinValue && ts >= firstView)
+                out += ((user, ts - firstView))
             }
           }
-          state.update((firstView, converted))
+          state.update((firstView, firstPurchase))
           out.iterator
       }
   }

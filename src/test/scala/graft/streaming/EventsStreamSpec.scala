@@ -285,9 +285,10 @@ class EventsStreamSpec extends SparkSpecBase {
       assert(after1 == Set((2L, 500L)))
       // batch 2: u1's purchase lands (cross-batch state: lag measured
       // from the batch-1 view); u2 purchases again — already converted,
-      // no second emission; u3's view arrives AFTER its purchase in
-      // arrival order — no retro-conversion, but a later purchase now
-      // converts normally
+      // no second emission; u3's FIRST purchase (batch 1, t=500)
+      // precedes its first view (t=600), so the batch predicate
+      // min(purchase) >= min(view) fails — u3 is settled non-converted
+      // and the later purchase@900 does NOT convert (batch parity)
       ms.addData(
         (1L, 5000L, "purchase"),
         (2L, 9000L, "purchase"),
@@ -295,7 +296,7 @@ class EventsStreamSpec extends SparkSpecBase {
       q.processAllAvailable()
       val after2 = spark.table("conv").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(after2 == Set((2L, 500L), (1L, 4000L), (3L, 300L)))
+      assert(after2 == Set((2L, 500L), (1L, 4000L)))
     } finally q.stop()
   }
 
