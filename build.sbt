@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // S8 JDBC parity path (direct_links.py's ATTACH): the DuckDB JDBC
+  // driver is Test-scope only — production reads stay on the
+  // staging-parquet handoff; the spec proves the spark.read.jdbc path
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -2182,7 +2182,16 @@ object TextOps {
     * all-pairs product), and report pairs sharing ≥ [[WinnowMinShared]]
     * selected hashes. The winnowing guarantee makes this a substring
     * detector: any shared run of ≥ k+w−1 chars contributes ≥ 1 shared
-    * selected hash, so heavy overlap ⇒ high shared count.
+    * selected hash, so heavy overlap ⇒ high shared count. Beside the
+    * raw count, each pair reports MOSS's actual triage signal: the
+    * FRACTION of each side's sketch that matched (`cov_a`/`cov_b` =
+    * n_shared / sketch size) — a 10-hash overlap means something
+    * different for a 12-hash snippet (near-total containment) than for
+    * a 4000-hash report, and the asymmetry tells containment direction.
+    * The denominators are the full per-doc sketch sizes (pre
+    * stop-hash pruning): one extra count per doc on the checkpointed
+    * selection and two joins against a |docs|-row side — nothing new
+    * at scale.
     */
   def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -2201,6 +2210,7 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") <= WinnowStopDocs)
       .select("h")
+    val sizes = sel.groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
     val pruned = sel.join(keep, "h")
     pruned.as("a")
       .join(pruned.as("b"),
@@ -2208,6 +2218,15 @@ object TextOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_sel").as("n_sel_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_sel").as("n_sel_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_sel_a"), 4)
+          .as("cov_a"),
+        round(col("n_shared").cast("double") / col("n_sel_b"), 4)
+          .as("cov_b"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2232,14 +2251,19 @@ object TextOps {
        |    ELSE [] END) AS sel
        |  FROM g),
        |s AS (SELECT doc_id, unnest(sel) AS h FROM w),
+       |sz AS (SELECT doc_id, len(sel) AS n_sel FROM w),
        |keep AS (
        |  SELECT h FROM s GROUP BY h
        |  HAVING count(DISTINCT doc_id) <= $WinnowStopDocs),
        |p AS (SELECT s.doc_id, s.h FROM s JOIN keep USING (h))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  count(*) AS n_shared
+       |  count(*) AS n_shared,
+       |  round(CAST(count(*) AS DOUBLE) / sa.n_sel, 4) AS cov_a,
+       |  round(CAST(count(*) AS DOUBLE) / sb.n_sel, 4) AS cov_b
        |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
-       |GROUP BY a.doc_id, b.doc_id
+       |  JOIN sz sa ON sa.doc_id = a.doc_id
+       |  JOIN sz sb ON sb.doc_id = b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, sa.n_sel, sb.n_sel
        |HAVING count(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 

@@ -1299,6 +1299,51 @@ object VectorOps {
     // (the production serving shape) reproduces the same fusion head
     hybridIndexedK(spark, sfDir, legK = 100000)
 
+  /** The COMPRESSED-leg serving shape of [[hybridIndexedK]]: the vector
+    * leg comes from [[AnnIndex.searchAdc]] — nprobe-pruned store
+    * partitions, PQ codes scored in the compressed domain, the raw
+    * `embedding` column never read — instead of the exact-cosine
+    * [[AnnIndex.searchAll]] over all cells. This is what a 100 TB
+    * deployment actually serves (raw vectors don't fit the serving
+    * tier); VectorOpsSpec pins the RRF convergence discipline under it:
+    * the fusion head stabilizes once legK covers the head's support,
+    * exactly as the raw-leg truncation spec showed — and documents the
+    * approximation boundary (ADC ranks ≠ exact-cosine ranks, so the
+    * compressed head is validated for STABILITY, the exact green row
+    * `docs_hybrid_indexed` stays the accuracy anchor).
+    */
+  private[operators] def hybridIndexedAdcK(spark: SparkSession,
+      sfDir: String, legK: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withVecFns(spark)
+    val tq = {
+      import spark.implicits._
+      Seq((0L, TextOps.bmTerms)).toDF("q_id", "terms")
+    }
+    val text = TermIndex
+      .searchAll(spark, tq, TextOps.termIndexFor(spark, sfDir), k = legK)
+      .select(col("doc_id"), col("rank").cast("int").as("r_text"))
+    // one bounded driver fetch of the single query vector (the same
+    // collect discipline AnnIndex.search itself uses for cell probing)
+    val qv = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val vec = AnnIndex
+      .searchAdc(spark, annIndexFor(spark, sfDir), qv,
+        k = legK, nprobe = nprobe)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("adc_d2"), col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rk").cast("int").as("r_vec"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(rrf, 6))
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   private[operators] def hybridIndexedK(spark: SparkSession,
       sfDir: String, legK: Int): DataFrame = {
     withVecFns(spark)

@@ -109,6 +109,36 @@ class VectorOpsSpec extends SparkSpecBase {
         "divergence example no longer holds; consider refreshing it")
   }
 
+  test("hybrid fusion converges under the COMPRESSED (ADC) vector leg") {
+    // the 100 TB serving shape: the vector leg scored from nprobe-pruned
+    // PQ codes, never the raw embedding column. Same convergence
+    // discipline as the raw-leg test — the fusion head must stabilize
+    // once legK covers the head's support — plus the full-probe anchor:
+    // at nprobe = 8 (all cells) the ADC leg ranks every vector, so
+    // further raising legK changes nothing.
+    def fusion(legK: Int, nprobe: Int) =
+      VectorOps.hybridIndexedAdcK(spark, sf, legK, nprobe).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val full = fusion(100000, 8)
+    assert(full.length == 20)
+    assert(fusion(400, 8) == full,
+      "legK=400 should already be converged under the ADC leg")
+    // nprobe truncation is the OTHER serving knob: fewer probed cells
+    // only drop tail candidates once legK is head-covering; on this
+    // corpus nprobe=4 keeps the head. As with N=200 above, the exact
+    // constant is a corpus property — report drift, don't gate on it.
+    if (fusion(400, 4) != full)
+      info("nprobe=4 no longer reproduces the full-probe ADC head on " +
+        "this corpus — refresh the documented example")
+    // the compressed leg is an approximation of the exact-cosine leg:
+    // the heads may LEGITIMATELY differ (ADC ranks != cosine ranks).
+    // What must hold is that both fusions rank from the same text leg
+    // and a well-formed vector leg: every row carries at least one rank
+    full.foreach { case (id, rrf) =>
+      assert(rrf > 0.0, s"doc $id fused with no contributing leg")
+    }
+  }
+
   test("semdedup: removals point at a smaller same-cluster keeper") {
     val rows = VectorOps.semDedup(spark, sf).collect()
     assert(rows.nonEmpty)
