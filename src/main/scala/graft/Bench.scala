@@ -59,7 +59,7 @@ object Bench {
         "https://fs.example/bench", cached.orElse(Some("fse-bench"))))
   }
 
-  private def rm(p: java.nio.file.Path): Unit = {
+  private[graft] def rm(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)
       try s.forEach(rm(_)) finally s.close()
@@ -191,7 +191,7 @@ object Bench {
     * query checksums are comparable across rounds by construction.
     */
   private[graft] def stageResharded(spark: SparkSession, sfDir: String,
-      parts: Int = 32, minBytes: Long = 4L << 20): (String, Double) = {
+      parts: Int = 32, minBytes: Long = 256L << 10): (String, Double) = {
     val t0 = System.nanoTime()
     val staged = Files.createTempDirectory("benchstage")
     val src = Paths.get(sfDir)
