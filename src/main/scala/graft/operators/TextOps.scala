@@ -1570,8 +1570,15 @@ object TextOps {
   // the corpus while the LSH side is the production path itself.         //
   // -------------------------------------------------------------------- //
 
-  /** Fixed audit-sample size: the k in the O(N·k) exact-truth leg. */
-  private[operators] val auditSampleK = 1000
+  /** Fixed audit-sample size: the k in the O(N·k) exact-truth leg.
+    * Sized as an AUDIT (256 docs ≈ a recall estimate with a ±6%
+    * binomial CI at the observed pair density), not a fraction: at
+    * sf0.1 a 1000-doc sample is half the corpus and the exact-truth
+    * cartesian dominated the whole bench sweep (46.8 s cold); at
+    * 100 TB any fixed FRACTION is quadratic. k stays constant as N
+    * grows, so the audit's cost is O(N·k) forever.
+    */
+  private[operators] val auditSampleK = 256
 
   def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val (sh, rawPairs) = minhashPairs(spark, sfDir)
@@ -1580,10 +1587,6 @@ object TextOps {
     // discipline: selection is a pure function of the ids, no RNG, both
     // engines agree bit-for-bit); truth = exact-Jaccard neighbors of
     // sampled docs across the whole corpus (unordered pairs, a < b)
-    // repartition the sample leg: the cached corpus frame is often ONE
-    // partition (single-row-group parquet), and a cartesian's task count
-    // is |left parts| × |right parts| — without this the whole audit
-    // product runs as a single task on one core
     // the exact-Jaccard audit runs on 60-bit shingle FINGERPRINTS
     // (first 15 sha256 hex chars — the widened form of the minhash
     // stage's 28-bit base, mirrored verbatim in the oracle): per-pair
@@ -1594,17 +1597,29 @@ object TextOps {
     val fp = expr(
       "array_distinct(transform(sh, v -> " +
         "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    // the sample is auditSampleK known-small checkpointed rows (the
+    // checkpoint also stops the product re-running its corpus-wide
+    // sort+limit once per partition of the other side), so the planner
+    // turns the product into a broadcast nested-loop join with the
+    // CORPUS as the streamed side — which means the corpus leg, not
+    // the sample leg, must carry the parallelism: a 1-partition corpus
+    // (single-row-group parquet) would run every intersect on one task
+    // (measured 13.5 s vs 4.1 s at sf0.1). The round-6 modulus-sample
+    // shape repartitioned the SAMPLE because its stats-free filter
+    // kept a 32×1 CartesianProduct; the broadcast shape inverts which
+    // side needs the split.
     val sample = sh
       .orderBy(sha2(col("doc_id").cast("string"), 256), col("doc_id"))
       .limit(auditSampleK)
       .select(col("doc_id").as("s_id"), fp.as("s_fp"))
-      .repartition(32)
-    // materialize the corpus fingerprint leg BEFORE the cartesian: the
-    // product's right side re-evaluates once per LEFT partition, which
-    // re-ran the per-shingle sha256 projection 32× (the bench-all sweep
-    // caught it: 51 s cold, of which ~45 s was repeated hashing). A
-    // checkpointed leg is scanned 32×, not recomputed.
+      .localCheckpoint(true)
+    // materialize the corpus fingerprint leg BEFORE the product (a
+    // recomputed leg re-ran the per-shingle sha256 projection per
+    // evaluation — the round-6 bench-all sweep caught it: 51 s cold,
+    // of which ~45 s was repeated hashing), spread over 32 partitions
+    // so the broadcast-NLJ streams it on every core.
     val corpusFp = sh.select(col("doc_id").as("d_id"), fp.as("d_fp"))
+      .repartition(32)
       .localCheckpoint(true)
     // the size-ratio prefilter is implied by the KEPT predicate
     // round(jac, 4) >= 0.3, whose true-jac floor is 0.29995 (jac ≤
@@ -1647,7 +1662,7 @@ object TextOps {
        |  FROM sh),
        |smp AS (SELECT doc_id AS s_id, fp AS s_fp FROM fps
        |        ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
-       |        LIMIT 1000),
+       |        LIMIT 256),
        |truth AS (
        |  SELECT DISTINCT least(s_id, d.doc_id) AS a_id,
        |    greatest(s_id, d.doc_id) AS b_id
