@@ -218,33 +218,7 @@ object Bench {
     val spark = buildSession(cpus)
 
     val qs = SparkEntry.queries
-    // SPARK_GRAFT_BENCH_ALL=1: time EVERY declared query once (no
-    // warmup, no min-of-2 — a coverage sweep, not a clean measurement)
-    // and report the slowest first. The outlier detector that caught
-    // the O(n²) winnowing draft; run it after adding operators so a
-    // pathological plan is a sorted line in a report, not a surprise
-    // in a later round's driver capture.
-    if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) {
-      val timed = qs.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        try {
-          val t0 = System.nanoTime()
-          checksum(fn(spark, sfDir))
-          Some(name -> (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench-all] $name failed: ${e.getMessage}")
-            None
-        }
-      }.sortBy(-_._2)
-      val qJson = timed.map { case (k, v) =>
-        s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"bench_all","n":${timed.length},""" +
-        s""""total":${"%.3f".format(timed.map(_._2).sum)},""" +
-        s""""queries":$qJson,"sf":"$sfDir"}""")
-      spark.stop()
-      return
-    }
-    // Headline queries run against resharded inputs (stageResharded doc)
+    // All modes run against resharded inputs (stageResharded doc)
     // unless SPARK_GRAFT_BENCH_RESHARD=0 asks for the raw driver files —
     // the knob PERF.md's raw-vs-resharded table is measured with.
     val reshard = !sys.env.get("SPARK_GRAFT_BENCH_RESHARD").contains("0")
@@ -257,6 +231,33 @@ object Bench {
             (sfDir, -1.0)
         }
       } else (sfDir, 0.0)
+    // SPARK_GRAFT_BENCH_ALL=1: time EVERY declared query once (no
+    // warmup, no min-of-2 — a coverage sweep, not a clean measurement)
+    // and report the slowest first. The outlier detector that caught
+    // the O(n²) winnowing draft; run it after adding operators so a
+    // pathological plan is a sorted line in a report, not a surprise
+    // in a later round's driver capture.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) {
+      val timed = qs.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          val t0 = System.nanoTime()
+          checksum(fn(spark, benchDir))
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench-all] $name failed: ${e.getMessage}")
+            None
+        }
+      }.sortBy(-_._2)
+      val qJson = timed.map { case (k, v) =>
+        s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"bench_all","n":${timed.length},""" +
+        s""""total":${"%.3f".format(timed.map(_._2).sum)},""" +
+        s""""resharded":${benchDir != sfDir},"queries":$qJson,"sf":"$sfDir"}""")
+      if (benchDir != sfDir) rm(Paths.get(benchDir))
+      spark.stop()
+      return
+    }
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val r = try {
