@@ -453,25 +453,28 @@ object VectorOps {
   /** Recall@10 audit of the IVF search against the brute-force baseline —
     * the ANN twin of `docs_minhash_recall`: an approximate index you
     * cannot measure is an index you cannot trust, so the audit is a
-    * first-class query. For a deterministic 1-in-97 sample of query
-    * vectors (the production pattern: audit a sample, not the corpus),
-    * both arms rank top-10 by the same rounded cosine and the output is
-    * the per-query overlap — all-integer, so the gate hash never sees a
-    * float.
+    * first-class query. For a FIXED-COUNT deterministic hash-sample of
+    * query vectors (the 64 vec_ids whose sha256 hex sorts smallest —
+    * the docs_minhash_recall discipline: a fixed modulus is a FRACTION
+    * sample whose brute arm grows O(N²/m) at 100 TB; a pinned k keeps
+    * the audit O(N·k) forever), both arms rank top-10 by the same
+    * rounded cosine and the output is the per-query overlap —
+    * all-integer, so the gate hash never sees a float.
     *
-    * Scale shape: the brute arm is the audit's cost — |sample| × N dots,
-    * bounded by the sample rate, queries broadcast so the corpus streams
-    * map-side (no corpus shuffle); the IVF arm reuses the shared
-    * [[assignedCells]] assignment and probes nprobe=2 cells. Both arms
-    * shuffle once on q_id for their rank windows.
+    * Scale shape: the brute arm is the audit's cost — k × N dots,
+    * queries broadcast so the corpus streams map-side (no corpus
+    * shuffle); the IVF arm reuses the shared [[assignedCells]]
+    * assignment and probes nprobe=2 cells. Both arms shuffle once on
+    * q_id for their rank windows.
     */
   def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
     withVecFns(spark)
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, sfDir, "embeddings")
     val cents = centroids(emb)
-    val qs = emb.filter(col("vec_id") % 97 === 0 &&
-        !col("vec_id").between(1, 8))
+    val qs = emb.filter(!col("vec_id").between(1, 8))
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(64)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val byQ = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -509,7 +512,9 @@ object VectorOps {
     s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
        |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
        |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-       |       WHERE vec_id % 97 = 0 AND vec_id NOT BETWEEN 1 AND 8),
+       |       WHERE vec_id NOT BETWEEN 1 AND 8
+       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
+       |       LIMIT 64),
        |brute AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
@@ -1032,10 +1037,10 @@ object VectorOps {
     * shared brute-force truth. Output is all-integer per query:
     * (q_id, hits_seeded, hits_trained, k).
     *
-    * Scale shape: everything [[ivfRecall]] says, twice — the trained
-    * arm's extra cost is one more broadcast-argmin pass; the Lloyd
-    * round itself is the map-side (cell, dim) integer agg of
-    * `ann_kmeans_step`.
+    * Scale shape: everything [[ivfRecall]] says (fixed-count 64-query
+    * hash sample, O(N·k) brute arm), twice — the trained arm's extra
+    * cost is one more broadcast-argmin pass; the Lloyd round itself is
+    * the map-side (cell, dim) integer agg of `ann_kmeans_step`.
     */
   def ivfRecallTrained(spark: SparkSession, sfDir: String): DataFrame = {
     withVecFns(spark)
@@ -1063,8 +1068,9 @@ object VectorOps {
       .select(col("c_id"), coalesce(col("tce"),
         expr("transform(ce, x -> cast(x AS double))")).as("ce"))
 
-    val qs = emb.filter(col("vec_id") % 97 === 0 &&
-        !col("vec_id").between(1, 8))
+    val qs = emb.filter(!col("vec_id").between(1, 8))
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(64)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val byQ = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -1112,7 +1118,9 @@ object VectorOps {
     s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
        |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
        |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-       |       WHERE vec_id % 97 = 0 AND vec_id NOT BETWEEN 1 AND 8),
+       |       WHERE vec_id NOT BETWEEN 1 AND 8
+       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
+       |       LIMIT 64),
        |brute AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
