@@ -27,7 +27,13 @@ object Verify {
       rm(f)
     }
     out.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (the driver never sets it): run only the
+    // named queries, e.g. SPARK_GRAFT_ONLY=docs_simhash_pairs,ann_adc_rerank
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -736,6 +736,95 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // SimHash near-dup PAIRS: a 60-bit fingerprint (per-bit majority vote //
+  // over the token set's 60-bit sha256-prefix fingerprints — the same   //
+  // recipe ngramJaccard scores with) blocked into 4 bands of 15 bits    //
+  // (Manku et al., "Detecting Near-Duplicates for Web Crawling",        //
+  // WWW 2007). Hamming radius 3 with 4 bands means at most 3 bits       //
+  // differ, so by pigeonhole at least ONE band is bit-identical —       //
+  // band-equality blocking has EXACT recall at this radius, and the     //
+  // candidate join is an equi-join on (band, key), never all-pairs.     //
+  //                                                                     //
+  // 100 TB shape: the banded join shuffles 4 skinny rows per document   //
+  // on (band, 15-bit key). Key cardinality is 2^15 per band, so beyond  //
+  // ~10^8 documents per shuffle the right move is the paper's own       //
+  // §3 scale-out — widen the fingerprint and band count (the           //
+  // pigeonhole bound generalizes: radius ≤ bands − 1) or rotate to its //
+  // sorted permutation tables; identical-fingerprint cliques are true   //
+  // hamming-0 OUTPUT, not join skew to guard away (cf. the stop-hash    //
+  // cap in winnowPairs, which prunes candidates — here the pairs are    //
+  // the result). Reference scope: fs-indexer has no near-dup tier; this //
+  // extends scanner.py's per-file identity hashing (scanner.py:343) to  //
+  // content similarity.                                                 //
+  // -------------------------------------------------------------------- //
+
+  private val shBandBits = 15
+  private val shBands = 4
+  private val shBits = shBands * shBandBits // 60
+  private val shRadius = shBands - 1
+
+  /** SQL fragment: 60-bit SimHash of the `fps` bigint-array column —
+    * bit j of the result is the sign of the per-bit majority vote.
+    * Everything is bigint so Spark and DuckDB agree on all 60 bits.
+    */
+  private def simhash60Expr(fps: String): String =
+    s"""aggregate(sequence(0, ${shBits - 1}), cast(0 AS bigint),
+       |  (acc, j) -> acc +
+       |    CASE WHEN aggregate($fps, cast(0 AS bigint),
+       |      (a2, f) -> a2 + (2 * (shiftright(f, j) % 2) - 1)) > 0
+       |    THEN shiftleft(cast(1 AS bigint), j)
+       |    ELSE cast(0 AS bigint) END)""".stripMargin
+
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = expr(
+      s"array_distinct(transform($toks, v -> " +
+        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    val t = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), fp.as("fps"))
+      .select(col("doc_id"), expr(simhash60Expr("fps")).as("sh"))
+    // 4 banded rows per doc; key = the band's 15-bit slice (sh < 2^60,
+    // always non-negative, so shiftright/% are exact)
+    val banded = t.select(col("doc_id"), col("sh"),
+      explode(expr(s"sequence(0, ${shBands - 1})")).as("band"))
+      .withColumn("key",
+        expr(s"shiftright(sh, band * $shBandBits) % ${1 << shBandBits}"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair sharing k bands appears k times — dedup BEFORE the
+      // hamming filter so the popcount runs once per candidate pair
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("cast(bit_count(a_sh ^ b_sh) AS int)").as("hamming"))
+      .filter(col("hamming") <= shRadius)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle: the DEFINITIONAL all-pairs hamming join — blocking must be
+    * output-invisible (exact recall), so the oracle doesn't mirror it.
+    */
+  val simhashPairsSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, list_distinct(list_transform($duckToks, v ->
+       |    CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS fps
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(0, ${shBits - 1}), j ->
+       |      CASE WHEN list_sum(list_transform(fps,
+       |          f -> 2 * ((f >> j) & 1) - 1)) > 0
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sh
+       |  FROM f)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $shRadius
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // Blocked n-gram (1-gram) Jaccard: all pairs within a `source` block.  //
   // -------------------------------------------------------------------- //
 
@@ -2339,6 +2428,7 @@ object TextOps {
     "docs_neardup_keep_best" -> neardupKeepBest,
     "docs_bpe_merges" -> bpeMerges,
     "docs_simhash" -> simhash,
+    "docs_simhash_pairs" -> simhashPairs,
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
     "docs_bm25_indexed" -> bm25Indexed,
@@ -2387,6 +2477,7 @@ object TextOps {
     "docs_neardup_keep_best" -> neardupKeepBestSql,
     "docs_bpe_merges" -> bpeMergesSql,
     "docs_simhash" -> simhashSql,
+    "docs_simhash_pairs" -> simhashPairsSql,
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
     "docs_bm25_indexed" -> bm25TopkSql,

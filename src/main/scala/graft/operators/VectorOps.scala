@@ -640,7 +640,12 @@ object VectorOps {
     * stored vectors. The approximation every IVF-PQ system serves with;
     * `ann_topk_brute` stays the exact baseline.
     */
-  def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Full-corpus ADC scores (vec_id, adc_d2) against the vec_id-0
+    * query — the shared compressed-domain scoring pass behind
+    * [[pqAdcTopk]] (direct top-k) and [[pqAdcRerank]] (shortlist +
+    * exact refinement).
+    */
+  private def adcScores(spark: SparkSession, sfDir: String): DataFrame = {
     withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     val cents = centroids(emb)
@@ -661,9 +666,12 @@ object VectorOps {
       .select(col("vec_id"),
         round(col("q0") + col("q1") + col("q2") + col("q3"), 4)
           .as("adc_d2"))
+  }
+
+  def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame =
+    adcScores(spark, sfDir)
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(10)
-  }
 
   val pqAdcTopkSql: String = {
     val subD2 = (m: Int, a: String, b: String) =>
@@ -697,6 +705,76 @@ object VectorOps {
        |  JOIN l3 ON l3.c_id = a3.c_id
        |WHERE a0.vec_id <> 0
        |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Two-stage ADC serving with exact re-rank — the refinement step
+    * every production IVF-PQ deployment runs (FAISS `IndexRefineFlat`;
+    * Jégou et al., TPAMI 2011 §V-C): the compressed-domain pass ranks
+    * the WHOLE corpus without touching raw vectors, keeps a
+    * [[rerankK]]-row shortlist, and only the shortlist's raw vectors
+    * are read back for exact distances. At 100 TB the raw-vector
+    * read is `rerankK` rows via a broadcast semi-join against the
+    * shortlist — the corpus-wide pass stays 4 bytes/vector.
+    * Shortlist membership is cross-engine deterministic: adc_d2 is
+    * rounded to 4dp and tie-broken on vec_id BEFORE the limit.
+    */
+  def pqAdcRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val shortlist = adcScores(spark, sfDir)
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(rerankK)
+    emb.join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc_d2"),
+        round(expr("vec_dist2(embedding, qe)"), 4).as("exact_d2"))
+      .orderBy(col("exact_d2"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val rerankK = 50
+
+  val pqAdcRerankSql: String = {
+    val subD2 = (m: Int, a: String, b: String) =>
+      s"""round(list_sum(list_transform(generate_series(1, $pqSub),
+         |  i -> ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE)
+         |     * ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE))), 4)"""
+        .stripMargin
+    val perM = (0 until pqM).map { m =>
+      s"""a$m AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${subD2(m, "e.embedding", "c.ce")}, c.c_id) AS rk
+         |    FROM embeddings e, c)
+         |  WHERE rk = 1),
+         |l$m AS (
+         |  SELECT c.c_id, ${subD2(m, "q.qe", "c.ce")} AS qd
+         |  FROM c, q)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |$perM,
+       |s AS (
+       |  SELECT a0.vec_id,
+       |    round(l0.qd + l1.qd + l2.qd + l3.qd, 4) AS adc_d2
+       |  FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+       |    JOIN a3 USING (vec_id)
+       |    JOIN l0 ON l0.c_id = a0.c_id
+       |    JOIN l1 ON l1.c_id = a1.c_id
+       |    JOIN l2 ON l2.c_id = a2.c_id
+       |    JOIN l3 ON l3.c_id = a3.c_id
+       |  WHERE a0.vec_id <> 0
+       |  ORDER BY adc_d2, vec_id LIMIT $rerankK)
+       |SELECT s.vec_id, s.adc_d2,
+       |  round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |    i -> (e.embedding[i]::DOUBLE - q.qe[i]::DOUBLE)
+       |       * (e.embedding[i]::DOUBLE - q.qe[i]::DOUBLE))), 4) AS exact_d2
+       |FROM s JOIN embeddings e ON e.vec_id = s.vec_id, q
+       |ORDER BY exact_d2, s.vec_id LIMIT 10""".stripMargin
   }
 
   /** IVF-PQ: the two tiers composed exactly as production ANN systems
@@ -1498,6 +1576,7 @@ object VectorOps {
     "ann_ivf_recall_trained" -> ivfRecallTrained,
     "ann_pq_codes" -> pqCodes,
     "ann_pq_adc" -> pqAdcTopk,
+    "ann_adc_rerank" -> pqAdcRerank,
     "ann_pq_trained" -> pqTrained,
     "ann_ivfpq_topk" -> ivfPqTopk)
 
@@ -1518,6 +1597,7 @@ object VectorOps {
     "ann_ivf_recall_trained" -> ivfRecallTrainedSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc" -> pqAdcTopkSql,
+    "ann_adc_rerank" -> pqAdcRerankSql,
     "ann_pq_trained" -> pqTrainedSql,
     "ann_ivfpq_topk" -> ivfPqTopkSql)
 }

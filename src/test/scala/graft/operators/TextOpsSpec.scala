@@ -393,4 +393,31 @@ class TextOpsSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaUpper == direct)
   }
+
+  test("simhash pairs: banding is output-invisible (exact r<=3 recall)") {
+    // independent recompute of the 60-bit fingerprints, then the
+    // DEFINITIONAL all-pairs hamming join in the driver (500 docs →
+    // 125k popcounts) — the banded equi-join must emit exactly this set
+    val sh = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(split(text, ' '), v -> " +
+          "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+        .as("fps"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), cast(0 AS bigint), (acc, j) -> acc +
+          |  CASE WHEN aggregate(fps, cast(0 AS bigint),
+          |    (a2, f) -> a2 + (2 * (shiftright(f, j) % 2) - 1)) > 0
+          |  THEN shiftleft(cast(1 AS bigint), j)
+          |  ELSE cast(0 AS bigint) END)""".stripMargin).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = TextOps.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"banded ${got.size} vs definitional ${want.size}")
+    // non-degenerate: the corpus has both exact (h=0) and near (h>0) dups
+    assert(got.exists(_._3 == 0) && got.exists(_._3 > 0))
+  }
 }

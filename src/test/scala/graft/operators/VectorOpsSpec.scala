@@ -205,4 +205,37 @@ class VectorOpsSpec extends SparkSpecBase {
       assert(d.forall(_ >= 0L))
     }
   }
+
+  test("ADC re-rank: true distances, and refinement beats raw ADC order") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    // ground truth: exact d2 top-10 over the whole corpus
+    val exactTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr("vec_dist2(embedding, qe)"), 4).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val rerank = VectorOps.pqAdcRerank(spark, sf).collect()
+    assert(rerank.length == 10)
+    // the emitted exact_d2 IS the true distance (independent recompute)
+    val trueD2 = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr("vec_dist2(embedding, qe)"), 4).as("d2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rerank.foreach { r =>
+      assert(r.getDouble(2) == trueD2(r.getLong(0)),
+        s"exact_d2 drifted for vec ${r.getLong(0)}")
+    }
+    // monotone in exact_d2, and refinement recall >= raw ADC recall
+    val ds = rerank.map(_.getDouble(2))
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a <= b })
+    val adcTop = VectorOps.pqAdcTopk(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rerankIds = rerank.map(_.getLong(0)).toSet
+    assert((rerankIds & exactTop).size >= (adcTop & exactTop).size,
+      s"re-rank recall ${(rerankIds & exactTop).size} < " +
+        s"ADC recall ${(adcTop & exactTop).size}")
+  }
 }
