@@ -149,6 +149,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(moves)
     spark
   }
 
@@ -160,21 +161,79 @@ object Bench {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Cumulative task-level data-movement counters, installed once per
+    * session ([[buildSession]]): shuffle read/write bytes and spilled
+    * bytes (memory + disk). A snapshot-delta around one run is that
+    * run's data movement — the scale-honesty numbers beside each
+    * wall-clock time: a query that's fast at sf0.1 but shuffles its
+    * whole input is a 100 TB risk the seconds alone don't show, and a
+    * non-zero spill says the partition sizing didn't hold.
+    */
+  private[graft] final class MoveListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+      }
+    }
+    def snap: (Long, Long, Long) = (read.get, write.get, spill.get)
+  }
+
+  private[graft] val moves = new MoveListener
+
+  /** Listener events post asynchronously; poll until two consecutive
+    * 50 ms reads agree so a snapshot delta brackets a whole run. The
+    * sleeps sit OUTSIDE the timed sections — they cost bench wall
+    * time, never a reported query time.
+    */
+  private def settledSnap(): (Long, Long, Long) = {
+    var prev = moves.snap
+    var tries = 0
+    while (tries < 40) {
+      Thread.sleep(50)
+      val cur = moves.snap
+      if (cur == prev) return cur
+      prev = cur
+      tries += 1
+    }
+    prev
+  }
+
   /** Warmup once, time twice; returns (min sec, checksum, BOTH raw run
-    * times). The raw times are emitted beside the min in the bench JSON
+    * times, the second run's [shuffle_read, shuffle_write, spill]
+    * bytes). The raw times are emitted beside the min in the bench JSON
     * so a noisy capture self-documents at query granularity: two
     * far-apart runs mean co-tenant interference, two close runs mean
     * the min is trustworthy — a reader adjudicates without re-running.
+    * Data movement is plan-determined (no caching between runs), so
+    * bracketing the second timed run measures every run's movement.
     */
-  private[graft] def timedMinOf2(run: () => Long): (Double, Long, Seq[Double]) = {
+  private[graft] def timedMinOf2(run: () => Long)
+      : (Double, Long, Seq[Double], Seq[Long]) = {
     run() // warmup: codegen, broadcast, shuffle files
-    val runs = (1 to 2).map { _ =>
+    val r1 = {
       val t0 = System.nanoTime()
       val chk = run()
       ((System.nanoTime() - t0) / 1e9, chk)
     }
+    val pre = settledSnap()
+    val r2 = {
+      val t0 = System.nanoTime()
+      val chk = run()
+      ((System.nanoTime() - t0) / 1e9, chk)
+    }
+    val post = settledSnap()
+    val moved = Seq(post._1 - pre._1, post._2 - pre._2, post._3 - pre._3)
+    val runs = Seq(r1, r2)
     val (sec, chk) = runs.minBy(_._1)
-    (sec, chk, runs.map(_._1))
+    (sec, chk, runs.map(_._1), moved)
   }
 
   /** Once-per-session bench staging: rewrite each big single-file table
@@ -269,11 +328,16 @@ object Bench {
       }
       name -> r
     }
-    val ok = results.collect { case (n, Right((s, _, _))) => n -> s }
+    val ok = results.collect { case (n, Right((s, _, _, _))) => n -> s }
     val qJson = ok.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val runsJson = results.collect { case (n, Right((_, _, runs))) =>
+    val runsJson = results.collect { case (n, Right((_, _, runs, _))) =>
       s""""$n":[${runs.map("%.3f".format(_)).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    // per-query [shuffle_read, shuffle_write, spill] MB — the shuffle
+    // cost model the seconds don't show (MoveListener doc)
+    val moveJson = results.collect { case (n, Right((_, _, _, mv))) =>
+      s""""$n":[${mv.map(b => "%.1f".format(b / 1048576.0)).mkString(",")}]"""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failed = results.collect { case (n, Left(_)) => s""""$n"""" }
@@ -291,7 +355,7 @@ object Bench {
       Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     } catch { case _: Throwable => -1.0 }
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"query_runs":$runsJson,"failed":$failed,"resharded":${benchDir != sfDir},"stage_sec":${"%.3f".format(stageSec)},"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"loadavg_1m":$loadavg,"cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"query_runs":$runsJson,"query_move_mb":$moveJson,"failed":$failed,"resharded":${benchDir != sfDir},"stage_sec":${"%.3f".format(stageSec)},"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"loadavg_1m":$loadavg,"cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)

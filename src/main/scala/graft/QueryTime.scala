@@ -22,10 +22,12 @@ object QueryTime {
     // SPARK_GRAFT_BENCH_RESHARD=0 times the raw single-file inputs
     val reshard = !sys.env.get("SPARK_GRAFT_BENCH_RESHARD").contains("0")
     val dir = if (reshard) Bench.stageResharded(spark, sfDir)._1 else sfDir
-    val (sec, chk, runs) = Bench.timedMinOf2(
+    val (sec, chk, runs, moved) = Bench.timedMinOf2(
       () => Bench.checksum(fn(spark, dir)))
     val rj = runs.map("%.3f".format(_)).mkString("[", ",", "]")
-    println(f"""{"query":"$name","sec":$sec%.3f,"runs":$rj,"checksum":$chk,"resharded":$reshard,"sf":"$sfDir"}""")
+    val mj = moved.map(b => "%.1f".format(b / 1048576.0))
+      .mkString("[", ",", "]")
+    println(f"""{"query":"$name","sec":$sec%.3f,"runs":$rj,"move_mb":$mj,"checksum":$chk,"resharded":$reshard,"sf":"$sfDir"}""")
     if (dir != sfDir) Bench.rm(java.nio.file.Paths.get(dir))
     spark.stop()
   }

@@ -162,7 +162,7 @@ object StoreProbe {
       case other => sys.error(s"unknown store kind: $other")
     }
 
-    val (serveSec, n, _) = Bench.timedMinOf2(serve)
+    val (serveSec, n, _, _) = Bench.timedMinOf2(serve)
     println(f"""{"store":"$kind","build_sec":$buildSec%.3f,"batches":$batches,"serve_sec":$serveSec%.3f,"serve_rows":$n,"sf":"$sfDir"}""")
     spark.stop()
   }

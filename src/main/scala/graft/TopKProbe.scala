@@ -51,7 +51,7 @@ object TopKProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     vanilla.sparkContext.setLogLevel("ERROR")
-    val (tStock, cStock, _) =
+    val (tStock, cStock, _, _) =
       Bench.timedMinOf2(() => Bench.checksum(rankQuery(vanilla)))
     vanilla.stop()
     SparkSession.clearActiveSession()
@@ -59,15 +59,15 @@ object TopKProbe {
 
     // phase 2: the extensions session — rewritten idioms + direct call
     val spark = Bench.buildSession(cpus)
-    val (tRank, cRank, _) =
+    val (tRank, cRank, _, _) =
       Bench.timedMinOf2(() => Bench.checksum(rankQuery(spark)))
-    val (tRowNum, cRowNum, _) = Bench.timedMinOf2 { () =>
+    val (tRowNum, cRowNum, _, _) = Bench.timedMinOf2 { () =>
       val w = Window.partitionBy("g")
         .orderBy(col("score").desc, col("id"))
       Bench.checksum(facts(spark, rows, groups)
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= k))
     }
-    val (tNative, cNative, _) = Bench.timedMinOf2 { () =>
+    val (tNative, cNative, _, _) = Bench.timedMinOf2 { () =>
       Bench.checksum(plans.GroupTopK.topK(facts(spark, rows, groups),
         groupCols = Seq("g"),
         orderKeys = Seq(("score", true), ("id", false)), k = k,

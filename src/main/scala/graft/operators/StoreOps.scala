@@ -101,7 +101,12 @@ object StoreOps {
   private val ViewGroup = Seq("extension")
   private val ViewSums = Seq("size_bytes")
 
-  def ivmRollup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The two-version snapshot store behind [[ivmRollup]],
+    * [[timeTravelRead]] and [[changeFeedRead]] — built once per JVM per
+    * sfDir; returns (store index, v1 id, v2 id).
+    */
+  private def ivmStore(spark: SparkSession, sfDir: String)
+      : (ParquetIndex, String, String) = {
     val dir = StoreUtil.cachedTempDir(ivmCache, sfDir, "graft-ivmstore") {
       root =>
         val files = SyntheticFs.files(spark, sfDir)
@@ -125,7 +130,11 @@ object StoreOps {
     }
     val Array(id1, id2) = java.nio.file.Files
       .readString(java.nio.file.Paths.get(dir, "IDS")).trim.split("\n")
-    val idx = new ParquetIndex(s"$dir/store", keep = 3, writeFiles = 4)
+    (new ParquetIndex(s"$dir/store", keep = 3, writeFiles = 4), id1, id2)
+  }
+
+  def ivmRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (idx, id1, id2) = ivmStore(spark, sfDir)
     val v1 = idx.readAsOf(spark, id1)
       .getOrElse(sys.error("fs_ivm_rollup: missing v1"))
     val feed = idx.changeFeed(spark, id1, id2, "relative_path",
@@ -147,11 +156,60 @@ object StoreOps {
       |GROUP BY extension
       |ORDER BY extension""".stripMargin)
 
+  // ------------------------------------------------------------------ //
+  // S9 time travel + change feed, driver-gated directly (both were     //
+  // exercised INSIDE fs_ivm_rollup; these rows expose the primitives   //
+  // themselves): readAsOf(v1) after v2 superseded it must return the   //
+  // ORIGINAL state bit-for-bit, and changeFeed(v1→v2) must be exactly  //
+  // the definitional diff. At 100 TB both are manifest reads — a       //
+  // version is its file list, so time travel costs one manifest lookup //
+  // and the feed is one full-outer join of two snapshots' parquet.     //
+  // ------------------------------------------------------------------ //
+
+  def timeTravelRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val (idx, id1, _) = ivmStore(spark, sfDir)
+    idx.readAsOf(spark, id1)
+      .getOrElse(sys.error("fs_time_travel: missing v1"))
+      .orderBy("relative_path")
+  }
+
+  val timeTravelReadSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path, extension, size_bytes, modified_time
+      |FROM fs_files
+      |ORDER BY relative_path""".stripMargin)
+
+  def changeFeedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val (idx, id1, id2) = ivmStore(spark, sfDir)
+    idx.changeFeed(spark, id1, id2, "relative_path")
+      .getOrElse(sys.error("fs_change_feed: missing feed"))
+      .orderBy("relative_path")
+  }
+
+  /** The definitional diff of the two generations: %11 keys removed
+    * (payload = the OLD row), %7-and-surviving keys updated (payload =
+    * the NEW row); nothing is added because v2's keys ⊆ v1's.
+    */
+  val changeFeedReadSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path, extension,
+      |  CASE WHEN l_orderkey % 11 = 0 THEN size_bytes
+      |       ELSE size_bytes + 777 END AS size_bytes,
+      |  CASE WHEN l_orderkey % 11 = 0 THEN modified_time
+      |       ELSE modified_time + INTERVAL 5 DAY END AS modified_time,
+      |  CASE WHEN l_orderkey % 11 = 0 THEN 'removed'
+      |       ELSE 'updated' END AS change_type
+      |FROM fs_files
+      |WHERE l_orderkey % 11 = 0 OR l_orderkey % 7 = 0
+      |ORDER BY relative_path""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_mor_read" -> morRead,
-    "fs_ivm_rollup" -> ivmRollup)
+    "fs_ivm_rollup" -> ivmRollup,
+    "fs_time_travel" -> timeTravelRead,
+    "fs_change_feed" -> changeFeedRead)
 
   def oracleSql: Map[String, String] = Map(
     "fs_mor_read" -> morReadSql,
-    "fs_ivm_rollup" -> ivmRollupSql)
+    "fs_ivm_rollup" -> ivmRollupSql,
+    "fs_time_travel" -> timeTravelReadSql,
+    "fs_change_feed" -> changeFeedReadSql)
 }

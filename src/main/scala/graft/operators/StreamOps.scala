@@ -197,6 +197,137 @@ object StreamOps {
       |ORDER BY user_id, event_type""".stripMargin
 
   // ------------------------------------------------------------------ //
+  // Streaming leaderboard (EventsStream.topkStream — the streaming     //
+  // face of the native GroupTopK operator): per event_type the state   //
+  // is the k-bounded (event_id, value) summary, re-emitted for every   //
+  // group a micro-batch touches (Update semantics). The LAST emission  //
+  // per group equals the batch top-k over ALL rows regardless of       //
+  // batch cut points: top-k is a mergeable bounded statistic, and a    //
+  // group untouched by later batches already holds its final state —   //
+  // so the drained stream is oracle-comparable to the definitional     //
+  // batch row_number query. State is |groups| × k forever (no          //
+  // watermark needed); the parquet spill of per-batch emissions is     //
+  // the oracle surface only — production serves the state directly.    //
+  // ------------------------------------------------------------------ //
+
+  private val lbK = 5
+
+  def streamLeaderboard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = eventsStream(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+    val ranked = graft.streaming.EventsStream
+      .topkStream(spark, obs, lbK)
+      .toDF("event_type", "ids", "vals")
+    drainUpdates(spark, ranked, "event_type")
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("ids"), col("vals"))))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.ids").as("event_id"), col("col.vals").as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** Run an Update-mode stateful stream to completion and return the
+    * LAST emission per `keyCol` (a stateful operator emits a key's
+    * refreshed state in every batch that touches it — at most once per
+    * batch, so batch_id is unique within a key, and the final emission
+    * IS the drained state). Emissions spill to a temp parquet dir via
+    * foreachBatch (the memory sink doesn't take Update from arbitrary
+    * stateful ops); the result is checkpointed so the dir can be
+    * removed before return.
+    */
+  private def drainUpdates(spark: SparkSession, df: DataFrame,
+      keyCol: String): DataFrame = {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-streamupd").toString
+    val q = df.writeStream
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outDir/out")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("batch_id").desc)
+    val out = spark.read.parquet(s"$outDir/out")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+      .localCheckpoint(true)
+    StoreUtil.deleteRecQuiet(outDir)
+    out
+  }
+
+  // ------------------------------------------------------------------ //
+  // Streaming funnel timing (EventsStream.conversionStream's drained-  //
+  // aggregate face): per-user state = (min view µs, min purchase µs)  //
+  // — two mergeable mins, so the last emission per user equals the    //
+  // global firsts REGARDLESS of batch cut points — then the batch     //
+  // conversionLag aggregation runs over the drained state and the row //
+  // shares events_conversion_lag's oracle verbatim. (The append-mode  //
+  // conversionStream in streaming/ is the event-at-a-time serving     //
+  // face; it emits on first qualifying purchase under its documented  //
+  // ordering contract. This form has no ordering contract at all.)    //
+  // State: two longs per user, forever-bounded by |users|.            //
+  // ------------------------------------------------------------------ //
+
+  def streamConversion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = eventsStream(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    val firsts = obs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (u: Long, batch: Iterator[(Long, String, Long)],
+            state: GroupState[(Option[Long], Option[Long])]) =>
+          var (v, p) = state.getOption
+            .getOrElse((Option.empty[Long], Option.empty[Long]))
+          batch.foreach { case (_, t, us) =>
+            if (t == "view") v = Some(v.fold(us)(math.min(_, us)))
+            else p = Some(p.fold(us)(math.min(_, us)))
+          }
+          state.update((v, p))
+          (u, v, p)
+      }
+      .toDF("user_id", "first_view_us", "first_purchase_us")
+    drainUpdates(spark, firsts, "user_id")
+      .withColumn("lag_us",
+        col("first_purchase_us") - col("first_view_us"))
+      .agg(
+        sum(when(col("first_view_us").isNotNull, 1L).otherwise(0L))
+          .as("n_viewed"),
+        sum(when(col("first_view_us").isNotNull &&
+          col("first_purchase_us").isNotNull && col("lag_us") >= 0, 1L)
+          .otherwise(0L)).as("n_converted"),
+        round(expr(
+          "percentile(CASE WHEN first_view_us IS NOT NULL AND lag_us >= 0" +
+            " THEN lag_us END, 0.5)") / 1000000.0, 4).as("lag_p50_s"),
+        round(expr(
+          "percentile(CASE WHEN first_view_us IS NOT NULL AND lag_us >= 0" +
+            " THEN lag_us END, 0.9)") / 1000000.0, 4).as("lag_p90_s"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_viewed"), 4))
+      .select("n_viewed", "n_converted", "conv_rate",
+        "lag_p50_s", "lag_p90_s")
+  }
+
+  val streamLeaderboardSql: String =
+    s"""SELECT event_type, rank, event_id, value FROM (
+       |  SELECT event_type, event_id, value, CAST(row_number() OVER (
+       |    PARTITION BY event_type
+       |    ORDER BY value DESC, event_id) AS INT) AS rank
+       |  FROM events)
+       |WHERE rank <= $lbK
+       |ORDER BY event_type, rank""".stripMargin
+
+  // ------------------------------------------------------------------ //
   // ST2/ST3 end-to-end: foreachBatch continuous indexing. The staged   //
   // stream replays (batch 0 = full scan, batch 1 = the %7 rescan with  //
   // newer mtimes); each micro-batch lands through the SAME J1 merge    //
@@ -323,6 +454,8 @@ object StreamOps {
     "events_stream_hourly" -> streamHourly,
     "events_stream_sessionize" -> streamSessionize,
     "events_stream_distinct" -> streamDistinct,
+    "events_stream_leaderboard" -> streamLeaderboard,
+    "events_stream_conversion" -> streamConversion,
     "fs_stream_index" -> streamIndex,
     "fs_stream_index_mor" -> streamIndexMor)
 
@@ -330,6 +463,9 @@ object StreamOps {
     "events_stream_hourly" -> EventsOps.hourlyWindowSql,
     "events_stream_sessionize" -> streamSessionizeSql,
     "events_stream_distinct" -> streamDistinctSql,
+    "events_stream_leaderboard" -> streamLeaderboardSql,
+    // the drained per-user firsts fold to the batch funnel exactly
+    "events_stream_conversion" -> EventsOps.conversionLagSql,
     "fs_stream_index" -> FsOps.mergeUpsertSql,
     // the MOR twin folds to the identical LWW snapshot — same oracle
     "fs_stream_index_mor" -> FsOps.mergeUpsertSql)
