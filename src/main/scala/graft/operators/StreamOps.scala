@@ -50,6 +50,8 @@ object StreamOps {
   // sharing storeCache would hand one twin the other's store
   private val morStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val docStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
   private val qn = new AtomicLong(0)
 
   /** Stage the (ts-normalized) events table as a 4-file parquet dir so
@@ -264,6 +266,45 @@ object StreamOps {
   }
 
   // ------------------------------------------------------------------ //
+  // Streaming MinHash-LSH near-dup (TextStream.neardupStream): per     //
+  // band-key state holds the (doc_id, shingle-set) arrivals; a pair is //
+  // emitted in the micro-batch its SECOND member arrives in. The       //
+  // emitted set is arrival-order independent — a pair shares a band    //
+  // key and clears the jac threshold or it doesn't, whichever batch    //
+  // cut the members straddle — so after distinct() (a pair sharing k   //
+  // band keys is emitted k times) the drained stream equals the batch  //
+  // banded candidate set exactly and the row shares                    //
+  // docs_minhash_neardup's oracle verbatim. The band keys are          //
+  // value-identical to the batch pipeline's by construction            //
+  // (TextStream.bandKeysExpr reuses TextOps' affine family).           //
+  // ------------------------------------------------------------------ //
+
+  private def stagedDocs(spark: SparkSession, sfDir: String): String =
+    StoreUtil.cachedTempDir(docStageCache, sfDir, "graft-docstream") {
+      dir =>
+        Tables(spark, sfDir, "documents")
+          .repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$dir/in")
+    } + "/in"
+
+  def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stagedDocs(spark, sfDir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val pairs = graft.streaming.TextStream
+      .neardupStream(spark, src, threshold = 0.3)
+      .toDF("a_id", "b_id", "jac")
+    runToMemory(spark, pairs, "append")
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  // ------------------------------------------------------------------ //
   // Streaming funnel timing (EventsStream.conversionStream's drained-  //
   // aggregate face): per-user state = (min view µs, min purchase µs)  //
   // — two mergeable mins, so the last emission per user equals the    //
@@ -456,6 +497,7 @@ object StreamOps {
     "events_stream_distinct" -> streamDistinct,
     "events_stream_leaderboard" -> streamLeaderboard,
     "events_stream_conversion" -> streamConversion,
+    "docs_stream_neardup" -> streamNearDup,
     "fs_stream_index" -> streamIndex,
     "fs_stream_index_mor" -> streamIndexMor)
 
@@ -466,6 +508,8 @@ object StreamOps {
     "events_stream_leaderboard" -> streamLeaderboardSql,
     // the drained per-user firsts fold to the batch funnel exactly
     "events_stream_conversion" -> EventsOps.conversionLagSql,
+    // drained band-state pairs = the batch banded candidate set
+    "docs_stream_neardup" -> TextOps.minhashNearDupSql,
     "fs_stream_index" -> FsOps.mergeUpsertSql,
     // the MOR twin folds to the identical LWW snapshot — same oracle
     "fs_stream_index_mor" -> FsOps.mergeUpsertSql)

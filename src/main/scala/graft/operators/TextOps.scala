@@ -763,25 +763,37 @@ object TextOps {
   private val shBits = shBands * shBandBits // 60
   private val shRadius = shBands - 1
 
-  /** SQL fragment: 60-bit SimHash of the `fps` bigint-array column —
-    * bit j of the result is the sign of the per-bit majority vote.
-    * Everything is bigint so Spark and DuckDB agree on all 60 bits.
+  /** Per-document 60-bit SimHash, in the minhash-signature shape: one
+    * sha256 per DISTINCT token (explode-then-hash), then 60 codegen'd
+    * `sum(±1)` vote columns collapsed by ONE doc_id aggregate (tokens
+    * are doc-contiguous after explode, so partial aggregation folds to
+    * ~1 row per doc map-side), then one 60-term select assembles the
+    * fingerprint. The naive form — a per-row HOF re-walking the token
+    * array once per bit — is 60×|tokens| INTERPRETED lambda steps per
+    * document and measured 3.85 s at sf0.1 vs 1.71 s for this shape
+    * (checksum-identical; the same interpreted-HOF tax the winnowing
+    * kernel and vec_dot paid before their codegen rewrites, PERF.md).
+    * The remaining cost is the 1-sha256-per-distinct-token floor the
+    * minhash pipeline shares.
     */
-  private def simhash60Expr(fps: String): String =
-    s"""aggregate(sequence(0, ${shBits - 1}), cast(0 AS bigint),
-       |  (acc, j) -> acc +
-       |    CASE WHEN aggregate($fps, cast(0 AS bigint),
-       |      (a2, f) -> a2 + (2 * (shiftright(f, j) % 2) - 1)) > 0
-       |    THEN shiftleft(cast(1 AS bigint), j)
-       |    ELSE cast(0 AS bigint) END)""".stripMargin
+  private def simhash60(docs: DataFrame): DataFrame = {
+    val f = docs
+      .select(col("doc_id"), explode(expr(dToks)).as("v"))
+      .select(col("doc_id"), expr(
+        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)")
+        .as("f"))
+    val votes = f.groupBy("doc_id").agg(
+      sum(expr("2 * (shiftright(f, 0) % 2) - 1")).as("s0"),
+      (1 until shBits).map(j =>
+        sum(expr(s"2 * (shiftright(f, $j) % 2) - 1")).as(s"s$j")): _*)
+    votes.select(col("doc_id"), expr(
+      (0 until shBits).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
+        .mkString(" + ")).as("sh"))
+  }
 
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = expr(
-      s"array_distinct(transform($toks, v -> " +
-        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
-    val t = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), fp.as("fps"))
-      .select(col("doc_id"), expr(simhash60Expr("fps")).as("sh"))
+    val t = simhash60(Tables(spark, sfDir, "documents"))
     // 4 banded rows per doc; key = the band's 15-bit slice (sh < 2^60,
     // always non-negative, so shiftright/% are exact)
     val banded = t.select(col("doc_id"), col("sh"),
