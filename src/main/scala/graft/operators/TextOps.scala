@@ -890,6 +890,67 @@ object TextOps {
        |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Asymmetric CONTAINMENT pairs (Broder's resemblance/containment       //
+  // split, "On the resemblance and containment of documents", 1997):    //
+  // containment(A→B) = |A∩B| / |A|. Catches the small-document-inside-  //
+  // big-document duplication Jaccard structurally misses — a 100-token  //
+  // doc fully embedded in a 10k-token doc has jac ≈ 0.01 but           //
+  // containment 1.0; training-data dedup wants that pair. Same 60-bit  //
+  // token fingerprints and source blocking as ngramJaccard; the only   //
+  // sound prefilter is on the intersection against the SMALLER side    //
+  // (size ratios prune nothing when any size pair can qualify). At     //
+  // scale the blocked all-pairs form gives way to banding on the       //
+  // smaller set's minima (containment-LSH) — the same banded discipline //
+  // minhashPairs uses for resemblance.                                  //
+  // -------------------------------------------------------------------- //
+
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = expr(
+      s"array_distinct(transform($toks, v -> " +
+        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    val t = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), fp.as("s"))
+    val a = t.select(col("source"), col("doc_id").as("a_id"),
+      col("s").as("a_s"))
+    val b = t.select(col("source"), col("doc_id").as("b_id"),
+      col("s").as("b_s"))
+    a.join(b, Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", expr("size(array_intersect(a_s, b_s))"))
+      // round(·,4) ≥ 0.9 admits true ratios down to 0.89995 — the
+      // integer bound mirrors that boundary exactly (ngramJaccard's
+      // discipline), and the oracle carries BOTH predicates verbatim
+      .filter(expr(
+        "inter * 100000L >= least(size(a_s), size(b_s)) * 89995L"))
+      .withColumn("cont_a",
+        round(col("inter").cast("double") / expr("size(a_s)"), 4))
+      .withColumn("cont_b",
+        round(col("inter").cast("double") / expr("size(b_s)"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.9)
+      .select("a_id", "b_id", "cont_a", "cont_b")
+      .orderBy("a_id", "b_id")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform($duckToks, v ->
+       |      CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS s
+       |  FROM documents)
+       |SELECT a_id, b_id, cont_a, cont_b FROM (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(a.s), 4) AS cont_a,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(b.s), 4) AS cont_b,
+       |    least(len(a.s), len(b.s)) AS mn
+       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |WHERE inter * 100000 >= mn * 89995
+       |  AND greatest(cont_a, cont_b) >= 0.9
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // BM25 relevance top-k — the in-engine counterpart of the ES           //
   // relevance ranking the reference delegates to the search sink (W3).   //
   // Corpus statistics (N, avgdl, per-term df) are tiny aggregates        //
@@ -2441,6 +2502,7 @@ object TextOps {
     "docs_bpe_merges" -> bpeMerges,
     "docs_simhash" -> simhash,
     "docs_simhash_pairs" -> simhashPairs,
+    "docs_containment_pairs" -> containmentPairs,
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
     "docs_bm25_indexed" -> bm25Indexed,
@@ -2490,6 +2552,7 @@ object TextOps {
     "docs_bpe_merges" -> bpeMergesSql,
     "docs_simhash" -> simhashSql,
     "docs_simhash_pairs" -> simhashPairsSql,
+    "docs_containment_pairs" -> containmentPairsSql,
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
     "docs_bm25_indexed" -> bm25TopkSql,

@@ -394,6 +394,31 @@ class TextOpsSpec extends SparkSpecBase {
     assert(viaUpper == direct)
   }
 
+  test("containment pairs: catches subset docs Jaccard misses") {
+    val rows = TextOps.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ca, cb) =>
+      assert(a < b)
+      assert(math.max(ca, cb) >= 0.9)
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+    }
+    // the op's reason to exist: pairs whose small side is (near-)fully
+    // covered while the size imbalance keeps Jaccard under the 0.6
+    // resemblance threshold — ngramJaccard structurally misses these
+    assert(rows.exists { case (_, _, ca, cb) => math.min(ca, cb) < 0.6 })
+    // direct cross-check of a fully-contained pair on raw token sets
+    val (a, b, ca, cb) = rows
+      .find { case (_, _, x, y) => x == 1.0 || y == 1.0 }
+      .getOrElse(fail("no fully-contained pair in the corpus"))
+    val toks = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(a, b))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    if (ca == 1.0) assert(toks(a).subsetOf(toks(b)))
+    if (cb == 1.0) assert(toks(b).subsetOf(toks(a)))
+  }
+
   test("simhash pairs: banding is output-invisible (exact r<=3 recall)") {
     // independent recompute of the 60-bit fingerprints, then the
     // DEFINITIONAL all-pairs hamming join in the driver (500 docs →
