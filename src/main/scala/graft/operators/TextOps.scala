@@ -792,8 +792,14 @@ object TextOps {
         .mkString(" + ")).as("sh"))
   }
 
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = simhash60(Tables(spark, sfDir, "documents"))
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsOn(Tables(spark, sfDir, "documents"))
+
+  /** Same pipeline over an arbitrary corpus frame (doc_id, text) — the
+    * SimhashProbe times it at 25k–100k synthetic docs.
+    */
+  private[graft] def simhashPairsOn(docs: DataFrame): DataFrame = {
+    val t = simhash60(docs)
     // 4 banded rows per doc; key = the band's 15-bit slice (sh < 2^60,
     // always non-negative, so shiftright/% are exact)
     val banded = t.select(col("doc_id"), col("sh"),
