@@ -957,6 +957,89 @@ object TextOps {
        |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Prefix-filtered containment join — the SCALE twin of                 //
+  // containmentPairs (AllPairs/PPJoin prefix filtering, Bayardo et al., //
+  // "Scaling Up All Pairs Similarity Search", WWW 2007): a pair whose   //
+  // smaller side A has |A∩B| ≥ o can have at most |A| − o of A's       //
+  // tokens outside B, so ANY |A| − o + 1 tokens of A must hit B —      //
+  // candidates are found by joining the smaller side's PREFIX (its     //
+  // |A| − o + 1 globally-RAREST tokens, document-frequency order) to   //
+  // the larger side's full token postings, then verified exactly. The  //
+  // filter is LOSSLESS (pigeonhole), so this emits bit-identically the //
+  // blocked all-pairs result and shares its oracle.                     //
+  //                                                                     //
+  // Honesty note, measured: on THIS dup-saturated corpus the filter    //
+  // prunes only ~3% (sf0.1: 602,091 candidates vs 622,500 blocked     //
+  // pairs, 350,375 of which genuinely qualify — no filter can prune    //
+  // below the true result). The structural win is elsewhere: the      //
+  // blocked form is a per-source cartesian that degenerates with block //
+  // size (a 10⁷-doc source is 5×10¹³ pairs regardless of dup rate),   //
+  // while this form's candidates come from a token-postings equi-join  //
+  // whose volume tracks actual rare-token collisions — on low-dup      //
+  // corpora (Bayardo'07's regime) that is orders of magnitude below    //
+  // the cartesian, and it is the only one of the two shapes that       //
+  // admits the winnowPairs-style stop-token cap if a pathological      //
+  // token slips into a prefix.                                          //
+  // -------------------------------------------------------------------- //
+
+  def containmentPrefixPairs(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val fp = expr(
+      s"array_distinct(transform($toks, v -> " +
+        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    val tok = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), explode(fp).as("f"))
+    // global document frequency per token fingerprint (rare-first
+    // prefixes are what make the filter selective)
+    val dfreq = tok.groupBy("f").agg(count(lit(1)).as("df"))
+    // per-doc token list ordered (df asc, f asc) — deterministic total
+    // order; n, the rounded-boundary minimum overlap o (inter·10⁵ ≥
+    // n·89995 ⟺ inter ≥ ⌈n·89995/10⁵⌉), and the pigeonhole prefix
+    val ordered = tok.join(dfreq, Seq("f"))
+      .groupBy("source", "doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("f"))))
+        .as("sf"))
+      .select(col("source"), col("doc_id"),
+        expr("transform(sf, x -> x.f)").as("s"))
+      .withColumn("n", size(col("s")))
+      .withColumn("pre", expr(
+        "slice(s, 1, n - cast((n * 89995L + 99999L) div 100000L AS int) + 1)"))
+      .localCheckpoint(true) // one token shuffle; both join legs reuse it
+    val small = ordered.select(col("source"), col("doc_id").as("x_id"),
+      col("n").as("x_n"), explode(col("pre")).as("f"))
+    val big = ordered.select(col("source"), col("doc_id").as("y_id"),
+      col("n").as("y_n"), explode(col("s")).as("f"))
+    val cand = small.join(big, Seq("source", "f"))
+      .filter(col("x_id") =!= col("y_id"))
+      // x is the smaller side (ties broken by id so each unordered pair
+      // is probed exactly once, by exactly one designated smaller side)
+      .filter(col("x_n") < col("y_n") ||
+        (col("x_n") === col("y_n") && col("x_id") < col("y_id")))
+      .select(col("source"),
+        least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    // exact verification: identical predicates to containmentPairs, so
+    // the lossless prefix filter is output-invisible
+    val sets = ordered.select(col("source"), col("doc_id"), col("s"))
+    cand
+      .join(sets.select(col("source"), col("doc_id").as("a_id"),
+        col("s").as("a_s")), Seq("source", "a_id"))
+      .join(sets.select(col("source"), col("doc_id").as("b_id"),
+        col("s").as("b_s")), Seq("source", "b_id"))
+      .withColumn("inter", expr("size(array_intersect(a_s, b_s))"))
+      .filter(expr(
+        "inter * 100000L >= least(size(a_s), size(b_s)) * 89995L"))
+      .withColumn("cont_a",
+        round(col("inter").cast("double") / expr("size(a_s)"), 4))
+      .withColumn("cont_b",
+        round(col("inter").cast("double") / expr("size(b_s)"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.9)
+      .select("a_id", "b_id", "cont_a", "cont_b")
+      .orderBy("a_id", "b_id")
+  }
+
+  // -------------------------------------------------------------------- //
   // BM25 relevance top-k — the in-engine counterpart of the ES           //
   // relevance ranking the reference delegates to the search sink (W3).   //
   // Corpus statistics (N, avgdl, per-term df) are tiny aggregates        //
@@ -2509,6 +2592,7 @@ object TextOps {
     "docs_simhash" -> simhash,
     "docs_simhash_pairs" -> simhashPairs,
     "docs_containment_pairs" -> containmentPairs,
+    "docs_containment_prefix" -> containmentPrefixPairs,
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
     "docs_bm25_indexed" -> bm25Indexed,
@@ -2559,6 +2643,8 @@ object TextOps {
     "docs_simhash" -> simhashSql,
     "docs_simhash_pairs" -> simhashPairsSql,
     "docs_containment_pairs" -> containmentPairsSql,
+    // the prefix-filtered twin is lossless — identical output, same oracle
+    "docs_containment_prefix" -> containmentPairsSql,
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
     "docs_bm25_indexed" -> bm25TopkSql,

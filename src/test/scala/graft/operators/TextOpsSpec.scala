@@ -419,6 +419,17 @@ class TextOpsSpec extends SparkSpecBase {
     if (cb == 1.0) assert(toks(b).subsetOf(toks(a)))
   }
 
+  test("containment prefix filter is lossless (PPJoin twin == blocked)") {
+    val blocked = TextOps.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val prefix = TextOps.containmentPrefixPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(prefix == blocked,
+      s"prefix ${prefix.size} vs blocked ${blocked.size}")
+  }
+
   test("simhash pairs: banding is output-invisible (exact r<=3 recall)") {
     // independent recompute of the 60-bit fingerprints, then the
     // DEFINITIONAL all-pairs hamming join in the driver (500 docs →
