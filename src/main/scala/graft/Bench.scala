@@ -149,7 +149,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addSparkListener(moves)
+    if (movesOn.getAndSet(spark.sparkContext) ne spark.sparkContext)
+      spark.sparkContext.addSparkListener(moves)
     spark
   }
 
@@ -187,6 +188,12 @@ object Bench {
   }
 
   private[graft] val moves = new MoveListener
+
+  // guard against double-registration (the listener bus does NOT dedup
+  // instances — a re-registered listener double-counts every byte):
+  // track which context holds the listener, re-register only on a new one
+  private val movesOn =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.SparkContext]
 
   /** Listener events post asynchronously; poll until two consecutive
     * 50 ms reads agree so a snapshot delta brackets a whole run. The

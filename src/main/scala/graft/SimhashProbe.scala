@@ -43,8 +43,11 @@ object SimhashProbe {
     Bench.checksum(operators.TextOps.simhashPairsOn(corpus(spark, 5000L))): Unit
     val cells = sizes.map { n =>
       val docs = operators.TextOps.simhashPairsOn(corpus(spark, n))
-      val (sec, _, _, _) = Bench.timedMinOf2(() => Bench.checksum(docs))
+      // count FIRST: it pre-warms this size's plan (on top of
+      // timedMinOf2's own warmup) instead of re-running the whole
+      // pipeline a fourth time after the timing
       val pairs = docs.count()
+      val (sec, _, _, _) = Bench.timedMinOf2(() => Bench.checksum(docs))
       s""""$n":{"sec":${"%.3f".format(sec)},"pairs":$pairs}"""
     }
     println(s"""{"probe":"simhash_pairs","sizes":${cells.mkString("{", ",", "}")},"cpus":${Runtime.getRuntime.availableProcessors}}""")

@@ -54,29 +54,30 @@ object StreamOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val qn = new AtomicLong(0)
 
-  /** Stage the (ts-normalized) events table as a 4-file parquet dir so
-    * the file source replays it as a genuine multi-batch stream
-    * (`maxFilesPerTrigger = 1` → 4 micro-batches). Staged once per JVM
-    * per sfDir; files are hash-split on user_id (cut points are
-    * irrelevant to the queries — see determinism note above).
+  /** Stage `table` as a 4-file parquet dir (hash-split on
+    * `partitionCol`, once per JVM per sfDir — cut points are
+    * irrelevant to every query here, see the determinism note above)
+    * and return a readStream over it with an explicit schema (file
+    * sources do not infer), one file per micro-batch — the single
+    * staging contract every streamed table shares.
     */
-  private def stagedEvents(spark: SparkSession, sfDir: String): String =
-    StoreUtil.cachedTempDir(stageCache, sfDir, "graft-eventstream") { dir =>
-      Tables(spark, sfDir, "events")
-        .repartition(4, col("user_id"))
-        .write.mode("overwrite").parquet(s"$dir/in")
+  private def stagedStream(spark: SparkSession, sfDir: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      table: String, partitionCol: String, tag: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(cache, sfDir, tag) { d =>
+      Tables(spark, sfDir, table)
+        .repartition(4, col(partitionCol))
+        .write.mode("overwrite").parquet(s"$d/in")
     } + "/in"
-
-  /** readStream over the staged events with an explicit schema (file
-    * sources do not infer), one file per micro-batch.
-    */
-  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = stagedEvents(spark, sfDir)
     spark.readStream
       .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
   }
+
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    stagedStream(spark, sfDir, stageCache, "events", "user_id",
+      "graft-eventstream")
 
   /** Run `sink`'s streaming query to completion over all available
     * input and return the memory-sink table. Fresh checkpoint + unique
@@ -279,21 +280,10 @@ object StreamOps {
   // (TextStream.bandKeysExpr reuses TextOps' affine family).           //
   // ------------------------------------------------------------------ //
 
-  private def stagedDocs(spark: SparkSession, sfDir: String): String =
-    StoreUtil.cachedTempDir(docStageCache, sfDir, "graft-docstream") {
-      dir =>
-        Tables(spark, sfDir, "documents")
-          .repartition(4, col("doc_id"))
-          .write.mode("overwrite").parquet(s"$dir/in")
-    } + "/in"
-
   def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = stagedDocs(spark, sfDir)
-    val src = spark.readStream
-      .schema(spark.read.parquet(dir).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val src = stagedStream(spark, sfDir, docStageCache, "documents",
+      "doc_id", "graft-docstream")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
     val pairs = graft.streaming.TextStream

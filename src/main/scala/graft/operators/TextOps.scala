@@ -31,6 +31,23 @@ object TextOps {
   // Shared expression fragments (Spark SQL / DuckDB SQL mirrors).
   private val toks = "split(text, ' ')"
   private val dToks = s"array_distinct($toks)"
+
+  /** 60-bit sha256-prefix token fingerprint SET (15 hex chars → always
+    * a non-negative bigint): the one set-similarity currency shared by
+    * ngramJaccard, the SimHash vote, and both containment forms —
+    * long-array set ops cost a fraction of string ops, collisions
+    * ~1e-7 at this vocabulary, and widening the fingerprint is a
+    * single-site change (plus [[duckFp60]], its oracle mirror).
+    */
+  private val fp60Scalar =
+    "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)"
+
+  private val fp60 =
+    s"array_distinct(transform($toks, v -> $fp60Scalar))"
+
+  private def duckFp60(toksSql: String): String =
+    s"""list_distinct(list_transform($toksSql, v ->
+       |      CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT)))""".stripMargin
   /** Distinct word-3-gram shingles. Docs with fewer than 3 tokens get an
     * empty set (Spark's `sequence(1, 0)` DESCENDS to `[1, 0]` and index 0
     * then blows up `slice`; DuckDB's `generate_series(1, 0)` is empty — the
@@ -779,9 +796,7 @@ object TextOps {
   private def simhash60(docs: DataFrame): DataFrame = {
     val f = docs
       .select(col("doc_id"), explode(expr(dToks)).as("v"))
-      .select(col("doc_id"), expr(
-        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)")
-        .as("f"))
+      .select(col("doc_id"), expr(fp60Scalar).as("f"))
     val votes = f.groupBy("doc_id").agg(
       sum(expr("2 * (shiftright(f, 0) % 2) - 1")).as("s0"),
       (1 until shBits).map(j =>
@@ -826,8 +841,7 @@ object TextOps {
     */
   val simhashPairsSql: String =
     s"""WITH f AS (
-       |  SELECT doc_id, list_distinct(list_transform($duckToks, v ->
-       |    CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS fps
+       |  SELECT doc_id, ${duckFp60(duckToks)} AS fps
        |  FROM documents),
        |t AS (
        |  SELECT doc_id,
@@ -860,9 +874,7 @@ object TextOps {
     // sf0.1: 7.24 → 5.40 s warm, checksum-identical (the remaining
     // cost is the blocked all-pairs join itself, which is this
     // operator's definition).
-    val fp = expr(
-      s"array_distinct(transform($toks, v -> " +
-        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    val fp = expr(fp60)
     val t = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), fp.as("s"))
     val a = t.select(col("source"), col("doc_id").as("a_id"), col("s").as("a_s"))
@@ -881,9 +893,7 @@ object TextOps {
 
   val ngramJaccardSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, source,
-       |    list_distinct(list_transform($duckToks, v ->
-       |      CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS s
+       |  SELECT doc_id, source, ${duckFp60(duckToks)} AS s
        |  FROM documents)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -911,9 +921,7 @@ object TextOps {
   // -------------------------------------------------------------------- //
 
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = expr(
-      s"array_distinct(transform($toks, v -> " +
-        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    val fp = expr(fp60)
     val t = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), fp.as("s"))
     val a = t.select(col("source"), col("doc_id").as("a_id"),
@@ -939,9 +947,7 @@ object TextOps {
 
   val containmentPairsSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, source,
-       |    list_distinct(list_transform($duckToks, v ->
-       |      CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS s
+       |  SELECT doc_id, source, ${duckFp60(duckToks)} AS s
        |  FROM documents)
        |SELECT a_id, b_id, cont_a, cont_b FROM (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -984,9 +990,7 @@ object TextOps {
 
   def containmentPrefixPairs(spark: SparkSession, sfDir: String)
       : DataFrame = {
-    val fp = expr(
-      s"array_distinct(transform($toks, v -> " +
-        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    val fp = expr(fp60)
     val tok = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), explode(fp).as("f"))
     // global document frequency per token fingerprint (rare-first
@@ -1845,9 +1849,7 @@ object TextOps {
     // strings, and at ~10⁶ distinct shingles the collision expectation
     // is ~1e-7 — the fingerprint Jaccard IS the string Jaccard.
     // Measured at sf0.1: 68.8 → 6.0 s for the whole audit.
-    val fp = expr(
-      "array_distinct(transform(sh, v -> " +
-        "cast(conv(substring(sha2(v, 256), 1, 15), 16, 10) AS bigint)))")
+    val fp = expr(s"array_distinct(transform(sh, v -> $fp60Scalar))")
     // the sample is auditSampleK known-small checkpointed rows (the
     // checkpoint also stops the product re-running its corpus-wide
     // sort+limit once per partition of the other side), so the planner
@@ -1908,8 +1910,7 @@ object TextOps {
     s"""WITH ${minhashCtesFrom("documents")},
        |lsh AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),
        |fps AS (
-       |  SELECT doc_id, list_distinct(list_transform(s, v ->
-       |    CAST('0x' || substr(sha256(v), 1, 15) AS BIGINT))) AS fp
+       |  SELECT doc_id, ${duckFp60("s")} AS fp
        |  FROM sh),
        |smp AS (SELECT doc_id AS s_id, fp AS s_fp FROM fps
        |        ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id

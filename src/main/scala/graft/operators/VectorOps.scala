@@ -673,7 +673,12 @@ object VectorOps {
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(10)
 
-  val pqAdcTopkSql: String = {
+  /** Shared ADC oracle scaffolding — the c/q CTEs, the per-subspace
+    * assignment (a0..a3) and query-lookup (l0..l3) CTEs, and the scored
+    * SELECT — single-sourced so [[pqAdcRerankSql]]'s shortlist can never
+    * drift from [[pqAdcTopkSql]]'s ranking.
+    */
+  private def adcOracleCtes: String = {
     val subD2 = (m: Int, a: String, b: String) =>
       s"""round(list_sum(list_transform(generate_series(1, $pqSub),
          |  i -> ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE)
@@ -691,21 +696,27 @@ object VectorOps {
          |  SELECT c.c_id, ${subD2(m, "q.qe", "c.ce")} AS qd
          |  FROM c, q)""".stripMargin
     }.mkString(",\n")
-    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+    s"""c AS (SELECT vec_id AS c_id, embedding AS ce
+       |      FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |$perM
-       |SELECT a0.vec_id,
-       |  round(l0.qd + l1.qd + l2.qd + l3.qd, 4) AS adc_d2
-       |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
-       |  JOIN a3 USING (vec_id)
-       |  JOIN l0 ON l0.c_id = a0.c_id
-       |  JOIN l1 ON l1.c_id = a1.c_id
-       |  JOIN l2 ON l2.c_id = a2.c_id
-       |  JOIN l3 ON l3.c_id = a3.c_id
-       |WHERE a0.vec_id <> 0
-       |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
+       |$perM""".stripMargin
   }
+
+  private val adcScoredSelect: String =
+    """SELECT a0.vec_id,
+      |  round(l0.qd + l1.qd + l2.qd + l3.qd, 4) AS adc_d2
+      |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+      |  JOIN a3 USING (vec_id)
+      |  JOIN l0 ON l0.c_id = a0.c_id
+      |  JOIN l1 ON l1.c_id = a1.c_id
+      |  JOIN l2 ON l2.c_id = a2.c_id
+      |  JOIN l3 ON l3.c_id = a3.c_id
+      |WHERE a0.vec_id <> 0""".stripMargin
+
+  val pqAdcTopkSql: String =
+    s"""WITH $adcOracleCtes
+       |$adcScoredSelect
+       |ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
 
   /** Two-stage ADC serving with exact re-rank — the refinement step
     * every production IVF-PQ deployment runs (FAISS `IndexRefineFlat`;
@@ -736,38 +747,10 @@ object VectorOps {
 
   private val rerankK = 50
 
-  val pqAdcRerankSql: String = {
-    val subD2 = (m: Int, a: String, b: String) =>
-      s"""round(list_sum(list_transform(generate_series(1, $pqSub),
-         |  i -> ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE)
-         |     * ($a[$m * $pqSub + i]::DOUBLE - $b[$m * $pqSub + i]::DOUBLE))), 4)"""
-        .stripMargin
-    val perM = (0 until pqM).map { m =>
-      s"""a$m AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT e.vec_id, c.c_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${subD2(m, "e.embedding", "c.ce")}, c.c_id) AS rk
-         |    FROM embeddings e, c)
-         |  WHERE rk = 1),
-         |l$m AS (
-         |  SELECT c.c_id, ${subD2(m, "q.qe", "c.ce")} AS qd
-         |  FROM c, q)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
-       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |$perM,
+  val pqAdcRerankSql: String =
+    s"""WITH $adcOracleCtes,
        |s AS (
-       |  SELECT a0.vec_id,
-       |    round(l0.qd + l1.qd + l2.qd + l3.qd, 4) AS adc_d2
-       |  FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
-       |    JOIN a3 USING (vec_id)
-       |    JOIN l0 ON l0.c_id = a0.c_id
-       |    JOIN l1 ON l1.c_id = a1.c_id
-       |    JOIN l2 ON l2.c_id = a2.c_id
-       |    JOIN l3 ON l3.c_id = a3.c_id
-       |  WHERE a0.vec_id <> 0
+       |  $adcScoredSelect
        |  ORDER BY adc_d2, vec_id LIMIT $rerankK)
        |SELECT s.vec_id, s.adc_d2,
        |  round(list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -775,7 +758,6 @@ object VectorOps {
        |       * (e.embedding[i]::DOUBLE - q.qe[i]::DOUBLE))), 4) AS exact_d2
        |FROM s JOIN embeddings e ON e.vec_id = s.vec_id, q
        |ORDER BY exact_d2, s.vec_id LIMIT 10""".stripMargin
-  }
 
   /** IVF-PQ: the two tiers composed exactly as production ANN systems
     * ship them (FAISS's IVFPQ index) — the coarse quantizer prunes
