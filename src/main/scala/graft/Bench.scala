@@ -60,7 +60,11 @@ object Bench {
   }
 
   private[graft] def rm(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
+    // NOFOLLOW is load-bearing: stageResharded symlinks small tables
+    // into the staged dir — recursing THROUGH a directory symlink here
+    // would delete the user's original source data, not the staging
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = java.nio.file.Files.list(p)
       try s.forEach(rm(_)) finally s.close()
     }
@@ -260,21 +264,31 @@ object Bench {
       parts: Int = 32, minBytes: Long = 256L << 10): (String, Double) = {
     val t0 = System.nanoTime()
     val staged = Files.createTempDirectory("benchstage")
+    // a JVM crash/OOM mid-bench must not orphan a multi-hundred-MB
+    // staged copy in /tmp (the StoreUtil.cachedTempDir discipline)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try rm(staged) catch { case _: Throwable => () }))
     val src = Paths.get(sfDir)
-    val s = Files.list(src)
     try {
-      s.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
-        val dst = staged.resolve(p.getFileName.toString)
-        if (Files.size(p) >= minBytes) {
-          val df = spark.read.parquet(p.toString)
-          df.repartition(parts).write.parquet(dst.toString)
-          val (orig, shard) =
-            (checksum(df), checksum(spark.read.parquet(dst.toString)))
-          assert(orig == shard,
-            s"reshard changed ${p.getFileName}: $orig != $shard")
-        } else Files.createSymbolicLink(dst, p.toAbsolutePath)
-      }
-    } finally s.close()
+      val s = Files.list(src)
+      try {
+        s.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
+          val dst = staged.resolve(p.getFileName.toString)
+          if (Files.size(p) >= minBytes) {
+            val df = spark.read.parquet(p.toString)
+            df.repartition(parts).write.parquet(dst.toString)
+            val (orig, shard) =
+              (checksum(df), checksum(spark.read.parquet(dst.toString)))
+            // require, not assert: the content guarantee must survive
+            // -Xdisable-assertions builds
+            require(orig == shard,
+              s"reshard changed ${p.getFileName}: $orig != $shard")
+          } else Files.createSymbolicLink(dst, p.toAbsolutePath)
+        }
+      } finally s.close()
+    } catch {
+      case e: Throwable => rm(staged); throw e
+    }
     (staged.toString, (System.nanoTime() - t0) / 1e9)
   }
 

@@ -21,13 +21,23 @@ object QueryTime {
     // re-measure is comparable to the bench line it adjudicates;
     // SPARK_GRAFT_BENCH_RESHARD=0 times the raw single-file inputs
     val reshard = !sys.env.get("SPARK_GRAFT_BENCH_RESHARD").contains("0")
-    val dir = if (reshard) Bench.stageResharded(spark, sfDir)._1 else sfDir
+    // degrade to raw inputs on staging failure, exactly like Bench — an
+    // adjudication run must not crash where the bench it checks survived
+    val dir =
+      if (reshard) {
+        try Bench.stageResharded(spark, sfDir)._1 catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[querytime] staging failed, using raw inputs: ${e.getMessage}")
+            sfDir
+        }
+      } else sfDir
     val (sec, chk, runs, moved) = Bench.timedMinOf2(
       () => Bench.checksum(fn(spark, dir)))
     val rj = runs.map("%.3f".format(_)).mkString("[", ",", "]")
     val mj = moved.map(b => "%.1f".format(b / 1048576.0))
       .mkString("[", ",", "]")
-    println(f"""{"query":"$name","sec":$sec%.3f,"runs":$rj,"move_mb":$mj,"checksum":$chk,"resharded":$reshard,"sf":"$sfDir"}""")
+    println(f"""{"query":"$name","sec":$sec%.3f,"runs":$rj,"move_mb":$mj,"checksum":$chk,"resharded":${dir != sfDir},"sf":"$sfDir"}""")
     if (dir != sfDir) Bench.rm(java.nio.file.Paths.get(dir))
     spark.stop()
   }

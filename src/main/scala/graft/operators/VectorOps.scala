@@ -476,6 +476,9 @@ object VectorOps {
       .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
       .limit(64)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      // 3 plan legs (brute, probe, final join) reference the sample —
+      // checkpoint so the selecting TakeOrdered runs once
+      .localCheckpoint(true)
     val byQ = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     val brute = emb.select(col("vec_id"), col("embedding"))
@@ -891,6 +894,7 @@ object VectorOps {
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
         floor(col("col").cast("double") * lit(1000000.0)).cast("long")
           .as("xq"))
+      .localCheckpoint(true) // each of the M subspace aggs re-reads it
 
     // one Lloyd round per SUBSPACE over the PQ (slice) assignment —
     // not the full-vector assignment: PQ codebooks quantize slices
@@ -918,8 +922,10 @@ object VectorOps {
         }: _*).as("ce"))
       .localCheckpoint(true) // reused by the assignment and M LUTs
 
-    val seededCodes = pqAssign(emb, cents0)
-    val trainedCodes = pqAssign(emb, trained)
+    // each codes frame feeds BOTH its errFp sum and its adcHits arm —
+    // checkpoint so the M broadcast-argmin passes run once, not twice
+    val seededCodes = pqAssign(emb, cents0).localCheckpoint(true)
+    val trainedCodes = pqAssign(emb, trained).localCheckpoint(true)
     // corpus reconstruction error in 1e-4 fixed point: each e_m is a
     // 4dp-rounded double, so the per-row 4-term sum ×10⁴ rounds to an
     // exact integer — summing BIGINTs keeps the corpus total
@@ -939,6 +945,9 @@ object VectorOps {
       .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
       .limit(64)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      // ~10 plan legs reference the sample; without the checkpoint each
+      // re-runs the corpus-wide TakeOrdered that selects it
+      .localCheckpoint(true)
     val byQd = Window.partitionBy("q_id")
       .orderBy(col("d2"), col("vec_id"))
     val exact = emb.select(col("vec_id"), col("embedding"))
@@ -1132,6 +1141,9 @@ object VectorOps {
       .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
       .limit(64)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      // 3 plan legs (brute, probe, final join) reference the sample —
+      // checkpoint so the selecting TakeOrdered runs once
+      .localCheckpoint(true)
     val byQ = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     val brute = emb.select(col("vec_id"), col("embedding"))

@@ -142,7 +142,13 @@ object EventsStream {
           var (firstView, firstPurchase) =
             state.getOption.getOrElse((Long.MinValue, Long.MinValue))
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-          rows.toSeq.sortBy(_._2).foreach { case (_, ts, typ) =>
+          // event-time order, VIEWS FIRST on a timestamp tie: the batch
+          // query's `min(purchase) - min(view) >= 0` counts an
+          // equal-timestamp view+purchase as converted with lag 0, so a
+          // purchase must not shadow a same-microsecond view
+          rows.toSeq.sortBy { case (_, ts, typ) =>
+            (ts, if (typ == "view") 0 else 1)
+          }.foreach { case (_, ts, typ) =>
             if (typ == "view" && firstView == Long.MinValue &&
               firstPurchase == Long.MinValue)
               firstView = ts

@@ -300,4 +300,24 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("conversionStream: same-timestamp view+purchase converts, lag 0") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = EventsStream.conversionStream(spark, ms.toDS())
+      .writeStream.format("memory").queryName("convtie")
+      .outputMode("append").start()
+    try {
+      // the batch predicate min(purchase) - min(view) >= 0 counts an
+      // equal-timestamp pair as converted with lag 0; the purchase is
+      // ADDED FIRST so arrival order alone would shadow the view —
+      // the (ts, view-first) sort must restore batch parity
+      ms.addData((7L, 1000L, "purchase"), (7L, 1000L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("convtie").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((7L, 0L)))
+    } finally q.stop()
+  }
+
 }
