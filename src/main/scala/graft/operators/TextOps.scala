@@ -920,9 +920,15 @@ object TextOps {
   // minhashPairs uses for resemblance.                                  //
   // -------------------------------------------------------------------- //
 
-  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairsOn(Tables(spark, sfDir, "documents"))
+
+  /** The blocked form over an arbitrary (doc_id, source, text) frame —
+    * the ContainmentProbe times it against the prefix twin.
+    */
+  private[graft] def containmentPairsOn(docs: DataFrame): DataFrame = {
     val fp = expr(fp60)
-    val t = Tables(spark, sfDir, "documents")
+    val t = docs
       .select(col("doc_id"), col("source"), fp.as("s"))
     val a = t.select(col("source"), col("doc_id").as("a_id"),
       col("s").as("a_s"))
@@ -989,9 +995,13 @@ object TextOps {
   // -------------------------------------------------------------------- //
 
   def containmentPrefixPairs(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    containmentPrefixPairsOn(Tables(spark, sfDir, "documents"))
+
+  private[graft] def containmentPrefixPairsOn(docs: DataFrame)
       : DataFrame = {
     val fp = expr(fp60)
-    val tok = Tables(spark, sfDir, "documents")
+    val tok = docs
       .select(col("doc_id"), col("source"), explode(fp).as("f"))
     // global document frequency per token fingerprint (rare-first
     // prefixes are what make the filter selective)
