@@ -1784,23 +1784,34 @@ object TextOps {
   private val duckChTris =
     "list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))"
 
-  def lmFamiliarity(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  /** The shared familiarity scoring core — per-doc trigram counts
+    * against the en-trained model, carrying `extraKey` (lang for the
+    * standalone query, source for the CCNet bucketing) through the
+    * per-doc aggregate. One formula, two queries, zero drift (the
+    * [[qualityCol]] discipline).
+    */
+  private def familiarityCounts(docs: DataFrame,
+      extraKey: String): DataFrame = {
     val model = docs.filter(col("lang") === "en")
       .select(explode(expr(chTris)).as("tri"))
       .groupBy("tri").agg(count(lit(1)).as("cnt"))
-    docs.select(col("doc_id"), col("lang"), explode(expr(chTris)).as("tri"))
+    docs.select(col("doc_id"), col(extraKey), explode(expr(chTris)).as("tri"))
       .join(broadcast(model), Seq("tri"), "left")
-      .groupBy("doc_id", "lang")
+      .groupBy("doc_id", extraKey)
       .agg(count(lit(1)).as("n_tri"),
         sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("seen_tri"),
         sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"))
       .withColumn("familiarity",
         round(col("sum_cnt").cast("double") / col("n_tri"), 4))
+  }
+
+  def lmFamiliarity(spark: SparkSession, sfDir: String): DataFrame =
+    familiarityCounts(Tables(spark, sfDir, "documents"), "lang")
       .withColumn("oov_ratio",
         round((col("n_tri") - col("seen_tri")).cast("double") / col("n_tri"), 4))
+      .select("doc_id", "lang", "n_tri", "seen_tri", "sum_cnt",
+        "familiarity", "oov_ratio")
       .orderBy("doc_id")
-  }
 
   val lmFamiliaritySql: String =
     s"""WITH m AS (
@@ -1821,6 +1832,121 @@ object TextOps {
        |  round(CAST(sum_cnt AS DOUBLE) / n_tri, 4) AS familiarity,
        |  round(CAST(n_tri - seen_tri AS DOUBLE) / n_tri, 4) AS oov_ratio
        |FROM s ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // CCNet head/middle/tail buckets (arXiv:1911.00359 §4.3): CCNet does   //
+  // not THRESHOLD on the LM score, it PARTITIONS each source into        //
+  // terciles and lets the mixture spec draw from "head" (most            //
+  // model-like) down — the partition is the selection artifact a        //
+  // curation run ships. Here the score is lmFamiliarity's (higher =      //
+  // more familiar = CCNet's lower perplexity, so familiarity >= q67 is   //
+  // "head"), terciles are per-SOURCE so every source contributes its     //
+  // own best slice regardless of absolute quality.                       //
+  //                                                                      //
+  // Scale (100 TB): the scored slim projection is checkpointed before    //
+  // fanning into its two legs (the per-source exact percentile — ≤ 10⁴   //
+  // distinct rounded scores per source, bounded buffer — and the probe   //
+  // side of the broadcast cut join), so the trigram explode runs ONCE;   //
+  // the cut table is |sources| rows broadcast.                           //
+  // -------------------------------------------------------------------- //
+
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = familiarityCounts(Tables(spark, sfDir, "documents"),
+        "source")
+      .select("doc_id", "source", "familiarity")
+      .localCheckpoint(true)
+    val cuts = scored.groupBy("source").agg(
+      round(expr("percentile(familiarity, 0.33)"), 4).as("q33"),
+      round(expr("percentile(familiarity, 0.67)"), 4).as("q67"))
+    scored.join(broadcast(cuts), "source")
+      .withColumn("bucket",
+        when(col("familiarity") >= col("q67"), lit("head"))
+          .when(col("familiarity") >= col("q33"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select("source", "doc_id", "familiarity", "bucket")
+      .orderBy("source", "doc_id")
+  }
+
+  val pplBucketsSql: String =
+    s"""WITH m AS (
+       |  SELECT tri, count(*) AS cnt FROM (
+       |    SELECT unnest($duckChTris) AS tri
+       |    FROM documents WHERE lang = 'en')
+       |  GROUP BY tri),
+       |t AS (
+       |  SELECT doc_id, source, unnest($duckChTris) AS tri FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    round(CAST(sum(coalesce(cnt, 0)) AS DOUBLE) / count(*), 4)
+       |      AS familiarity
+       |  FROM t LEFT JOIN m USING (tri)
+       |  GROUP BY doc_id, source),
+       |c AS (
+       |  SELECT source,
+       |    round(quantile_cont(familiarity, 0.33), 4) AS q33,
+       |    round(quantile_cont(familiarity, 0.67), 4) AS q67
+       |  FROM sc GROUP BY source)
+       |SELECT source, doc_id, familiarity,
+       |  CASE WHEN familiarity >= q67 THEN 'head'
+       |       WHEN familiarity >= q33 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc JOIN c USING (source)
+       |ORDER BY source, doc_id""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Per-source distribution drift: KL(source ‖ corpus) over char-trigram //
+  // distributions — the corpus-monitoring row that flags a source whose  //
+  // text stopped looking like the rest (encoding glitch, scraper drift,  //
+  // language shift) before any per-doc filter would. All counts are      //
+  // integers; each KL term divides and logs exact integer ratios, so the //
+  // only cross-engine variance is float sum order over a trigram-vocab-  //
+  // bounded term set (~alphabet³) — round(·,4) absorbs it (the TF-IDF /  //
+  // BM25 precedent).                                                     //
+  //                                                                      //
+  // Scale (100 TB): ONE map-side-combinable (source, tri) count is the   //
+  // only corpus-width work (key cardinality |sources|·|alphabet|³); the  //
+  // marginals derive from it — checkpointed so the explode runs once —   //
+  // and join back broadcast. Output is |sources| rows.                   //
+  // -------------------------------------------------------------------- //
+
+  def sourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables(spark, sfDir, "documents")
+      .select(col("source"), explode(expr(chTris)).as("tri"))
+      .groupBy("source", "tri").agg(count(lit(1)).as("n_st"))
+      .localCheckpoint(true)
+    val byTri = st.groupBy("tri").agg(sum("n_st").as("n_t"))
+    val bySrc = st.groupBy("source").agg(sum("n_st").as("n_s"))
+    val total = st.agg(sum("n_st").as("n"))
+    val pS = col("n_st").cast("double") / col("n_s").cast("double")
+    val pC = col("n_t").cast("double") / col("n").cast("double")
+    st.join(broadcast(byTri), "tri")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tris"),
+        count(lit(1)).as("n_distinct_tris"),
+        round(sum(pS * log(pS / pC)), 4).as("kl_nats"))
+      .orderBy("source")
+  }
+
+  val sourceKlSql: String =
+    s"""WITH st AS (
+       |  SELECT source, tri, count(*) AS n_st FROM (
+       |    SELECT source, unnest($duckChTris) AS tri FROM documents)
+       |  GROUP BY source, tri),
+       |bt AS (SELECT tri, CAST(sum(n_st) AS BIGINT) AS n_t
+       |       FROM st GROUP BY tri),
+       |bs AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+       |       FROM st GROUP BY source),
+       |tt AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st)
+       |SELECT st.source, max(n_s) AS n_tris,
+       |  count(*) AS n_distinct_tris,
+       |  round(sum((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+       |    * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+       |        / (CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE)))), 4)
+       |    AS kl_nats
+       |FROM st JOIN bt USING (tri) JOIN bs USING (source), tt
+       |GROUP BY st.source ORDER BY st.source""".stripMargin
 
   // -------------------------------------------------------------------- //
   // MinHash-LSH recall audit — "measure, don't guess" for the banded     //
@@ -2619,6 +2745,8 @@ object TextOps {
     "docs_dup_spans" -> dupSpans,
     "docs_span_scrub" -> spanScrub,
     "docs_lm_familiarity" -> lmFamiliarity,
+    "docs_ppl_buckets" -> pplBuckets,
+    "docs_source_kl" -> sourceKl,
     "docs_minhash_recall" -> minhashRecall,
     "docs_curation_pipeline" -> curationPipeline)
 
@@ -2671,6 +2799,8 @@ object TextOps {
     "docs_dup_spans" -> dupSpansSql,
     "docs_span_scrub" -> spanScrubSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
+    "docs_ppl_buckets" -> pplBucketsSql,
+    "docs_source_kl" -> sourceKlSql,
     "docs_minhash_recall" -> minhashRecallSql,
     "docs_curation_pipeline" -> curationPipelineSql)
 }

@@ -1554,11 +1554,77 @@ object VectorOps {
        |  CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // Label-confusion audit — the taxonomy-overlap companion to            //
+  // labelOutliers: two labels whose centroids sit close are candidates  //
+  // for merging (or for annotation-guideline repair) before training a   //
+  // classifier on them. Every unordered label pair is ranked globally    //
+  // by centroid distance; the head of the list is the triage queue.      //
+  // -------------------------------------------------------------------- //
+
+  /** All unordered label-centroid pairs with their exact squared
+    * distance in micro-units (the [[labelOutliers]] fixed-point
+    * discipline — no float ever reaches the gate hash) and a global
+    * closeness rank. Plan shape: the corpus streams ONCE into the
+    * map-side-combinable (label, dim) centroid aggregate — |labels|·d
+    * rows — and everything after is label-cardinality-bounded: a
+    * broadcast self-join on dim (|labels|²·d intermediate) and a
+    * single-partition window over |labels|²/2 rows. At 100 TB the
+    * corpus leg is unchanged and the bounded tail is still ~thousands
+    * of rows.
+    */
+  def labelConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroids = Tables(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+          .as("xq"))
+      .groupBy("label", "dim")
+      .agg(floor(sum("xq").cast("double") / count(lit(1))).cast("long")
+        .as("cq"))
+    val a = centroids.select(col("label").as("label_a"), col("dim"),
+      col("cq").as("ca"))
+    val b = centroids.select(col("label").as("label_b"), col("dim"),
+      col("cq").as("cb"))
+    val pairs = a.join(broadcast(b), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("d2_micro"))
+    pairs
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("d2_micro"), col("label_a"), col("label_b")))
+          .cast("long"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val labelConfusionSql: String =
+    """WITH x AS (
+      |  SELECT e.label, CAST(t.i AS INT) AS dim,
+      |    CAST(floor(e.embedding[t.i]::DOUBLE * 1000000.0) AS BIGINT) AS xq
+      |  FROM embeddings e,
+      |    LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)),
+      |c AS (
+      |  SELECT label, dim,
+      |    CAST(floor(CAST(sum(xq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+      |  FROM x GROUP BY label, dim),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS d2_micro
+      |  FROM c a JOIN c b USING (dim) WHERE a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b, d2_micro,
+      |  CAST(row_number() OVER (ORDER BY d2_micro, label_a, label_b)
+      |    AS BIGINT) AS rank
+      |FROM p ORDER BY label_a, label_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_hybrid_search" -> hybridSearch,
     "docs_hybrid_indexed" -> hybridIndexed,
     "ann_hard_negatives" -> hardNegatives,
     "ann_label_outliers" -> labelOutliers,
+    "ann_label_confusion" -> labelConfusion,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -1580,6 +1646,7 @@ object VectorOps {
     "docs_hybrid_indexed" -> hybridSearchSql,
     "ann_hard_negatives" -> hardNegativesSql,
     "ann_label_outliers" -> labelOutliersSql,
+    "ann_label_confusion" -> labelConfusionSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,

@@ -184,6 +184,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("ppl buckets: scored docs meet the tercile cuts by broadcast only") {
+    val p = finalPlan(SparkEntry.queries("docs_ppl_buckets")(spark, sf))
+    // the corpus-side scored frame NEVER shuffles to meet the
+    // |sources|-row cut table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("source KL: marginals broadcast back to the (source, tri) counts") {
+    val p = finalPlan(SparkEntry.queries("docs_source_kl")(spark, sf))
+    // tri/source marginals are vocab-bounded broadcasts; the only
+    // nested-loop is the 1-row corpus total
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("label confusion: corpus folds to |labels|*d before any join") {
+    val p = finalPlan(SparkEntry.queries("ann_label_confusion")(spark, sf))
+    // the (label, dim) centroid aggregate combines map-side; pairs meet
+    // through a broadcast hash join on dim, never a cartesian
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("funnel: every hash exchange rides the user_id partitioning") {
     val p = finalPlan(SparkEntry.queries("events_funnel")(spark, sf))
     assert(!p.contains("CartesianProduct") &&
