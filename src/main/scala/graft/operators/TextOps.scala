@@ -1949,6 +1949,116 @@ object TextOps {
        |GROUP BY st.source ORDER BY st.source""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Cross-source contamination matrix: how many distinct text identities //
+  // (dedupExact's 8-token-prefix sha256) appear in BOTH sources of each  //
+  // pair — the artifact that decides whether two "independent" crawls    //
+  // can be mixed at full weight or must be deduped jointly first.        //
+  //                                                                      //
+  // Scale (100 TB): one (source, hash) distinct — a hash-partitioned    //
+  // exchange ∝ corpus — then a self equi-join ON THE HASH whose output   //
+  // per key is |sources(h)|² ≤ |sources|², bounded by source cardinality //
+  // (never a doc-level pairing); the matrix is ≤ |sources|²/2 rows.      //
+  // -------------------------------------------------------------------- //
+
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables(spark, sfDir, "documents")
+      .select(col("source"),
+        sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256)
+          .as("text_hash"))
+      .distinct()
+      .localCheckpoint(true)
+    val b = h.select(col("text_hash"), col("source").as("source_b"))
+    h.select(col("text_hash"), col("source").as("source_a"))
+      .join(b, "text_hash")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT source,
+       |    sha256(array_to_string($duckToks[1:8], ' ')) AS text_hash
+       |  FROM documents)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  count(*) AS shared_texts
+       |FROM h a JOIN h b USING (text_hash)
+       |WHERE a.source < b.source
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  // -------------------------------------------------------------------- //
+  // Per-source data card — the "Datasheets for Datasets" summary row a   //
+  // corpus release ships: volume, token shape, exact-dup rate, and       //
+  // language-mix entropy per source, in one artifact. Entropy is in      //
+  // nats over the source's lang distribution (0 = monolingual).          //
+  //                                                                      //
+  // Scale (100 TB): the slim per-doc projection is checkpointed and      //
+  // feeds two bounded-output aggregations — per-source scalars (the     //
+  // distinct-hash count is one (source, hash) exchange ∝ corpus) and a   //
+  // (source, lang) count folded into entropy against the broadcast       //
+  // per-source totals. Output is |sources| rows.                         //
+  // -------------------------------------------------------------------- //
+
+  def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        expr(s"size($toks)").as("n_tok"),
+        sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256)
+          .as("text_hash"))
+      .localCheckpoint(true)
+    val perSrc = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("total_tokens"),
+      sum("n_chars").as("total_chars"),
+      countDistinct("text_hash").as("distinct_texts"))
+    val pl = col("nl").cast("double") / col("n_docs").cast("double")
+    val entropy = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("nl"))
+      .join(broadcast(perSrc.select("source", "n_docs")), "source")
+      .groupBy("source")
+      .agg(round(sum(-pl * log(pl)), 4).as("lang_entropy"))
+    perSrc.join(broadcast(entropy), "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("total_chars").cast("double") /
+          col("total_tokens").cast("double"), 4).as("chars_per_token"),
+        col("distinct_texts"),
+        round(lit(1.0) - col("distinct_texts").cast("double") /
+          col("n_docs").cast("double"), 4).as("dup_rate"),
+        col("lang_entropy"))
+      .orderBy("source")
+  }
+
+  val dataCardSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang, n_chars,
+       |    len($duckToks) AS n_tok,
+       |    sha256(array_to_string($duckToks[1:8], ' ')) AS text_hash
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    count(DISTINCT text_hash) AS distinct_texts
+       |  FROM base GROUP BY source),
+       |e AS (
+       |  SELECT b.source,
+       |    round(sum(-(CAST(nl AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |      * ln(CAST(nl AS DOUBLE) / CAST(n_docs AS DOUBLE))), 4)
+       |      AS lang_entropy
+       |  FROM (SELECT source, lang, count(*) AS nl
+       |        FROM base GROUP BY source, lang) b
+       |  JOIN s USING (source) GROUP BY b.source)
+       |SELECT source, n_docs, total_tokens,
+       |  round(CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+       |    4) AS chars_per_token,
+       |  distinct_texts,
+       |  round(1.0 - CAST(distinct_texts AS DOUBLE)
+       |    / CAST(n_docs AS DOUBLE), 4) AS dup_rate,
+       |  lang_entropy
+       |FROM s JOIN e USING (source) ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // MinHash-LSH recall audit — "measure, don't guess" for the banded     //
   // pipeline: ground-truth near-neighbors are computed exactly for a     //
   // FIXED-COUNT deterministic hash-sample of audit docs (each sampled    //
@@ -2747,6 +2857,8 @@ object TextOps {
     "docs_lm_familiarity" -> lmFamiliarity,
     "docs_ppl_buckets" -> pplBuckets,
     "docs_source_kl" -> sourceKl,
+    "docs_source_overlap" -> sourceOverlap,
+    "docs_data_card" -> dataCard,
     "docs_minhash_recall" -> minhashRecall,
     "docs_curation_pipeline" -> curationPipeline)
 
@@ -2801,6 +2913,8 @@ object TextOps {
     "docs_lm_familiarity" -> lmFamiliaritySql,
     "docs_ppl_buckets" -> pplBucketsSql,
     "docs_source_kl" -> sourceKlSql,
+    "docs_source_overlap" -> sourceOverlapSql,
+    "docs_data_card" -> dataCardSql,
     "docs_minhash_recall" -> minhashRecallSql,
     "docs_curation_pipeline" -> curationPipelineSql)
 }

@@ -209,6 +209,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("source overlap: pairs meet on the hash key, never doc-by-doc") {
+    val p = finalPlan(SparkEntry.queries("docs_source_overlap")(spark, sf))
+    // the self-join is an equi-join on text_hash (per-key fanout is
+    // bounded by |sources|^2); a cartesian here would be doc-level
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("data card: one corpus pass feeds both bounded aggregations") {
+    val p = finalPlan(SparkEntry.queries("docs_data_card")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // per-source scalars and the entropy leg join back by broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("funnel: every hash exchange rides the user_id partitioning") {
     val p = finalPlan(SparkEntry.queries("events_funnel")(spark, sf))
     assert(!p.contains("CartesianProduct") &&
