@@ -1619,12 +1619,169 @@ object VectorOps {
       |    AS BIGINT) AS rank
       |FROM p ORDER BY label_a, label_b""".stripMargin
 
+  // -------------------------------------------------------------------- //
+  // 1-bit binary quantization + Hamming serving — the cheapest ANN tier  //
+  // (sign-bit sketch: 64 dims → 8 bytes/vector, below even the PQ        //
+  // codes): two 32-bit sign words per vector, distance = popcount of     //
+  // the XOR. Charikar STOC'02 grounds it: sign agreement of random       //
+  // projections estimates angle; with identity projections it is the    //
+  // orthant sketch. The serving shape at 100 TB: codes are 8 bytes ×    //
+  // corpus, queries broadcast, the scan is two XOR+POPCNT per row       //
+  // inside codegen, and the native GroupTopK keeps per-partition         //
+  // 10-row heaps — no shuffle wider than |q|·k rows.                     //
+  // -------------------------------------------------------------------- //
+
+  /** Sign-pack dims [lo, lo+31] of the embedding into bits 0..31 of a
+    * long (bit i set ⟺ component lo+i > 0). Comparisons against zero
+    * are exact, so the packing is bit-identical across engines.
+    */
+  private def signWord(lo: Int): Column = expr(
+    s"""CASE WHEN size(embedding) >= $lo THEN
+       |  aggregate(sequence($lo, int(least(${lo + 31}, size(embedding)))),
+       |    cast(0 AS bigint),
+       |    (acc, i) -> acc + IF(element_at(embedding, i) > cast(0 AS float),
+       |      shiftleft(cast(1 AS bigint), i - $lo), cast(0 AS bigint)))
+       |ELSE cast(0 AS bigint) END""".stripMargin)
+
+  private def duckSignWord(lo: Int): String =
+    s"""CAST(coalesce(list_sum(list_transform(
+       |  generate_series($lo, least(${lo + 31}, len(embedding))),
+       |  i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - $lo))
+       |       ELSE 0::BIGINT END)), 0) AS BIGINT)""".stripMargin
+
+  /** The codegen'd Hamming scan: every candidate against the 5
+    * broadcast query sketches — shared by the top-10 query and the
+    * recall audit's top-50 shortlist.
+    */
+  private def hammingScored(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        signWord(1).as("b_lo"), signWord(33).as("b_hi"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+    emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        (expr("bit_count(b_lo ^ q_lo)") + expr("bit_count(b_hi ^ q_hi)"))
+          .as("hamming"))
+  }
+
+  /** Hamming top-10 per query (vec_id < 5) over the sign sketches. */
+  def binaryHamming(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.GroupTopK.topK(hammingScored(spark, sfDir),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("hamming", false), ("vec_id", false)), k = 10)
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+
+  val binaryHammingSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label,
+       |    ${duckSignWord(1)} AS b_lo,
+       |    ${duckSignWord(33)} AS b_hi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, b_lo AS q_lo, b_hi AS q_hi
+       |      FROM b WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.q_id, b.vec_id, b.label,
+       |    CAST(bit_count(xor(b.b_lo, q.q_lo))
+       |       + bit_count(xor(b.b_hi, q.q_hi)) AS INTEGER) AS hamming
+       |  FROM b, q WHERE b.vec_id >= 5),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY hamming, vec_id) AS rank FROM s)
+       |SELECT q_id, vec_id, label, hamming, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Recall audit for the sign sketch, at BOTH widths that matter:
+    * overlap of the Hamming top-10 with the exact cosine top-10
+    * (using the sketch as the final ranker) AND coverage of the exact
+    * top-10 inside the Hamming top-50 shortlist (using the sketch as
+    * stage one of two-stage serving, the [[pqAdcRerank]] pattern —
+    * the number a deployment actually gates on).
+    */
+  def binaryRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val exact = graft.plans.GroupTopK.topK(
+      emb.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(qv))
+        .select(col("q_id"), col("vec_id"), cosine.as("cos_sim")),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val ham50 = graft.plans.GroupTopK.topK(hammingScored(spark, sfDir),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("hamming", false), ("vec_id", false)), k = 50)
+      .select(col("q_id"), col("vec_id"), col("rk").as("ham_rank"))
+    exact.join(ham50, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        sum(when(col("ham_rank") <= 10, 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("ham_rank").isNotNull, 1L).otherwise(0L))
+          .as("n_in_short50"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / 10.0, 4).as("recall_at_10"),
+        col("n_in_short50"),
+        round(col("n_in_short50").cast("double") / 10.0, 4)
+          .as("short50_recall"))
+      .orderBy("q_id")
+  }
+
+  val binaryRecallSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label,
+       |    ${duckSignWord(1)} AS b_lo,
+       |    ${duckSignWord(33)} AS b_hi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, b_lo AS q_lo, b_hi AS q_hi
+       |      FROM b WHERE vec_id < 5),
+       |hs AS (
+       |  SELECT q.q_id, b.vec_id,
+       |    bit_count(xor(b.b_lo, q.q_lo)) + bit_count(xor(b.b_hi, q.q_hi))
+       |      AS hamming
+       |  FROM b, q WHERE b.vec_id >= 5),
+       |h AS (
+       |  SELECT q_id, vec_id, rank AS ham_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY hamming, vec_id) AS rank FROM hs)
+       |  WHERE rank <= 50),
+       |qe AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 5),
+       |cs AS (
+       |  SELECT qe.q_id, e.vec_id,
+       |    ${duckCosine.replace("embedding", "e.embedding")} AS cos_sim
+       |  FROM embeddings e, qe WHERE e.vec_id >= 5),
+       |c AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rank FROM cs)
+       |  WHERE rank <= 10)
+       |SELECT q_id,
+       |  CAST(sum(CASE WHEN ham_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap,
+       |  round(CAST(sum(CASE WHEN ham_rank <= 10 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / 10.0, 4) AS recall_at_10,
+       |  CAST(sum(CASE WHEN ham_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_in_short50,
+       |  round(CAST(sum(CASE WHEN ham_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / 10.0, 4) AS short50_recall
+       |FROM c LEFT JOIN h USING (q_id, vec_id)
+       |GROUP BY q_id ORDER BY q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_hybrid_search" -> hybridSearch,
     "docs_hybrid_indexed" -> hybridIndexed,
     "ann_hard_negatives" -> hardNegatives,
     "ann_label_outliers" -> labelOutliers,
     "ann_label_confusion" -> labelConfusion,
+    "ann_binary_hamming" -> binaryHamming,
+    "ann_binary_recall" -> binaryRecall,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -1647,6 +1804,8 @@ object VectorOps {
     "ann_hard_negatives" -> hardNegativesSql,
     "ann_label_outliers" -> labelOutliersSql,
     "ann_label_confusion" -> labelConfusionSql,
+    "ann_binary_hamming" -> binaryHammingSql,
+    "ann_binary_recall" -> binaryRecallSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,

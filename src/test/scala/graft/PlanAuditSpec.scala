@@ -224,6 +224,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("binary hamming: broadcast sketches, native partial top-k heaps") {
+    val p = finalPlan(SparkEntry.queries("ann_binary_hamming")(spark, sf))
+    // the 8-byte-sketch scan is one codegen pass: queries broadcast,
+    // candidates never shuffle wider than the |q|*k heap outputs
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"), p)
+    assert(p.contains("PartialGroupTopK") || p.contains("GroupTopK"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("funnel: every hash exchange rides the user_id partitioning") {
     val p = finalPlan(SparkEntry.queries("events_funnel")(spark, sf))
     assert(!p.contains("CartesianProduct") &&
