@@ -490,6 +490,51 @@ object TextOps {
        |SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The NEAR-DUP-granularity companion of [[sourceOverlap]]: which
+    * source pairs share verified MinHash near-duplicates (jac ≥ 0.3),
+    * how many, and how similar — exact-identity overlap catches
+    * verbatim mirroring; this catches boilerplate re-hosting and
+    * templated rewrites the hash matrix misses. Cost shape: the
+    * verified pair set (already tiny — banding + verify pruned it)
+    * joins the slim (doc_id, source) projection twice, then one
+    * |sources|²-bounded aggregate.
+    */
+  def sourceNearDupOverlap(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val (sh, pairs) = minhashPairs(spark, sfDir)
+    val src = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val out = pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+        "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+        "b_id")
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jac"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("neardup_pairs"),
+        round(avg("jac"), 4).as("avg_jac"))
+      .orderBy("source_a", "source_b")
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  val sourceNearDupOverlapSql: String =
+    s"""WITH ${minhashCtesFrom("documents")},
+       |pp AS (SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.3),
+       |j AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b, jac
+       |  FROM pp JOIN documents da ON da.doc_id = a_id
+       |          JOIN documents db ON db.doc_id = b_id
+       |  WHERE da.source <> db.source)
+       |SELECT source_a, source_b, count(*) AS neardup_pairs,
+       |  round(avg(jac), 4) AS avg_jac
+       |FROM j GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Near-dup CLUSTERING: connected components over the MinHash pair     //
   // graph (the step that turns pairs into keep/drop decisions — one     //
@@ -2858,6 +2903,7 @@ object TextOps {
     "docs_ppl_buckets" -> pplBuckets,
     "docs_source_kl" -> sourceKl,
     "docs_source_overlap" -> sourceOverlap,
+    "docs_source_neardup_overlap" -> sourceNearDupOverlap,
     "docs_data_card" -> dataCard,
     "docs_minhash_recall" -> minhashRecall,
     "docs_curation_pipeline" -> curationPipeline)
@@ -2914,6 +2960,7 @@ object TextOps {
     "docs_ppl_buckets" -> pplBucketsSql,
     "docs_source_kl" -> sourceKlSql,
     "docs_source_overlap" -> sourceOverlapSql,
+    "docs_source_neardup_overlap" -> sourceNearDupOverlapSql,
     "docs_data_card" -> dataCardSql,
     "docs_minhash_recall" -> minhashRecallSql,
     "docs_curation_pipeline" -> curationPipelineSql)
