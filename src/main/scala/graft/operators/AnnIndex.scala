@@ -153,6 +153,9 @@ object AnnIndex {
       require(p.columns.contains("pq0"),
         "update: postings lack PQ code columns (store predates the " +
           "IVF-PQ layout) — rebuild the store with build()")
+      require(p.columns.contains("b_lo"),
+        "update: postings lack binary sign-sketch columns (store " +
+          "predates the Hamming tier) — rebuild the store with build()")
     }
     // materialize the batch ONCE: it feeds the cell assignment AND the
     // four PQ subspace passes — without the checkpoint the anti-join
@@ -175,11 +178,56 @@ object AnnIndex {
     // PQ codes ride along in the same postings write (one commit): the
     // compressed-domain serving columns for searchAdc — 4 small ids a
     // 100 TB deployment can scan where raw vectors don't fit in memory
+    // binary sign sketches ride the same commit: the 8-byte Hamming
+    // serving tier beside the PQ codes (VectorOps.signWord — bit i set
+    // iff component > 0, exact across engines and batches)
     assigned
       .join(pqCodesOf(incoming, cents, subLenOf(cents)), Seq("vec_id"))
+      .withColumn("b_lo", VectorOps.signWord(1))
+      .withColumn("b_hi", VectorOps.signWord(33))
       .select(col("vec_id"), col("label"), col("embedding"),
-        col("pq0"), col("pq1"), col("pq2"), col("pq3"), col("c_id"))
+        col("pq0"), col("pq1"), col("pq2"), col("pq3"),
+        col("b_lo"), col("b_hi"), col("c_id"))
       .write.mode("append").partitionBy("c_id").parquet(postingsPath)
+  }
+
+  /** Driver-side twin of [[VectorOps.signWord]] for a literal query:
+    * bits [0, 31] of the word are components [lo, lo+31] (1-based),
+    * set iff > 0.
+    */
+  private def signWordOf(query: Seq[Float], lo: Int): Long =
+    query.slice(lo - 1, lo + 31).zipWithIndex
+      .foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > 0f) acc | (1L << i) else acc
+      }
+
+  /** Cheapest serving tier: top-k by Hamming distance over the stored
+    * 8-byte sign sketches of the nprobe nearest cells — the scan reads
+    * ONLY (vec_id, label, b_lo, b_hi) plus the partition column (column
+    * pruning drops the raw vectors AND the PQ codes), per-row work is
+    * two XOR+POPCNT, and the cell filter still prunes store partitions.
+    * Use it as the stage-one shortlist under [[search]]'s exact
+    * re-rank (`ann_binary_recall` measures the width that makes the
+    * two-stage pipeline safe).
+    */
+  def searchHamming(spark: SparkSession, dir: String, query: Seq[Float],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    vecFns(spark)
+    val q = typedLit(query)
+    val probed = spark.read.parquet(s"$dir/centroids")
+      .withColumn("qe", q)
+      .withColumn("d2", round(dist2("ce", "qe"), 4))
+      .orderBy(col("d2"), col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+    val (qLo, qHi) = (signWordOf(query, 1), signWordOf(query, 33))
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("c_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("label"),
+        (expr(s"bit_count(b_lo ^ ${qLo}L)") +
+          expr(s"bit_count(b_hi ^ ${qHi}L)")).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(k)
   }
 
   /** Top-k cosine neighbors of `query` from the nprobe nearest cells.

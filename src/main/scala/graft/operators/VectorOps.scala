@@ -1635,7 +1635,7 @@ object VectorOps {
     * long (bit i set ⟺ component lo+i > 0). Comparisons against zero
     * are exact, so the packing is bit-identical across engines.
     */
-  private def signWord(lo: Int): Column = expr(
+  private[operators] def signWord(lo: Int): Column = expr(
     s"""CASE WHEN size(embedding) >= $lo THEN
        |  aggregate(sequence($lo, int(least(${lo + 31}, size(embedding)))),
        |    cast(0 AS bigint),

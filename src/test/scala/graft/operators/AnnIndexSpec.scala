@@ -58,6 +58,44 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(df.count() <= 5)
   }
 
+  test("hamming tier: sketch-only pruned scan equals a brute recompute") {
+    val dir = Files.createTempDirectory("annidx_ham").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+
+    // all cells probed → must equal recomputing the sketch over the
+    // whole corpus (the store's words were written incrementally)
+    val df = AnnIndex.searchHamming(spark, dir, q, k = 10, nprobe = 8)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(2)))
+    val qw = emb.filter(col("vec_id") === 0)
+      .select(VectorOps.signWord(1).as("lo"), VectorOps.signWord(33).as("hi"))
+      .collect()(0)
+    val brute = emb
+      .select(col("vec_id"), VectorOps.signWord(1).as("lo"),
+        VectorOps.signWord(33).as("hi"))
+      .select(col("vec_id"),
+        (expr(s"bit_count(lo ^ ${qw.getLong(0)}L)") +
+          expr(s"bit_count(hi ^ ${qw.getLong(1)}L)")).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == brute.toSeq)
+
+    // serving reads ONLY the sketch columns — raw vectors and PQ codes
+    // are pruned from the scan, and the cell filter prunes partitions
+    val plan2 = AnnIndex.searchHamming(spark, dir, q, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("PartitionFilters: [c_id"), plan2)
+    val readSchema =
+      "ReadSchema: [^\\n]*".r.findFirstIn(plan2).getOrElse("")
+    assert(readSchema.contains("b_lo") && readSchema.contains("b_hi"),
+      plan2)
+    assert(!readSchema.contains("embedding") && !readSchema.contains("pq0"),
+      plan2)
+  }
+
   test("trained centroids: nprobe recall at least matches the seeded quantizer") {
     val emb = graft.Tables(spark, sf, "embeddings")
     val trained = Files.createTempDirectory("annTr").toString
