@@ -1649,23 +1649,55 @@ object VectorOps {
        |  i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - $lo))
        |       ELSE 0::BIGINT END)), 0) AS BIGINT)""".stripMargin
 
-  /** The codegen'd Hamming scan: every candidate against the 5
-    * broadcast query sketches — shared by the top-10 query and the
-    * recall audit's top-50 shortlist.
+  /** Sign-pack an arbitrary (vec_id, label, embedding) frame into its
+    * 8-byte sketches — the index-time half of the binary tier.
     */
-  private def hammingScored(spark: SparkSession, sfDir: String)
-      : DataFrame = {
-    val emb = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        signWord(1).as("b_lo"), signWord(33).as("b_hi"))
-    val q = emb.filter(col("vec_id") < 5)
+  private[graft] def signSketches(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      signWord(1).as("b_lo"), signWord(33).as("b_hi"))
+
+  /** The codegen'd Hamming scan over pre-packed sketches: every
+    * candidate against the 5 broadcast query sketches — shared by the
+    * top-10 query, the recall audit's top-50 shortlist, and the
+    * BinaryProbe's serving-scan arm.
+    */
+  private[graft] def hammingScoredOn(sk: DataFrame): DataFrame = {
+    val q = sk.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"),
         col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
-    emb.filter(col("vec_id") >= 5)
+    sk.filter(col("vec_id") >= 5)
       .crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"), col("label"),
         (expr("bit_count(b_lo ^ q_lo)") + expr("bit_count(b_hi ^ q_hi)"))
           .as("hamming"))
+  }
+
+  private def hammingScored(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    hammingScoredOn(signSketches(Tables(spark, sfDir, "embeddings")))
+
+  /** Binary top-10 per query over a pre-packed sketch frame (probe
+    * surface — serving-scan cost only, packing paid at index time).
+    */
+  private[graft] def binaryTopkOn(sk: DataFrame): DataFrame =
+    graft.plans.GroupTopK.topK(hammingScoredOn(sk),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("hamming", false), ("vec_id", false)), k = 10)
+
+  /** Exact cosine top-10 per query over an arbitrary embedding frame —
+    * the probe's raw-vector arm (codegen'd vec_dot kernels).
+    */
+  private[graft] def bruteTopkOn(spark: SparkSession,
+      emb: DataFrame): DataFrame = {
+    withVecFns(spark)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
   }
 
   /** Hamming top-10 per query (vec_id < 5) over the sign sketches. */
