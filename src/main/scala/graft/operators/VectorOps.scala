@@ -1728,6 +1728,68 @@ object VectorOps {
        |SELECT q_id, vec_id, label, hamming, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Two-stage serving through the sign sketch: Hamming top-50
+    * shortlist, then exact cosine re-rank of ONLY the shortlist rows —
+    * the binary tier's [[pqAdcRerank]] twin. The raw-vector scan after
+    * stage one touches |q|·50 rows regardless of corpus size; at
+    * 100 TB the full-width corpus is read only by the 16-byte sketch
+    * scan.
+    */
+  def binaryRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val short = graft.plans.GroupTopK.topK(hammingScored(spark, sfDir),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("hamming", false), ("vec_id", false)), k = 50)
+      .select("q_id", "vec_id")
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = short
+      .join(emb.select(col("vec_id"), col("label"), col("embedding")),
+        "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine.as("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val binaryRerankSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label,
+       |    ${duckSignWord(1)} AS b_lo,
+       |    ${duckSignWord(33)} AS b_hi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, b_lo AS q_lo, b_hi AS q_hi
+       |      FROM b WHERE vec_id < 5),
+       |hs AS (
+       |  SELECT q.q_id, b.vec_id,
+       |    bit_count(xor(b.b_lo, q.q_lo)) + bit_count(xor(b.b_hi, q.q_hi))
+       |      AS hamming
+       |  FROM b, q WHERE b.vec_id >= 5),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY hamming, vec_id) AS hrank FROM hs)
+       |  WHERE hrank <= 50),
+       |qe AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 5),
+       |cs AS (
+       |  SELECT s.q_id, e.vec_id, e.label,
+       |    ${duckCosine.replace("embedding", "e.embedding")} AS cos_sim
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN qe ON qe.q_id = s.q_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM cs)
+       |SELECT q_id, vec_id, label, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Recall audit for the sign sketch, at BOTH widths that matter:
     * overlap of the Hamming top-10 with the exact cosine top-10
     * (using the sketch as the final ranker) AND coverage of the exact
@@ -1814,6 +1876,7 @@ object VectorOps {
     "ann_label_confusion" -> labelConfusion,
     "ann_binary_hamming" -> binaryHamming,
     "ann_binary_recall" -> binaryRecall,
+    "ann_hamming_rerank" -> binaryRerank,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -1838,6 +1901,7 @@ object VectorOps {
     "ann_label_confusion" -> labelConfusionSql,
     "ann_binary_hamming" -> binaryHammingSql,
     "ann_binary_recall" -> binaryRecallSql,
+    "ann_hamming_rerank" -> binaryRerankSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,
