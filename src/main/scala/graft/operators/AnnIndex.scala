@@ -180,7 +180,13 @@ object AnnIndex {
     // 100 TB deployment can scan where raw vectors don't fit in memory
     // binary sign sketches ride the same commit: the 8-byte Hamming
     // serving tier beside the PQ codes (VectorOps.signWord — bit i set
-    // iff component > 0, exact across engines and batches)
+    // iff component > 0, exact across engines and batches). Fail fast
+    // beyond 64 dims: the two words cover dims 1..64, and a silently
+    // truncated sketch would rank half-blind neighbors as nearest
+    require(subLenOf(cents) * PqM <= 64,
+      s"update: embedding dim ${subLenOf(cents) * PqM} exceeds the 64 " +
+        "dims the Hamming sign sketch covers — widen the sketch words " +
+        "before indexing higher-dimensional vectors")
     assigned
       .join(pqCodesOf(incoming, cents, subLenOf(cents)), Seq("vec_id"))
       .withColumn("b_lo", VectorOps.signWord(1))
@@ -213,13 +219,11 @@ object AnnIndex {
   def searchHamming(spark: SparkSession, dir: String, query: Seq[Float],
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     vecFns(spark)
-    val q = typedLit(query)
-    val probed = spark.read.parquet(s"$dir/centroids")
-      .withColumn("qe", q)
-      .withColumn("d2", round(dist2("ce", "qe"), 4))
-      .orderBy(col("d2"), col("c_id"))
-      .limit(nprobe)
-      .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+    require(query.length <= 64,
+      s"searchHamming: query dim ${query.length} exceeds the 64 dims " +
+        "the sign sketch covers — the Hamming tier would be blind to " +
+        "the tail components")
+    val probed = probedCells(spark, dir, query, nprobe)
     val (qLo, qHi) = (signWordOf(query, 1), signWordOf(query, 33))
     spark.read.parquet(s"$dir/postings")
       .filter(col("c_id").isin(probed.toIndexedSeq: _*))
@@ -230,23 +234,29 @@ object AnnIndex {
       .limit(k)
   }
 
-  /** Top-k cosine neighbors of `query` from the nprobe nearest cells.
-    * The centroid table is tiny, so cell selection collects K rows to
-    * the driver and the postings scan gets a LITERAL `c_id IN (...)`
-    * filter — which prunes store partitions at planning time.
+  /** The nprobe nearest cells of `query` — the shared cell-selection
+    * step of every serving tier. The centroid table is tiny, so this
+    * collects nprobe ints to the driver and callers filter postings
+    * with LITERAL c_id values: int literals against the
+    * (integer-inferred) partition column, so the filter prunes store
+    * partitions at planning time (a cast on the COLUMN side would
+    * defeat it).
     */
-  def search(spark: SparkSession, dir: String, query: Seq[Float],
-      k: Int = 10, nprobe: Int = 2): DataFrame = {
-    vecFns(spark)
-    val q = typedLit(query)
-    val probed = spark.read.parquet(s"$dir/centroids")
-      .withColumn("qe", q)
+  private def probedCells(spark: SparkSession, dir: String,
+      query: Seq[Float], nprobe: Int): Array[Int] =
+    spark.read.parquet(s"$dir/centroids")
+      .withColumn("qe", typedLit(query))
       .withColumn("d2", round(dist2("ce", "qe"), 4))
       .orderBy(col("d2"), col("c_id"))
       .limit(nprobe)
       .select(col("c_id").cast("int")).collect().map(_.getInt(0))
-    // int literals against the (integer-inferred) partition column — a
-    // cast on the COLUMN side would defeat partition pruning
+
+  /** Top-k cosine neighbors of `query` from the nprobe nearest cells. */
+  def search(spark: SparkSession, dir: String, query: Seq[Float],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    vecFns(spark)
+    val q = typedLit(query)
+    val probed = probedCells(spark, dir, query, nprobe)
     spark.read.parquet(s"$dir/postings")
       .filter(col("c_id").isin(probed.toIndexedSeq: _*))
       .withColumn("qe", q)
@@ -275,12 +285,7 @@ object AnnIndex {
     val sub = subLenOf(cents)
     require(query.length == sub * PqM,
       s"query dim ${query.length} != store dim ${sub * PqM}")
-    val probed = cents
-      .withColumn("qe", q)
-      .withColumn("d2", round(dist2("ce", "qe"), 4))
-      .orderBy(col("d2"), col("c_id"))
-      .limit(nprobe)
-      .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+    val probed = probedCells(spark, dir, query, nprobe)
     // M×K lookup table: query slice → every centroid slice, broadcast
     val lut = (0 until PqM).map { m =>
       val off = m * sub + 1

@@ -70,16 +70,24 @@ object TextOps {
   // the synthetic corpus, which has no full-text duplicates).            //
   // -------------------------------------------------------------------- //
 
+  /** THE text-identity key — one definition shared by dedupExact, the
+    * curation pipeline's stage 1, the contamination matrix, and the
+    * data card, so the cross-query identity contract cannot drift.
+    */
+  private def textIdHash: Column =
+    sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256)
+  private val duckTextIdHash: String =
+    s"sha256(array_to_string($duckToks[1:8], ' '))"
+
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
-      .withColumn("text_hash",
-        sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256))
+      .withColumn("text_hash", textIdHash)
       .groupBy("text_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("text_hash")
 
   val dedupExactSql: String =
-    s"""SELECT sha256(array_to_string($duckToks[1:8], ' ')) AS text_hash,
+    s"""SELECT $duckTextIdHash AS text_hash,
        |  min(doc_id) AS keep_id, count(*) AS dup_count
        |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin
 
@@ -2008,8 +2016,7 @@ object TextOps {
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val h = Tables(spark, sfDir, "documents")
       .select(col("source"),
-        sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256)
-          .as("text_hash"))
+        textIdHash.as("text_hash"))
       .distinct()
       .localCheckpoint(true)
     val b = h.select(col("text_hash"), col("source").as("source_b"))
@@ -2024,7 +2031,7 @@ object TextOps {
   val sourceOverlapSql: String =
     s"""WITH h AS (
        |  SELECT DISTINCT source,
-       |    sha256(array_to_string($duckToks[1:8], ' ')) AS text_hash
+       |    $duckTextIdHash AS text_hash
        |  FROM documents)
        |SELECT a.source AS source_a, b.source AS source_b,
        |  count(*) AS shared_texts
@@ -2049,18 +2056,21 @@ object TextOps {
     val base = Tables(spark, sfDir, "documents")
       .select(col("source"), col("lang"), col("n_chars"),
         expr(s"size($toks)").as("n_tok"),
-        sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256)
-          .as("text_hash"))
+        textIdHash.as("text_hash"))
       .localCheckpoint(true)
     val perSrc = base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("n_tok").as("total_tokens"),
       sum("n_chars").as("total_chars"),
       countDistinct("text_hash").as("distinct_texts"))
+    // per-source totals derive from the lang counts themselves (one
+    // window over the |sources|·|langs| frame) — no second evaluation
+    // of perSrc and no extra scan of base for the entropy leg
     val pl = col("nl").cast("double") / col("n_docs").cast("double")
     val entropy = base.groupBy("source", "lang")
       .agg(count(lit(1)).as("nl"))
-      .join(broadcast(perSrc.select("source", "n_docs")), "source")
+      .withColumn("n_docs", sum("nl").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
       .groupBy("source")
       .agg(round(sum(-pl * log(pl)), 4).as("lang_entropy"))
     perSrc.join(broadcast(entropy), "source")
@@ -2078,7 +2088,7 @@ object TextOps {
     s"""WITH base AS (
        |  SELECT source, lang, n_chars,
        |    len($duckToks) AS n_tok,
-       |    sha256(array_to_string($duckToks[1:8], ' ')) AS text_hash
+       |    $duckTextIdHash AS text_hash
        |  FROM documents),
        |s AS (
        |  SELECT source, count(*) AS n_docs,
@@ -2248,8 +2258,7 @@ object TextOps {
         expr(s"size($toks)").as("n_tokens"))
     // 1: exact dedup — keep the min doc_id of each first-8-token group
     val keep1 = raw
-      .groupBy(sha2(expr(s"array_join(slice($toks, 1, 8), ' ')"), 256)
-        .as("th"))
+      .groupBy(textIdHash.as("th"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val s1 = raw.join(keep1, Seq("doc_id"), "left_semi")
@@ -2301,7 +2310,7 @@ object TextOps {
        |raw AS (SELECT doc_id, text, len($duckToks) AS n_tokens
        |        FROM documents),
        |keep1 AS (SELECT min(doc_id) AS doc_id FROM raw
-       |          GROUP BY sha256(array_to_string(($duckToks)[1:8], ' '))),
+       |          GROUP BY ${duckTextIdHash.replace(duckToks, s"($duckToks)")}),
        |s1 AS (SELECT raw.* FROM raw JOIN keep1 USING (doc_id)),
        |${minhashCtesFrom("s1")},
        |npairs AS (SELECT a_id, b_id FROM pairs WHERE jac >= 0.3),

@@ -1700,11 +1700,12 @@ object VectorOps {
       orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
   }
 
-  /** Hamming top-10 per query (vec_id < 5) over the sign sketches. */
+  /** Hamming top-10 per query (vec_id < 5) over the sign sketches —
+    * the gated query IS the probe kernel, so BinaryProbe can never
+    * validate a plan this row no longer runs.
+    */
   def binaryHamming(spark: SparkSession, sfDir: String): DataFrame =
-    graft.plans.GroupTopK.topK(hammingScored(spark, sfDir),
-      groupCols = Seq("q_id"),
-      orderKeys = Seq(("hamming", false), ("vec_id", false)), k = 10)
+    binaryTopkOn(signSketches(Tables(spark, sfDir, "embeddings")))
       .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
         col("rk").as("rank"))
       .orderBy("q_id", "rank")
@@ -1798,17 +1799,8 @@ object VectorOps {
     * the number a deployment actually gates on).
     */
   def binaryRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    withVecFns(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val qv = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val exact = graft.plans.GroupTopK.topK(
-      emb.filter(col("vec_id") >= 5)
-        .crossJoin(broadcast(qv))
-        .select(col("q_id"), col("vec_id"), cosine.as("cos_sim")),
-      groupCols = Seq("q_id"),
-      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
-      .select(col("q_id"), col("vec_id"))
+    val exact = bruteTopkOn(spark, emb).select("q_id", "vec_id")
     val ham50 = graft.plans.GroupTopK.topK(hammingScored(spark, sfDir),
       groupCols = Seq("q_id"),
       orderKeys = Seq(("hamming", false), ("vec_id", false)), k = 50)
