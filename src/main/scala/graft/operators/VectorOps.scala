@@ -1791,6 +1791,28 @@ object VectorOps {
        |SELECT q_id, vec_id, label, cos_sim, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** The binary tier served from the DURABLE store: candidate sketches
+    * come from the [[AnnIndex]] postings' persisted b_lo/b_hi words
+    * (written incrementally across build+update batches), query
+    * sketches pack at query time (as serving always does) — and the
+    * result must equal the batch query bit-for-bit, so it shares
+    * `ann_binary_hamming`'s oracle verbatim (the `docs_bm25_indexed`
+    * discipline). The serving scan reads 16 bytes + ids per row of the
+    * store, never the raw vectors.
+    */
+  def hammingIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = annIndexFor(spark, sfDir)
+    val qsk = signSketches(
+      Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 5))
+    val cand = spark.read.parquet(s"$dir/postings")
+      .select("vec_id", "label", "b_lo", "b_hi")
+      .filter(col("vec_id") >= 5)
+    binaryTopkOn(qsk.unionByName(cand))
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Recall audit for the sign sketch, at BOTH widths that matter:
     * overlap of the Hamming top-10 with the exact cosine top-10
     * (using the sketch as the final ranker) AND coverage of the exact
@@ -1869,6 +1891,7 @@ object VectorOps {
     "ann_binary_hamming" -> binaryHamming,
     "ann_binary_recall" -> binaryRecall,
     "ann_hamming_rerank" -> binaryRerank,
+    "ann_hamming_indexed" -> hammingIndexed,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -1894,6 +1917,8 @@ object VectorOps {
     "ann_binary_hamming" -> binaryHammingSql,
     "ann_binary_recall" -> binaryRecallSql,
     "ann_hamming_rerank" -> binaryRerankSql,
+    // store-served twin must reproduce the batch top-k exactly
+    "ann_hamming_indexed" -> binaryHammingSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,
