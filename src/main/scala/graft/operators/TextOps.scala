@@ -782,6 +782,119 @@ object TextOps {
        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Iterated BPE vocabulary — the ACTUAL tokenizer-training loop, not   //
+  // just one pair count: N rounds of (count adjacent pairs corpus-wide  //
+  // → pick the most frequent → apply the merge greedily left-to-right   //
+  // → recount over the re-tokenized corpus), emitting the first N vocab //
+  // entries in learned order (Sennrich ACL'16).                          //
+  //                                                                      //
+  // Cross-engine determinism is the hard part, solved by representation //
+  // instead of per-engine folds: the token sequence lives as TEXT with  //
+  // every boundary (and both ends) = exactly two chr(1) separators, so  //
+  // applying merge (a,b) greedily left-to-right non-overlapping is ONE  //
+  // literal (non-regex) replace of  sep·a·sep·sep·b·sep  with           //
+  //  sep·(a␣b)·sep  — each match consumes one separator from each       //
+  // neighboring boundary and the replacement restores it, so adjacent   //
+  // matches still fire ("a b a b" merges twice) while overlapping ones  //
+  // don't ("a a a" merges once). Spark's `replace` and DuckDB's         //
+  // `replace` share these left-to-right non-overlap semantics exactly,  //
+  // so the two engines agree bit-for-bit by construction. Ties in the   //
+  // pair count break (count DESC, a ASC, b ASC) — binary collation on   //
+  // both engines.                                                        //
+  //                                                                      //
+  // Scale (100 TB): each round is one map-local pair explode + partial  //
+  // agg + a 1-row TakeOrdered (the winner — the only driver collect),   //
+  // then a map-ONLY replace pass; the corpus is localCheckpoint'd per   //
+  // round so round r never recomputes rounds 1..r-1. Cost is N × (one   //
+  // scan + one bounded shuffle of the pair vocabulary) — exactly what a //
+  // distributed BPE trainer pays.                                        //
+  // -------------------------------------------------------------------- //
+
+  private val BpeRounds = 8
+  // "\\u0001": guaranteed absent from the corpus text and from merged
+  // tokens (which join with ' ') -- the DuckDB side is chr(1)
+  private val BpeSep = "\u0001"
+
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val S = BpeSep; val SS = S + S
+    var t = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit(SS), concat_ws(SS, split(col("text"), " ")), lit(SS))
+          .as("txt"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= BpeRounds && !dry) {
+      val win = t
+        .withColumn("tk",
+          split(expr("substring(txt, 3, length(txt) - 4)"), SS))
+        .select(explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  transform(sequence(1, size(tk) - 1),
+            |    i -> struct(element_at(tk, i) AS a,
+            |                element_at(tk, i + 1) AS b))
+            |ELSE cast(array() AS array<struct<a:string,b:string>>) END"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (win.isEmpty) dry = true
+      else {
+        val (a, b, c) =
+          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        out += ((r, a, b, a + " " + b, c))
+        t = t.select(col("doc_id"),
+          replace(col("txt"), lit(S + a + SS + b + S),
+            lit(S + a + " " + b + S)).as("txt"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    out.toSeq.toDF("round", "token_a", "token_b", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** The same N-round loop UNROLLED as one DuckDB statement (the
+    * "iterated temp-table oracle" — round counts depend on full-corpus
+    * aggregation, which a recursive CTE's recursive member can't hold).
+    */
+  val bpeVocabSql: String = {
+    val s = "chr(1)"; val ss = "(chr(1) || chr(1))"
+    val body = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT u['a'] AS a, u['b'] AS b, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |      i -> {'a': tk[i], 'b': tk[i + 1]})) AS u
+         |    FROM (SELECT string_split(substr(txt, 3, len(txt) - 4), $ss)
+         |            AS tk
+         |          FROM t${r - 1}))
+         |  GROUP BY 1, 2),
+         |w$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |t$r AS (
+         |  SELECT t.doc_id,
+         |    replace(t.txt, $s || w.a || $ss || w.b || $s,
+         |                   $s || w.a || ' ' || w.b || $s) AS txt
+         |  FROM t${r - 1} t, w$r w)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, a AS token_a, b AS token_b, " +
+        s"a || ' ' || b AS merged, c AS pair_count FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id,
+       |    $ss || array_to_string(string_split(text, ' '), $ss) || $ss
+       |      AS txt
+       |  FROM documents),
+       |$body
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
+  // -------------------------------------------------------------------- //
   // SimHash: 16-bit fingerprint — per-bit majority vote over sha2 bits   //
   // of the distinct token set. Integer arithmetic end-to-end.            //
   // -------------------------------------------------------------------- //
@@ -2039,6 +2152,60 @@ object TextOps {
        |WHERE a.source < b.source
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** The CHUNK-granularity contamination matrix — which source pairs
+    * share RAG-chunk hashes ([[chunkOverlap]]'s windows), the form a
+    * retrieval-corpus audit gates on: two sources can share zero whole
+    * documents ([[sourceOverlap]] empty) yet interleave boilerplate
+    * windows that poison retrieval eval. Composes the two green
+    * operators: the chunk explode is map-local, the DISTINCT
+    * (source, chunk_hash) projection is one digest-width exchange
+    * checkpointed before the self-join, and the matrix fanout is
+    * bounded by |sources|² exactly as the exact form.
+    */
+  def sourceChunkOverlap(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val h = Tables(spark, sfDir, "documents")
+      .select(col("source"), expr(toks).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("starts", expr(
+        s"sequence(1, 1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)" +
+          s" + $ChunkStride - 1) div $ChunkStride), $ChunkStride)"))
+      .select(col("source"), col("tk"),
+        explode(col("starts")).as("start"))
+      .select(col("source"),
+        sha2(expr(s"array_join(slice(tk, start, $ChunkSize), ' ')"), 256)
+          .as("chunk_hash"))
+      .distinct()
+      .localCheckpoint(true)
+    val b = h.select(col("chunk_hash"), col("source").as("source_b"))
+    h.select(col("chunk_hash"), col("source").as("source_a"))
+      .join(b, "chunk_hash")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceChunkOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT source, $duckToks AS tk, len($duckToks) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, tk, CAST(t.s AS BIGINT) AS start
+       |  FROM d, LATERAL unnest(generate_series(1,
+       |    1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)
+       |      + $ChunkStride - 1) // $ChunkStride), $ChunkStride)) AS t(s)),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |    sha256(array_to_string(tk[start : start + $ChunkSize - 1], ' '))
+       |      AS chunk_hash
+       |  FROM s)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  count(*) AS shared_chunks
+       |FROM h a JOIN h b USING (chunk_hash)
+       |WHERE a.source < b.source
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Per-source data card — the "Datasheets for Datasets" summary row a   //
   // corpus release ships: volume, token shape, exact-dup rate, and       //
@@ -2574,8 +2741,11 @@ object TextOps {
   // retrievable from both sides.                                         //
   // -------------------------------------------------------------------- //
 
-  private val ChunkSize = 32
-  private val ChunkStride = 16
+  // final + literal = compile-time constants, safe to reference from
+  // vals ABOVE this point in the file (sourceChunkOverlapSql) — a plain
+  // val would be 0 during their object-init
+  private final val ChunkSize = 32
+  private final val ChunkStride = 16
 
   /** Explode each document into overlapping token windows. Chunk starts
     * are 1, 1+stride, 1+2·stride, …; the last start is the smallest that
@@ -2890,6 +3060,7 @@ object TextOps {
     "docs_neardup_clusters" -> neardupClusters,
     "docs_neardup_keep_best" -> neardupKeepBest,
     "docs_bpe_merges" -> bpeMerges,
+    "docs_bpe_vocab" -> bpeVocab,
     "docs_simhash" -> simhash,
     "docs_simhash_pairs" -> simhashPairs,
     "docs_containment_pairs" -> containmentPairs,
@@ -2912,6 +3083,7 @@ object TextOps {
     "docs_ppl_buckets" -> pplBuckets,
     "docs_source_kl" -> sourceKl,
     "docs_source_overlap" -> sourceOverlap,
+    "docs_source_chunk_overlap" -> sourceChunkOverlap,
     "docs_source_neardup_overlap" -> sourceNearDupOverlap,
     "docs_data_card" -> dataCard,
     "docs_minhash_recall" -> minhashRecall,
@@ -2946,6 +3118,7 @@ object TextOps {
     "docs_neardup_clusters" -> neardupClustersSql,
     "docs_neardup_keep_best" -> neardupKeepBestSql,
     "docs_bpe_merges" -> bpeMergesSql,
+    "docs_bpe_vocab" -> bpeVocabSql,
     "docs_simhash" -> simhashSql,
     "docs_simhash_pairs" -> simhashPairsSql,
     "docs_containment_pairs" -> containmentPairsSql,
@@ -2969,6 +3142,7 @@ object TextOps {
     "docs_ppl_buckets" -> pplBucketsSql,
     "docs_source_kl" -> sourceKlSql,
     "docs_source_overlap" -> sourceOverlapSql,
+    "docs_source_chunk_overlap" -> sourceChunkOverlapSql,
     "docs_source_neardup_overlap" -> sourceNearDupOverlapSql,
     "docs_data_card" -> dataCardSql,
     "docs_minhash_recall" -> minhashRecallSql,

@@ -1040,8 +1040,8 @@ object VectorOps {
          |  WHERE rk <= 10)""".stripMargin
     val errOf = (name: String, a: String, as: String) =>
       s"""$name AS (
-         |  SELECT sum(CAST(round((${a}0.d2 + ${a}1.d2 + ${a}2.d2 + ${a}3.d2)
-         |      * 10000) AS BIGINT)) AS $as
+         |  SELECT CAST(sum(CAST(round((${a}0.d2 + ${a}1.d2 + ${a}2.d2 + ${a}3.d2)
+         |      * 10000) AS BIGINT)) AS BIGINT) AS $as
          |  FROM ${a}0 JOIN ${a}1 USING (vec_id)
          |    JOIN ${a}2 USING (vec_id) JOIN ${a}3 USING (vec_id))"""
         .stripMargin
@@ -1813,6 +1813,49 @@ object VectorOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Store-served TWO-STAGE binary serving — [[hammingIndexed]] is
+    * stage one only; this adds the exact re-rank, both stages reading
+    * the durable store ([[AnnIndex]] postings): stage 1 scans the
+    * persisted 16-byte sign sketches for a Hamming top-50 shortlist
+    * (column pruning drops the raw vectors from that scan), stage 2
+    * reads the raw `embedding` column for ONLY the shortlist rows —
+    * the broadcast of the |q|·50-row shortlist makes the re-rank join
+    * a map-side filter over the postings, so full-width vectors are
+    * decoded for 50 rows per query regardless of corpus size (the
+    * `searchAdc`-re-rank discipline, served end-to-end from the
+    * store). Must equal the batch [[binaryRerank]] bit-for-bit, so it
+    * shares `ann_hamming_rerank`'s oracle verbatim.
+    */
+  def hammingIndexedRerank(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    withVecFns(spark)
+    val dir = annIndexFor(spark, sfDir)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val post = spark.read.parquet(s"$dir/postings")
+    val qsk = signSketches(emb.filter(col("vec_id") < 5))
+    val cand = post.select("vec_id", "label", "b_lo", "b_hi")
+      .filter(col("vec_id") >= 5)
+    val short = graft.plans.GroupTopK.topK(
+      hammingScoredOn(qsk.unionByName(cand)),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("hamming", false), ("vec_id", false)), k = 50)
+      .select("q_id", "vec_id")
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = broadcast(short)
+      .join(post.select(col("vec_id"), col("label"), col("embedding")),
+        "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine.as("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Recall audit for the sign sketch, at BOTH widths that matter:
     * overlap of the Hamming top-10 with the exact cosine top-10
     * (using the sketch as the final ranker) AND coverage of the exact
@@ -1892,6 +1935,7 @@ object VectorOps {
     "ann_binary_recall" -> binaryRecall,
     "ann_hamming_rerank" -> binaryRerank,
     "ann_hamming_indexed" -> hammingIndexed,
+    "ann_hamming_indexed_rerank" -> hammingIndexedRerank,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
     "ann_topk_ivf" -> topkIvf,
@@ -1919,6 +1963,8 @@ object VectorOps {
     "ann_hamming_rerank" -> binaryRerankSql,
     // store-served twin must reproduce the batch top-k exactly
     "ann_hamming_indexed" -> binaryHammingSql,
+    // store-served two-stage re-rank shares the batch re-rank oracle
+    "ann_hamming_indexed_rerank" -> binaryRerankSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_bucketed" -> topkBucketedSql,
     "ann_topk_ivf" -> topkIvfSql,

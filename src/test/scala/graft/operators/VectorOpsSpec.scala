@@ -206,6 +206,26 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("store-served hamming re-rank: stage-1 scan never reads vectors") {
+    // The two-stage discipline's scale contract: stage 1 (Hamming
+    // shortlist) must scan ONLY the 16-byte sketch columns of the
+    // postings — raw `embedding` bytes are decoded solely by the
+    // stage-2 shortlist join. Two postings scans in the plan: exactly
+    // one carries `embedding` in its ReadSchema (stage 2), and the
+    // sketch scan must not.
+    val df = VectorOps.hammingIndexedRerank(spark, "/root/testdata/sf0.001")
+    val schemas = "ReadSchema: [^\\n]*".r
+      .findAllIn(df.queryExecution.executedPlan.toString)
+      .toList.filter(s => s.contains("b_lo") || s.contains("embedding"))
+    val sketchScans = schemas.filter(s =>
+      s.contains("b_lo") && !s.contains("embedding"))
+    val rawScans = schemas.filter(_.contains("embedding"))
+    assert(sketchScans.nonEmpty,
+      s"no pruned sketch-only postings scan found in: $schemas")
+    assert(rawScans.forall(!_.contains("b_lo")),
+      s"a raw-vector scan also reads sketch words: $schemas")
+  }
+
   test("ADC re-rank: true distances, and refinement beats raw ADC order") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables(spark, sf, "embeddings")

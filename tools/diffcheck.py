@@ -85,6 +85,16 @@ def cmp_frames(name, spark_df, oracle_df):
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # driver fidelity: the driver hashes values AS TYPED, so an
+            # integer Spark column paired with a float oracle column
+            # (e.g. DuckDB widening sum(BIGINT) to HUGEINT→float) fails
+            # the driver's hash even when values match. Fail it here too.
+            if pd.api.types.is_integer_dtype(av) != \
+                    pd.api.types.is_integer_dtype(bv):
+                bad.append(
+                    f"{c}(DTYPE-DRIFT {av.dtype} vs {bv.dtype} — "
+                    "driver hash would fail; pin oracle with CAST)")
+                continue
             av = av.astype(float)
             bv = bv.astype(float)
             exact = ((av == bv) | (av.isna() & bv.isna())).all()
