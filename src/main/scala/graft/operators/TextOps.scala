@@ -520,9 +520,19 @@ object TextOps {
       .filter(col("sa") =!= col("sb"))
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"), col("jac"))
+      // the mean is computed in EXACT integer 4dp units with explicit
+      // half-up division, NOT round(avg(double), 4): a 2-pair group
+      // whose jacs straddle .xxxx5 puts the float mean on the rounding
+      // knife-edge, and the engines' summation order resolves the tie
+      // differently (caught by the sf0.1 sweep — green at sf0.01)
+      .withColumn("jac_q4",
+        round(col("jac") * 10000).cast("long"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("neardup_pairs"),
-        round(avg("jac"), 4).as("avg_jac"))
+        sum("jac_q4").as("sum_q4"))
+      .select(col("source_a"), col("source_b"), col("neardup_pairs"),
+        (expr("(2 * sum_q4 + neardup_pairs) div (2 * neardup_pairs)")
+          .cast("double") / 10000.0).as("avg_jac"))
       .orderBy("source_a", "source_b")
       .localCheckpoint(true)
     sh.unpersist()
@@ -537,11 +547,16 @@ object TextOps {
        |    greatest(da.source, db.source) AS source_b, jac
        |  FROM pp JOIN documents da ON da.doc_id = a_id
        |          JOIN documents db ON db.doc_id = b_id
-       |  WHERE da.source <> db.source)
-       |SELECT source_a, source_b, count(*) AS neardup_pairs,
-       |  round(avg(jac), 4) AS avg_jac
-       |FROM j GROUP BY source_a, source_b
-       |ORDER BY source_a, source_b""".stripMargin
+       |  WHERE da.source <> db.source),
+       |g AS (
+       |  SELECT source_a, source_b, count(*) AS neardup_pairs,
+       |    CAST(sum(CAST(round(jac * 10000) AS BIGINT)) AS BIGINT)
+       |      AS sum_q4
+       |  FROM j GROUP BY source_a, source_b)
+       |SELECT source_a, source_b, neardup_pairs,
+       |  CAST((2 * sum_q4 + neardup_pairs) // (2 * neardup_pairs)
+       |    AS DOUBLE) / 10000.0 AS avg_jac
+       |FROM g ORDER BY source_a, source_b""".stripMargin
 
   // -------------------------------------------------------------------- //
   // Near-dup CLUSTERING: connected components over the MinHash pair     //
@@ -815,8 +830,13 @@ object TextOps {
   // tokens (which join with ' ') -- the DuckDB side is chr(1)
   private val BpeSep = "\u0001"
 
-  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** The shared trainer loop: returns the final re-tokenized corpus
+    * frame (doc_id, txt in the double-separator representation) and the
+    * learned merge list in order. Both the vocab artifact and the
+    * tokenizer-application view are projections of this one loop.
+    */
+  private def bpeLoop(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val S = BpeSep; val SS = S + S
     var t = Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
@@ -854,15 +874,53 @@ object TextOps {
         r += 1
       }
     }
-    out.toSeq.toDF("round", "token_a", "token_b", "merged", "pair_count")
+    (t, out.toSeq)
+  }
+
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, merges) = bpeLoop(spark, sfDir)
+    merges.toDF("round", "token_a", "token_b", "merged", "pair_count")
       .orderBy("round")
   }
 
-  /** The same N-round loop UNROLLED as one DuckDB statement (the
+  /** Token count of a corpus row in the double-separator representation:
+    * boundaries are exactly `len/2` non-overlapping `sep·sep`
+    * occurrences, tokens are boundaries − 1 — counted by length
+    * difference after deleting the separators, so the two engines share
+    * the arithmetic exactly.
+    */
+  private def sepTokCount(txt: Column): Column =
+    ((length(txt) -
+      length(replace(txt, lit(BpeSep + BpeSep), lit("")))) / 2 - 1)
+      .cast("long")
+
+  /** APPLY the learned vocabulary — the per-document compression view a
+    * tokenizer deployment reports: token count before/after the
+    * [[bpeVocab]] merges and the saving. Training is the [[bpeLoop]]
+    * (at 100 TB a trainer runs it on a sample); application is the
+    * map-ONLY replace chain the loop already materialized, so this view
+    * is a projection of the final corpus frame — one more scan, no new
+    * shuffle.
+    */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    val (t, _) = bpeLoop(spark, sfDir)
+    val before = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok_before"))
+    before.join(t, "doc_id")
+      .select(col("doc_id"), col("n_tok_before"),
+        sepTokCount(col("txt")).as("n_tok_after"))
+      .withColumn("n_saved", col("n_tok_before") - col("n_tok_after"))
+      .orderBy("doc_id")
+  }
+
+  /** The same N-round loop UNROLLED as one DuckDB CTE chain (the
     * "iterated temp-table oracle" — round counts depend on full-corpus
     * aggregation, which a recursive CTE's recursive member can't hold).
+    * Shared by the vocab and tokenizer-application oracles.
     */
-  val bpeVocabSql: String = {
+  private def bpeOracleCtes: String = {
     val s = "chr(1)"; val ss = "(chr(1) || chr(1))"
     val body = (1 to BpeRounds).map { r =>
       s"""p$r AS (
@@ -876,22 +934,38 @@ object TextOps {
          |w$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
          |t$r AS (
          |  SELECT t.doc_id,
-         |    replace(t.txt, $s || w.a || $ss || w.b || $s,
-         |                   $s || w.a || ' ' || w.b || $s) AS txt
-         |  FROM t${r - 1} t, w$r w)""".stripMargin
+         |    CASE WHEN w.a IS NULL THEN t.txt
+         |         ELSE replace(t.txt, $s || w.a || $ss || w.b || $s,
+         |                      $s || w.a || ' ' || w.b || $s) END AS txt
+         |  FROM t${r - 1} t LEFT JOIN w$r w ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS INT) AS round, a AS token_a, b AS token_b, " +
-        s"a || ' ' || b AS merged, c AS pair_count FROM w$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH t0 AS (
+    s"""t0 AS (
        |  SELECT doc_id,
        |    $ss || array_to_string(string_split(text, ' '), $ss) || $ss
        |      AS txt
        |  FROM documents),
-       |$body
-       |$sel
-       |ORDER BY round""".stripMargin
+       |$body""".stripMargin
+  }
+
+  val bpeVocabSql: String = {
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, a AS token_a, b AS token_b, " +
+        s"a || ' ' || b AS merged, c AS pair_count FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $bpeOracleCtes\n$sel\nORDER BY round"
+  }
+
+  val bpeTokenizeSql: String = {
+    val ss = "(chr(1) || chr(1))"
+    def nTok(t: String) =
+      s"(len($t.txt) - len(replace($t.txt, $ss, ''))) // 2 - 1"
+    s"""WITH $bpeOracleCtes
+       |SELECT b.doc_id,
+       |  ${nTok("b")} AS n_tok_before,
+       |  ${nTok("a")} AS n_tok_after,
+       |  (${nTok("b")}) - (${nTok("a")}) AS n_saved
+       |FROM t0 b JOIN t$BpeRounds a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // -------------------------------------------------------------------- //
@@ -3061,6 +3135,7 @@ object TextOps {
     "docs_neardup_keep_best" -> neardupKeepBest,
     "docs_bpe_merges" -> bpeMerges,
     "docs_bpe_vocab" -> bpeVocab,
+    "docs_bpe_tokenize" -> bpeTokenize,
     "docs_simhash" -> simhash,
     "docs_simhash_pairs" -> simhashPairs,
     "docs_containment_pairs" -> containmentPairs,
@@ -3119,6 +3194,7 @@ object TextOps {
     "docs_neardup_keep_best" -> neardupKeepBestSql,
     "docs_bpe_merges" -> bpeMergesSql,
     "docs_bpe_vocab" -> bpeVocabSql,
+    "docs_bpe_tokenize" -> bpeTokenizeSql,
     "docs_simhash" -> simhashSql,
     "docs_simhash_pairs" -> simhashPairsSql,
     "docs_containment_pairs" -> containmentPairsSql,

@@ -556,6 +556,121 @@ object VectorOps {
        |SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, 10 AS k
        |FROM qs LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** The COST/RECALL LADDER a deployment actually tunes: recall@10 of
+    * the IVF tier at every nprobe ∈ {1, 2, 4, 8} in ONE pass —
+    * [[ivfRecall]] generalized from its fixed nprobe=2 point to the
+    * whole curve (nprobe=8 = all cells = exact, recall 1.0 by
+    * construction — the built-in sanity row). The trick that keeps it
+    * one plan: each query ranks ALL cells once (`c_rank`), every
+    * candidate is cosine-scored once against its query
+    * (localCheckpoint'd), and the four nprobe legs are FILTERS
+    * (`c_rank <= np`) over that one scored frame — a 4-value explode,
+    * one window, never four scans. Scale: the audit is fixed-count
+    * (64 queries × k), so every frame after the brute leg is
+    * O(|q|·corpus/cells·4) — the sweep costs ~4 windows over the
+    * nprobe=8 candidate set, not 4 recall audits.
+    */
+  def nprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = centroids(emb)
+    val qs = emb.filter(!col("vec_id").between(1, 8))
+      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
+      .limit(64)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .localCheckpoint(true)
+    val nq = qs.count()
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val brute = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+    val byQd = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    val cellRank = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("c_id"),
+        round(dist2("qe", "ce"), 4).as("d2"))
+      .withColumn("c_rank", row_number().over(byQd))
+      .select("q_id", "qe", "c_id", "c_rank")
+    val cand = emb.join(assignedCells(emb), Seq("vec_id"))
+      .join(broadcast(cellRank), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("c_rank"),
+        cosine.as("cos_sim"))
+      .localCheckpoint(true)
+    val npDf = Seq(1, 2, 4, 8).toDF("nprobe")
+    val byQn = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val ivf = cand.crossJoin(broadcast(npDf))
+      .filter(col("c_rank") <= col("nprobe"))
+      .withColumn("rk", row_number().over(byQn))
+      .filter(col("rk") <= 10)
+      .select("nprobe", "q_id", "vec_id")
+    val hits = brute.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    npDf.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / (nq * 10.0), 4).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  val nprobeSweepSql: String =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
+       |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id NOT BETWEEN 1 AND 8
+       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
+       |       LIMIT 64),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY $duckCosine DESC, vec_id) AS rk
+       |    FROM (SELECT qs.q_id, qs.qe, e.vec_id, e.embedding
+       |          FROM embeddings e, qs WHERE e.vec_id <> qs.q_id))
+       |  WHERE rk <= 10),
+       |asg AS (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckDist2("e.embedding", "c.ce")}, 4), c.c_id)
+       |      AS rk
+       |  FROM embeddings e, c),
+       |cells AS (SELECT vec_id, c_id FROM asg WHERE rk = 1),
+       |cr AS (
+       |  SELECT qs.q_id, qs.qe, c.c_id,
+       |    row_number() OVER (PARTITION BY qs.q_id
+       |      ORDER BY round(${duckDist2("qs.qe", "c.ce")}, 4), c.c_id)
+       |      AS c_rank
+       |  FROM qs, c),
+       |cand AS (
+       |  SELECT q_id, vec_id, c_rank, $duckCosine AS cos_sim
+       |  FROM (SELECT p.q_id, p.qe, p.c_rank, e.vec_id, e.embedding
+       |        FROM embeddings e
+       |        JOIN cells ON e.vec_id = cells.vec_id
+       |        JOIN cr p ON cells.c_id = p.c_id
+       |        WHERE e.vec_id <> p.q_id)),
+       |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS nprobe),
+       |ivf AS (
+       |  SELECT nprobe, q_id, vec_id FROM (
+       |    SELECT np.nprobe, cand.q_id, cand.vec_id,
+       |      row_number() OVER (PARTITION BY np.nprobe, cand.q_id
+       |        ORDER BY cand.cos_sim DESC, cand.vec_id) AS rk
+       |    FROM cand, np WHERE cand.c_rank <= np.nprobe)
+       |  WHERE rk <= 10),
+       |h AS (SELECT nprobe, count(*) AS hits
+       |      FROM brute JOIN ivf USING (q_id, vec_id) GROUP BY nprobe)
+       |SELECT np.nprobe, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(h.hits, 0) AS DOUBLE)
+       |    / ((SELECT count(*) FROM qs) * 10.0), 4) AS recall
+       |FROM np LEFT JOIN h USING (nprobe) ORDER BY nprobe""".stripMargin
+
   // -------------------------------------------------------------------- //
   // Product quantization (PQ) — the memory tier of the ANN ladder       //
   // (IVF prunes WHICH vectors to score; PQ shrinks WHAT is stored):     //
@@ -1944,6 +2059,7 @@ object VectorOps {
     "ann_semdedup" -> semDedup,
     "ann_kmeans_step" -> kmeansStep,
     "ann_ivf_recall" -> ivfRecall,
+    "ann_nprobe_sweep" -> nprobeSweep,
     "ann_ivf_recall_trained" -> ivfRecallTrained,
     "ann_pq_codes" -> pqCodes,
     "ann_pq_adc" -> pqAdcTopk,
@@ -1973,6 +2089,7 @@ object VectorOps {
     "ann_semdedup" -> semDedupSql,
     "ann_kmeans_step" -> kmeansStepSql,
     "ann_ivf_recall" -> ivfRecallSql,
+    "ann_nprobe_sweep" -> nprobeSweepSql,
     "ann_ivf_recall_trained" -> ivfRecallTrainedSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc" -> pqAdcTopkSql,

@@ -49,4 +49,14 @@ class BpeVocabSpec extends SparkSpecBase {
     // the 8-round budget
     assert(rows.length == 5)
   }
+
+  test("tokenizer application: every doc compresses to one token here") {
+    val dir = corpusDir()
+    val rows = TextOps.bpeTokenize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the 5 learned merges fold each doc to a single token:
+    // "a b a b"→[«a b a b»], "a a a"→[«a a a»], "c d"→[«c d»]
+    assert(rows.toSeq == Seq(
+      (0L, 4L, 1L, 3L), (1L, 3L, 1L, 2L), (2L, 2L, 1L, 1L)))
+  }
 }

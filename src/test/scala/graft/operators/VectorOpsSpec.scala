@@ -206,6 +206,20 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("nprobe sweep: recall non-decreasing, all-cells row exact") {
+    // The ladder's invariants: widening the probe can only add
+    // candidates (recall monotone), and nprobe=8 scans every cell, so
+    // its top-10 IS the exact top-10 — recall exactly 1.0, the row
+    // that proves the sweep's candidate plumbing drops nothing.
+    val rows = VectorOps.nprobeSweep(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getDouble(2)).toSeq
+    assert(recalls.sliding(2).forall(p => p.head <= p.last),
+      s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0, s"all-cells recall ${recalls.last} != 1")
+  }
+
   test("store-served hamming re-rank: stage-1 scan never reads vectors") {
     // The two-stage discipline's scale contract: stage 1 (Hamming
     // shortlist) must scan ONLY the 16-byte sketch columns of the
