@@ -481,6 +481,70 @@ object StreamOps {
       .orderBy("relative_path")
   }
 
+  // ------------------------------------------------------------------ //
+  // Streaming ANN ingestion: the vector tier's stream-fed store twin,  //
+  // completing the symmetry the other durable stores already have      //
+  // (stream-fed NearDupIndex, streaming MOR ParquetIndex).             //
+  // ------------------------------------------------------------------ //
+
+  private val annStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The deployment cadence for a vector store: the coarse quantizer is
+    * built OFFLINE (here: the 8 seed vectors, `lloydRounds = 0` — the
+    * purely seeded quantizer, since 8 points train nothing), then the
+    * corpus STREAMS in through foreachBatch → [[AnnIndex.update]], one
+    * micro-batch per staged file. Update's membership anti-join makes a
+    * replayed batch a no-op, so checkpoint-recovery re-delivery is
+    * safe — the exactly-once store discipline every foreachBatch sink
+    * here follows. The gated row serves the binary Hamming tier from
+    * the stream-fed postings and must equal the batch query
+    * bit-for-bit: sign sketches depend only on the vectors (never on
+    * cell layout or arrival order), so it shares
+    * `ann_binary_hamming`'s oracle verbatim (the
+    * `docs_stream_neardup` / `fs_stream_index_mor` discipline).
+    */
+  /** The stream-fed ANN store root for `sfDir`, if built in this JVM
+    * (AnnStreamSpec inspects the checkpoint the green row's store was
+    * actually fed through).
+    */
+  private[operators] def annStreamStoreDir(
+      sfDir: String): Option[String] = Option(annStreamCache.get(sfDir))
+
+  def annStreamIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(annStreamCache, sfDir,
+      "graft-annstream") { root =>
+      val emb = Tables(spark, sfDir, "embeddings")
+      emb.filter(!col("vec_id").between(1, 8))
+        .repartition(4, col("vec_id"))
+        .write.parquet(s"$root/in")
+      AnnIndex.build(spark, s"$root/store",
+        emb.filter(col("vec_id").between(1, 8)), lloydRounds = 0)
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$root/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          AnnIndex.update(batch.sparkSession, s"$root/store", batch)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val qsk = VectorOps.signSketches(
+      Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 5))
+    val cand = spark.read.parquet(s"$dir/store/postings")
+      .select("vec_id", "label", "b_lo", "b_hi")
+      .filter(col("vec_id") >= 5)
+    VectorOps.binaryTopkOn(qsk.unionByName(cand))
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_hourly" -> streamHourly,
     "events_stream_sessionize" -> streamSessionize,
@@ -489,7 +553,8 @@ object StreamOps {
     "events_stream_conversion" -> streamConversion,
     "docs_stream_neardup" -> streamNearDup,
     "fs_stream_index" -> streamIndex,
-    "fs_stream_index_mor" -> streamIndexMor)
+    "fs_stream_index_mor" -> streamIndexMor,
+    "ann_stream_indexed" -> annStreamIndexed)
 
   def oracleSql: Map[String, String] = Map(
     "events_stream_hourly" -> EventsOps.hourlyWindowSql,
@@ -502,5 +567,7 @@ object StreamOps {
     "docs_stream_neardup" -> TextOps.minhashNearDupSql,
     "fs_stream_index" -> FsOps.mergeUpsertSql,
     // the MOR twin folds to the identical LWW snapshot — same oracle
-    "fs_stream_index_mor" -> FsOps.mergeUpsertSql)
+    "fs_stream_index_mor" -> FsOps.mergeUpsertSql,
+    // stream-fed vector store serves the batch binary top-k verbatim
+    "ann_stream_indexed" -> VectorOps.binaryHammingSql)
 }
