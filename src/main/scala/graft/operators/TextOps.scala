@@ -1922,8 +1922,12 @@ object TextOps {
     * occurrences into covered positions (∝ duplicated volume, not the
     * corpus), one anti-join per token — no all-pairs anything.
     */
-  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  /** (doc_id, tpos) token positions covered by SCRUBBED (non-first)
+    * duplicate-span occurrences — the shared core of the scrub query
+    * and the maximal-region report: detection + winner on one gram-hash
+    * shuffle, then an explode ∝ duplicated volume only.
+    */
+  private def scrubbedCover(docs: DataFrame): DataFrame = {
     val occ = docs
       .select(col("doc_id"), posexplode(expr(spans)).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("start"),
@@ -1934,14 +1938,18 @@ object TextOps {
       .filter(col("n_docs") >= 2)
       .select(col("gram_hash"), col("keep.doc_id").as("k_doc"),
         col("keep.start").as("k_start"))
-    val scrubbed = occ.join(byGram, Seq("gram_hash"))
+    occ.join(byGram, Seq("gram_hash"))
       .filter(col("doc_id") =!= col("k_doc") ||
         col("start") =!= col("k_start"))
-    val covered = scrubbed
       .select(col("doc_id"),
         explode(expr(s"sequence(start, start + ${spanToks - 1})"))
           .as("tpos"))
       .distinct()
+  }
+
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val covered = scrubbedCover(docs)
     val tokens = docs
       .select(col("doc_id"), posexplode(expr(toks)).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
@@ -1962,8 +1970,10 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val spanScrubSql: String =
-    s"""WITH occ AS (
+  /** The occ→dup→scrub→covered CTE chain shared by the scrub oracle
+    * and the maximal-region oracle. */
+  private def scrubCoverCtes: String =
+    s"""occ AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS start,
        |    sha256(array_to_string($duckToks[u.i:u.i+${spanToks - 1}], ' '))
        |      AS gram_hash
@@ -1982,7 +1992,11 @@ object TextOps {
        |covered AS (
        |  SELECT DISTINCT s.doc_id, CAST(c.tpos AS BIGINT) AS tpos
        |  FROM scrub s, LATERAL unnest(
-       |    generate_series(s.start, s.start + ${spanToks - 1})) AS c(tpos)),
+       |    generate_series(s.start, s.start + ${spanToks - 1})) AS c(tpos))"""
+      .stripMargin
+
+  val spanScrubSql: String =
+    s"""WITH $scrubCoverCtes,
        |toks AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, $duckToks[u.i] AS tok
        |  FROM documents, LATERAL unnest(
@@ -2000,6 +2014,41 @@ object TextOps {
        |  COALESCE(k.kept_hash, sha256('')) AS kept_hash
        |FROM documents d LEFT JOIN kept k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** MAXIMAL duplicated regions per document — the artifact a dedup
+    * report ships beside the per-token scrub count: overlapping and
+    * adjacent scrubbed 8-token spans merged into contiguous
+    * [start, end] token intervals (so "how long is the longest
+    * boilerplate block in this doc", not "how many 8-gram windows
+    * matched"). Classic gaps-and-islands over [[scrubbedCover]]'s
+    * position set: island key = tpos − row_number within the doc, one
+    * window + one groupBy over rows ∝ duplicated volume only — the
+    * corpus never re-enters after the shared cover computation.
+    */
+  def dupRegions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("tpos")
+    scrubbedCover(Tables(spark, sfDir, "documents"))
+      .withColumn("grp", col("tpos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("tpos").cast("long").as("region_start"),
+        max("tpos").cast("long").as("region_end"),
+        count(lit(1)).as("region_len"))
+      .select("doc_id", "region_start", "region_end", "region_len")
+      .orderBy("doc_id", "region_start")
+  }
+
+  val dupRegionsSql: String =
+    s"""WITH $scrubCoverCtes,
+       |isl AS (
+       |  SELECT doc_id, tpos,
+       |    tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos)
+       |      AS grp
+       |  FROM covered)
+       |SELECT doc_id, min(tpos) AS region_start, max(tpos) AS region_end,
+       |  CAST(count(*) AS BIGINT) AS region_len
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, region_start""".stripMargin
 
   // -------------------------------------------------------------------- //
   // N-gram LM familiarity (the CCNet-style LM quality filter,            //
@@ -3154,6 +3203,7 @@ object TextOps {
     "docs_temperature_mix" -> temperatureMix,
     "docs_dup_spans" -> dupSpans,
     "docs_span_scrub" -> spanScrub,
+    "docs_dup_regions" -> dupRegions,
     "docs_lm_familiarity" -> lmFamiliarity,
     "docs_ppl_buckets" -> pplBuckets,
     "docs_source_kl" -> sourceKl,
@@ -3214,6 +3264,7 @@ object TextOps {
     "docs_temperature_mix" -> temperatureMixSql,
     "docs_dup_spans" -> dupSpansSql,
     "docs_span_scrub" -> spanScrubSql,
+    "docs_dup_regions" -> dupRegionsSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
     "docs_ppl_buckets" -> pplBucketsSql,
     "docs_source_kl" -> sourceKlSql,
