@@ -305,6 +305,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // sample the co-tenant load BEFORE the session spins up and the
+    // 32-thread reshard staging runs — sampled any later, the bench's
+    // OWN startup burst pushes the 1-min loadavg past the noisy gate
+    // and an idle machine gets flagged as contended
+    val startLoad = loadavg1m
     val spark = buildSession(cpus)
 
     val qs = SparkEntry.queries
@@ -352,7 +357,6 @@ object Bench {
     // capture is co-tenant-contended — take min-of-3 per query and
     // self-flag the JSON as noisy so the reader (and the judge) can
     // adjudicate from the raw runs without re-benching.
-    val startLoad = loadavg1m
     val noisy = startLoad > Runtime.getRuntime.availableProcessors / 4.0
     if (noisy) System.err.println(
       s"[bench] NOISY capture: loadavg $startLoad at start; min-of-3")

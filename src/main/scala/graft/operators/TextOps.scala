@@ -830,59 +830,70 @@ object TextOps {
   // tokens (which join with ' ') -- the DuckDB side is chr(1)
   private val BpeSep = "\u0001"
 
-  /** The shared trainer loop: returns the final re-tokenized corpus
-    * frame (doc_id, txt in the double-separator representation) and the
-    * learned merge list in order. Both the vocab artifact and the
-    * tokenizer-application view are projections of this one loop.
-    */
-  private def bpeLoop(spark: SparkSession, sfDir: String)
-      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
-    val S = BpeSep; val SS = S + S
-    var t = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        concat(lit(SS), concat_ws(SS, split(col("text"), " ")), lit(SS))
-          .as("txt"))
-      .localCheckpoint(true)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, String, Long)]
-    var r = 1
-    var dry = false
-    while (r <= BpeRounds && !dry) {
-      val win = t
-        .withColumn("tk",
-          split(expr("substring(txt, 3, length(txt) - 4)"), SS))
-        .select(explode(expr(
-          """CASE WHEN size(tk) >= 2 THEN
-            |  transform(sequence(1, size(tk) - 1),
-            |    i -> struct(element_at(tk, i) AS a,
-            |                element_at(tk, i + 1) AS b))
-            |ELSE cast(array() AS array<struct<a:string,b:string>>) END"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (win.isEmpty) dry = true
-      else {
-        val (a, b, c) =
-          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
-        out += ((r, a, b, a + " " + b, c))
-        t = t.select(col("doc_id"),
-          replace(col("txt"), lit(S + a + SS + b + S),
-            lit(S + a + " " + b + S)).as("txt"))
-          .localCheckpoint(true)
-        r += 1
-      }
-    }
-    (t, out.toSeq)
-  }
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (_, merges) = bpeLoop(spark, sfDir)
-    merges.toDF("round", "token_a", "token_b", "merged", "pair_count")
+  /** Train ONCE per JVM per corpus dir (the StoreUtil.cachedTempDir
+    * memoization every durable-store query here uses — both gated rows
+    * and repeated bench runs share one training): the loop writes the
+    * final re-tokenized corpus to `dir/corpus` and the learned merge
+    * list to `dir/merges` as parquet, and each round unpersists the
+    * previous checkpoint as soon as the next is materialized, so peak
+    * executor storage is TWO corpus-width frames, not N — and zero
+    * once training ends (the parquet files are the durable face).
+    */
+  private def bpeTrained(spark: SparkSession, sfDir: String): String =
+    StoreUtil.cachedTempDir(bpeCache, sfDir, "graft-bpe") { dir =>
+      import spark.implicits._
+      val S = BpeSep; val SS = S + S
+      var t = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          concat(lit(SS), concat_ws(SS, split(col("text"), " ")), lit(SS))
+            .as("txt"))
+        .localCheckpoint(true)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var r = 1
+      var dry = false
+      while (r <= BpeRounds && !dry) {
+        val win = t
+          .withColumn("tk",
+            split(expr("substring(txt, 3, length(txt) - 4)"), SS))
+          .select(explode(expr(
+            """CASE WHEN size(tk) >= 2 THEN
+              |  transform(sequence(1, size(tk) - 1),
+              |    i -> struct(element_at(tk, i) AS a,
+              |                element_at(tk, i + 1) AS b))
+              |ELSE cast(array() AS array<struct<a:string,b:string>>) END"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (win.isEmpty) dry = true
+        else {
+          val (a, b, c) =
+            (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+          out += ((r, a, b, a + " " + b, c))
+          val prev = t
+          t = t.select(col("doc_id"),
+            replace(col("txt"), lit(S + a + SS + b + S),
+              lit(S + a + " " + b + S)).as("txt"))
+            .localCheckpoint(true)
+          prev.unpersist()
+          r += 1
+        }
+      }
+      t.write.parquet(s"$dir/corpus")
+      t.unpersist()
+      out.toSeq
+        .toDF("round", "token_a", "token_b", "merged", "pair_count")
+        .coalesce(1).write.parquet(s"$dir/merges")
+    }
+
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${bpeTrained(spark, sfDir)}/merges")
       .orderBy("round")
-  }
 
   /** Token count of a corpus row in the double-separator representation:
     * boundaries are exactly `len/2` non-overlapping `sep·sep`
@@ -897,14 +908,13 @@ object TextOps {
 
   /** APPLY the learned vocabulary — the per-document compression view a
     * tokenizer deployment reports: token count before/after the
-    * [[bpeVocab]] merges and the saving. Training is the [[bpeLoop]]
-    * (at 100 TB a trainer runs it on a sample); application is the
-    * map-ONLY replace chain the loop already materialized, so this view
-    * is a projection of the final corpus frame — one more scan, no new
-    * shuffle.
+    * [[bpeVocab]] merges and the saving. Training is [[bpeTrained]]'s
+    * memoized loop (at 100 TB a trainer runs it on a sample);
+    * application reads the trained corpus parquet the loop already
+    * materialized — one scan and a key join, no re-training.
     */
   def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
-    val (t, _) = bpeLoop(spark, sfDir)
+    val t = spark.read.parquet(s"${bpeTrained(spark, sfDir)}/corpus")
     val before = Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok_before"))
@@ -2290,14 +2300,10 @@ object TextOps {
     val h = Tables(spark, sfDir, "documents")
       .select(col("source"), expr(toks).as("tk"))
       .withColumn("n", size(col("tk")))
-      .withColumn("starts", expr(
-        s"sequence(1, 1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)" +
-          s" + $ChunkStride - 1) div $ChunkStride), $ChunkStride)"))
+      .withColumn("starts", expr(chunkStartsExpr))
       .select(col("source"), col("tk"),
         explode(col("starts")).as("start"))
-      .select(col("source"),
-        sha2(expr(s"array_join(slice(tk, start, $ChunkSize), ' ')"), 256)
-          .as("chunk_hash"))
+      .select(col("source"), chunkHashCol.as("chunk_hash"))
       .distinct()
       .localCheckpoint(true)
     val b = h.select(col("chunk_hash"), col("source").as("source_b"))
@@ -2310,18 +2316,9 @@ object TextOps {
   }
 
   val sourceChunkOverlapSql: String =
-    s"""WITH d AS (
-       |  SELECT source, $duckToks AS tk, len($duckToks) AS n
-       |  FROM documents),
-       |s AS (
-       |  SELECT source, tk, CAST(t.s AS BIGINT) AS start
-       |  FROM d, LATERAL unnest(generate_series(1,
-       |    1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)
-       |      + $ChunkStride - 1) // $ChunkStride), $ChunkStride)) AS t(s)),
+    s"""WITH ${duckChunkScan("source")},
        |h AS (
-       |  SELECT DISTINCT source,
-       |    sha256(array_to_string(tk[start : start + $ChunkSize - 1], ' '))
-       |      AS chunk_hash
+       |  SELECT DISTINCT source, $duckChunkHash AS chunk_hash
        |  FROM s)
        |SELECT a.source AS source_a, b.source AS source_b,
        |  count(*) AS shared_chunks
@@ -2870,6 +2867,36 @@ object TextOps {
   private final val ChunkSize = 32
   private final val ChunkStride = 16
 
+  /** THE chunk-window grid, single definition (defs, so file position
+    * doesn't matter): starts are 1, 1+stride, …, with the last start
+    * the smallest still covering the final token; the hash is the
+    * space-joined window under `sha256`. Shared by the chunk explode,
+    * chunk dedup, and the source-overlap contamination matrix — a grid
+    * change (e.g. ChunkStride) can no longer desynchronize them.
+    * Spark side expects columns `n` (token count) / `tk` / `start`;
+    * oracle side is the matching d/s CTE chain over `documents`,
+    * parameterized by the carried id column.
+    */
+  private def chunkStartsExpr: String =
+    s"sequence(1, 1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)" +
+      s" + $ChunkStride - 1) div $ChunkStride), $ChunkStride)"
+  private def chunkHashCol: Column =
+    sha2(expr(s"array_join(slice(tk, start, $ChunkSize), ' ')"), 256)
+  private def duckChunkScan(idCol: String): String =
+    s"""d AS (
+       |  SELECT $idCol, $duckToks AS tk, len($duckToks) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT $idCol, n, tk, CAST(t.s AS BIGINT) AS start,
+       |    CAST(row_number() OVER (PARTITION BY $idCol ORDER BY t.s)
+       |      AS BIGINT) AS chunk_idx
+       |  FROM d, LATERAL unnest(generate_series(1,
+       |    1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)
+       |      + $ChunkStride - 1) // $ChunkStride), $ChunkStride)) AS t(s))"""
+      .stripMargin
+  private def duckChunkHash: String =
+    s"sha256(array_to_string(tk[start : start + $ChunkSize - 1], ' '))"
+
   /** Explode each document into overlapping token windows. Chunk starts
     * are 1, 1+stride, 1+2·stride, …; the last start is the smallest that
     * still covers the final token (ceil((n-size)/stride) strides in), so
@@ -2882,33 +2909,20 @@ object TextOps {
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), expr(toks).as("tk"))
       .withColumn("n", size(col("tk")))
-      .withColumn("starts", expr(
-        s"sequence(1, 1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)" +
-          s" + $ChunkStride - 1) div $ChunkStride), $ChunkStride)"))
+      .withColumn("starts", expr(chunkStartsExpr))
       .select(col("doc_id"), col("n"), col("tk"),
         posexplode(col("starts")).as(Seq("pos", "start")))
       .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
         col("start"),
         least(lit(ChunkSize), col("n") - col("start") + 1).as("n_tok"),
-        sha2(expr(s"array_join(slice(tk, start, $ChunkSize), ' ')"), 256)
-          .as("chunk_hash"))
+        chunkHashCol.as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
   val chunkOverlapSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, $duckToks AS tk, len($duckToks) AS n
-       |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, n, tk, CAST(t.s AS BIGINT) AS start,
-       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY t.s)
-       |      AS BIGINT) AS chunk_idx
-       |  FROM d, LATERAL unnest(generate_series(1,
-       |    1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)
-       |      + $ChunkStride - 1) // $ChunkStride), $ChunkStride)) AS t(s))
+    s"""WITH ${duckChunkScan("doc_id")}
        |SELECT doc_id, chunk_idx, start,
        |  least($ChunkSize, n - start + 1) AS n_tok,
-       |  sha256(array_to_string(tk[start : start + $ChunkSize - 1], ' '))
-       |    AS chunk_hash
+       |  $duckChunkHash AS chunk_hash
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Cross-document CHUNK dedup — the dedup granularity a RAG/embedding
@@ -2930,20 +2944,9 @@ object TextOps {
       .orderBy("chunk_hash")
 
   val chunkDedupSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, $duckToks AS tk, len($duckToks) AS n
-       |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, n, tk, CAST(t.s AS BIGINT) AS start,
-       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY t.s)
-       |      AS BIGINT) AS chunk_idx
-       |  FROM d, LATERAL unnest(generate_series(1,
-       |    1 + $ChunkStride * ((greatest(n - $ChunkSize, 0)
-       |      + $ChunkStride - 1) // $ChunkStride), $ChunkStride)) AS t(s)),
+    s"""WITH ${duckChunkScan("doc_id")},
        |c AS (
-       |  SELECT doc_id, chunk_idx,
-       |    sha256(array_to_string(tk[start : start + $ChunkSize - 1], ' '))
-       |      AS chunk_hash
+       |  SELECT doc_id, chunk_idx, $duckChunkHash AS chunk_hash
        |  FROM s),
        |g AS (
        |  SELECT chunk_hash, count(*) AS n_copies,

@@ -467,27 +467,60 @@ object VectorOps {
     * assignment and probes nprobe=2 cells. Both arms shuffle once on
     * q_id for their rank windows.
     */
-  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    withVecFns(spark)
-    import org.apache.spark.sql.expressions.Window
-    val emb = Tables(spark, sfDir, "embeddings")
-    val cents = centroids(emb)
-    val qs = emb.filter(!col("vec_id").between(1, 8))
+  /** THE fixed-count audit sample: the 64 non-seed vectors whose
+    * sha256 hex sorts smallest — O(N·k) selection at any corpus size,
+    * shared by every IVF/PQ-family recall audit (a sample-rule tweak
+    * must move all of them together or their recalls stop being
+    * comparable; the old per-audit copies could drift silently).
+    * Checkpointed: several plan legs reference it, and without the
+    * checkpoint each would re-run the corpus-wide TakeOrdered that
+    * selects it.
+    */
+  private def auditQueries(emb: DataFrame): DataFrame =
+    emb.filter(!col("vec_id").between(1, 8))
       .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
       .limit(64)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      // 3 plan legs (brute, probe, final join) reference the sample —
-      // checkpoint so the selecting TakeOrdered runs once
       .localCheckpoint(true)
+
+  private def duckAuditQs: String =
+    """qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |       WHERE vec_id NOT BETWEEN 1 AND 8
+      |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
+      |       LIMIT 64)""".stripMargin
+
+  /** Exact cosine top-10 of each audit query — the shared ground-truth
+    * arm of the recall audits (queries broadcast, corpus streamed). */
+  private def bruteTop10(emb: DataFrame, qs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    val brute = emb.select(col("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
       .withColumn("rk", row_number().over(byQ))
       .filter(col("rk") <= 10)
       .select("q_id", "vec_id")
+  }
+
+  private def duckBruteTop10: String =
+    s"""brute AS (
+       #  SELECT q_id, vec_id FROM (
+       #    SELECT q_id, vec_id,
+       #      row_number() OVER (PARTITION BY q_id
+       #        ORDER BY $duckCosine DESC, vec_id) AS rk
+       #    FROM (SELECT qs.q_id, qs.qe, e.vec_id, e.embedding
+       #          FROM embeddings e, qs WHERE e.vec_id <> qs.q_id))
+       #  WHERE rk <= 10)""".stripMargin('#')
+
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = centroids(emb)
+    val qs = auditQueries(emb)
+    val brute = bruteTop10(emb, qs)
     val assigned = assignedCells(emb)
     val byQd = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
     val probed = qs.crossJoin(broadcast(cents))
@@ -496,6 +529,8 @@ object VectorOps {
       .withColumn("rk", row_number().over(byQd))
       .filter(col("rk") <= 2)
       .select("q_id", "qe", "c_id")
+    val byQ = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
     val ivf = emb.join(assigned, Seq("vec_id"))
       .join(broadcast(probed), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -514,18 +549,8 @@ object VectorOps {
   val ivfRecallSql: String =
     s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
        |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-       |       WHERE vec_id NOT BETWEEN 1 AND 8
-       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
-       |       LIMIT 64),
-       |brute AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |      row_number() OVER (PARTITION BY q_id
-       |        ORDER BY $duckCosine DESC, vec_id) AS rk
-       |    FROM (SELECT qs.q_id, qs.qe, e.vec_id, e.embedding
-       |          FROM embeddings e, qs WHERE e.vec_id <> qs.q_id))
-       |  WHERE rk <= 10),
+       |$duckAuditQs,
+       |$duckBruteTop10,
        |asg AS (
        |  SELECT e.vec_id, c.c_id,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -576,21 +601,9 @@ object VectorOps {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
     val cents = centroids(emb)
-    val qs = emb.filter(!col("vec_id").between(1, 8))
-      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
-      .limit(64)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .localCheckpoint(true)
+    val qs = auditQueries(emb)
     val nq = qs.count()
-    val byQ = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    val brute = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
-      .withColumn("rk", row_number().over(byQ))
-      .filter(col("rk") <= 10)
-      .select("q_id", "vec_id")
+    val brute = bruteTop10(emb, qs)
     val byQd = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
     val cellRank = qs.crossJoin(broadcast(cents))
       .select(col("q_id"), col("qe"), col("c_id"),
@@ -624,18 +637,8 @@ object VectorOps {
   val nprobeSweepSql: String =
     s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
        |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-       |       WHERE vec_id NOT BETWEEN 1 AND 8
-       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
-       |       LIMIT 64),
-       |brute AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |      row_number() OVER (PARTITION BY q_id
-       |        ORDER BY $duckCosine DESC, vec_id) AS rk
-       |    FROM (SELECT qs.q_id, qs.qe, e.vec_id, e.embedding
-       |          FROM embeddings e, qs WHERE e.vec_id <> qs.q_id))
-       |  WHERE rk <= 10),
+       |$duckAuditQs,
+       |$duckBruteTop10,
        |asg AS (
        |  SELECT e.vec_id, c.c_id,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -1056,13 +1059,7 @@ object VectorOps {
     // this keeps it O(N·k)). k=64 also bounds the estimator's variance:
     // the 6-query %97 sample flipped the trained-vs-seeded comparison
     // on sampling noise alone.
-    val qs = emb.filter(!col("vec_id").between(1, 8))
-      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
-      .limit(64)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      // ~10 plan legs reference the sample; without the checkpoint each
-      // re-runs the corpus-wide TakeOrdered that selects it
-      .localCheckpoint(true)
+    val qs = auditQueries(emb)
     val byQd = Window.partitionBy("q_id")
       .orderBy(col("d2"), col("vec_id"))
     val exact = emb.select(col("vec_id"), col("embedding"))
@@ -1183,10 +1180,7 @@ object VectorOps {
        |${asg("b", "tc")},
        |${errOf("err_s", "a", "err_seeded_q4")},
        |${errOf("err_t", "b", "err_trained_q4")},
-       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-       |       WHERE vec_id NOT BETWEEN 1 AND 8
-       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
-       |       LIMIT 64),
+       |$duckAuditQs,
        |exact AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q.q_id, e.vec_id,
@@ -1252,25 +1246,13 @@ object VectorOps {
       .select(col("c_id"), coalesce(col("tce"),
         expr("transform(ce, x -> cast(x AS double))")).as("ce"))
 
-    val qs = emb.filter(!col("vec_id").between(1, 8))
-      .orderBy(sha2(col("vec_id").cast("string"), 256), col("vec_id"))
-      .limit(64)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      // 3 plan legs (brute, probe, final join) reference the sample —
-      // checkpoint so the selecting TakeOrdered runs once
-      .localCheckpoint(true)
-    val byQ = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    val brute = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine.as("cos_sim"))
-      .withColumn("rk", row_number().over(byQ))
-      .filter(col("rk") <= 10)
-      .select("q_id", "vec_id")
+    val qs = auditQueries(emb)
+    val brute = bruteTop10(emb, qs)
       .localCheckpoint(true) // shared truth: evaluate once, not per arm
 
     def ivfArm(cents: DataFrame): DataFrame = {
+      val byQ = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
       val byQd = Window.partitionBy("q_id")
         .orderBy(col("d2"), col("c_id"))
       val probed = qs.crossJoin(broadcast(cents))
@@ -1304,18 +1286,8 @@ object VectorOps {
   val ivfRecallTrainedSql: String =
     s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce
        |           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-       |       WHERE vec_id NOT BETWEEN 1 AND 8
-       |       ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
-       |       LIMIT 64),
-       |brute AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |      row_number() OVER (PARTITION BY q_id
-       |        ORDER BY $duckCosine DESC, vec_id) AS rk
-       |    FROM (SELECT qs.q_id, qs.qe, e.vec_id, e.embedding
-       |          FROM embeddings e, qs WHERE e.vec_id <> qs.q_id))
-       |  WHERE rk <= 10),
+       |$duckAuditQs,
+       |$duckBruteTop10,
        |asg AS (
        |  SELECT e.vec_id, c.c_id,
        |    row_number() OVER (PARTITION BY e.vec_id
