@@ -1494,7 +1494,7 @@ object VectorOps {
     // collect discipline AnnIndex.search itself uses for cell probing)
     val qv = Tables(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
+      .select("embedding").head().getSeq[Float](0)
     val vec = AnnIndex
       .searchAdc(spark, annIndexFor(spark, sfDir), qv,
         k = legK, nprobe = nprobe)

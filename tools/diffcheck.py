@@ -36,6 +36,16 @@ ADD_OPENS = [
 
 
 def run_verify():
+    # preflight: bare `sbt compile` does NOT copy resources, so after a
+    # `clean` the DataSourceV2 service registration is silently missing
+    # from target/classes and fs_listing_dsv2 alone fails with
+    # DATA_SOURCE_NOT_FOUND. Fail fast with the fix instead.
+    svc = (REPO / "target" / "scala-2.13" / "classes" / "META-INF" /
+           "services" / "org.apache.spark.sql.sources.DataSourceRegister")
+    if not svc.exists():
+        sys.exit("missing DSv2 service registration in target/classes "
+                 "(clean build without resources?) — run: "
+                 "sbt Compile/copyResources")
     cmd = ["java"]
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
