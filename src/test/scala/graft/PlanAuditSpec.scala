@@ -552,4 +552,33 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.toLowerCase.contains("in(event_type"), p)
   }
 
+  test("dup regions: partial gram agg, no cartesian, islands window") {
+    val p = finalPlan(SparkEntry.queries("docs_dup_regions")(spark, sf))
+    // detection combines map-side before the gram-hash exchange
+    assert(p.contains("partial_count"), p)
+    // islands are one window over the covered set, no theta joins
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("nprobe sweep: the 4-value explode is the only nested loop") {
+    val p = finalPlan(SparkEntry.queries("ann_nprobe_sweep")(spark, sf))
+    // the crossJoin against the broadcast 4-row nprobe frame is the
+    // deliberate bounded BNLJ; a raw cartesian anywhere is a regression
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate scoring combines partially before any exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("source chunk overlap: equi-join matrix, no nested loops") {
+    val p = finalPlan(
+      SparkEntry.queries("docs_source_chunk_overlap")(spark, sf))
+    // the self-join meets ONLY through the chunk-hash equi-key
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
 }
