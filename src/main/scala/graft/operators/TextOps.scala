@@ -188,6 +188,82 @@ object TextOps {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-vs-duplication CALIBRATION — the corpus diagnostic behind
+    * "dedup before or after quality filtering?": documents bucketed
+    * into quality deciles, each decile's exact-duplicate rate reported
+    * (C4/RefinedWeb-style analyses correlate the two to pick pipeline
+    * order). Scale shape: decile BOUNDARIES are one exact interpolated
+    * percentile aggregation over the 4dp-rounded score (≤10⁴ distinct
+    * values of bounded state — the [[qualityQuantileFilter]]
+    * discipline), broadcast back for a map-side bucket assignment —
+    * NEVER a global `ntile` sort, which would single-partition the
+    * corpus. The dup flag joins the [[textIdHash]] group sizes (one
+    * digest exchange), and the rate divides in exact integer 4dp units
+    * with half-up division (the [[sourceNearDupOverlap]] knife-edge
+    * fix, applied from birth here). Ties at a boundary go to the lower
+    * decile by the strict `>` comparison — deterministic either side.
+    */
+  def qualityDupCalibration(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val scored = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"),
+        textIdHash.as("text_hash"))
+      .withColumn("quality", qualityCol(col("n_stop"), col("n_tokens")))
+      .select("doc_id", "quality", "text_hash")
+      .localCheckpoint(true)
+    val flagged = scored
+      .join(scored.groupBy("text_hash").agg(count(lit(1)).as("gsz")),
+        "text_hash")
+      .select(col("quality"),
+        when(col("gsz") > 1, 1L).otherwise(0L).as("is_dup"))
+    val cuts = flagged.agg(expr(
+      "transform(percentile(quality, array(0.1D, 0.2D, 0.3D, 0.4D, " +
+        "0.5D, 0.6D, 0.7D, 0.8D, 0.9D)), x -> round(x, 4))").as("cs"))
+    flagged.crossJoin(broadcast(cuts))
+      .select(expr("int(1 + size(filter(cs, c -> quality > c)))")
+        .as("decile"), col("is_dup"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        (expr("(2 * 10000 * n_dups + n_docs) div (2 * n_docs)")
+          .cast("double") / 10000.0).as("dup_rate"))
+      .orderBy("decile")
+  }
+
+  val qualityDupCalibrationSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+       |        + 0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 4)
+       |      AS quality,
+       |    text_hash
+       |  FROM (SELECT doc_id, len($duckToks) AS n_tokens,
+       |          len(list_filter($duckToks, t -> t IN ($stopList)))
+       |            AS n_stop,
+       |          $duckTextIdHash AS text_hash
+       |        FROM documents)),
+       |g AS (SELECT text_hash, count(*) AS gsz FROM sc GROUP BY 1),
+       |f AS (
+       |  SELECT sc.quality,
+       |    CASE WHEN g.gsz > 1 THEN 1 ELSE 0 END AS is_dup
+       |  FROM sc JOIN g USING (text_hash)),
+       |cuts AS (
+       |  SELECT list_transform(quantile_cont(quality,
+       |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+       |    x -> round(x, 4)) AS cs
+       |  FROM f),
+       |a AS (
+       |  SELECT CAST(1 + len(list_filter(cuts.cs, c -> f.quality > c))
+       |      AS INT) AS decile,
+       |    count(*) AS n_docs, CAST(sum(f.is_dup) AS BIGINT) AS n_dups
+       |  FROM f, cuts GROUP BY 1)
+       |SELECT decile, n_docs, n_dups,
+       |  CAST((2 * 10000 * n_dups + n_docs) // (2 * n_docs) AS DOUBLE)
+       |    / 10000.0 AS dup_rate
+       |FROM a ORDER BY decile""".stripMargin
+
   /** Per-source quantile quality gate — the curation form a threshold
     * constant can't give: "keep each source's best 70%" adapts to every
     * source's own score distribution (a fixed cutoff keeps all of a
@@ -3207,6 +3283,7 @@ object TextOps {
     "docs_dup_spans" -> dupSpans,
     "docs_span_scrub" -> spanScrub,
     "docs_dup_regions" -> dupRegions,
+    "docs_quality_dup_calibration" -> qualityDupCalibration,
     "docs_lm_familiarity" -> lmFamiliarity,
     "docs_ppl_buckets" -> pplBuckets,
     "docs_source_kl" -> sourceKl,
@@ -3268,6 +3345,7 @@ object TextOps {
     "docs_dup_spans" -> dupSpansSql,
     "docs_span_scrub" -> spanScrubSql,
     "docs_dup_regions" -> dupRegionsSql,
+    "docs_quality_dup_calibration" -> qualityDupCalibrationSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
     "docs_ppl_buckets" -> pplBucketsSql,
     "docs_source_kl" -> sourceKlSql,
