@@ -918,52 +918,62 @@ object TextOps {
     * executor storage is TWO corpus-width frames, not N — and zero
     * once training ends (the parquet files are the durable face).
     */
+  /** The raw trainer loop over an arbitrary (doc_id, text) frame —
+    * exposed for [[graft.BpeProbe]], which measures its per-round
+    * near-linearity. Returns the final (still-checkpointed) corpus
+    * frame — caller must unpersist it — and the learned merges.
+    */
+  private[graft] def bpeTrainOn(docs: DataFrame)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val S = BpeSep; val SS = S + S
+    var t = docs
+      .select(col("doc_id"),
+        concat(lit(SS), concat_ws(SS, split(col("text"), " ")), lit(SS))
+          .as("txt"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= BpeRounds && !dry) {
+      val win = t
+        .withColumn("tk",
+          split(expr("substring(txt, 3, length(txt) - 4)"), SS))
+        .select(explode(expr(
+          """CASE WHEN size(tk) >= 2 THEN
+            |  transform(sequence(1, size(tk) - 1),
+            |    i -> struct(element_at(tk, i) AS a,
+            |                element_at(tk, i + 1) AS b))
+            |ELSE cast(array() AS array<struct<a:string,b:string>>) END"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (win.isEmpty) dry = true
+      else {
+        val (a, b, c) =
+          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        out += ((r, a, b, a + " " + b, c))
+        val prev = t
+        t = t.select(col("doc_id"),
+          replace(col("txt"), lit(S + a + SS + b + S),
+            lit(S + a + " " + b + S)).as("txt"))
+          .localCheckpoint(true)
+        prev.unpersist()
+        r += 1
+      }
+    }
+    (t, out.toSeq)
+  }
+
   private def bpeTrained(spark: SparkSession, sfDir: String): String =
     StoreUtil.cachedTempDir(bpeCache, sfDir, "graft-bpe") { dir =>
       import spark.implicits._
-      val S = BpeSep; val SS = S + S
-      var t = Tables(spark, sfDir, "documents")
-        .select(col("doc_id"),
-          concat(lit(SS), concat_ws(SS, split(col("text"), " ")), lit(SS))
-            .as("txt"))
-        .localCheckpoint(true)
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, String, Long)]
-      var r = 1
-      var dry = false
-      while (r <= BpeRounds && !dry) {
-        val win = t
-          .withColumn("tk",
-            split(expr("substring(txt, 3, length(txt) - 4)"), SS))
-          .select(explode(expr(
-            """CASE WHEN size(tk) >= 2 THEN
-              |  transform(sequence(1, size(tk) - 1),
-              |    i -> struct(element_at(tk, i) AS a,
-              |                element_at(tk, i + 1) AS b))
-              |ELSE cast(array() AS array<struct<a:string,b:string>>) END"""
-              .stripMargin)).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("a"), col("b"))
-          .limit(1).collect()
-        if (win.isEmpty) dry = true
-        else {
-          val (a, b, c) =
-            (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
-          out += ((r, a, b, a + " " + b, c))
-          val prev = t
-          t = t.select(col("doc_id"),
-            replace(col("txt"), lit(S + a + SS + b + S),
-              lit(S + a + " " + b + S)).as("txt"))
-            .localCheckpoint(true)
-          prev.unpersist()
-          r += 1
-        }
-      }
+      val (t, merges) = bpeTrainOn(Tables(spark, sfDir, "documents"))
       t.write.parquet(s"$dir/corpus")
       t.unpersist()
-      out.toSeq
-        .toDF("round", "token_a", "token_b", "merged", "pair_count")
+      merges.toDF("round", "token_a", "token_b", "merged", "pair_count")
         .coalesce(1).write.parquet(s"$dir/merges")
     }
 
