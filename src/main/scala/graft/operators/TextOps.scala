@@ -923,13 +923,33 @@ object TextOps {
     * near-linearity. Returns the final (still-checkpointed) corpus
     * frame — caller must unpersist it — and the learned merges.
     */
+  /** Text → the double-separator representation (every boundary and
+    * both ends = exactly two separators). */
+  private[graft] def bpeRepr(text: Column): Column = {
+    val SS = BpeSep + BpeSep
+    concat(lit(SS), concat_ws(SS, split(text, " ")), lit(SS))
+  }
+
+  /** Representation → token array. */
+  private[graft] def bpeToks(txt: Column): Column =
+    split(txt.substr(lit(3), length(txt) - 4), BpeSep + BpeSep)
+
+  /** ONE greedy left-to-right merge of pair (a, b) in the
+    * representation — the literal replace whose shared-boundary
+    * separator consumption/restoration makes adjacent matches fire and
+    * overlapping ones not (BpeMergeExhaustiveSpec proves it equals a
+    * plain greedy fold over every token sequence up to length 5).
+    */
+  private[graft] def bpeApplyMerge(txt: Column, a: String,
+      b: String): Column = {
+    val S = BpeSep; val SS = S + S
+    replace(txt, lit(S + a + SS + b + S), lit(S + a + " " + b + S))
+  }
+
   private[graft] def bpeTrainOn(docs: DataFrame)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
-    val S = BpeSep; val SS = S + S
     var t = docs
-      .select(col("doc_id"),
-        concat(lit(SS), concat_ws(SS, split(col("text"), " ")), lit(SS))
-          .as("txt"))
+      .select(col("doc_id"), bpeRepr(col("text")).as("txt"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -937,8 +957,7 @@ object TextOps {
     var dry = false
     while (r <= BpeRounds && !dry) {
       val win = t
-        .withColumn("tk",
-          split(expr("substring(txt, 3, length(txt) - 4)"), SS))
+        .withColumn("tk", bpeToks(col("txt")))
         .select(explode(expr(
           """CASE WHEN size(tk) >= 2 THEN
             |  transform(sequence(1, size(tk) - 1),
@@ -957,8 +976,7 @@ object TextOps {
         out += ((r, a, b, a + " " + b, c))
         val prev = t
         t = t.select(col("doc_id"),
-          replace(col("txt"), lit(S + a + SS + b + S),
-            lit(S + a + " " + b + S)).as("txt"))
+          bpeApplyMerge(col("txt"), a, b).as("txt"))
           .localCheckpoint(true)
         prev.unpersist()
         r += 1
