@@ -572,6 +572,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("quality calibration: broadcast cuts, no window over the corpus") {
+    val p = finalPlan(
+      SparkEntry.queries("docs_quality_dup_calibration")(spark, sf))
+    // decile assignment is a broadcast of the 1-row percentile frame —
+    // a Window operator here would mean someone reintroduced the
+    // global ntile sort the docstring forbids
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("source chunk overlap: equi-join matrix, no nested loops") {
     val p = finalPlan(
       SparkEntry.queries("docs_source_chunk_overlap")(spark, sf))
