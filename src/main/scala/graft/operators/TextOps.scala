@@ -1585,6 +1585,71 @@ object TextOps {
        |  CAST(sum(nt) AS BIGINT) AS tokens
        |FROM c GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** The per-pack SAMPLE MANIFEST a training loader actually consumes —
+    * the half [[tokenPacking]]'s bin summary doesn't give: documents
+    * concatenate in doc_id order and CUT at exact 2048-token pack
+    * boundaries (causal-LM packing), and each pack lists its ordered
+    * segments `(seg_idx, doc_id, doc_from, seg_len, pack_off)` — a doc
+    * straddling a boundary contributes a segment to every pack it
+    * touches (the GPT-style .idx artifact). Pure offset arithmetic on
+    * the running token sum: doc with global span [s, e) intersects
+    * packs `s div B .. (e−1) div B`, and each intersection is a
+    * clamped interval — so the plan is ONE running-sum window + a
+    * per-row explode bounded by ⌈nt/B⌉ + 1 segments per doc, + one
+    * per-pack row_number. The global-order window is the parity shape;
+    * at 100 TB the window partitions by shard exactly as
+    * [[tokenPackingSharded]] demonstrates. PackSegmentsSpec pins the
+    * tiling invariants (full packs hold exactly B tokens; each doc's
+    * segments tile [0, nt) contiguously).
+    */
+  def packSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 2048L
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byPack = Window.partitionBy("pack_id").orderBy("doc_id")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(s"size($toks)").cast("long").as("nt"))
+      .withColumn("e", sum("nt").over(w))
+      .withColumn("s", col("e") - col("nt"))
+      .select(col("doc_id"), col("nt"), col("s"),
+        explode(expr(s"sequence(s div $B, (e - 1) div $B)"))
+          .as("pack_id"))
+      .select(col("pack_id"), col("doc_id"),
+        greatest(lit(0L), col("pack_id") * B - col("s")).as("doc_from"),
+        (least(col("nt"), (col("pack_id") + 1) * B - col("s")) -
+          greatest(lit(0L), col("pack_id") * B - col("s")))
+          .as("seg_len"),
+        greatest(col("s") - col("pack_id") * B, lit(0L)).as("pack_off"))
+      .withColumn("seg_idx", row_number().over(byPack).cast("long"))
+      .select("pack_id", "seg_idx", "doc_id", "doc_from", "seg_len",
+        "pack_off")
+      .orderBy("pack_id", "seg_idx")
+  }
+
+  val packSegmentsSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt,
+       |    CAST(sum(CAST(len($duckToks) AS BIGINT)) OVER (
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS e
+       |  FROM documents),
+       |sp AS (SELECT doc_id, nt, e - nt AS s0, e FROM c),
+       |seg AS (
+       |  SELECT CAST(t.p AS BIGINT) AS pack_id, doc_id,
+       |    greatest(0, t.p * 2048 - s0) AS doc_from,
+       |    least(nt, (t.p + 1) * 2048 - s0)
+       |      - greatest(0, t.p * 2048 - s0) AS seg_len,
+       |    greatest(s0 - t.p * 2048, 0) AS pack_off
+       |  FROM sp, LATERAL unnest(
+       |    generate_series(s0 // 2048, (e - 1) // 2048)) AS t(p))
+       |SELECT pack_id,
+       |  CAST(row_number() OVER (PARTITION BY pack_id ORDER BY doc_id)
+       |    AS BIGINT) AS seg_idx,
+       |  doc_id, doc_from, seg_len, pack_off
+       |FROM seg ORDER BY pack_id, seg_idx""".stripMargin
+
   /** The SHARDED form of sequence packing — the scale-safe variant the
     * global-window parity shape's scaladoc promises: documents hash into
     * 8 shards (`doc_id % 8`, deterministic in both engines), the
@@ -3302,6 +3367,7 @@ object TextOps {
     "docs_phrase_indexed" -> phraseIndexed,
     "docs_hash_split" -> hashSplit,
     "docs_token_packing" -> tokenPacking,
+    "docs_pack_segments" -> packSegments,
     "docs_token_packing_sharded" -> tokenPackingSharded,
     "docs_ngram_topk" -> ngramTopk,
     "docs_tfidf_topk" -> tfidfTopk,
@@ -3364,6 +3430,7 @@ object TextOps {
     "docs_phrase_indexed" -> phraseSearchSql,
     "docs_hash_split" -> hashSplitSql,
     "docs_token_packing" -> tokenPackingSql,
+    "docs_pack_segments" -> packSegmentsSql,
     "docs_token_packing_sharded" -> tokenPackingShardedSql,
     "docs_ngram_topk" -> ngramTopkSql,
     "docs_tfidf_topk" -> tfidfTopkSql,
