@@ -209,11 +209,80 @@ object MultimodalOps {
       |    END AS last_frame_hex
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** REAL feature extraction over the binary column — no stub needed:
+    * the per-asset byte-value histogram folded to the fingerprint
+    * fields a media pipeline actually gates on (byte diversity and the
+    * dominant byte flag corruption, truncation, and container type —
+    * e.g. a run of 0x00 padding or an all-0xFF dead sensor dominates
+    * the mode). Distributed histogram shape: bytes EXPLODE to
+    * (doc_id, byte) rows (∝ corpus bytes, the honest cost), the count
+    * partial-aggregates map-side to ≤256 rows per doc, the mode is the
+    * native [[graft.plans.GroupTopK]] (k=1, ties to the lower byte),
+    * and diversity folds from the same counts — blobs never shuffle,
+    * only (doc_id, byte, count) triples do. The `octet_length >= 1`
+    * guard is load-bearing: Spark's `sequence(1, 0)` DESCENDS.
+    */
+  def byteHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    // byte i of the blob = 2-hex-char window [2i−1, 2i] of hex(blob) —
+    // the one byte-extraction both engines express identically (DuckDB
+    // has no substr/slice over BLOBs; character substr on the raw text
+    // would split CHARACTERS, not bytes, on multi-byte input)
+    val bytes = Tables(spark, sfDir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("hx", lower(hex(col("blob"))))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN octet_length(blob) >= 1 THEN
+          |  transform(sequence(1, octet_length(blob)),
+          |    i -> substring(hx, 2 * i - 1, 2))
+          |ELSE cast(array() AS array<string>) END""".stripMargin))
+        .as("byte"))
+    val counts = bytes.groupBy("doc_id", "byte")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the mode leg AND the fold leg
+    val mode = graft.plans.GroupTopK.topK(counts,
+      groupCols = Seq("doc_id"),
+      orderKeys = Seq(("c", true), ("byte", false)), k = 1)
+      .select(col("doc_id"), col("byte").as("mode_byte"),
+        col("c").as("mode_count"))
+    counts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_bytes"),
+        sum("c").as("n_bytes"))
+      .join(mode, "doc_id")
+      .select("doc_id", "n_bytes", "n_distinct_bytes", "mode_byte",
+        "mode_count")
+      .orderBy("doc_id")
+  }
+
+  val byteHistogramSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, substr(hx, 2 * t.i - 1, 2) AS byte
+      |  FROM h, LATERAL unnest(generate_series(1, nb)) AS t(i)),
+      |c AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2),
+      |m AS (
+      |  SELECT doc_id, byte AS mode_byte, c AS mode_count FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY c DESC, byte) AS rk
+      |    FROM c)
+      |  WHERE rk = 1),
+      |a AS (
+      |  SELECT doc_id, count(*) AS n_distinct_bytes,
+      |    CAST(sum(c) AS BIGINT) AS n_bytes
+      |  FROM c GROUP BY 1)
+      |SELECT a.doc_id, a.n_bytes, a.n_distinct_bytes, m.mode_byte,
+      |  m.mode_count
+      |FROM a JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats,
+    "mm_byte_histogram" -> byteHistogram,
     "mm_frame_index" -> frameIndex)
 
   def oracleSql: Map[String, String] = Map(
     "mm_binary_stats" -> binaryStatsSql,
+    "mm_byte_histogram" -> byteHistogramSql,
     "mm_frame_index" -> frameIndexSql)
 }
