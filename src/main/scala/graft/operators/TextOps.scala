@@ -1612,6 +1612,14 @@ object TextOps {
       .select(col("doc_id"), expr(s"size($toks)").cast("long").as("nt"))
       .withColumn("e", sum("nt").over(w))
       .withColumn("s", col("e") - col("nt"))
+      // nt > 0 guard BEFORE the explode (the byteHistogram discipline):
+      // split() always yields ≥1 token today, but if any upstream ever
+      // produced nt = 0 then s = e and `sequence(s div B, (e-1) div B)`
+      // DESCENDS — two bogus segments — while the oracle's
+      // generate_series returns empty: a silent cross-engine divergence.
+      // A zero-width doc contributes 0 to every later cumsum, so
+      // dropping it here changes no other row.
+      .filter(col("nt") > 0)
       .select(col("doc_id"), col("nt"), col("s"),
         explode(expr(s"sequence(s div $B, (e - 1) div $B)"))
           .as("pack_id"))
@@ -1643,7 +1651,8 @@ object TextOps {
        |      - greatest(0, t.p * 2048 - s0) AS seg_len,
        |    greatest(s0 - t.p * 2048, 0) AS pack_off
        |  FROM sp, LATERAL unnest(
-       |    generate_series(s0 // 2048, (e - 1) // 2048)) AS t(p))
+       |    generate_series(s0 // 2048, (e - 1) // 2048)) AS t(p)
+       |  WHERE nt > 0)
        |SELECT pack_id,
        |  CAST(row_number() OVER (PARTITION BY pack_id ORDER BY doc_id)
        |    AS BIGINT) AS seg_idx,
@@ -1684,6 +1693,73 @@ object TextOps {
        |SELECT shard, CAST((cum - nt) // 2048 AS BIGINT) AS bin,
        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens
        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  /** The SHARDED pack sample manifest — the loader-facing `.idx`
+    * artifact ([[packSegments]]) in the form that actually runs at
+    * 100 TB: documents hash into 8 shards (`doc_id % 8`, deterministic
+    * in both engines), the running token sum and the segment cuts are
+    * computed PER SHARD (the window partitions by shard — one hash
+    * exchange, 1/8th of the corpus per window state, no global sort),
+    * and pack ids are local to their shard. Each shard independently
+    * satisfies every tiling invariant of the global form (full packs =
+    * exactly 2048 tokens; a doc's segments tile [0, nt) contiguously;
+    * per-pack offsets tile [0, B) — PackSegmentsPropertySpec pins all
+    * three per shard), so a trainer consumes `8 × shard manifests`
+    * instead of one global manifest — the only difference the global
+    * parity shape had left. Same nt > 0 explode guard as the global
+    * form.
+    */
+  def packSegmentsSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 2048L
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byPack = Window.partitionBy("shard", "pack_id").orderBy("doc_id")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        expr(s"size($toks)").cast("long").as("nt"))
+      .withColumn("e", sum("nt").over(w))
+      .withColumn("s", col("e") - col("nt"))
+      .filter(col("nt") > 0)
+      .select(col("shard"), col("doc_id"), col("nt"), col("s"),
+        explode(expr(s"sequence(s div $B, (e - 1) div $B)"))
+          .as("pack_id"))
+      .select(col("shard"), col("pack_id"), col("doc_id"),
+        greatest(lit(0L), col("pack_id") * B - col("s")).as("doc_from"),
+        (least(col("nt"), (col("pack_id") + 1) * B - col("s")) -
+          greatest(lit(0L), col("pack_id") * B - col("s")))
+          .as("seg_len"),
+        greatest(col("s") - col("pack_id") * B, lit(0L)).as("pack_off"))
+      .withColumn("seg_idx", row_number().over(byPack).cast("long"))
+      .select("shard", "pack_id", "seg_idx", "doc_id", "doc_from",
+        "seg_len", "pack_off")
+      .orderBy("shard", "pack_id", "seg_idx")
+  }
+
+  val packSegmentsShardedSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    CAST(len($duckToks) AS BIGINT) AS nt,
+       |    CAST(sum(CAST(len($duckToks) AS BIGINT)) OVER (
+       |      PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS e
+       |  FROM documents),
+       |sp AS (SELECT shard, doc_id, nt, e - nt AS s0, e FROM c),
+       |seg AS (
+       |  SELECT shard, CAST(t.p AS BIGINT) AS pack_id, doc_id,
+       |    greatest(0, t.p * 2048 - s0) AS doc_from,
+       |    least(nt, (t.p + 1) * 2048 - s0)
+       |      - greatest(0, t.p * 2048 - s0) AS seg_len,
+       |    greatest(s0 - t.p * 2048, 0) AS pack_off
+       |  FROM sp, LATERAL unnest(
+       |    generate_series(s0 // 2048, (e - 1) // 2048)) AS t(p)
+       |  WHERE nt > 0)
+       |SELECT shard, pack_id,
+       |  CAST(row_number() OVER (PARTITION BY shard, pack_id
+       |    ORDER BY doc_id) AS BIGINT) AS seg_idx,
+       |  doc_id, doc_from, seg_len, pack_off
+       |FROM seg ORDER BY shard, pack_id, seg_idx""".stripMargin
 
   // -------------------------------------------------------------------- //
   // Decontamination: flag corpus documents sharing any 4-gram with the   //
@@ -3369,6 +3445,7 @@ object TextOps {
     "docs_token_packing" -> tokenPacking,
     "docs_pack_segments" -> packSegments,
     "docs_token_packing_sharded" -> tokenPackingSharded,
+    "docs_pack_segments_sharded" -> packSegmentsSharded,
     "docs_ngram_topk" -> ngramTopk,
     "docs_tfidf_topk" -> tfidfTopk,
     "docs_stratified_sample" -> stratifiedSample,
@@ -3432,6 +3509,7 @@ object TextOps {
     "docs_token_packing" -> tokenPackingSql,
     "docs_pack_segments" -> packSegmentsSql,
     "docs_token_packing_sharded" -> tokenPackingShardedSql,
+    "docs_pack_segments_sharded" -> packSegmentsShardedSql,
     "docs_ngram_topk" -> ngramTopkSql,
     "docs_tfidf_topk" -> tfidfTopkSql,
     "docs_stratified_sample" -> stratifiedSampleSql,

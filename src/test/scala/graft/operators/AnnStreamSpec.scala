@@ -20,11 +20,17 @@ class AnnStreamSpec extends SparkSpecBase {
 
     val root = StreamOps.annStreamStoreDir(sf)
       .getOrElse(fail("no cached stream store"))
-    // the streaming checkpoint committed one offset per staged file:
-    // 4 micro-batches fed the store, each its own update
+    // the streaming checkpoint committed one offset per staged file —
+    // derive the expectation from what was actually staged rather than
+    // hard-wiring the partition count (an empty hash partition or a
+    // writer change would shift the file count with no regression),
+    // and require ≥ 2 so this still proves MULTIPLE micro-batches
+    val staged = new java.io.File(s"$root/in")
+      .listFiles.count(_.getName.endsWith(".parquet"))
     val commits = new java.io.File(s"$root/ckpt/commits")
       .listFiles.count(f => f.getName.forall(_.isDigit))
-    assert(commits == 4, s"expected 4 committed micro-batches, $commits")
+    assert(commits == staged && commits >= 2,
+      s"expected one commit per staged file ($staged) and ≥ 2, got $commits")
 
     // every corpus vector landed exactly once across the batches
     val emb = graft.Tables(spark, sf, "embeddings")

@@ -64,4 +64,45 @@ class PackSegmentsPropertySpec extends SparkSpecBase {
       .sortBy(t => (t._1, t._5))
     assert(got == want)
   }
+
+  test("sharded segments == per-shard sequential-cut reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val dir = java.nio.file.Files.createTempDirectory("packprops").toString
+    val lens = Seq.tabulate(40) { i =>
+      i % 5 match {
+        case 0 => 1L
+        case 1 => B
+        case 2 => B - 1
+        case 3 => B + 1
+        case _ => 1L + rnd.nextInt(3 * B.toInt).toLong
+      }
+    }
+    lens.zipWithIndex
+      .map { case (n, i) =>
+        (i.toLong, Seq.fill(n.toInt)("w").mkString(" "),
+          "en", "src0", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // (shard, pack_id, doc_id, doc_from, seg_len, pack_off)
+    val got = TextOps.packSegmentsSharded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .groupBy(_._1)
+      .map { case (sh, rows) =>
+        sh -> rows.map(t => (t._2, t._3, t._4, t._5, t._6))
+          .sortBy(t => (t._1, t._5)).toSeq
+      }
+    // each shard independently IS the global algorithm over its docs
+    val want = (0L until 8L).map { sh =>
+      sh -> reference(lens.zipWithIndex.collect {
+        case (n, i) if i.toLong % 8 == sh => (i.toLong, n)
+      }).sortBy(t => (t._1, t._5))
+    }.toMap.filter(_._2.nonEmpty)
+    assert(got == want)
+    // and the shards jointly cover every token exactly once
+    val totalTokens = got.values.flatten.map(_._4).sum
+    assert(totalTokens == lens.sum)
+  }
 }
