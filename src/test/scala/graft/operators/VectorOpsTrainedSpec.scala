@@ -29,4 +29,24 @@ class VectorOpsTrainedSpec extends SparkSpecBase {
     assert(hitsTrained >= hitsSeeded,
       s"training lost ADC accuracy: $hitsTrained vs $hitsSeeded")
   }
+
+  test("cold-path training: codebooks move off their seeds and keep " +
+    "shape (exercised directly, bypassing the memoized store)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val seeds = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), expr(
+        "transform(embedding, x -> cast(x AS double))").as("ce"))
+    val trained = VectorOps.pqTrainCodebooks(emb, seeds).collect()
+    assert(trained.length == 8)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    trained.foreach(r =>
+      assert(r.getSeq[Double](r.fieldIndex("ce")).length == dim))
+    // Lloyd moved at least one codebook away from its seed
+    val seedMap = seeds.collect()
+      .map(r => r.getAs[Long]("c_id") -> r.getSeq[Double](r.fieldIndex("ce")).toList).toMap
+    assert(trained.exists(r =>
+      seedMap(r.getAs[Long]("c_id")).toList != r.getSeq[Double](r.fieldIndex("ce")).toList))
+  }
 }
