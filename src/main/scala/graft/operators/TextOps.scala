@@ -2306,6 +2306,84 @@ object TextOps {
        |ORDER BY doc_id, region_start""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // MAXIMAL exact shared substrings per document PAIR (the Lee et al.    //
+  // 2021 arXiv:2107.06499 dedup unit proper — "remove maximal exact      //
+  // substrings ≥ L tokens", which [[dupSpans]]/[[dupRegions]]            //
+  // approximate at window granularity): anchor k-grams + island          //
+  // extension instead of a suffix array. A shared substring of n ≥ 8    //
+  // tokens between two docs is EXACTLY a maximal run of n−7 aligned     //
+  // consecutive shared 8-grams on one (doc_a, doc_b) DIAGONAL           //
+  // (start_a − start_b constant), so gaps-and-islands over the anchor   //
+  // pair frame keyed by (pair, diagonal) reconstructs every maximal     //
+  // substring and its exact length — no suffix array needed.            //
+  //                                                                      //
+  // Scale shape: the anchor join costs Σ_g occ(g)² — ∝ duplicated       //
+  // volume squared PER GRAM, never corpus all-pairs — and the anchor    //
+  // frequency cap (occurrences ≤ 128, part of the operator's semantics  //
+  // and mirrored in the oracle) bounds any heavy-hitter gram's fanout;  //
+  // ubiquitous-boilerplate grams beyond the cap are the regime the      //
+  // winnowing-coverage and containment operators already serve.         //
+  // -------------------------------------------------------------------- //
+
+  private val substrMinLen = 16
+  private val anchorOccCap = 128
+
+  def exactSubstrings(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(expr(spans)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("start"),
+        sha2(col("gram"), 256).as("gh"))
+    // anchors: grams shared by ≥2 docs, bounded total frequency
+    val dup = occ.groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("no"))
+      .filter(col("nd") >= 2 && col("no") <= anchorOccCap)
+      .select("gh")
+    val a = occ.join(dup, Seq("gh"))
+    val pairs = a.select(col("gh"), col("doc_id").as("doc_a"),
+        col("start").as("sa"))
+      .join(a.select(col("gh"), col("doc_id").as("doc_b"),
+        col("start").as("sb")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb")
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("sa")
+    pairs.withColumn("diag", col("sa") - col("sb"))
+      .withColumn("grp", col("sa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("sa").as("a_start"), min("sb").as("b_start"),
+        (count(lit(1)) + lit(spanToks - 1L)).as("len"))
+      .filter(col("len") >= substrMinLen)
+      .select("doc_a", "doc_b", "a_start", "b_start", "len")
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
+  val exactSubstringsSql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+       |    sha256(array_to_string($duckToks[u.i:u.i+${spanToks - 1}], ' '))
+       |      AS gh
+       |  FROM documents, LATERAL unnest(
+       |    generate_series(1, len($duckToks) - ${spanToks - 1})) AS u(i)),
+       |dup AS (
+       |  SELECT gh FROM occ GROUP BY gh
+       |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $anchorOccCap),
+       |a AS (SELECT o.doc_id, o.start, o.gh FROM occ o JOIN dup USING (gh)),
+       |p AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.start AS sa, y.start AS sb
+       |  FROM a x JOIN a y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, sa - sb AS diag, sa, sb,
+       |    sa - row_number() OVER (PARTITION BY doc_a, doc_b, sa - sb
+       |      ORDER BY sa) AS grp
+       |  FROM p)
+       |SELECT doc_a, doc_b, min(sa) AS a_start, min(sb) AS b_start,
+       |  CAST(count(*) + ${spanToks - 1} AS BIGINT) AS len
+       |FROM isl GROUP BY doc_a, doc_b, diag, grp
+       |HAVING count(*) + ${spanToks - 1} >= $substrMinLen
+       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // N-gram LM familiarity (the CCNet-style LM quality filter,            //
   // arXiv:1911.00359, reshaped for cross-engine determinism): train      //
   // char-trigram counts on the lang='en' slice, then score every doc by  //
@@ -3454,6 +3532,7 @@ object TextOps {
     "docs_dup_spans" -> dupSpans,
     "docs_span_scrub" -> spanScrub,
     "docs_dup_regions" -> dupRegions,
+    "docs_exact_substrings" -> exactSubstrings,
     "docs_quality_dup_calibration" -> qualityDupCalibration,
     "docs_lm_familiarity" -> lmFamiliarity,
     "docs_ppl_buckets" -> pplBuckets,
@@ -3518,6 +3597,7 @@ object TextOps {
     "docs_dup_spans" -> dupSpansSql,
     "docs_span_scrub" -> spanScrubSql,
     "docs_dup_regions" -> dupRegionsSql,
+    "docs_exact_substrings" -> exactSubstringsSql,
     "docs_quality_dup_calibration" -> qualityDupCalibrationSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
     "docs_ppl_buckets" -> pplBucketsSql,
