@@ -2117,6 +2117,68 @@ object TextOps {
       |ORDER BY r.lang""".stripMargin
 
   // -------------------------------------------------------------------- //
+  // Epoch / repetition budget planner (the Muennighoff et al. 2023       //
+  // "Scaling Data-Constrained Language Models", arXiv:2305.16264, mix    //
+  // table): given a total token budget (3× the corpus here — the        //
+  // data-constrained regime where repetition is forced) and α=0.5        //
+  // temperature weights over sources, emit per source how many tokens    //
+  // it is asked to contribute, how many EPOCHS of its unique data that   //
+  // implies, and the repetition excess past one epoch — the artifact a  //
+  // pretraining run plans its sampler from. sqrt (IEEE-exact) keeps the  //
+  // weights engine-identical (the temperatureMix discipline), epochs     //
+  // divide two integers, and no exp()-decay effective-token column is    //
+  // emitted because libm parity across engines is not guaranteed.        //
+  // Scale shape: ONE grouped token sum (map-side combinable) to          //
+  // |sources| rows, a 1-row total broadcast back — nothing else.         //
+  // -------------------------------------------------------------------- //
+
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "documents")
+      .select(col("source"), expr(s"size($toks)").cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("avail_tokens"))
+    val tot = c.agg(
+      sum(sqrt(col("avail_tokens").cast("double"))).as("sw"),
+      sum("avail_tokens").as("n"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(sqrt(col("avail_tokens").cast("double")) / col("sw"), 6))
+      .withColumn("target_tokens",
+        floor(lit(3.0) * col("n").cast("double") *
+          sqrt(col("avail_tokens").cast("double")) / col("sw"))
+          .cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") /
+          col("avail_tokens").cast("double"), 4))
+      .withColumn("repeat_excess",
+        round(greatest(lit(0.0), col("epochs") - lit(1.0)), 4))
+      .select("source", "avail_tokens", "share", "target_tokens",
+        "epochs", "repeat_excess")
+      .orderBy("source")
+  }
+
+  val epochPlanSql: String =
+    s"""WITH c AS (
+       |  SELECT source, CAST(sum(len($duckToks)) AS BIGINT)
+       |    AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |t AS (
+       |  SELECT sum(sqrt(CAST(avail_tokens AS DOUBLE))) AS sw,
+       |    CAST(sum(avail_tokens) AS BIGINT) AS n
+       |  FROM c),
+       |p AS (
+       |  SELECT source, avail_tokens,
+       |    round(sqrt(CAST(avail_tokens AS DOUBLE)) / sw, 6) AS share,
+       |    CAST(floor(3.0 * n * sqrt(CAST(avail_tokens AS DOUBLE)) / sw)
+       |      AS BIGINT) AS target_tokens
+       |  FROM c, t)
+       |SELECT source, avail_tokens, share, target_tokens,
+       |  round(CAST(target_tokens AS DOUBLE) / avail_tokens, 4) AS epochs,
+       |  round(greatest(0.0,
+       |    round(CAST(target_tokens AS DOUBLE) / avail_tokens, 4) - 1.0),
+       |    4) AS repeat_excess
+       |FROM p ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------- //
   // Cross-document duplicated spans (Lee et al. 2022, "Deduplicating     //
   // Training Data Makes Language Models Better", arXiv:2107.06499 —      //
   // window-granular approximation of the suffix-array pass): every       //
@@ -3529,6 +3591,7 @@ object TextOps {
     "docs_stratified_sample" -> stratifiedSample,
     "docs_source_mixing" -> sourceMixing,
     "docs_temperature_mix" -> temperatureMix,
+    "docs_epoch_plan" -> epochPlan,
     "docs_dup_spans" -> dupSpans,
     "docs_span_scrub" -> spanScrub,
     "docs_dup_regions" -> dupRegions,
@@ -3594,6 +3657,7 @@ object TextOps {
     "docs_stratified_sample" -> stratifiedSampleSql,
     "docs_source_mixing" -> sourceMixingSql,
     "docs_temperature_mix" -> temperatureMixSql,
+    "docs_epoch_plan" -> epochPlanSql,
     "docs_dup_spans" -> dupSpansSql,
     "docs_span_scrub" -> spanScrubSql,
     "docs_dup_regions" -> dupRegionsSql,
