@@ -217,19 +217,21 @@ object AnnIndex {
     * two-stage pipeline safe).
     */
   def searchHamming(spark: SparkSession, dir: String, query: Seq[Float],
-      k: Int = 10, nprobe: Int = 2): DataFrame = {
+      k: Int = 10, nprobe: Int = 2,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
     require(query.length <= 64,
       s"searchHamming: query dim ${query.length} exceeds the 64 dims " +
         "the sign sketch covers — the Hamming tier would be blind to " +
         "the tail components")
-    val probed = probedCells(spark, dir, query, nprobe)
+    val (probed, nCells) = probedCells(spark, dir, query, nprobe)
     val (qLo, qHi) = (signWordOf(query, 1), signWordOf(query, 33))
-    spark.read.parquet(s"$dir/postings")
+    val scan = spark.read.parquet(s"$dir/postings")
       .filter(col("c_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("label"),
         (expr(s"bit_count(b_lo ^ ${qLo}L)") +
           expr(s"bit_count(b_hi ^ ${qHi}L)")).as("hamming"))
+    observed(scan, obs, probed.length, nCells)
       .orderBy(col("hamming"), col("vec_id"))
       .limit(k)
   }
@@ -243,20 +245,42 @@ object AnnIndex {
     * defeat it).
     */
   private def probedCells(spark: SparkSession, dir: String,
-      query: Seq[Float], nprobe: Int): Array[Int] =
-    spark.read.parquet(s"$dir/centroids")
+      query: Seq[Float], nprobe: Int): (Array[Int], Long) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probed = cents
       .withColumn("qe", typedLit(query))
       .withColumn("d2", round(dist2("ce", "qe"), 4))
       .orderBy(col("d2"), col("c_id"))
       .limit(nprobe)
       .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+    (probed, cents.count())
+  }
+
+  /** Attach the serving-observability metrics to a pruned postings
+    * scan — the numbers a production vector tier alarms on: how many
+    * postings rows the probe actually read (`postings_rows_read`,
+    * counted at the scan BEFORE the top-k cut) and how much of the
+    * store it touched (`cells_probed` of `cells_total`). A
+    * `CollectMetrics` node costs one count + two literal maxes per
+    * batch, references no extra columns (column pruning and partition
+    * pruning are unaffected — AnnServeMetricsSpec pins both), and the
+    * caller reads the values from the passed [[Observation]] after the
+    * action completes.
+    */
+  private def observed(df: org.apache.spark.sql.DataFrame,
+      obs: Option[org.apache.spark.sql.Observation],
+      probed: Int, total: Long): org.apache.spark.sql.DataFrame =
+    obs.fold(df)(o => df.observe(o,
+      count(lit(1)).as("postings_rows_read"),
+      max(lit(probed)).as("cells_probed"),
+      max(lit(total)).as("cells_total")))
 
   /** Top-k cosine neighbors of `query` from the nprobe nearest cells. */
   def search(spark: SparkSession, dir: String, query: Seq[Float],
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     vecFns(spark)
     val q = typedLit(query)
-    val probed = probedCells(spark, dir, query, nprobe)
+    val (probed, _) = probedCells(spark, dir, query, nprobe)
     spark.read.parquet(s"$dir/postings")
       .filter(col("c_id").isin(probed.toIndexedSeq: _*))
       .withColumn("qe", q)
@@ -278,14 +302,15 @@ object AnnIndex {
     * the re-ranking tier above it.
     */
   def searchAdc(spark: SparkSession, dir: String, query: Seq[Float],
-      k: Int = 10, nprobe: Int = 2): DataFrame = {
+      k: Int = 10, nprobe: Int = 2,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
     val q = typedLit(query)
     val cents = spark.read.parquet(s"$dir/centroids")
     val sub = subLenOf(cents)
     require(query.length == sub * PqM,
       s"query dim ${query.length} != store dim ${sub * PqM}")
-    val probed = probedCells(spark, dir, query, nprobe)
+    val (probed, nCells) = probedCells(spark, dir, query, nprobe)
     // M×K lookup table: query slice → every centroid slice, broadcast
     val lut = (0 until PqM).map { m =>
       val off = m * sub + 1
@@ -294,10 +319,12 @@ object AnnIndex {
           round(expr(s"vec_dist2(slice(qe, $off, $sub), " +
             s"slice(ce, $off, $sub))"), 4).as(s"qd$m"))
     }
-    val base = spark.read.parquet(s"$dir/postings")
-      .filter(col("c_id").isin(probed.toIndexedSeq: _*))
-      .select(col("vec_id"), col("label"),
-        col("pq0"), col("pq1"), col("pq2"), col("pq3"))
+    val base = observed(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("c_id").isin(probed.toIndexedSeq: _*))
+        .select(col("vec_id"), col("label"),
+          col("pq0"), col("pq1"), col("pq2"), col("pq3")),
+      obs, probed.length, nCells)
     (0 until PqM).foldLeft(base)((df, m) =>
       df.join(broadcast(lut(m)), Seq(s"pq$m")))
       .select(col("vec_id"), col("label"),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Serving observability on the store-backed ANN tiers: the metrics a
+  * production vector service alarms on — postings rows actually read,
+  * cells probed vs cells in the store — must match what the pruned
+  * plan promises: exactly the nprobe nearest cells' postings, never
+  * the whole store.
+  */
+class AnnServeMetricsSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hamming + ADC serving report pruned-scan metrics that match " +
+    "an independent count of the probed cells' postings") {
+    val dir = Files.createTempDirectory("annobs").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+
+    // independent expectation: the 2 nearest cells by the store's own
+    // assignment rule, and the postings row count inside them
+    graft.functions.GraftFunctions.register(spark)
+    val cells = spark.read.parquet(s"$dir/centroids")
+      .withColumn("qe", typedLit(q))
+      .withColumn("d2", round(
+        expr("vec_dot(ce, ce) - 2 * vec_dot(ce, qe) + vec_dot(qe, qe)"),
+        4))
+      .orderBy(col("d2"), col("c_id"))
+      .limit(2)
+      .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$dir/postings")
+    val expRows = postings
+      .filter(col("c_id").isin(cells.toIndexedSeq: _*)).count()
+    val allRows = postings.count()
+    assert(expRows > 0 && expRows < allRows,
+      s"probe not selective: $expRows of $allRows")
+
+    val hObs = Observation("hamming_serve")
+    AnnIndex.searchHamming(spark, dir, q, k = 5, nprobe = 2,
+      obs = Some(hObs)).collect()
+    val hm = hObs.get
+    assert(hm("postings_rows_read") == expRows, s"hamming: $hm")
+    assert(hm("cells_probed") == 2, s"hamming: $hm")
+    assert(hm("cells_total") == 8L, s"hamming: $hm")
+
+    val aObs = Observation("adc_serve")
+    AnnIndex.searchAdc(spark, dir, q, k = 5, nprobe = 2,
+      obs = Some(aObs)).collect()
+    val am = aObs.get
+    assert(am("postings_rows_read") == expRows, s"adc: $am")
+    assert(am("cells_probed") == 2, s"adc: $am")
+    assert(am("cells_total") == 8L, s"adc: $am")
+  }
+}
