@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale spot-probe (VERDICT r8 "Next round" #6): the driver ships
+  * sf0.1 as its largest corpus, so every per-round bench number is a
+  * ~60k-file / 5k-doc measurement — this probe pins how the five
+  * heaviest operators actually SCALE by synthesizing k× replicas of
+  * sf0.1 (k ∈ 1, 4, 10 by default) and fitting each query's exponent
+  * `ln(t_k/t_1)/ln(k)`. Anything meaningfully superlinear is a 100 TB
+  * risk no single-scale second can show.
+  *
+  * Replication preserves the workload's SHAPE, not just its row count:
+  * - `lineitem`/`orders` copies shift their order keys past the
+  *   original max, so the synthetic fs gains k× files in k× distinct
+  *   order directories under the same nation/customer fanout (the
+  *   modulo-carved hidden/recent/tmp classes keep their density).
+  * - `documents` copies shift doc_id AND tag every token with the copy
+  *   ordinal: each replica reproduces sf0.1's internal duplicate
+  *   families but shares no shingles across replicas — family COUNT
+  *   grows k×, family SIZE stays constant, which is how a genuinely
+  *   larger corpus behaves. Naive replication would instead merge
+  *   every family across copies and the banded join's per-family
+  *   quadratic term would masquerade as engine superlinearity.
+  * - `customer`/`nation` are symlinked verbatim (broadcast dims).
+  * All copies (including k=1) are written `repartition(32)` so input
+  * parallelism is identical across scales — the raw-vs-resharded
+  * file-shape effect (PERF.md) never pollutes the curve.
+  *
+  * usage: `graft.ScaleProbe [factors...]` (defaults 1 4 10)
+  */
+object ScaleProbe {
+
+  val headline: Seq[String] = Seq(
+    "fs_es_docs", "fs_merge_upsert", "fs_dir_rollup_explode",
+    "docs_minhash_neardup", "docs_neardup_clusters")
+
+  /** Write the k× replica of `src` into a temp dir and return it. */
+  private[graft] def scaled(spark: SparkSession, src: String,
+      k: Int): String = {
+    val dst = Files.createTempDirectory(s"scaleprobe$k")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try Bench.rm(dst) catch { case _: Throwable => () }))
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val shift = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val docShift = docs.agg(max("doc_id")).head().getLong(0) + 1
+
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame)
+        : DataFrame =
+      (0 until k).map(i => f(df, i)).reduce(_.unionAll(_))
+
+    copies(li, (d, i) => d.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * shift)))
+      .repartition(32)
+      .write.parquet(s"$dst/lineitem.parquet")
+    copies(ord, (d, i) => d.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * shift)))
+      .repartition(32)
+      .write.parquet(s"$dst/orders.parquet")
+    copies(docs, (d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * docShift))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            t => concat(lit(s"c${i}_"), t)), " "))
+        .withColumn("n_chars", length(col("text"))))
+      .repartition(32)
+      .write.parquet(s"$dst/documents.parquet")
+    for (t <- Seq("customer", "nation"))
+      Files.createSymbolicLink(dst.resolve(s"$t.parquet"),
+        Paths.get(s"$src/$t.parquet").toAbsolutePath)
+    dst.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 10)
+    require(factors.headOption.contains(1),
+      "first factor must be 1 (the exponent fit's baseline)")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = Bench.buildSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val qs = SparkEntry.queries
+
+    // rows: factor -> (query -> sec)
+    val times = factors.map { k =>
+      val dir = scaled(spark, src, k)
+      val row = headline.map { name =>
+        val (sec, _, _, _) =
+          Bench.timedMinOf2(() => Bench.checksum(qs(name)(spark, dir)))
+        System.err.println(f"[scaleprobe] k=$k $name ${sec}%.3f s")
+        name -> sec
+      }.toMap
+      Bench.rm(Paths.get(dir))
+      k -> row
+    }.toMap
+
+    val base = times(factors.head)
+    val cells = headline.map { name =>
+      val per = factors.map(k =>
+        s""""$k":${"%.3f".format(times(k)(name))}""").mkString(",")
+      // exponent from the largest factor vs baseline
+      val kMax = factors.last
+      val e = math.log(times(kMax)(name) / base(name)) / math.log(kMax)
+      s""""$name":{$per,"exp":${"%.2f".format(e)}}"""
+    }
+    println(s"""{"probe":"scale","factors":[${factors.mkString(",")}],"queries":${cells.mkString("{", ",", "}")},"src":"$src","cpus":${Runtime.getRuntime.availableProcessors}}""")
+    spark.stop()
+  }
+}
