@@ -118,7 +118,8 @@ object TermIndex {
     * Output: (q_id, doc_id, score, rank), rank 1-based per query.
     */
   def searchAll(spark: SparkSession, queries: DataFrame,
-      dir: String, k: Int = 20): DataFrame = {
+      dir: String, k: Int = 20,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // the union of queried terms is small (it's a query workload, not
     // the corpus) — collecting it makes the bucket filter literal,
     // which is what prunes store partitions (AnnIndex collects its
@@ -131,8 +132,18 @@ object TermIndex {
     // max-collapse duplicate postings from a torn update (same tf),
     // as search()'s pivot and phraseSearch's distinct do — without it
     // a duplicated posting would double a doc's contribution sum
-    val pruned = spark.read.parquet(s"$dir/postings")
+    val scan0 = spark.read.parquet(s"$dir/postings")
       .filter(col("t_b").isin(buckets: _*) && col("term").isin(terms: _*))
+    // serving observability (the AnnIndex.observed symmetry): postings
+    // rows the probe actually read, buckets probed vs the store's
+    // bucket space — what a text-retrieval tier alarms on when a query
+    // silently stops pruning. CollectMetrics references no extra
+    // columns, so bucket partition pruning is unchanged.
+    val scan = obs.fold(scan0)(o => scan0.observe(o,
+      count(lit(1)).as("postings_rows_read"),
+      max(lit(buckets.length)).as("buckets_probed"),
+      max(lit(NBuckets)).as("buckets_total")))
+    val pruned = scan
       .groupBy("term", "doc_id").agg(max(col("tf")).as("tf"))
     val doclen = spark.read.parquet(s"$dir/doclen")
     val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),

@@ -130,4 +130,26 @@ class TermIndexSpec extends SparkSpecBase {
     val all = TermIndex.search(spark, dir, Seq("spark"), k = Int.MaxValue)
     assert(all.count() == expect)
   }
+
+  test("serving metrics report the pruned postings scan (the AnnIndex " +
+    "observability symmetry)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("termidx4").toString
+    TermIndex.update(spark, dir, docs)
+    val terms = Seq("spark", "data")
+    val obs = new org.apache.spark.sql.Observation("bm25_serve")
+    TermIndex.searchAll(spark,
+      Seq((0L, terms)).toDF("q_id", "terms"), dir, k = 5,
+      obs = Some(obs)).collect()
+    val m = obs.get
+    // independent expectation: postings rows for exactly these terms
+    val expRows = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*)).count()
+    val allRows = spark.read.parquet(s"$dir/postings").count()
+    assert(expRows > 0 && expRows < allRows)
+    assert(m("postings_rows_read") == expRows, s"$m")
+    assert(m("buckets_probed") ==
+      terms.map(TermIndex.bucketOf).distinct.length, s"$m")
+    assert(m("buckets_total") == TermIndex.NBuckets, s"$m")
+  }
 }
