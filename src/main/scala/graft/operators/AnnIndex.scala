@@ -370,4 +370,90 @@ object AnnIndex {
       k = k)
       .select("q_id", "vec_id", "label", "cos_sim", "rk")
   }
+
+  /** The shared batch cell-selection step: each query's nprobe nearest
+    * cells via a bounded per-query rank over the broadcast centroid
+    * cross (K×Q tiny) — the batch twin of [[probedCells]]' driver-side
+    * collect, same assignment rule (rounded d2, ties to the lower
+    * c_id), so batch and single-query serving probe identical cells.
+    */
+  private def probedAll(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    graft.plans.GroupTopK.topK(
+      queries.crossJoin(broadcast(cents))
+        .withColumn("d2", round(dist2("qe", "ce"), 4))
+        .select(col("q_id"), col("c_id"), col("d2")),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("d2", false), ("c_id", false)),
+      k = nprobe)
+      .select("q_id", "c_id")
+
+  /** BATCH IVF-PQ serving: ADC top-k for a whole query frame
+    * (q_id, qe) in one plan — [[searchAll]]'s compressed twin and the
+    * offline-inference shape at [[searchAdc]]'s storage cost: per-query
+    * nprobe cells via [[probedAll]], ONE equi-join of the probed
+    * (q_id, c_id) pairs against the postings' code columns (the raw
+    * `embedding` column is never read), the M per-(query, centroid)
+    * ADC LUTs broadcast (Q×K rows each), and the per-query top-k on
+    * the native GroupTopK operator — the exchange carries ≤
+    * partitions × queries × k rows, never every scored candidate.
+    * Per-query results are bit-identical to [[searchAdc]]
+    * (AnnIndexSpec pins it).
+    */
+  def searchAllAdc(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    vecFns(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val sub = subLenOf(cents)
+    val lut = (0 until PqM).map { m =>
+      val off = m * sub + 1
+      queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("c_id").as(s"pq$m"),
+          round(expr(s"vec_dist2(slice(qe, $off, $sub), " +
+            s"slice(ce, $off, $sub))"), 4).as(s"qd$m"))
+    }
+    val base = spark.read.parquet(s"$dir/postings")
+      .join(probedAll(queries, cents, nprobe), Seq("c_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        col("pq0"), col("pq1"), col("pq2"), col("pq3"))
+    val scored = (0 until PqM).foldLeft(base)((df, m) =>
+      df.join(broadcast(lut(m)), Seq("q_id", s"pq$m")))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(col("qd0") + col("qd1") + col("qd2") + col("qd3"), 4)
+          .as("adc_d2"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("adc_d2", false), ("vec_id", false)),
+      k = k)
+      .select("q_id", "vec_id", "label", "adc_d2", "rk")
+  }
+
+  /** BATCH Hamming serving — the cheapest batch tier: each query's
+    * sign words are computed IN-PLAN from `qe` and broadcast beside
+    * its probed cells; per-row work against the stored 8-byte sketches
+    * is two XOR+POPCNT (embeddings AND PQ codes never read); per-query
+    * top-k on GroupTopK. Bit-identical per query to [[searchHamming]]
+    * (AnnIndexSpec pins it). Queries beyond 64 dims would be sketch-
+    * blind exactly as the single-query tier's require states.
+    */
+  def searchAllHamming(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    vecFns(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val qWords = queries.select(col("q_id"), col("qe").as("embedding"))
+      .withColumn("q_lo", VectorOps.signWord(1))
+      .withColumn("q_hi", VectorOps.signWord(33))
+      .select("q_id", "q_lo", "q_hi")
+    val scored = spark.read.parquet(s"$dir/postings")
+      .join(probedAll(queries, cents, nprobe), Seq("c_id"))
+      .join(broadcast(qWords), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        (expr("bit_count(b_lo ^ q_lo)") +
+          expr("bit_count(b_hi ^ q_hi)")).as("hamming"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("hamming", false), ("vec_id", false)),
+      k = k)
+      .select("q_id", "vec_id", "label", "hamming", "rk")
+  }
 }

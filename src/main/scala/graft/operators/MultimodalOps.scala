@@ -276,13 +276,96 @@ object MultimodalOps {
       |  m.mode_count
       |FROM a JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** NEAR-DUPLICATE media assets by shared sampled-frame fingerprints —
+    * the video-dedup shape (two encodings of the same clip share most
+    * sampled-frame hashes even when container bytes differ): each
+    * asset's stride-32 8-byte frames (the [[frameSample]] grid, taken
+    * over the HEX encoding so both engines slice identical BYTES —
+    * the byteHistogram discipline) dedupe per asset, frames seen in
+    * 2–64 assets anchor a pair join, and pairs sharing ≥ 2 frames
+    * report the containment-style overlap `shared / min(|a|, |b|)`.
+    *
+    * Scale shape: the frame explode is ∝ corpus bytes / 32 (map-side,
+    * distinct per asset before the explode); the pair join meets ONLY
+    * through anchor frames and the 64-asset frequency cap bounds any
+    * ubiquitous-frame fanout (the exactSubstrings discipline — a
+    * black-padding frame shared by every video must not induce
+    * all-pairs); output ∝ genuinely-overlapping pairs. Nothing
+    * all-pairs, blobs never shuffle — only (doc, 16-hex-char) rows do.
+    */
+  def frameNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fr = Tables(spark, sfDir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("hx", lower(hex(col("blob"))))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN octet_length(blob) >= 32 THEN
+          |  array_distinct(transform(
+          |    sequence(1, int(octet_length(blob) / 32)),
+          |    i -> substring(hx, (i - 1) * 64 + 1, 16)))
+          |ELSE cast(array() AS array<string>) END""".stripMargin))
+        .as("frame"))
+    val nf = fr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val anchors = fr.groupBy("frame")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 64)
+      .select("frame")
+    val af = fr.join(anchors, Seq("frame"))
+    val pairs = af.select(col("frame"), col("doc_id").as("doc_a"))
+      .join(af.select(col("frame"), col("doc_id").as("doc_b")),
+        Seq("frame"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= 2)
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_frames"),
+        col("n_a"), col("n_b"),
+        round(col("shared_frames").cast("double") /
+          least(col("n_a"), col("n_b")), 4).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val frameNeardupSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |f AS (
+      |  SELECT DISTINCT doc_id,
+      |    substr(hx, (t.i - 1) * 64 + 1, 16) AS frame
+      |  FROM h, LATERAL unnest(generate_series(1, nb // 32)) AS t(i)
+      |  WHERE nb >= 32),
+      |nf AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+      |a AS (
+      |  SELECT frame FROM f GROUP BY frame
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+      |p AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    count(*) AS shared_frames
+      |  FROM f x JOIN a ON x.frame = a.frame
+      |    JOIN f y ON x.frame = y.frame AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT doc_a, doc_b, shared_frames, na.n AS n_a, nb2.n AS n_b,
+      |  round(CAST(shared_frames AS DOUBLE) / least(na.n, nb2.n), 4)
+      |    AS overlap
+      |FROM p
+      |JOIN nf na ON na.doc_id = doc_a
+      |JOIN nf nb2 ON nb2.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats,
     "mm_byte_histogram" -> byteHistogram,
-    "mm_frame_index" -> frameIndex)
+    "mm_frame_index" -> frameIndex,
+    "mm_frame_neardup" -> frameNeardup)
 
   def oracleSql: Map[String, String] = Map(
     "mm_binary_stats" -> binaryStatsSql,
     "mm_byte_histogram" -> byteHistogramSql,
-    "mm_frame_index" -> frameIndexSql)
+    "mm_frame_index" -> frameIndexSql,
+    "mm_frame_neardup" -> frameNeardupSql)
 }

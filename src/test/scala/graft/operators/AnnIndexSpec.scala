@@ -232,4 +232,39 @@ class AnnIndexSpec extends SparkSpecBase {
       assert(batch(qid) == single, s"q=$qid")
     }
   }
+
+  test("batch compressed serving (ADC + Hamming) matches per-query " +
+    "search bit-for-bit, including under nprobe pruning") {
+    val dir = Files.createTempDirectory("annidx4").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") =!= 0))
+    val qids = Seq(0L, 100L, 200L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+
+    // (q_id -> ordered (vec_id, score)) per tier
+    val batchAdc = AnnIndex
+      .searchAllAdc(spark, dir, queries, k = 5, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq).toMap
+    val batchHam = AnnIndex
+      .searchAllHamming(spark, dir, queries, k = 5, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getAs[Number](3).longValue)).toSeq)
+      .toMap
+    qids.foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val singleAdc = AnnIndex.searchAdc(spark, dir, q, k = 5,
+        nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val singleHam = AnnIndex.searchHamming(spark, dir, q, k = 5,
+        nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](2).longValue)).toSeq
+      assert(batchAdc(qid) == singleAdc, s"adc q=$qid")
+      assert(batchHam(qid) == singleHam, s"hamming q=$qid")
+    }
+  }
 }
