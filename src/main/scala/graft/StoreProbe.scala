@@ -87,6 +87,40 @@ object StoreProbe {
             () => operators.AnnIndex
               .searchAdc(spark, dir, q, k = 10, nprobe = 2).count()
         (b, serve)
+      case "batchserve" =>
+        // batch-vs-single serving amortization at the COMPRESSED tiers:
+        // Q single-query plans each pay centroid probe + pruned scan +
+        // top-k; one searchAllAdc/searchAllHamming plan answers all Q —
+        // the offline-inference shape the batch tiers exist for.
+        // Per-query ms for both arms go to stderr for PERF.md.
+        val emb = Tables(spark, sfDir, "embeddings")
+        val (b, _) = time(operators.AnnIndex.build(spark, dir, emb))
+        val queries = emb.filter(col("vec_id").between(0, 15))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .localCheckpoint(true)
+        val qvecs = queries.collect()
+          .map(r => r.getSeq[Float](1)).toSeq
+        val nq = qvecs.length
+        def arm(name: String, f: () => Long): Double = {
+          val (sec, _, _, _) = Bench.timedMinOf2(f)
+          System.err.println(
+            f"batchserve $name: $sec%.3f s (${sec * 1000 / nq}%.1f ms/query)")
+          sec
+        }
+        val sAdc = arm("adc-single-x" + nq, () => qvecs.map(q =>
+          operators.AnnIndex.searchAdc(spark, dir, q, 10, 2).count()).sum)
+        val bAdc = arm("adc-batch", () => operators.AnnIndex
+          .searchAllAdc(spark, dir, queries, 10, 2).count())
+        val sHam = arm("hamming-single-x" + nq, () => qvecs.map(q =>
+          operators.AnnIndex.searchHamming(spark, dir, q, 10, 2).count())
+          .sum)
+        val bHam = arm("hamming-batch", () => operators.AnnIndex
+          .searchAllHamming(spark, dir, queries, 10, 2).count())
+        System.err.println(
+          f"batchserve speedup: adc ${sAdc / bAdc}%.1fx, " +
+            f"hamming ${sHam / bHam}%.1fx at Q=$nq")
+        (b, () => operators.AnnIndex
+          .searchAllAdc(spark, dir, queries, 10, 2).count())
       case "neardup" =>
         val docs = Tables(spark, sfDir, "documents")
           .select("doc_id", "text")
