@@ -2191,6 +2191,12 @@ object TextOps {
   // -------------------------------------------------------------------- //
 
   private val spanToks = 8
+  /** Report/scrub floor for maximal duplicated substrings (tokens) —
+    * shared by [[exactSubstrings]] and [[spanScrubMinLen]]. */
+  private val substrMinLen = 16
+  /** Anchor-gram total-occurrence cap bounding pair-join fanout —
+    * part of [[exactSubstrings]]' semantics, mirrored in its oracle. */
+  private val anchorOccCap = 128
   private val spans =
     s"""CASE WHEN size($toks) >= $spanToks THEN
        |  transform(sequence(1, size($toks) - ${spanToks - 1}),
@@ -2264,9 +2270,14 @@ object TextOps {
       .distinct()
   }
 
-  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
-    val covered = scrubbedCover(docs)
+  /** The scrub REPORT tail shared by both scrub policies: anti-join
+    * each document's tokens against a (doc_id, tpos) covered set, emit
+    * per-doc survivor count + position-ordered survivor hash. One
+    * definition — the window-granular and min-length policies must
+    * never drift in how they count or hash survivors.
+    */
+  private def scrubReport(docs: DataFrame,
+      covered: DataFrame): DataFrame = {
     val tokens = docs
       .select(col("doc_id"), posexplode(expr(toks)).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
@@ -2285,6 +2296,11 @@ object TextOps {
         coalesce(col("kept_hash"),
           sha2(lit(""), 256)).as("kept_hash"))
       .orderBy("doc_id")
+  }
+
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    scrubReport(docs, scrubbedCover(docs))
   }
 
   /** The occ→dup→scrub→covered CTE chain shared by the scrub oracle
@@ -2322,6 +2338,63 @@ object TextOps {
        |  SELECT t.doc_id, count(*) AS n_kept,
        |    sha256(string_agg(t.tok, ' ' ORDER BY t.tpos)) AS kept_hash
        |  FROM toks t LEFT JOIN covered c
+       |    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+       |  CAST(len($duckToks) - COALESCE(k.n_kept, 0) AS BIGINT)
+       |    AS n_scrubbed,
+       |  COALESCE(k.kept_hash, sha256('')) AS kept_hash
+       |FROM documents d LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The Lee et al. 2021 scrub POLICY proper — remove only LONG
+    * duplicated regions: published exact-substring dedup cuts maximal
+    * duplicated substrings ≥ L tokens and deliberately KEEPS incidental
+    * short matches (cutting every shared 8-gram, as [[spanScrub]]'s
+    * window-granular form does, over-scrubs idioms and boilerplate
+    * fragments a model should still see). Positions scrub only when
+    * their maximal covered island reaches [[substrMinLen]] tokens —
+    * the [[dupRegions]] gaps-and-islands frame with a length gate,
+    * feeding the same [[scrubReport]] tail as the window-granular
+    * policy so the two reports can never drift in survivor accounting.
+    * Rows ∝ duplicated volume throughout; the corpus re-enters only
+    * for the final per-token anti-join.
+    */
+  def spanScrubMinLen(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy("doc_id").orderBy("tpos")
+    val wg = Window.partitionBy("doc_id", "grp")
+    val covered = scrubbedCover(docs)
+      .withColumn("grp", col("tpos") - row_number().over(w))
+      .withColumn("rl", count(lit(1)).over(wg))
+      .filter(col("rl") >= substrMinLen)
+      .select("doc_id", "tpos")
+    scrubReport(docs, covered)
+  }
+
+  val spanScrubMinLenSql: String =
+    s"""WITH $scrubCoverCtes,
+       |isl AS (
+       |  SELECT doc_id, tpos,
+       |    tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos)
+       |      AS grp
+       |  FROM covered),
+       |cov16 AS (
+       |  SELECT doc_id, tpos FROM (
+       |    SELECT doc_id, tpos,
+       |      count(*) OVER (PARTITION BY doc_id, grp) AS rl
+       |    FROM isl)
+       |  WHERE rl >= $substrMinLen),
+       |toks AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, $duckToks[u.i] AS tok
+       |  FROM documents, LATERAL unnest(
+       |    generate_series(1, len($duckToks))) AS u(i)),
+       |kept AS (
+       |  SELECT t.doc_id, count(*) AS n_kept,
+       |    sha256(string_agg(t.tok, ' ' ORDER BY t.tpos)) AS kept_hash
+       |  FROM toks t LEFT JOIN cov16 c
        |    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
        |  WHERE c.doc_id IS NULL
        |  GROUP BY t.doc_id)
@@ -2386,9 +2459,6 @@ object TextOps {
   // ubiquitous-boilerplate grams beyond the cap are the regime the      //
   // winnowing-coverage and containment operators already serve.         //
   // -------------------------------------------------------------------- //
-
-  private val substrMinLen = 16
-  private val anchorOccCap = 128
 
   def exactSubstrings(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3594,6 +3664,7 @@ object TextOps {
     "docs_epoch_plan" -> epochPlan,
     "docs_dup_spans" -> dupSpans,
     "docs_span_scrub" -> spanScrub,
+    "docs_span_scrub_minlen" -> spanScrubMinLen,
     "docs_dup_regions" -> dupRegions,
     "docs_exact_substrings" -> exactSubstrings,
     "docs_quality_dup_calibration" -> qualityDupCalibration,
@@ -3660,6 +3731,7 @@ object TextOps {
     "docs_epoch_plan" -> epochPlanSql,
     "docs_dup_spans" -> dupSpansSql,
     "docs_span_scrub" -> spanScrubSql,
+    "docs_span_scrub_minlen" -> spanScrubMinLenSql,
     "docs_dup_regions" -> dupRegionsSql,
     "docs_exact_substrings" -> exactSubstringsSql,
     "docs_quality_dup_calibration" -> qualityDupCalibrationSql,
