@@ -304,6 +304,10 @@ object MultimodalOps {
           |    i -> substring(hx, (i - 1) * 64 + 1, 16)))
           |ELSE cast(array() AS array<string>) END""".stripMargin))
         .as("frame"))
+      // feeds the per-asset counts, the anchor filter, AND both sides
+      // of the pair join — checkpoint so the blob explode runs once,
+      // not four times (the byteHistogram counts discipline)
+      .localCheckpoint(true)
     val nf = fr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val anchors = fr.groupBy("frame")
       .agg(countDistinct("doc_id").as("nd"))
