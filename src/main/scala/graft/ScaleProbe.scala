@@ -36,7 +36,10 @@ object ScaleProbe {
 
   val headline: Seq[String] = Seq(
     "fs_es_docs", "fs_merge_upsert", "fs_dir_rollup_explode",
-    "docs_minhash_neardup", "docs_neardup_clusters")
+    "docs_minhash_neardup", "docs_neardup_clusters",
+    // round-9 rows whose joins a reviewer would probe at scale: the
+    // anchored substring pair join and the cover anti-join scrub
+    "docs_exact_substrings", "docs_span_scrub_minlen")
 
   /** Write the k× replica of `src` into a temp dir and return it. */
   private[graft] def scaled(spark: SparkSession, src: String,
