@@ -456,4 +456,31 @@ class TextOpsSpec extends SparkSpecBase {
     // non-degenerate: the corpus has both exact (h=0) and near (h>0) dups
     assert(got.exists(_._3 == 0) && got.exists(_._3 > 0))
   }
+
+  test("epoch plan: targets exhaust the 3x budget, shares sum to one, " +
+    "rare sources get more epochs") {
+    val rows = TextOps.epochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val avail = rows.map(_.getAs[Long]("avail_tokens"))
+    val target = rows.map(_.getAs[Long]("target_tokens"))
+    val share = rows.map(_.getAs[Double]("share"))
+    val epochs = rows.map(_.getAs[Double]("epochs"))
+    // every floor() loses < 1 token: Σ targets within |sources| of 3·N
+    val budget = 3L * avail.sum
+    assert(target.sum <= budget &&
+      target.sum > budget - rows.length, s"${target.sum} vs $budget")
+    assert(math.abs(share.sum - 1.0) < 1e-4)
+    // α=0.5 upsamples scarcity: epochs strictly decrease in availability
+    val byAvail = rows.sortBy(_.getAs[Long]("avail_tokens"))
+      .map(_.getAs[Double]("epochs"))
+    assert(byAvail.zip(byAvail.tail).forall { case (a, b) => a >= b },
+      s"epochs not monotone in scarcity: ${byAvail.mkString(",")}")
+    assert(epochs.forall(_ > 0.0))
+    // repeat_excess is exactly epochs − 1 floored at zero
+    rows.foreach { r =>
+      val e = r.getAs[Double]("epochs")
+      val x = r.getAs[Double]("repeat_excess")
+      assert(math.abs(x - math.max(0.0, e - 1.0)) < 1e-9)
+    }
+  }
 }
