@@ -361,15 +361,67 @@ object MultimodalOps {
       |JOIN nf nb2 ON nb2.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** RESIZE plumbing — the fixed-target downsample every thumbnail
+    * pipeline runs, with the pixel interpolation stubbed as byte
+    * striding (a real resize swaps in per decoded frame; the
+    * fixed-output-size contract, stride arithmetic, boundary handling
+    * and digest accounting are the production shape): every asset
+    * downsamples to ≤ 64 bytes at stride `max(1, ⌊n/64⌋)` — large
+    * assets all produce the SAME output size (the point of a resize),
+    * small assets pass through whole. Byte extraction rides the hex
+    * encoding ([[byteHistogram]]'s engine-exact byte slicing). Map-only
+    * per-row HOFs: no shuffle, blobs never leave their row; the emitted
+    * digest row is ~100 bytes/asset regardless of asset size — the
+    * artifact a thumbnail store ingests.
+    */
+  def thumbnail(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("hx", lower(hex(col("blob"))))
+      .withColumn("nb", octet_length(col("blob")).cast("long"))
+      .withColumn("stride", greatest(lit(1L), expr("nb div 64")))
+      .withColumn("thumb_hex", expr(
+        """CASE WHEN nb >= 1 THEN
+          |  array_join(transform(sequence(1, int(least(64, nb))),
+          |    i -> substring(hx, int((i - 1) * stride) * 2 + 1, 2)), '')
+          |ELSE '' END""".stripMargin))
+      .select(col("doc_id"), col("nb").as("n_bytes"), col("stride"),
+        (length(col("thumb_hex")) / 2).cast("long").as("thumb_bytes"),
+        sha2(col("thumb_hex"), 256).as("thumb_digest"))
+      .orderBy("doc_id")
+
+  val thumbnailSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |s AS (SELECT doc_id, hx, nb,
+      |        greatest(1, nb // 64) AS stride FROM h),
+      |t AS (
+      |  SELECT doc_id, nb, stride,
+      |    CASE WHEN nb >= 1 THEN
+      |      array_to_string(list_transform(
+      |        generate_series(1, least(64, nb)),
+      |        i -> substr(hx, CAST((i - 1) * stride AS INT) * 2 + 1, 2)),
+      |        '')
+      |    ELSE '' END AS thumb_hex
+      |  FROM s)
+      |SELECT doc_id, nb AS n_bytes, stride,
+      |  CAST(length(thumb_hex) // 2 AS BIGINT) AS thumb_bytes,
+      |  sha256(thumb_hex) AS thumb_digest
+      |FROM t ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_stats" -> binaryStats,
     "mm_byte_histogram" -> byteHistogram,
     "mm_frame_index" -> frameIndex,
-    "mm_frame_neardup" -> frameNeardup)
+    "mm_frame_neardup" -> frameNeardup,
+    "mm_thumbnail" -> thumbnail)
 
   def oracleSql: Map[String, String] = Map(
     "mm_binary_stats" -> binaryStatsSql,
     "mm_byte_histogram" -> byteHistogramSql,
     "mm_frame_index" -> frameIndexSql,
-    "mm_frame_neardup" -> frameNeardupSql)
+    "mm_frame_neardup" -> frameNeardupSql,
+    "mm_thumbnail" -> thumbnailSql)
 }
