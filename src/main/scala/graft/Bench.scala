@@ -268,21 +268,27 @@ object Bench {
     * over the `"queries"` object is exact, not a heuristic.
     */
   private[graft] def prevBenchTimes(): Map[String, Double] = try {
-    val cwd = Paths.get(".")
-    val s = Files.list(cwd)
-    val latest = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .flatMap { n =>
-          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
-            .map(m => (m.group(1).toInt, n))
-        }
-        .toSeq.sortBy(-_._1).headOption.map(_._2)
-    } finally s.close()
+    // cwd first; the repo root as fallback (the driver's bench cwd is
+    // not guaranteed to be the repo — same hardcoded-default stance as
+    // this main's sfDir default)
+    val roots = Seq(Paths.get("."), Paths.get("/root/repo"))
+      .filter(Files.isDirectory(_))
+    val latest = roots.view.flatMap { root =>
+      val s = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .flatMap { n =>
+            "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+              .map(m => (m.group(1).toInt, root.resolve(n)))
+          }
+          .toSeq.sortBy(-_._1).headOption
+      } finally s.close()
+    }.headOption
     latest match {
       case None => Map.empty
-      case Some(f) => parsePrevBench(Files.readString(cwd.resolve(f)))
+      case Some((_, f)) => parsePrevBench(Files.readString(f))
     }
   } catch { case _: Throwable => Map.empty }
 
