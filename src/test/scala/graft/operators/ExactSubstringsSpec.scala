@@ -70,4 +70,41 @@ class ExactSubstringsSpec extends SparkSpecBase {
       want.exists(_._5 == 16))
     assert(!want.exists(_._5 < 16))
   }
+
+  test("fuzz: phrase-built corpora match DP across seeds (organic " +
+    "overlaps, adjacency-merged runs, repeated occurrences)") {
+    import spark.implicits._
+    var totalRuns = 0
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"exsubf$seed").toString
+      // 15 phrases of 4-12 tokens over a large vocab; docs concatenate
+      // 8 sampled phrases — shared phrases (and shared phrase RUNS)
+      // create organic maximal substrings of many lengths, including
+      // repeats within a doc and adjacent merges
+      val phrases = Seq.fill(15)(
+        Array.fill(4 + rnd.nextInt(9))("w" + rnd.nextInt(100000)))
+      val docs = (0L until 12L).map { id =>
+        (id, Array.fill(8)(phrases(rnd.nextInt(15))).flatten)
+      }
+      docs.map { case (id, ts) =>
+        (id, ts.mkString(" "), "en", "src0", ts.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = TextOps.exactSubstrings(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val byId = docs.toMap
+      val want = (for {
+        ai <- docs.map(_._1); bi <- docs.map(_._1) if ai < bi
+        (sa, sb, len) <- dpRuns(byId(ai), byId(bi), 16)
+      } yield (ai, bi, sa, sb, len)).toSet
+      assert(got == want, s"seed=$seed missing=${want -- got} " +
+        s"extra=${got -- want}")
+      totalRuns += want.size
+    }
+    assert(totalRuns > 20, s"fuzz corpora too sparse: $totalRuns runs")
+  }
 }
