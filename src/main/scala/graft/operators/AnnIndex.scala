@@ -104,6 +104,36 @@ object AnnIndex {
     update(spark, dir, emb)
   }
 
+  /** REBUILD into a fresh directory with RETRAINED centroids — the
+    * production reindex path [[build]]'s fail-fast guard points at
+    * ("rebuild = build into a fresh dir"): the live postings' raw
+    * vectors are the training corpus (the store is its own source of
+    * truth — no external table needed), `lloydRounds` deterministic
+    * fixed-point Lloyd refinements start FROM the old centroid table
+    * (warm start: the old quantizer is the best available initializer),
+    * and every vector re-cells under the new assignment. The old store
+    * is never touched — it keeps serving until the caller swaps its
+    * pointer at the new dir, the same read-side atomicity discipline
+    * as [[graft.sinks.ParquetIndex]]'s snapshot pointer. AnnIndexSpec
+    * proves the rebuilt store serves brute-force-identical all-cells
+    * results and its trained nprobe recall is never below the old
+    * store's.
+    */
+  def rebuild(spark: SparkSession, oldDir: String, newDir: String,
+      lloydRounds: Int = 3): Unit = {
+    vecFns(spark)
+    require(!StoreUtil.exists(spark, s"$newDir/postings"),
+      s"rebuild: $newDir already has postings — rebuild targets a " +
+        "fresh dir (the old store keeps serving until the swap)")
+    val emb = spark.read.parquet(s"$oldDir/postings")
+      .select("vec_id", "label", "embedding")
+    var cents = spark.read.parquet(s"$oldDir/centroids")
+    for (_ <- 1 to lloydRounds)
+      cents = lloydStep(emb, cents).localCheckpoint(true)
+    cents.coalesce(1).write.parquet(s"$newDir/centroids")
+    update(spark, newDir, emb)
+  }
+
   /** Assign a new embedding batch to cells and append its postings.
     * Already-indexed vec_ids are dropped first (anti-join on the
     * postings' id set — the narrow vec_id column of the store, the

@@ -233,6 +233,51 @@ class AnnIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("rebuild retrains into a fresh dir: brute-force-identical " +
+    "all-cells serving, recall never below the old store, old store " +
+    "untouched") {
+    val oldDir = Files.createTempDirectory("annold").toString
+    val newDir = Files.createTempDirectory("annnew").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    // old store: UNTRAINED quantizer (raw seeds) — the worst case a
+    // reindex starts from
+    AnnIndex.build(spark, oldDir, emb.filter(col("vec_id") =!= 0),
+      lloydRounds = 0)
+    val oldPostings =
+      spark.read.parquet(s"$oldDir/postings").count()
+    AnnIndex.rebuild(spark, oldDir, newDir, lloydRounds = 3)
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    // (a) all-cells serving from the rebuilt store == brute force
+    graft.functions.GraftFunctions.register(spark)
+    val got = AnnIndex.search(spark, newDir, q, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .withColumn("qe", typedLit(q))
+      .withColumn("cos_sim", round(
+        expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) *
+            sqrt(expr("vec_dot(qe, qe)"))), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos_sim"))).toSeq
+    assert(got == brute)
+    // (b) trained nprobe recall >= the untrained old store's
+    val truth = brute.map(_._1).toSet
+    def recall(d: String) = AnnIndex.search(spark, d, q, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).count(truth)
+    assert(recall(newDir) >= recall(oldDir))
+    // (c) rebuild never mutates the serving store
+    assert(spark.read.parquet(s"$oldDir/postings").count()
+      == oldPostings)
+    // (d) and re-running into the same fresh dir fails fast
+    intercept[IllegalArgumentException] {
+      AnnIndex.rebuild(spark, oldDir, newDir)
+    }
+  }
+
   test("batch compressed serving (ADC + Hamming) matches per-query " +
     "search bit-for-bit, including under nprobe pruning") {
     val dir = Files.createTempDirectory("annidx4").toString
