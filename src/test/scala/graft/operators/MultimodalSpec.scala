@@ -101,4 +101,54 @@ class MultimodalSpec extends SparkSpecBase {
       org.apache.spark.sql.functions.col("blob"))).collect()(0)
     assert(a == b)
   }
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("frame near-dup: shared frames pair regardless of position, " +
+    "a single shared frame does not") {
+    val dir = java.nio.file.Files.createTempDirectory("mmnd").toString
+    // 32-byte chunks: first 8 bytes are the frame value on the stride
+    // grid, the tail is per-doc padding that never matches
+    def chunk(frame: String, pad: Char) =
+      frame + pad.toString * 24
+    val F1 = "AAAABBBB"; val F2 = "CCCCDDDD"
+    writeDocs(dir, Seq(
+      (0L, chunk(F1, 'a') + chunk(F2, 'b') + chunk("EEEE0000", 'c')),
+      // shares F1 and F2 with doc 0, at DIFFERENT grid slots
+      (1L, chunk(F2, 'd') + chunk(F1, 'e') + chunk("FFFF1111", 'f')),
+      // exactly one shared frame: below the >= 2 floor, no pair
+      (2L, chunk(F1, 'g') + chunk("GGGG2222", 'h') + chunk("HHHH3333", 'i')),
+      (3L, chunk("IIII4444", 'j') + chunk("JJJJ5555", 'k'))))
+    val got = MultimodalOps.frameNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq((0L, 1L, 2L, 3L, 3L, 0.6667)), got.mkString(";"))
+  }
+
+  test("thumbnail: fixed 64-byte target for large assets, passthrough " +
+    "for small, unsampled-byte changes invisible (the downsampling " +
+    "contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("mmth").toString
+    val big = "0123456789abcde" * 64 // 960 bytes → stride 15
+    // differs ONLY at offset 1 — not on the stride-15 grid {0,15,30,…}
+    val bigTweaked = big.updated(1, 'X')
+    // differs at offset 15 — ON the grid: digest must change
+    val bigOnGrid = big.updated(15, 'X')
+    writeDocs(dir, Seq((0L, big), (1L, bigTweaked), (2L, bigOnGrid),
+      (3L, "tiny"), (4L, "x" * 64)))
+    val r = MultimodalOps.thumbnail(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(3) == 64 && r(0L).getLong(2) == 15) // bytes, stride
+    assert(r(3L).getLong(3) == 4 && r(3L).getLong(2) == 1)
+    assert(r(4L).getLong(3) == 64 && r(4L).getLong(2) == 1)
+    assert(r(0L).getString(4) == r(1L).getString(4),
+      "off-grid byte change leaked into the thumbnail")
+    assert(r(0L).getString(4) != r(2L).getString(4),
+      "on-grid byte change must change the thumbnail")
+  }
 }
