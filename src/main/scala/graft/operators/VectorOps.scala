@@ -674,6 +674,37 @@ object VectorOps {
        |    / ((SELECT count(*) FROM qs) * 10.0), 4) AS recall
        |FROM np LEFT JOIN h USING (nprobe) ORDER BY nprobe""".stripMargin
 
+  /** The serving DECISION the cost/recall ladder exists to make: the
+    * smallest probed depth whose measured recall@10 reaches the 0.95
+    * target (falling back to the deepest probe when none qualifies) —
+    * what a deployment writes into its serving config after each
+    * reindex, emitted as ONE row carrying the chosen depth and the
+    * evidence (its hits/recall) beside the target. Pure composition
+    * over [[nprobeSweep]]'s ladder: two 4-row aggregates and a join —
+    * nothing beyond the sweep's own cost.
+    */
+  def nprobeChoice(spark: SparkSession, sfDir: String): DataFrame = {
+    val sweep = nprobeSweep(spark, sfDir).localCheckpoint(true)
+    sweep.filter(col("recall") >= 0.95)
+      .agg(min("nprobe").as("np"))
+      .crossJoin(sweep.agg(max("nprobe").as("mx")))
+      .select(coalesce(col("np"), col("mx")).as("nprobe"))
+      .join(sweep, Seq("nprobe"))
+      .select(col("nprobe").as("nprobe_chosen"), col("hits"),
+        col("recall"), lit(0.95).as("target_recall"))
+  }
+
+  val nprobeChoiceSql: String =
+    s"""WITH sweep AS ($nprobeSweepSql),
+       |chosen AS (
+       |  SELECT coalesce(min(nprobe) FILTER (WHERE recall >= 0.95),
+       |    max(nprobe)) AS nprobe_chosen
+       |  FROM sweep)
+       |SELECT c.nprobe_chosen, s.hits, s.recall,
+       |  CAST(0.95 AS DOUBLE) AS target_recall
+       |FROM chosen c JOIN sweep s ON s.nprobe = c.nprobe_chosen"""
+      .stripMargin
+
   // -------------------------------------------------------------------- //
   // Product quantization (PQ) — the memory tier of the ANN ladder       //
   // (IVF prunes WHICH vectors to score; PQ shrinks WHAT is stored):     //
@@ -2076,6 +2107,7 @@ object VectorOps {
     "ann_kmeans_step" -> kmeansStep,
     "ann_ivf_recall" -> ivfRecall,
     "ann_nprobe_sweep" -> nprobeSweep,
+    "ann_nprobe_choice" -> nprobeChoice,
     "ann_ivf_recall_trained" -> ivfRecallTrained,
     "ann_pq_codes" -> pqCodes,
     "ann_pq_adc" -> pqAdcTopk,
@@ -2106,6 +2138,7 @@ object VectorOps {
     "ann_kmeans_step" -> kmeansStepSql,
     "ann_ivf_recall" -> ivfRecallSql,
     "ann_nprobe_sweep" -> nprobeSweepSql,
+    "ann_nprobe_choice" -> nprobeChoiceSql,
     "ann_ivf_recall_trained" -> ivfRecallTrainedSql,
     "ann_pq_codes" -> pqCodesSql,
     "ann_pq_adc" -> pqAdcTopkSql,
