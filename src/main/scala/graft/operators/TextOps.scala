@@ -232,6 +232,66 @@ object TextOps {
       .orderBy("decile")
   }
 
+  /** ANNEAL-PHASE mix report — the decay/midtraining recipe public
+    * pretraining reports converge on (anneal the final phase on a
+    * high-quality slice): the anneal set is everything above the
+    * corpus-wide quality P90 (the same ONE bounded-state exact
+    * percentile broadcast the calibration row uses — never a global
+    * sort), and the report says per source how many docs/tokens the
+    * final-phase sampler may draw there versus the main phase, with
+    * the token fraction in exact integer 4dp half-up units (the
+    * dup_rate discipline — float division per group would be the only
+    * nondeterminism in an otherwise integer plan).
+    */
+  def annealMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"size($toks)").cast("long").as("nt"),
+        expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"))
+      .withColumn("quality", qualityCol(col("n_stop"), col("nt")))
+      .localCheckpoint(true)
+    val cut = scored
+      .agg(round(expr("percentile(quality, 0.9D)"), 4).as("c"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum(when(col("quality") > col("c"), 1L).otherwise(0L))
+          .as("anneal_docs"),
+        sum(when(col("quality") > col("c"), col("nt")).otherwise(0L))
+          .as("anneal_tokens"),
+        max(col("c")).as("q90_cut"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("anneal_docs"), col("anneal_tokens"),
+        (expr("(2 * 10000 * anneal_tokens + n_tokens) div " +
+          "(2 * n_tokens)").cast("double") / 10000.0).as("anneal_frac"),
+        col("q90_cut"))
+      .orderBy("source")
+  }
+
+  val annealMixSql: String =
+    s"""WITH sc AS (
+       |  SELECT source,
+       |    CAST(len($duckToks) AS BIGINT) AS nt,
+       |    round(0.5 * (CAST(len(list_filter($duckToks,
+       |          t -> t IN ($stopList))) AS DOUBLE) / len($duckToks))
+       |        + 0.5 * least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0),
+       |        4) AS quality
+       |  FROM documents),
+       |cut AS (
+       |  SELECT round(quantile_cont(quality, 0.9), 4) AS c FROM sc)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN quality > c THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS anneal_docs,
+       |  CAST(sum(CASE WHEN quality > c THEN nt ELSE 0 END) AS BIGINT)
+       |    AS anneal_tokens,
+       |  CAST((2 * 10000 * sum(CASE WHEN quality > c THEN nt ELSE 0 END)
+       |      + sum(nt)) // (2 * sum(nt)) AS DOUBLE) / 10000.0
+       |    AS anneal_frac,
+       |  max(c) AS q90_cut
+       |FROM sc, cut GROUP BY source ORDER BY source""".stripMargin
+
   val qualityDupCalibrationSql: String =
     s"""WITH sc AS (
        |  SELECT doc_id,
@@ -3668,6 +3728,7 @@ object TextOps {
     "docs_dup_regions" -> dupRegions,
     "docs_exact_substrings" -> exactSubstrings,
     "docs_quality_dup_calibration" -> qualityDupCalibration,
+    "docs_anneal_mix" -> annealMix,
     "docs_lm_familiarity" -> lmFamiliarity,
     "docs_ppl_buckets" -> pplBuckets,
     "docs_source_kl" -> sourceKl,
@@ -3735,6 +3796,7 @@ object TextOps {
     "docs_dup_regions" -> dupRegionsSql,
     "docs_exact_substrings" -> exactSubstringsSql,
     "docs_quality_dup_calibration" -> qualityDupCalibrationSql,
+    "docs_anneal_mix" -> annealMixSql,
     "docs_lm_familiarity" -> lmFamiliaritySql,
     "docs_ppl_buckets" -> pplBucketsSql,
     "docs_source_kl" -> sourceKlSql,
