@@ -2087,6 +2087,90 @@ object VectorOps {
        |FROM c LEFT JOIN h USING (q_id, vec_id)
        |GROUP BY q_id ORDER BY q_id""".stripMargin
 
+  /** MATRYOSHKA dimension/recall sweep — the serving curve behind
+    * MRL-style truncatable embeddings (Kusupati et al. 2022,
+    * arXiv:2205.13147): recall@10 of cosine ranking restricted to the
+    * leading `dim` ∈ {8, 16, 32, 64} dimensions against the full-dim
+    * exact top-10, the number that decides how far a deployment can
+    * truncate its vectors (4–8× memory/bandwidth) before recall drops.
+    * Same one-pass ladder discipline as [[nprobeSweep]]: every
+    * candidate pair is scored ONCE for all four prefixes (a `stack`
+    * over four codegen'd slice-dot columns computed in the same map
+    * stage — the embedding arrays never ride through the shuffle; the
+    * per-(dim, q) window ranks a skinny 4-row-per-pair frame), and the
+    * dim=64 leg is the built-in sanity row (the full ranking, recall
+    * 1.0 by construction). Prefix cosines are rounded to 4dp before
+    * ranking in both engines (the cell-membership discipline: row
+    * EXISTENCE must not hinge on the last ulp).
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qs = auditQueries(emb)
+    val nq = qs.count()
+    val brute = bruteTop10(emb, qs)
+    def pdot(a: String, b: String, d: Int): Column =
+      expr(s"vec_dot(slice($a, 1, $d), slice($b, 1, $d))")
+    def cosAt(d: Int): Column =
+      round(pdot("embedding", "qe", d) /
+        (sqrt(pdot("embedding", "embedding", d)) *
+          sqrt(pdot("qe", "qe", d))), 4).as(s"cos_$d")
+    val cand = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(Seq(col("q_id"), col("vec_id")) ++
+        Seq(8, 16, 32, 64).map(cosAt): _*)
+      .selectExpr("q_id", "vec_id",
+        "stack(4, 8, cos_8, 16, cos_16, 32, cos_32, 64, cos_64) " +
+          "AS (dim, cos_sim)")
+    val byDq = Window.partitionBy("dim", "q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val mrl = cand.withColumn("rk", row_number().over(byDq))
+      .filter(col("rk") <= 10)
+      .select("dim", "q_id", "vec_id")
+    val hits = brute.join(mrl, Seq("q_id", "vec_id"))
+      .groupBy("dim").agg(count(lit(1)).as("hits"))
+    Seq(8, 16, 32, 64).toDF("dim")
+      .join(hits, Seq("dim"), "left")
+      .select(col("dim"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / (nq * 10.0), 4).as("recall"))
+      .orderBy("dim")
+  }
+
+  private def duckDotN(a: String, b: String, n: String): String =
+    s"""list_sum(list_transform(generate_series(1, $n),
+       |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+
+  val matryoshkaRecallSql: String = {
+    val pd = duckDotN("e.embedding", "qs.qe", "d.dim")
+    val pe = duckDotN("e.embedding", "e.embedding", "d.dim")
+    val pq = duckDotN("qs.qe", "qs.qe", "d.dim")
+    s"""WITH $duckAuditQs,
+       |$duckBruteTop10,
+       |dims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS INT) AS dim),
+       |cand AS (
+       |  SELECT d.dim, qs.q_id, e.vec_id,
+       |    round($pd / (sqrt($pe) * sqrt($pq)), 4) AS cos_sim
+       |  FROM embeddings e, qs, dims d WHERE e.vec_id <> qs.q_id),
+       |mrl AS (
+       |  SELECT dim, q_id, vec_id FROM (
+       |    SELECT dim, q_id, vec_id,
+       |      row_number() OVER (PARTITION BY dim, q_id
+       |        ORDER BY cos_sim DESC, vec_id) AS rk
+       |    FROM cand)
+       |  WHERE rk <= 10),
+       |h AS (SELECT dim, count(*) AS hits
+       |      FROM brute JOIN mrl USING (q_id, vec_id) GROUP BY dim)
+       |SELECT dims.dim, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(h.hits, 0) AS DOUBLE)
+       |    / ((SELECT count(*) FROM qs) * 10.0), 4) AS recall
+       |FROM dims LEFT JOIN h USING (dim) ORDER BY dim""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_hybrid_search" -> hybridSearch,
     "docs_hybrid_indexed" -> hybridIndexed,
@@ -2095,6 +2179,7 @@ object VectorOps {
     "ann_label_confusion" -> labelConfusion,
     "ann_binary_hamming" -> binaryHamming,
     "ann_binary_recall" -> binaryRecall,
+    "ann_matryoshka_recall" -> matryoshkaRecall,
     "ann_hamming_rerank" -> binaryRerank,
     "ann_hamming_indexed" -> hammingIndexed,
     "ann_hamming_indexed_rerank" -> hammingIndexedRerank,
@@ -2124,6 +2209,7 @@ object VectorOps {
     "ann_label_confusion" -> labelConfusionSql,
     "ann_binary_hamming" -> binaryHammingSql,
     "ann_binary_recall" -> binaryRecallSql,
+    "ann_matryoshka_recall" -> matryoshkaRecallSql,
     "ann_hamming_rerank" -> binaryRerankSql,
     // store-served twin must reproduce the batch top-k exactly
     "ann_hamming_indexed" -> binaryHammingSql,
