@@ -287,10 +287,27 @@ object Bench {
       } finally s.close()
     }.headOption
     latest match {
-      case None => Map.empty
-      case Some((_, f)) => parsePrevBench(Files.readString(f))
+      case None =>
+        // say so: a tripwire silently degraded to "no reference" is
+        // indistinguishable from a clean first round (ADVICE r9)
+        System.err.println(
+          "[bench] no BENCH_r*.json found in cwd or /root/repo — " +
+            "per-query noise tripwire disabled this capture")
+        Map.empty
+      case Some((_, f)) =>
+        val parsed = parsePrevBench(Files.readString(f))
+        if (parsed.isEmpty) System.err.println(
+          s"[bench] could not parse per-query times from $f — " +
+            "per-query noise tripwire disabled this capture")
+        parsed
     }
-  } catch { case _: Throwable => Map.empty }
+  } catch {
+    case e: Throwable =>
+      System.err.println(
+        s"[bench] failed loading previous bench times " +
+          s"(${e.getMessage}) — per-query noise tripwire disabled")
+      Map.empty
+  }
 
   /** Parse one prior bench capture. Two accepted shapes: this main's
     * own raw JSON line, and the driver's wrapper `{"tail":"<escaped,

@@ -254,7 +254,8 @@ object AnnIndex {
       s"searchHamming: query dim ${query.length} exceeds the 64 dims " +
         "the sign sketch covers — the Hamming tier would be blind to " +
         "the tail components")
-    val (probed, nCells) = probedCells(spark, dir, query, nprobe)
+    val (probed, nCells) =
+      probedCells(spark, dir, query, nprobe, countCells = obs.isDefined)
     val (qLo, qHi) = (signWordOf(query, 1), signWordOf(query, 33))
     val scan = spark.read.parquet(s"$dir/postings")
       .filter(col("c_id").isin(probed.toIndexedSeq: _*))
@@ -275,7 +276,8 @@ object AnnIndex {
     * defeat it).
     */
   private def probedCells(spark: SparkSession, dir: String,
-      query: Seq[Float], nprobe: Int): (Array[Int], Long) = {
+      query: Seq[Float], nprobe: Int,
+      countCells: Boolean = false): (Array[Int], Long) = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val probed = cents
       .withColumn("qe", typedLit(query))
@@ -283,7 +285,12 @@ object AnnIndex {
       .orderBy(col("d2"), col("c_id"))
       .limit(nprobe)
       .select(col("c_id").cast("int")).collect().map(_.getInt(0))
-    (probed, cents.count())
+    // cells_total feeds only the Observation metrics — counting it
+    // unconditionally would add one Spark job to EVERY latency-
+    // sensitive single-query serve (and quietly pad the single-query
+    // arm of the batchserve comparison), so the count runs only when
+    // a caller actually supplied an Observation to record it in
+    (probed, if (countCells) cents.count() else -1L)
   }
 
   /** Attach the serving-observability metrics to a pruned postings
@@ -340,7 +347,8 @@ object AnnIndex {
     val sub = subLenOf(cents)
     require(query.length == sub * PqM,
       s"query dim ${query.length} != store dim ${sub * PqM}")
-    val (probed, nCells) = probedCells(spark, dir, query, nprobe)
+    val (probed, nCells) =
+      probedCells(spark, dir, query, nprobe, countCells = obs.isDefined)
     // M×K lookup table: query slice → every centroid slice, broadcast
     val lut = (0 until PqM).map { m =>
       val off = m * sub + 1
@@ -430,11 +438,28 @@ object AnnIndex {
     * Per-query results are bit-identical to [[searchAdc]]
     * (AnnIndexSpec pins it).
     */
+  /** min/max of `size(qe)` over a (small) query frame — one tiny job,
+    * paid once per BATCH, so the batch tiers can enforce the same
+    * dimension guards their single-query twins enforce: without them a
+    * wrong-dim query frame would silently serve sketch-blind
+    * (Hamming) or mis-sliced (ADC) rankings where the single-query
+    * path fails fast, despite the bit-identical-behavior contract.
+    */
+  private def queryDims(queries: DataFrame): (Int, Int) = {
+    val r = queries
+      .agg(min(size(col("qe"))), max(size(col("qe")))).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
   def searchAllAdc(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     vecFns(spark)
     val cents = spark.read.parquet(s"$dir/centroids")
     val sub = subLenOf(cents)
+    val (dMin, dMax) = queryDims(queries)
+    require(dMin == sub * PqM && dMax == sub * PqM,
+      s"searchAllAdc: query dims [$dMin, $dMax] != store dim " +
+        s"${sub * PqM} — same guard as searchAdc")
     val lut = (0 until PqM).map { m =>
       val off = m * sub + 1
       queries.crossJoin(broadcast(cents))
@@ -463,12 +488,16 @@ object AnnIndex {
     * its probed cells; per-row work against the stored 8-byte sketches
     * is two XOR+POPCNT (embeddings AND PQ codes never read); per-query
     * top-k on GroupTopK. Bit-identical per query to [[searchHamming]]
-    * (AnnIndexSpec pins it). Queries beyond 64 dims would be sketch-
-    * blind exactly as the single-query tier's require states.
+    * (AnnIndexSpec pins it), including the dim ≤ 64 fail-fast guard
+    * (a wider query would be sketch-blind past dim 64).
     */
   def searchAllHamming(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
     vecFns(spark)
+    val (_, dMax) = queryDims(queries)
+    require(dMax <= 64,
+      s"searchAllHamming: query dim $dMax exceeds the 64 dims the " +
+        "sign sketch covers — same guard as searchHamming")
     val cents = spark.read.parquet(s"$dir/centroids")
     val qWords = queries.select(col("q_id"), col("qe").as("embedding"))
       .withColumn("q_lo", VectorOps.signWord(1))

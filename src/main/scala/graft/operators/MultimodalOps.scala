@@ -366,9 +366,12 @@ object MultimodalOps {
     * striding (a real resize swaps in per decoded frame; the
     * fixed-output-size contract, stride arithmetic, boundary handling
     * and digest accounting are the production shape): every asset
-    * downsamples to ≤ 64 bytes at stride `max(1, ⌊n/64⌋)` — large
-    * assets all produce the SAME output size (the point of a resize),
-    * small assets pass through whole. Byte extraction rides the hex
+    * downsamples to ≤ 64 bytes at stride `⌈n/64⌉` — CEIL division, so
+    * the sampled grid SPANS the asset at every size (a ⌊n/64⌋ floor
+    * would sample only the first 64 bytes of a 65–127-byte asset:
+    * prefix truncation, not a resize — ADVICE r9). Assets ≥ 64 bytes
+    * emit 33–64 sampled bytes (⌈n/stride⌉), small assets pass through
+    * whole. Byte extraction rides the hex
     * encoding ([[byteHistogram]]'s engine-exact byte slicing). Map-only
     * per-row HOFs: no shuffle, blobs never leave their row; the emitted
     * digest row is ~100 bytes/asset regardless of asset size — the
@@ -379,10 +382,11 @@ object MultimodalOps {
       .withColumn("blob", col("text").cast("binary"))
       .withColumn("hx", lower(hex(col("blob"))))
       .withColumn("nb", octet_length(col("blob")).cast("long"))
-      .withColumn("stride", greatest(lit(1L), expr("nb div 64")))
+      .withColumn("stride", greatest(lit(1L), expr("(nb + 63) div 64")))
       .withColumn("thumb_hex", expr(
         """CASE WHEN nb >= 1 THEN
-          |  array_join(transform(sequence(1, int(least(64, nb))),
+          |  array_join(transform(
+          |    sequence(1, int(least(64, (nb + stride - 1) div stride))),
           |    i -> substring(hx, int((i - 1) * stride) * 2 + 1, 2)), '')
           |ELSE '' END""".stripMargin))
       .select(col("doc_id"), col("nb").as("n_bytes"), col("stride"),
@@ -396,12 +400,13 @@ object MultimodalOps {
       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
       |  FROM documents),
       |s AS (SELECT doc_id, hx, nb,
-      |        greatest(1, nb // 64) AS stride FROM h),
+      |        greatest(1, (nb + 63) // 64) AS stride FROM h),
       |t AS (
       |  SELECT doc_id, nb, stride,
       |    CASE WHEN nb >= 1 THEN
       |      array_to_string(list_transform(
-      |        generate_series(1, least(64, nb)),
+      |        generate_series(1,
+      |          least(64, (nb + stride - 1) // stride)),
       |        i -> substr(hx, CAST((i - 1) * stride AS INT) * 2 + 1, 2)),
       |        '')
       |    ELSE '' END AS thumb_hex
