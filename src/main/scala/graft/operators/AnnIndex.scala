@@ -147,6 +147,15 @@ object AnnIndex {
   /** PQ geometry: 4 subspaces over the store's centroid slices. */
   private val PqM = 4
 
+  /** Matryoshka prefix width: the leading dims stored as their own
+    * narrow column (`m16`) so stage-one prefix-cosine serving reads
+    * 16 floats/row instead of the full vector — the MRL serving tier
+    * `ann_matryoshka_recall` measured the recall curve for (dim 16 ≈
+    * the knee of that curve on the test corpus; reference: Kusupati
+    * et al. 2022, arXiv:2205.13147).
+    */
+  val MPrefix = 16
+
   private def subLenOf(cents: DataFrame): Int = {
     val d = cents.select(size(col("ce"))).limit(1).collect()(0).getInt(0)
     require(d % PqM == 0, s"embedding dim $d not divisible by $PqM")
@@ -186,6 +195,9 @@ object AnnIndex {
       require(p.columns.contains("b_lo"),
         "update: postings lack binary sign-sketch columns (store " +
           "predates the Hamming tier) — rebuild the store with build()")
+      require(p.columns.contains("m16"),
+        "update: postings lack the matryoshka prefix column (store " +
+          "predates the MRL tier) — rebuild the store with build()")
     }
     // materialize the batch ONCE: it feeds the cell assignment AND the
     // four PQ subspace passes — without the checkpoint the anti-join
@@ -217,13 +229,21 @@ object AnnIndex {
       s"update: embedding dim ${subLenOf(cents) * PqM} exceeds the 64 " +
         "dims the Hamming sign sketch covers — widen the sketch words " +
         "before indexing higher-dimensional vectors")
+    require(subLenOf(cents) * PqM >= MPrefix,
+      s"update: embedding dim ${subLenOf(cents) * PqM} is narrower " +
+        s"than the $MPrefix-dim matryoshka prefix column")
     assigned
       .join(pqCodesOf(incoming, cents, subLenOf(cents)), Seq("vec_id"))
       .withColumn("b_lo", VectorOps.signWord(1))
       .withColumn("b_hi", VectorOps.signWord(33))
+      // the matryoshka prefix rides the same commit: 16 leading floats
+      // as a NARROW column of their own, so the MRL stage-one scan
+      // reads 64 bytes/row where the full vector is 4× that (and at a
+      // production dim of 768+, 48× — the whole point of MRL serving)
+      .withColumn("m16", expr(s"slice(embedding, 1, $MPrefix)"))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("pq0"), col("pq1"), col("pq2"), col("pq3"),
-        col("b_lo"), col("b_hi"), col("c_id"))
+        col("b_lo"), col("b_hi"), col("m16"), col("c_id"))
       .write.mode("append").partitionBy("c_id").parquet(postingsPath)
   }
 
@@ -369,6 +389,52 @@ object AnnIndex {
         round(col("qd0") + col("qd1") + col("qd2") + col("qd3"), 4)
           .as("adc_d2"))
       .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** MATRYOSHKA two-stage serving from the store: stage one ranks the
+    * nprobe nearest cells by PREFIX cosine over the stored 16-dim
+    * `m16` column — the scan reads 64 bytes/row (column pruning drops
+    * the full vectors, PQ codes, and sign words; AnnIndexSpec pins the
+    * ReadSchema) — and stage two re-ranks ONLY the `shortK`-row
+    * shortlist by full-dim exact cosine (the broadcast shortlist makes
+    * the re-rank join a map-side filter, so full-width vectors decode
+    * for shortK rows regardless of corpus size). The
+    * [[searchHamming]]→[[search]] discipline with the MRL prefix as
+    * the cheap tier: `ann_matryoshka_recall` measures the shortlist
+    * width that makes the two-stage pipeline safe per prefix dim.
+    */
+  def searchMatryoshka(spark: SparkSession, dir: String,
+      query: Seq[Float], k: Int = 10, nprobe: Int = 2, shortK: Int = 50,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    vecFns(spark)
+    require(query.length >= MPrefix,
+      s"searchMatryoshka: query dim ${query.length} is narrower than " +
+        s"the $MPrefix-dim stored prefix")
+    val (probed, nCells) =
+      probedCells(spark, dir, query, nprobe, countCells = obs.isDefined)
+    val cellFilter = col("c_id").isin(probed.toIndexedSeq: _*)
+    val stage1 = spark.read.parquet(s"$dir/postings")
+      .filter(cellFilter)
+      .select(col("vec_id"), col("m16"))
+      .withColumn("q16", typedLit(query.take(MPrefix)))
+      .withColumn("pcos", round(expr("vec_dot(m16, q16)") /
+        (sqrt(expr("vec_dot(m16, m16)")) *
+          sqrt(expr("vec_dot(q16, q16)"))), 4))
+    val short = observed(stage1, obs, probed.length, nCells)
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(shortK)
+      .select("vec_id")
+    spark.read.parquet(s"$dir/postings")
+      .filter(cellFilter)
+      .join(broadcast(short), "vec_id")
+      .withColumn("qe", typedLit(query))
+      .withColumn("cos_sim", round(
+        expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) *
+            sqrt(expr("vec_dot(qe, qe)"))), 4))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 

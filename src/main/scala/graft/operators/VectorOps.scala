@@ -2171,6 +2171,119 @@ object VectorOps {
        |FROM dims LEFT JOIN h USING (dim) ORDER BY dim""".stripMargin
   }
 
+  /** Matryoshka TWO-STAGE retrieval, batch form: a prefix-16 cosine
+    * top-50 shortlist per query (vec_id < 5 over the vec_id ≥ 5
+    * corpus), then an exact full-dim cosine re-rank of ONLY the
+    * shortlist — the [[binaryRerank]] discipline with the MRL prefix
+    * as stage one ([[matryoshkaRecall]] measured dim 16's shortlist
+    * recall; this is the serving pipeline built on that knee). At
+    * 100 TB the full-width vectors decode for |q|·50 rows; the corpus
+    * pass reads only the 16 leading dims.
+    */
+  def matryoshkaRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    def p16(a: String): String = s"slice($a, 1, ${AnnIndex.MPrefix})"
+    val pcos = round(
+      expr(s"vec_dot(${p16("embedding")}, ${p16("qe")})") /
+        (sqrt(expr(s"vec_dot(${p16("embedding")}, ${p16("embedding")})")) *
+          sqrt(expr(s"vec_dot(${p16("qe")}, ${p16("qe")})"))), 4)
+    val short = graft.plans.GroupTopK.topK(
+      emb.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"), pcos.as("pcos")),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("pcos", true), ("vec_id", false)), k = 50)
+      .select("q_id", "vec_id")
+    val scored = short
+      .join(emb.select(col("vec_id"), col("label"), col("embedding")),
+        "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine.as("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val matryoshkaRerankSql: String = {
+    def d16(a: String, b: String): String = duckDotN(a, b, "16")
+    s"""WITH qe AS (SELECT vec_id AS q_id, embedding AS qe
+       |            FROM embeddings WHERE vec_id < 5),
+       |ps AS (
+       |  SELECT qe.q_id, e.vec_id,
+       |    round(${d16("e.embedding", "qe.qe")} /
+       |      (sqrt(${d16("e.embedding", "e.embedding")}) *
+       |       sqrt(${d16("qe.qe", "qe.qe")})), 4) AS pcos
+       |  FROM embeddings e, qe WHERE e.vec_id >= 5),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY pcos DESC, vec_id) AS prank FROM ps)
+       |  WHERE prank <= 50),
+       |cs AS (
+       |  SELECT s.q_id, e.vec_id, e.label,
+       |    ${duckCosine.replace("embedding", "e.embedding")} AS cos_sim
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN qe ON qe.q_id = s.q_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank FROM cs)
+       |SELECT q_id, vec_id, label, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** [[matryoshkaRerank]] served end-to-end from the DURABLE store:
+    * stage one scans the [[AnnIndex]] postings' persisted 16-dim
+    * `m16` prefix column (written incrementally across build+update
+    * batches — the full vectors, PQ codes, and sign words are pruned
+    * from that scan; AnnIndexSpec pins the ReadSchema on the
+    * single-query twin [[AnnIndex.searchMatryoshka]]), stage two reads
+    * the raw `embedding` column for ONLY the broadcast shortlist rows.
+    * Must equal the batch form bit-for-bit, so it shares
+    * `ann_matryoshka_rerank`'s oracle verbatim (the
+    * `ann_hamming_indexed_rerank` discipline).
+    */
+  def matryoshkaIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    withVecFns(spark)
+    val dir = annIndexFor(spark, sfDir)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val post = spark.read.parquet(s"$dir/postings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val q16 = q.select(col("q_id"),
+      expr(s"slice(qe, 1, ${AnnIndex.MPrefix})").as("q16"))
+    val short = graft.plans.GroupTopK.topK(
+      post.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("m16"))
+        .crossJoin(broadcast(q16))
+        .select(col("q_id"), col("vec_id"),
+          round(expr("vec_dot(m16, q16)") /
+            (sqrt(expr("vec_dot(m16, m16)")) *
+              sqrt(expr("vec_dot(q16, q16)"))), 4).as("pcos")),
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("pcos", true), ("vec_id", false)), k = 50)
+      .select("q_id", "vec_id")
+    val scored = broadcast(short)
+      .join(post.select(col("vec_id"), col("label"), col("embedding")),
+        "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine.as("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = 10)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_hybrid_search" -> hybridSearch,
     "docs_hybrid_indexed" -> hybridIndexed,
@@ -2180,6 +2293,8 @@ object VectorOps {
     "ann_binary_hamming" -> binaryHamming,
     "ann_binary_recall" -> binaryRecall,
     "ann_matryoshka_recall" -> matryoshkaRecall,
+    "ann_matryoshka_rerank" -> matryoshkaRerank,
+    "ann_matryoshka_indexed" -> matryoshkaIndexed,
     "ann_hamming_rerank" -> binaryRerank,
     "ann_hamming_indexed" -> hammingIndexed,
     "ann_hamming_indexed_rerank" -> hammingIndexedRerank,
@@ -2210,6 +2325,9 @@ object VectorOps {
     "ann_binary_hamming" -> binaryHammingSql,
     "ann_binary_recall" -> binaryRecallSql,
     "ann_matryoshka_recall" -> matryoshkaRecallSql,
+    "ann_matryoshka_rerank" -> matryoshkaRerankSql,
+    // store-served MRL two-stage must reproduce the batch form exactly
+    "ann_matryoshka_indexed" -> matryoshkaRerankSql,
     "ann_hamming_rerank" -> binaryRerankSql,
     // store-served twin must reproduce the batch top-k exactly
     "ann_hamming_indexed" -> binaryHammingSql,

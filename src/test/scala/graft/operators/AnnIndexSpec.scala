@@ -212,6 +212,54 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(!plan.contains("embedding"), plan)
   }
 
+  test("matryoshka tier: all-cells two-stage equals a brute recompute; " +
+    "stage-1 scan reads only the m16 prefix column") {
+    val dir = Files.createTempDirectory("annmrl").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") =!= 0))
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val got = AnnIndex
+      .searchMatryoshka(spark, dir, q, k = 10, nprobe = 8, shortK = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+
+    // brute two-stage over the raw table: prefix-16 cosine top-50,
+    // exact full-dim re-rank top-10 — the store must reproduce it
+    graft.functions.GraftFunctions.register(spark)
+    val m = AnnIndex.MPrefix
+    val withQ = emb.filter(col("vec_id") =!= 0)
+      .withColumn("qe", typedLit(q))
+      .withColumn("q16", typedLit(q.take(m)))
+      .withColumn("p16", expr(s"slice(embedding, 1, $m)"))
+    val brute = withQ
+      .withColumn("pcos", round(expr("vec_dot(p16, q16)") /
+        (sqrt(expr("vec_dot(p16, p16)")) *
+          sqrt(expr("vec_dot(q16, q16)"))), 4))
+      .orderBy(col("pcos").desc, col("vec_id")).limit(50)
+      .withColumn("cos_sim", round(expr("vec_dot(embedding, qe)") /
+        (sqrt(expr("vec_dot(embedding, embedding)")) *
+          sqrt(expr("vec_dot(qe, qe)"))), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos_sim"))).toSeq
+    assert(got == brute)
+
+    // pruned serve: partition pruning holds, stage 1 reads the 16-dim
+    // prefix WITHOUT the full vectors/PQ codes/sketch words, and the
+    // stage-2 raw-vector scan doesn't drag the prefix along
+    val pruned = AnnIndex.searchMatryoshka(spark, dir, q, 5, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c_id"), plan)
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+      .filter(s => s.contains("m16") || s.contains("embedding"))
+    assert(schemas.exists(s => s.contains("m16") &&
+      !s.contains("embedding") && !s.contains("pq0") &&
+      !s.contains("b_lo")), schemas.toString)
+    assert(schemas.filter(_.contains("embedding"))
+      .forall(s => !s.contains("m16") && !s.contains("pq0")),
+      schemas.toString)
+  }
+
   test("batch search with all cells matches per-query single search") {
     val dir = Files.createTempDirectory("annidx3").toString
     val emb = graft.Tables(spark, sf, "embeddings")

@@ -240,6 +240,25 @@ class VectorOpsSpec extends SparkSpecBase {
       s"a raw-vector scan also reads sketch words: $schemas")
   }
 
+  test("store-served matryoshka re-rank equals the batch form; its " +
+    "stage-1 scan reads only the prefix column") {
+    val batch = VectorOps.matryoshkaRerank(spark, sf)
+      .collect().map(_.toString).toSeq
+    val df = VectorOps.matryoshkaIndexed(spark, sf)
+    val served = df.collect().map(_.toString).toSeq
+    assert(served == batch)
+    val schemas = "ReadSchema: [^\\n]*".r
+      .findAllIn(df.queryExecution.executedPlan.toString)
+      .toList.filter(s => s.contains("m16") || s.contains("embedding"))
+    val prefixScans = schemas.filter(s =>
+      s.contains("m16") && !s.contains("embedding"))
+    val rawScans = schemas.filter(_.contains("embedding"))
+    assert(prefixScans.nonEmpty,
+      s"no prefix-only postings scan found in: $schemas")
+    assert(rawScans.forall(!_.contains("m16")),
+      s"a raw-vector scan also reads the prefix column: $schemas")
+  }
+
   test("ADC re-rank: true distances, and refinement beats raw ADC order") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables(spark, sf, "embeddings")

@@ -59,6 +59,11 @@ def run_verify():
     ]
     env = {"PATH": "/usr/bin:/bin", "SPARK_GRAFT_CPUS": "8",
            "HOME": "/root"}
+    # targeted single-query iteration: pass the filter through to
+    # graft.Verify (the env is otherwise scrubbed on purpose)
+    import os
+    if os.environ.get("SPARK_GRAFT_ONLY"):
+        env["SPARK_GRAFT_ONLY"] = os.environ["SPARK_GRAFT_ONLY"]
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:
@@ -145,6 +150,11 @@ def main():
     # query that failed to write (or a stale dir) is loudly reported
     names = sorted(set(p.name for p in OUT.iterdir() if p.is_dir())
                    | set(oracles.keys()))
+    import os
+    if os.environ.get("SPARK_GRAFT_ONLY"):
+        only = {n.strip()
+                for n in os.environ["SPARK_GRAFT_ONLY"].split(",")}
+        names = [n for n in names if n in only]
     for name in names:
         files = list((OUT / name).glob("*.parquet")) \
             if (OUT / name).is_dir() else []
