@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
 object StoreProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.StoreProbe <term|ann|annadc|neardup|zorder|mor> " +
-        "[sfDir] [batches] [replicate]")
+      "usage: graft.StoreProbe <term|ann|annadc|batchserve|batchtext|" +
+        "neardup|zorder|mor> [sfDir] [batches] [replicate]")
     val kind = args(0)
     val sfDir =
       if (args.length > 1) args(1)
@@ -121,6 +121,67 @@ object StoreProbe {
             f"hamming ${sHam / bHam}%.1fx at Q=$nq")
         (b, () => operators.AnnIndex
           .searchAllAdc(spark, dir, queries, 10, 2).count())
+      case "batchtext" =>
+        // batch-vs-single serving amortization at the TEXT and HYBRID
+        // tiers — the term-index twin of "batchserve": Q single-query
+        // plans each pay a pruned postings scan + scoring + top-k (and
+        // the hybrid form pays BOTH stores per query); one
+        // searchAll / hybridServeAll plan answers all Q. Per-query ms
+        // for all four arms go to stderr for PERF.md.
+        import spark.implicits._
+        val docs = Tables(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        val emb = Tables(spark, sfDir, "embeddings")
+        val termDir = s"$dir/term"
+        val annDir = s"$dir/ann"
+        val (b, _) = time {
+          (0 until batches).foreach { i =>
+            operators.TermIndex.update(spark, termDir,
+              docs.filter(pmod(col("doc_id"), lit(batches)) === i))
+          }
+          operators.AnnIndex.build(spark, annDir, emb)
+        }
+        // 16 deterministic term queries from the corpus itself (first
+        // three tokens of docs 1..16 — distinct vocab, so the batch
+        // bucket union is a real multi-term workload, not one query
+        // replicated)
+        val termSets = docs.filter(col("doc_id").between(1, 16))
+          .select(col("doc_id"),
+            slice(split(col("text"), " "), 1, 3).as("terms"))
+          .collect()
+          .map(r => (r.getLong(0) - 1, r.getSeq[String](1).toSeq)).toSeq
+        val tq = termSets.toDF("q_id", "terms").localCheckpoint(true)
+        val vq = emb.filter(col("vec_id").between(0, 15))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .localCheckpoint(true)
+        val nq = termSets.length
+        def arm(name: String, f: () => Long): Double = {
+          val (sec, _, _, _) = Bench.timedMinOf2(f)
+          System.err.println(
+            f"batchtext $name: $sec%.3f s (${sec * 1000 / nq}%.1f ms/query)")
+          sec
+        }
+        val sText = arm("text-single-x" + nq, () => termSets.map {
+          case (_, ts) =>
+            operators.TermIndex.search(spark, termDir, ts, k = 20).count()
+        }.sum)
+        val bText = arm("text-batch", () => operators.TermIndex
+          .searchAll(spark, tq, termDir, k = 20).count())
+        val sHyb = arm("hybrid-single-x" + nq, () => termSets.map {
+          case (qid, ts) =>
+            operators.VectorOps.hybridServeAll(spark,
+              Seq((qid, ts)).toDF("q_id", "terms"),
+              vq.filter(col("q_id") === qid),
+              termDir, annDir, legK = 50, k = 10).count()
+        }.sum)
+        val bHyb = arm("hybrid-batch", () => operators.VectorOps
+          .hybridServeAll(spark, tq, vq, termDir, annDir,
+            legK = 50, k = 10).count())
+        System.err.println(
+          f"batchtext speedup: text ${sText / bText}%.1fx, " +
+            f"hybrid ${sHyb / bHyb}%.1fx at Q=$nq")
+        (b, () => operators.TermIndex
+          .searchAll(spark, tq, termDir, k = 20).count())
       case "neardup" =>
         val docs = Tables(spark, sfDir, "documents")
           .select("doc_id", "text")

@@ -1588,28 +1588,60 @@ object VectorOps {
 
   private[operators] def hybridIndexedK(spark: SparkSession,
       sfDir: String, legK: Int): DataFrame = {
-    withVecFns(spark)
+    // ONE scoring path: the single query IS a one-row batch through
+    // [[hybridServeAll]] (the TermIndex.search/searchAll discipline) —
+    // the gated `docs_hybrid_indexed` row keeps the batch fusion honest
     val tq = {
       import spark.implicits._
       Seq((0L, TextOps.bmTerms)).toDF("q_id", "terms")
     }
-    val text = TermIndex
-      .searchAll(spark, tq, TextOps.termIndexFor(spark, sfDir), k = legK)
-      .select(col("doc_id"), col("rank").cast("int").as("r_text"))
     val emb = Tables(spark, sfDir, "embeddings")
     val vq = emb.filter(col("vec_id") === 0)
       .select(lit(0L).as("q_id"), col("embedding").as("qe"))
+    hybridServeAll(spark, tq, vq, TextOps.termIndexFor(spark, sfDir),
+      annIndexFor(spark, sfDir), legK = legK, k = 20)
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** BATCH hybrid serving: RRF-fuse BOTH index-served legs for a whole
+    * frame of queries in one plan — the text leg is ONE
+    * [[TermIndex.searchAll]] pass (postings pruned to the union of all
+    * queried terms' buckets), the vector leg ONE [[AnnIndex.searchAll]]
+    * pass, the fusion a (q_id, doc_id) full-outer join of two ranked
+    * leg frames, and the per-query top-k runs on the native
+    * [[graft.plans.GroupTopK]] operator. Q single-query plans pay Q
+    * store scans and 2·Q job schedules; this pays one of each — the
+    * text/hybrid twin of `searchAllAdc`'s 13–17× batch amortization
+    * (StoreProbe `batchtext` measures it; VectorOpsSpec pins per-query
+    * bit-identity to the single-query fusion).
+    *
+    * Inputs: `tq` = (q_id, terms: array&lt;string&gt;),
+    * `vq` = (q_id, qe: array&lt;float&gt;) — same q_id space.
+    * Output: (q_id, doc_id, r_text, r_vec, rrf), top-k per query by
+    * (rrf desc, doc_id).
+    */
+  def hybridServeAll(spark: SparkSession, tq: DataFrame, vq: DataFrame,
+      termDir: String, annDir: String, legK: Int,
+      annNprobe: Int = 8, k: Int = 20): DataFrame = {
+    withVecFns(spark)
+    val text = TermIndex.searchAll(spark, tq, termDir, k = legK)
+      .select(col("q_id"), col("doc_id"),
+        col("rank").cast("int").as("r_text"))
     val vec = AnnIndex
-      .searchAll(spark, annIndexFor(spark, sfDir), vq, k = legK, nprobe = 8)
-      .select(col("vec_id").as("doc_id"), col("rk").cast("int").as("r_vec"))
+      .searchAll(spark, annDir, vq, k = legK, nprobe = annNprobe)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rk").cast("int").as("r_vec"))
     val rrf =
       coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
-    text.join(vec, Seq("doc_id"), "full_outer")
+    val fused = text.join(vec, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(rrf, 6))
-      .select("doc_id", "r_text", "r_vec", "rrf")
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(20)
+      .select("q_id", "doc_id", "r_text", "r_vec", "rrf")
+    graft.plans.GroupTopK.topK(fused,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("rrf", true), ("doc_id", false)), k = k)
+      .select("q_id", "doc_id", "r_text", "r_vec", "rrf")
   }
 
   // -------------------------------------------------------------------- //

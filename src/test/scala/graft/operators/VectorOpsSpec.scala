@@ -240,6 +240,38 @@ class VectorOpsSpec extends SparkSpecBase {
       s"a raw-vector scan also reads sketch words: $schemas")
   }
 
+  test("batch hybrid serving matches per-query single fusion bit-for-bit") {
+    import spark.implicits._
+    val termDir = TextOps.termIndexFor(spark, sf)
+    val annDir = VectorOps.annIndexFor(spark, sf)
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val termSets = Seq(
+      (0L, Seq("spark", "hash", "window")),
+      (1L, Seq("spark", "window")),
+      (2L, Seq("hash")))
+    val vids = Map(0L -> 0L, 1L -> 100L, 2L -> 200L)
+    val tq = termSets.toDF("q_id", "terms")
+    val vq = emb.filter(col("vec_id").isin(vids.values.toSeq: _*))
+      .select(col("vec_id"), col("embedding").as("qe"))
+      .withColumn("q_id",
+        when(col("vec_id") === 0L, 0L)
+          .when(col("vec_id") === 100L, 1L).otherwise(2L))
+      .select("q_id", "qe")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), r.getDouble(4)))
+      .sortBy(t => (t._1, -t._5, t._2)).toSeq
+    val batch = rows(VectorOps.hybridServeAll(spark, tq, vq,
+      termDir, annDir, legK = 100, k = 10))
+    val singles = termSets.flatMap { case (qid, ts) =>
+      rows(VectorOps.hybridServeAll(spark,
+        Seq((qid, ts)).toDF("q_id", "terms"),
+        vq.filter(col("q_id") === qid),
+        termDir, annDir, legK = 100, k = 10))
+    }.sortBy(t => (t._1, -t._5, t._2))
+    assert(batch == singles)
+  }
+
   test("store-served matryoshka re-rank equals the batch form; its " +
     "stage-1 scan reads only the prefix column") {
     val batch = VectorOps.matryoshkaRerank(spark, sf)
