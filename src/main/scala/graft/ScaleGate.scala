@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** k-replica scale CORRECTNESS gate (VERDICT r9 item #1): the driver's
+  * DuckDB compare runs at sf0.01, the bench at sf0.1, and
+  * [[ScaleProbe]] *times* the heaviest queries at k× — but parity at
+  * scale was never *hash-checked*, and the r8 sf0.1 sweep proved that
+  * knife-edge classes (a `round(avg(...))` landing on .5 exactly) only
+  * surface once the data is big enough to hit them. This main dumps
+  * the five heaviest queries' results on the k× replica of sf0.1
+  * (~6M lineitem rows / 50k docs at the default k=10) so
+  * `tools/scalegate.py` can replay their oracles in DuckDB over the
+  * SAME replica and hash-compare — the sf0.01 gate's exact discipline,
+  * one decade up. Run once per round (PERF.md records the table).
+  *
+  * usage: `graft.ScaleGate [k] [srcDir] [outRoot]`
+  * (defaults: 10, $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1,
+  * target/scalegate) — writes `outRoot/data/` (the replica, other
+  * tables symlinked) and `outRoot/verify/<query>/` + oracle_sql.json.
+  */
+object ScaleGate {
+
+  /** The gate set: the five heaviest/scale-riskiest queries per the
+    * r9 verdict — the publish join whose output is the corpus, the
+    * one-exchange merge, the ancestor-explode rollup, the banded
+    * MinHash pair join, and the anchored substring-dedup join.
+    */
+  val gated: Seq[String] = Seq(
+    "fs_es_docs", "fs_merge_upsert", "fs_dir_rollup_explode",
+    "docs_minhash_neardup", "docs_exact_substrings")
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 10
+    val src =
+      if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = if (args.length > 2) args(2) else "target/scalegate"
+    val spark = Bench.buildSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val root = Paths.get(outRoot)
+    Bench.rm(root) // NOFOLLOW-safe: symlinked source tables survive
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    val t0 = System.nanoTime()
+    ScaleProbe.materialize(spark, src, k, data)
+    System.err.println(
+      f"[scalegate] k=$k replica of $src in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val out = root.resolve("verify")
+    Files.createDirectories(out)
+    val qs = SparkEntry.queries
+    gated.foreach { name =>
+      val t1 = System.nanoTime()
+      qs(name)(spark, data.toString).coalesce(1)
+        .write.mode("overwrite").parquet(out.resolve(name).toString)
+      System.err.println(
+        f"[scalegate] $name dumped in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
+    def q(s: String): String =
+      "\"" + graft.functions.JsonText.esc(s) + "\""
+    val json = SparkEntry.oracleSql
+      .filter { case (n, _) => gated.contains(n) }
+      .map { case (n, v) => s"${q(n)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(out.resolve("oracle_sql.json"), json)
+    spark.stop()
+  }
+}

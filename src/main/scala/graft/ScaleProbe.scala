@@ -41,12 +41,16 @@ object ScaleProbe {
     // anchored substring pair join and the cover anti-join scrub
     "docs_exact_substrings", "docs_span_scrub_minlen")
 
-  /** Write the k× replica of `src` into a temp dir and return it. */
-  private[graft] def scaled(spark: SparkSession, src: String,
-      k: Int): String = {
-    val dst = Files.createTempDirectory(s"scaleprobe$k")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try Bench.rm(dst) catch { case _: Throwable => () }))
+  /** Write the k× replica of `src` into `dst`: lineitem / orders /
+    * documents replicate with shifted keys (and per-copy token tags,
+    * per the header's family-shape argument); EVERY other table is
+    * symlinked verbatim (broadcast dims for the probe; and the
+    * [[ScaleGate]] DuckDB harness registers all ten views, so they
+    * must all resolve). Shared by the timing probe and the per-round
+    * scale correctness gate — one replica recipe, two consumers.
+    */
+  private[graft] def materialize(spark: SparkSession, src: String,
+      k: Int, dst: java.nio.file.Path): Unit = {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -73,9 +77,25 @@ object ScaleProbe {
         .withColumn("n_chars", length(col("text"))))
       .repartition(32)
       .write.parquet(s"$dst/documents.parquet")
-    for (t <- Seq("customer", "nation"))
-      Files.createSymbolicLink(dst.resolve(s"$t.parquet"),
-        Paths.get(s"$src/$t.parquet").toAbsolutePath)
+    val scaledTables = Set("lineitem", "orders", "documents")
+    val s = Files.list(Paths.get(src))
+    try {
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") &&
+            !scaledTables.contains(n.stripSuffix(".parquet")))
+          Files.createSymbolicLink(dst.resolve(n), p.toAbsolutePath): Unit
+      }
+    } finally s.close()
+  }
+
+  /** Write the k× replica of `src` into a temp dir and return it. */
+  private[graft] def scaled(spark: SparkSession, src: String,
+      k: Int): String = {
+    val dst = Files.createTempDirectory(s"scaleprobe$k")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try Bench.rm(dst) catch { case _: Throwable => () }))
+    materialize(spark, src, k, dst)
     dst.toString
   }
 
