@@ -715,7 +715,14 @@ object TextOps {
     */
   private[operators] val LocalComponentEdgeLimit = 1000000L
 
-  private[operators] def components(pairs: DataFrame,
+  /** Rounds the last distributed components() fixpoint took — probe
+    * observability only ([[graft.ComponentsProbe]] reads it beside the
+    * wall time; a query never does). Single-threaded per probe run.
+    */
+  private[graft] val lastFixpointRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def components(pairs: DataFrame,
       localEdgeLimit: Long = LocalComponentEdgeLimit): DataFrame = {
     // eager localCheckpoint: every fixpoint round's plan embeds `edges`,
     // so a cache would drag the ENTIRE minhash-pipeline logical plan
@@ -738,7 +745,9 @@ object TextOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var changed = 1L
+    lastFixpointRounds.set(0)
     while (changed > 0) {
+      lastFixpointRounds.incrementAndGet(): Unit
       val prop = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))

@@ -258,6 +258,16 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
   def checkpointScoped(spark: SparkSession): Option[String] =
     store().checkpointMor(spark, "relative_path", "modified_time")
 
+  /** Ratio-triggered fold: compact the scoped-run MOR log only once
+    * its bytes exceed `maxLogRatio` of the base snapshot's — bounded
+    * read amplification with write still ∝ change rate
+    * ([[graft.sinks.ParquetIndex.checkpointMorIfNeeded]]).
+    */
+  def checkpointScopedIfNeeded(spark: SparkSession,
+      maxLogRatio: Double = 0.3): Option[String] =
+    store().checkpointMorIfNeeded(spark, "relative_path",
+      "modified_time", maxLogRatio = maxLogRatio)
+
   def run(spark: SparkSession): RunReport = {
     val t0 = System.nanoTime()
     val listing = FsListing.list(spark, cfg.rootPath, cfg.skipPatterns,

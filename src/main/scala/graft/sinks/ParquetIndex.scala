@@ -720,6 +720,49 @@ final class ParquetIndex(root: String, keep: Int = 2,
       // write() consumes the old base's log after its commit
     }
 
+  /** On-disk bytes of the current base snapshot's data dir (0 with no
+    * base). File-size sums, not row counts: the compaction POLICY below
+    * budgets read amplification, and what a reader actually re-merges
+    * per query is bytes.
+    */
+  def baseBytes: Long =
+    currentId.map(cid => dirBytes(Paths.get(root, s"snap-$cid")))
+      .getOrElse(0L)
+
+  /** On-disk bytes of the current base's MOR log (deltas + delete
+    * sidecars; 0 with no base or no log).
+    */
+  def morLogBytes: Long =
+    currentId.map(cid => dirBytes(morRoot(cid))).getOrElse(0L)
+
+  private def dirBytes(p: java.nio.file.Path): Long =
+    if (!Files.isDirectory(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
+    }
+
+  /** RATIO-TRIGGERED compaction policy — the lakehouse maintenance
+    * loop's missing piece between [[appendDelta]] (write ∝ batch) and
+    * [[checkpointMor]] (the mechanism): fold the log into a new base
+    * exactly when the log's bytes exceed `maxLogRatio` of the base's,
+    * so steady-state read amplification is bounded by `1 + maxLogRatio`
+    * while append cost stays ∝ batch — a count-based trigger can't
+    * promise either (N tiny deltas are harmless, one huge delta isn't).
+    * Returns the new base id when it folded, None when the log is
+    * within budget. MorPolicySpec drives a long stream run through it.
+    */
+  def checkpointMorIfNeeded(spark: SparkSession, keyCol: String,
+      tsCol: String, batchWinsTies: Boolean = false,
+      maxLogRatio: Double = 0.3): Option[String] =
+    currentId.flatMap { cid =>
+      if (morEntries(cid).isEmpty) None
+      else if (morLogBytes <= maxLogRatio * math.max(baseBytes, 1L)) None
+      else checkpointMor(spark, keyCol, tsCol, batchWinsTies)
+    }
+
   private def prune(committed: Seq[String]): Unit = {
     val (drop, kept) = committed.splitAt(math.max(0, committed.size - keep))
     drop.foreach(id => deleteRec(Paths.get(root, s"snap-$id")))

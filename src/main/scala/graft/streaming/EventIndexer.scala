@@ -26,12 +26,23 @@ object EventIndexer {
     * driver — event batches name directories, not files, and are small
     * by construction; dirs are deduplicated and sorted so a batch's
     * refresh order is deterministic.
+    *
+    * Log maintenance runs INSIDE the loop with two independent
+    * triggers: the RATIO policy (`maxLogRatio`, default 0.3 — fold
+    * when the MOR log's bytes exceed that fraction of the base's,
+    * bounding steady-state read amplification at 1 + ratio no matter
+    * how change volume swings; 0 disables) and the COUNT policy
+    * (`checkpointEvery` batches — a wall-clock-ish staleness bound for
+    * deployments that also time-travel off base snapshots; 0
+    * disables). Ratio is the primary: N tiny deltas are harmless and
+    * shouldn't trigger a fold, one huge delta isn't and should.
     */
   def start(
       events: DataFrame,
       indexer: Indexer,
       checkpointDir: String,
-      checkpointEvery: Int = 8,
+      checkpointEvery: Int = 0,
+      maxLogRatio: Double = 0.3,
       onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -42,6 +53,9 @@ object EventIndexer {
         if (dirs.nonEmpty)
           onBatch(batchId,
             indexer.runScoped(batch.sparkSession, dirs))
+        if (maxLogRatio > 0)
+          indexer.checkpointScopedIfNeeded(batch.sparkSession,
+            maxLogRatio): Unit
         if (checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0)
           indexer.checkpointScoped(batch.sparkSession): Unit
       }

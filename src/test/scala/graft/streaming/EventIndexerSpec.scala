@@ -51,6 +51,9 @@ class EventIndexerSpec extends SparkSpecBase {
     val q = EventIndexer.start(ms.toDF().toDF("dir"), indexer,
       Files.createTempDirectory("evckpt").toString,
       checkpointEvery = 2, // batch ids 0,1 → fold after the 2nd
+      maxLogRatio = 0, // count policy under test; ratio policy has
+      // its own long-run spec (MorPolicySpec) and would fold the tiny
+      // test log before the count trigger gets its turn
       onBatch = (_, n) => refreshed += n)
     try {
       ms.addData("a"); q.processAllAvailable()
