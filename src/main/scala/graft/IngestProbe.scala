@@ -37,13 +37,77 @@ object IngestProbe {
         |  cast(pmod(hash(id, j), 1000) AS float) / cast(1000 AS float))"""
         .stripMargin).as("embedding"))
 
+  /** Manifest-vs-scan membership probe (VERDICT r9 item #7): for each
+    * store size, measure the per-batch membership floor of BOTH paths —
+    * the default anti-join (reads the store's vec_id column) and the
+    * flag-gated manifest (range + bloom; reads ~KBs however big the
+    * store). Quantizer quality is irrelevant to membership cost, so
+    * stores build with `lloydRounds = 0` to keep the 5M-vector cell
+    * tractable. Columns per size:
+    *   scan_append/scan_replay — the default path (r9's numbers);
+    *   manifest_bootstrap — first manifest call on a pre-manifest
+    *     store: one O(store) bloom pass, paid once;
+    *   manifest_append — a fresh (monotonic-id) batch: membership
+    *     decided by the manifest alone, zero postings reads — the
+    *     number that must stay FLAT as the store grows;
+    *   manifest_replay — an all-duplicate batch: bloom says maybe,
+    *     the exact anti-join confirms (the unavoidable worst case —
+    *     expected to track scan_replay).
+    */
+  private def manifestMode(spark: SparkSession,
+      sizes: Seq[Long], batch: Long): Unit = {
+    val cells = sizes.map { s =>
+      val dir = java.nio.file.Files.createTempDirectory("ingestman")
+      try {
+        operators.AnnIndex.build(spark, dir.toString,
+          corpus(spark, 0L, s), lloydRounds = 0)
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f
+          (System.nanoTime() - t0) / 1e9
+        }
+        val f1 = corpus(spark, s, s + batch)
+        val scanAppend = timed(
+          operators.AnnIndex.update(spark, dir.toString, f1))
+        val scanReplay = timed(
+          operators.AnnIndex.update(spark, dir.toString, f1))
+        val f2 = corpus(spark, s + batch, s + 2 * batch)
+        val boot = timed(operators.AnnIndex.update(spark, dir.toString,
+          f2, useManifest = true))
+        val f3 = corpus(spark, s + 2 * batch, s + 3 * batch)
+        val manAppend = timed(operators.AnnIndex.update(spark,
+          dir.toString, f3, useManifest = true))
+        val manReplay = timed(operators.AnnIndex.update(spark,
+          dir.toString, f3, useManifest = true))
+        System.err.println(f"[ingest-manifest] size=$s scan_append=" +
+          f"$scanAppend%.2f scan_replay=$scanReplay%.2f boot=$boot%.2f " +
+          f"manifest_append=$manAppend%.2f manifest_replay=$manReplay%.2f")
+        s""""$s":{"scan_append":${"%.3f".format(scanAppend)},""" +
+          s""""scan_replay":${"%.3f".format(scanReplay)},""" +
+          s""""manifest_bootstrap":${"%.3f".format(boot)},""" +
+          s""""manifest_append":${"%.3f".format(manAppend)},""" +
+          s""""manifest_replay":${"%.3f".format(manReplay)}}"""
+      } finally Bench.rm(dir)
+    }
+    println(s"""{"probe":"ann_ingest_manifest","batch":$batch,"sizes":${
+      cells.mkString("{", ",", "}")},"cpus":${
+      Runtime.getRuntime.availableProcessors}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    val manifest = args.headOption.contains("manifest")
+    val rest = if (manifest) args.drop(1).toSeq else args.toSeq
     val sizes =
-      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      if (rest.nonEmpty) rest.map(_.toLong)
+      else if (manifest) Seq(160000L, 640000L, 2500000L, 5000000L)
       else Seq(10000L, 40000L, 160000L)
     val batch = 5000L
     val spark = Bench.buildSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (manifest) {
+      manifestMode(spark, sizes, batch)
+      spark.stop()
+      return
+    }
     // session warmup: one tiny build+update cycle compiles the plans
     locally {
       val d = java.nio.file.Files.createTempDirectory("ingestwarm")

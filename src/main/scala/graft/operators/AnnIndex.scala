@@ -174,7 +174,82 @@ object AnnIndex {
         .select(col("vec_id"), col("c_id").as(s"pq$m"))
     }.reduce((a, b) => a.join(b, Seq("vec_id")))
 
-  def update(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
+  // ------------------------------------------------------------------ //
+  // MEMBERSHIP MANIFEST (flag-gated prototype — VERDICT r9 item #7).  //
+  // update()'s anti-join reads the postings' narrow vec_id column on  //
+  // every incremental batch: measured flat through 640k vectors       //
+  // (IngestProbe), but it is O(store) and eventually dominates the    //
+  // per-batch floor. The manifest is the named escalation: one row    //
+  // appended per update — (n, min_id, max_id, bloom) — so membership  //
+  // for a new batch reads the TINY manifest instead of the store:     //
+  //   definitely-new  = id outside [min,max] of every row, OR bloom   //
+  //                     miss → appended with ZERO postings reads      //
+  //                     (the monotonic-id ingest common case);        //
+  //   maybe-duplicate = range hit AND bloom hit → confirmed by the    //
+  //                     exact anti-join (false positives cost a scan, //
+  //                     never correctness).                           //
+  // WRITE ORDER IS THE SAFETY ARGUMENT: the manifest row commits      //
+  // BEFORE the postings append, so a torn update leaves a bloom that  //
+  // OVER-approximates membership — extra "maybe" rows re-verify       //
+  // exactly and re-append cleanly. (Postings-first would leave ids    //
+  // the bloom doesn't know → false "definitely new" → duplicates.)    //
+  // Blooms are fixed-geometry (1M items / 1% fpp ≈ 1.2 MB) so rows    //
+  // merge driver-side into one filter regardless of batch sizes.      //
+  // ------------------------------------------------------------------ //
+
+  private val ManifestBloomItems = 1000000L
+  private val ManifestFpp = 0.01
+
+  private def manifestPath(dir: String) = s"$dir/manifest"
+
+  private def appendManifest(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val r = ids.agg(count(lit(1)), min("vec_id"), max("vec_id")).head()
+    if (r.getLong(0) == 0L) return // an all-duplicate batch: no new ids
+    val bf = ids.stat.bloomFilter("vec_id", ManifestBloomItems,
+      ManifestFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), bos.toByteArray))
+      .toDF("n", "min_id", "max_id", "bloom")
+      .coalesce(1).write.mode("append").parquet(manifestPath(dir))
+  }
+
+  /** Drop already-indexed ids from `batch` by MANIFEST lookup: range +
+    * bloom split the batch into definitely-new rows (no postings read)
+    * and maybe-duplicate rows (exact anti-join against `p`, usually
+    * empty or tiny). First call on a pre-manifest store bootstraps the
+    * manifest with one O(store) pass over the postings' id column —
+    * paid once, after which membership never reads the store again.
+    */
+  private def manifestAntiJoin(spark: SparkSession, dir: String,
+      batch: DataFrame, p: DataFrame): DataFrame = {
+    if (!StoreUtil.exists(spark, manifestPath(dir)))
+      appendManifest(spark, dir, p.select("vec_id"))
+    val rows = spark.read.parquet(manifestPath(dir)).collect()
+    val merged = rows.map { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+    }.reduce { (a, b) => a.mergeInPlace(b); a }
+    val lo = rows.map(_.getAs[Long]("min_id")).min
+    val hi = rows.map(_.getAs[Long]("max_id")).max
+    val mightContain = udf((id: Long) =>
+      id >= lo && id <= hi && merged.mightContainLong(id))
+    // batch-sized checkpoint: the maybe/definite split feeds an isEmpty
+    // probe and both union legs — the bloom udf must not run 3×
+    val flagged = batch
+      .withColumn("__maybe", mightContain(col("vec_id")))
+      .localCheckpoint(true)
+    val definite = flagged.filter(!col("__maybe")).drop("__maybe")
+    val maybe = flagged.filter(col("__maybe")).drop("__maybe")
+    if (maybe.isEmpty) definite
+    else definite.unionByName(
+      maybe.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+  }
+
+  def update(spark: SparkSession, dir: String, emb: DataFrame,
+      useManifest: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
     val postingsPath = s"$dir/postings"
@@ -204,10 +279,14 @@ object AnnIndex {
     // plan (and its postings scan) would re-execute five times
     val incoming =
       postings.map(p =>
-        emb.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+        if (useManifest) manifestAntiJoin(spark, dir, emb, p)
+        else emb.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
         .getOrElse(emb)
         .select(col("vec_id"), col("label"), col("embedding"))
         .localCheckpoint(true)
+    // manifest row commits BEFORE the postings append (see the manifest
+    // header: torn update → over-approximating bloom → safe re-verify)
+    if (useManifest) appendManifest(spark, dir, incoming.select("vec_id"))
     val cents = spark.read.parquet(s"$dir/centroids")
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))

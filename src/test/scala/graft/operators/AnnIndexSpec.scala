@@ -260,6 +260,54 @@ class AnnIndexSpec extends SparkSpecBase {
       schemas.toString)
   }
 
+  test("manifest membership: same store as the scan path, replay-safe " +
+    "across the bootstrap boundary") {
+    val a = Files.createTempDirectory("annscan").toString
+    val b = Files.createTempDirectory("annman").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val even = emb.filter(col("vec_id").between(1, 8) ||
+      (col("vec_id") > 8 && col("vec_id") % 2 === 0))
+    val odd = emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1)
+    // scan-path reference store
+    AnnIndex.build(spark, a, even)
+    AnnIndex.update(spark, a, odd)
+    // manifest store: build writes no manifest, so the first manifest
+    // update must BOOTSTRAP it from the live postings — the migration
+    // path every pre-manifest store takes
+    AnnIndex.build(spark, b, even)
+    AnnIndex.update(spark, b, odd, useManifest = true)
+    def ids(d: String) = spark.read.parquet(s"$d/postings")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(a) == ids(b))
+    // replay through the manifest: all-duplicate batches (both the
+    // manifest-appended odds and the bootstrap-covered evens) must
+    // append nothing — a bloom false-"definitely new" would duplicate
+    val before = ids(b)
+    AnnIndex.update(spark, b, odd, useManifest = true)
+    AnnIndex.update(spark, b, emb.filter(col("vec_id") =!= 0),
+      useManifest = true)
+    assert(ids(b) == before)
+    // a genuinely-new out-of-range batch (the monotonic ingest shape)
+    // appends exactly itself, and ITS replay appends nothing
+    val shifted = odd.withColumn("vec_id", col("vec_id") + 100000L)
+    AnnIndex.update(spark, b, shifted, useManifest = true)
+    val after = ids(b)
+    assert(after.size == before.size + odd.count())
+    AnnIndex.update(spark, b, shifted, useManifest = true)
+    assert(ids(b) == after)
+    // and the manifest store serves identically to the scan store over
+    // the shared id range
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    // k=30 then filter: the shifted rows are score-duplicates that
+    // interleave with their originals, so the first 10 surviving
+    // originals are exactly store a's top-10
+    def top(d: String, k: Int) = AnnIndex.search(spark, d, q, k, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(_._1 < 100000L).take(10).toSeq
+    assert(top(a, 10) == top(b, 30))
+  }
+
   test("batch search with all cells matches per-query single search") {
     val dir = Files.createTempDirectory("annidx3").toString
     val emb = graft.Tables(spark, sf, "embeddings")
