@@ -58,5 +58,16 @@ class AnnServeMetricsSpec extends SparkSpecBase {
     assert(am("postings_rows_read") == expRows, s"adc: $am")
     assert(am("cells_probed") == 2, s"adc: $am")
     assert(am("cells_total") == 8L, s"adc: $am")
+
+    // matryoshka tier symmetry: the observation sits on the STAGE-1
+    // prefix scan, so rows_read is the probed cells' postings (the
+    // corpus-∝ scan), not the 50-row re-rank
+    val mObs = Observation("mrl_serve")
+    AnnIndex.searchMatryoshka(spark, dir, q, k = 5, nprobe = 2,
+      obs = Some(mObs)).collect()
+    val mm = mObs.get
+    assert(mm("postings_rows_read") == expRows, s"mrl: $mm")
+    assert(mm("cells_probed") == 2, s"mrl: $mm")
+    assert(mm("cells_total") == 8L, s"mrl: $mm")
   }
 }
