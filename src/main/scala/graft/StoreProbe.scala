@@ -116,9 +116,14 @@ object StoreProbe {
           .sum)
         val bHam = arm("hamming-batch", () => operators.AnnIndex
           .searchAllHamming(spark, dir, queries, 10, 2).count())
+        val sMrl = arm("mrl-single-x" + nq, () => qvecs.map(q =>
+          operators.AnnIndex.searchMatryoshka(spark, dir, q, 10, 2).count())
+          .sum)
+        val bMrl = arm("mrl-batch", () => operators.AnnIndex
+          .searchAllMatryoshka(spark, dir, queries, 10, 2).count())
         System.err.println(
           f"batchserve speedup: adc ${sAdc / bAdc}%.1fx, " +
-            f"hamming ${sHam / bHam}%.1fx at Q=$nq")
+            f"hamming ${sHam / bHam}%.1fx, mrl ${sMrl / bMrl}%.1fx at Q=$nq")
         (b, () => operators.AnnIndex
           .searchAllAdc(spark, dir, queries, 10, 2).count())
       case "batchtext" =>

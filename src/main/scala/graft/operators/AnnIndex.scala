@@ -517,6 +517,53 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** BATCH matryoshka serving: the two-stage prefix pipeline for a
+    * whole query frame (q_id, qe) in one plan — completes the
+    * single/batch symmetry across all four serving tiers (exact, ADC,
+    * Hamming, MRL). Stage 1: ONE prefix-column scan of the union of
+    * all queries' probed cells, per-query prefix-cosine shortlist on
+    * GroupTopK; stage 2: ONE raw-vector pass over the (q_id, vec_id)
+    * shortlist join, per-query exact top-k. Bit-identical per query to
+    * [[searchMatryoshka]] (AnnIndexSpec pins it).
+    */
+  def searchAllMatryoshka(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 2,
+      shortK: Int = 50): DataFrame = {
+    vecFns(spark)
+    val (dMin, _) = queryDims(queries)
+    require(dMin >= MPrefix,
+      s"searchAllMatryoshka: query dim $dMin is narrower than the " +
+        s"$MPrefix-dim stored prefix — same guard as searchMatryoshka")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probed = probedAll(queries, cents, nprobe)
+    val q16 = queries.select(col("q_id"),
+      expr(s"slice(qe, 1, $MPrefix)").as("q16"))
+    val stage1 = spark.read.parquet(s"$dir/postings")
+      .join(probed, Seq("c_id"))
+      .select(col("q_id"), col("vec_id"), col("m16"))
+      .join(broadcast(q16), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("vec_dot(m16, q16)") /
+          (sqrt(expr("vec_dot(m16, m16)")) *
+            sqrt(expr("vec_dot(q16, q16)"))), 4).as("pcos"))
+    val short = graft.plans.GroupTopK.topK(stage1,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("pcos", true), ("vec_id", false)), k = shortK)
+      .select("q_id", "vec_id")
+    val scored = spark.read.parquet(s"$dir/postings")
+      .join(probed, Seq("c_id"))
+      .join(broadcast(short), Seq("q_id", "vec_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) *
+            sqrt(expr("vec_dot(qe, qe)"))), 4).as("cos_sim"))
+    graft.plans.GroupTopK.topK(scored,
+      groupCols = Seq("q_id"),
+      orderKeys = Seq(("cos_sim", true), ("vec_id", false)), k = k)
+      .select("q_id", "vec_id", "label", "cos_sim", "rk")
+  }
+
   /** BATCH serving: top-k neighbors for a whole frame of queries
     * (q_id, qe) in one plan — the offline-inference shape (embed a
     * shard of requests, answer all of them in one pass). Per query:

@@ -3277,6 +3277,53 @@ object TextOps {
       |    AS shuffle_pos
       |FROM documents ORDER BY shuffle_pos""".stripMargin
 
+  /** The SCALE form of [[trainOrder]] — closing the one documented
+    * parity-only shape: instead of the single-partition global
+    * `row_number` window (fine as an oracle anchor, a serialization
+    * point at 100 TB), positions derive from a RANGE partitioning on
+    * the shuffle key + within-partition sort + per-partition offsets:
+    * one range exchange, one ≤`parts`-row count collect, zero global
+    * windows. `monotonically_increasing_id`'s (partitionId << 33 |
+    * localIndex) layout yields the within-partition rank after the
+    * sort; cumulative per-partition counts lift it to the global
+    * position. The output is INVARIANT to where the sampled range
+    * bounds fall (positions are determined by the total order, not the
+    * partitioning), so this row shares `docs_train_order`'s oracle
+    * bit-for-bit.
+    */
+  def trainOrderRanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = 32
+    val keyed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        sha2(concat(lit("seed42:"), col("doc_id").cast("string")), 256)
+          .as("shuffle_key"))
+    // checkpoint AFTER the id projection: the per-partition counts job
+    // and the final output must see identical row/partition placement
+    val mid = keyed
+      .repartitionByRange(parts, col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions("shuffle_key", "doc_id")
+      .select(col("doc_id"), col("shuffle_key"),
+        spark_partition_id().as("__pid"),
+        monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)).as("__loc"))
+      .localCheckpoint(true)
+    val counts = mid.groupBy("__pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, n)) => (pid, acc + n)
+    }
+    val offByPid = counts.map(_._1)
+      .zip(offsets.map(_._2)).toMap
+    val offDf = {
+      import spark.implicits._
+      offByPid.toSeq.toDF("__pid", "__off")
+    }
+    mid.join(broadcast(offDf), Seq("__pid"))
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("__off") + col("__loc") + 1L).cast("int").as("shuffle_pos"))
+      .orderBy("shuffle_pos")
+  }
+
   // -------------------------------------------------------------------- //
   // Blocklist / toxicity filter — the standard term-list curation stage //
   // (flag or drop documents containing blocked vocabulary). A bounded   //
@@ -3687,6 +3734,7 @@ object TextOps {
     "docs_group_sample" -> groupSample,
     "docs_blocklist_filter" -> blocklistFilter,
     "docs_train_order" -> trainOrder,
+    "docs_train_order_ranged" -> trainOrderRanged,
     "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
@@ -3753,6 +3801,9 @@ object TextOps {
     "docs_group_sample" -> groupSampleSql,
     "docs_blocklist_filter" -> blocklistFilterSql,
     "docs_train_order" -> trainOrderSql,
+    // the range-partitioned scale form must reproduce the global
+    // window's positions bit-for-bit
+    "docs_train_order_ranged" -> trainOrderSql,
     "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,

@@ -374,6 +374,29 @@ class AnnIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("batch matryoshka serving matches per-query two-stage search " +
+    "bit-for-bit under nprobe pruning") {
+    val dir = Files.createTempDirectory("annmrlb").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") =!= 0))
+    val qids = Seq(0L, 100L, 200L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val batch = AnnIndex
+      .searchAllMatryoshka(spark, dir, queries, k = 5, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq).toMap
+    qids.foreach { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val single = AnnIndex
+        .searchMatryoshka(spark, dir, q, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(qid) == single, s"mrl q=$qid")
+    }
+  }
+
   test("batch compressed serving (ADC + Hamming) matches per-query " +
     "search bit-for-bit, including under nprobe pruning") {
     val dir = Files.createTempDirectory("annidx4").toString

@@ -17,6 +17,20 @@ class TextOpsSpec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("range-partitioned train order reproduces the global window's " +
+    "positions bit-for-bit") {
+    // the scale form's positions must be invariant to partitioning:
+    // per-partition offsets + monotonic local ids == one global
+    // row_number — same rows, same keys, same positions
+    val a = TextOps.trainOrder(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq
+    val b = TextOps.trainOrderRanged(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq
+    assert(a == b)
+  }
+
   /** Writes a tiny documents table (driver schema) with short-doc traps. */
   private def shortDocsDir(): String = {
     val dir = Files.createTempDirectory("textops").toString
