@@ -29,9 +29,39 @@ object Merge {
       batch: DataFrame,
       keyCol: String,
       tsCol: String,
-      batchWinsTies: Boolean): DataFrame =
+      batchWinsTies: Boolean,
+      evolveSchema: Boolean = false): DataFrame =
     winners(existing, batch, keyCol, tsCol, batchWinsTies,
-      restrictToBatch = false)
+      restrictToBatch = false, evolveSchema = evolveSchema)
+
+  /** ADDITIVE schema evolution (the Delta `mergeSchema` contract, made
+    * explicit): the batch may carry NEW columns beyond `existing`'s —
+    * never drop or retype one — and existing rows read the new columns
+    * as null. Returns both frames aligned to the union schema
+    * (existing's columns in order, then the batch's additions in batch
+    * order). Additive-only is deliberate: a batch MISSING a column is
+    * ambiguous under LWW (does the winner wipe the stored value to
+    * null, or preserve it?) — we refuse instead of guessing, exactly
+    * like un-evolved merges refuse any mismatch.
+    */
+  private[graft] def alignEvolved(existing: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val eCols = existing.columns.toSet
+    val bTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    existing.schema.fields.foreach { f =>
+      require(bTypes.contains(f.name),
+        s"schema evolution is additive-only: batch is missing stored " +
+          s"column ${f.name}")
+      require(bTypes(f.name) == f.dataType,
+        s"schema evolution cannot retype ${f.name}: " +
+          s"${f.dataType.simpleString} vs ${bTypes(f.name).simpleString}")
+    }
+    val added = batch.schema.fields.filterNot(f => eCols.contains(f.name))
+    val widened = added.foldLeft(existing)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val order = existing.columns.toSeq ++ added.map(_.name)
+    (widened.select(order.map(col): _*), batch.select(order.map(col): _*))
+  }
 
   /** J1 merge composed with J6/ST3 reconciliation in ONE pass: the
     * result holds, for every key present in `batch`, the merge winner —
@@ -46,17 +76,22 @@ object Merge {
       batch: DataFrame,
       keyCol: String,
       tsCol: String,
-      batchWinsTies: Boolean = false): DataFrame =
+      batchWinsTies: Boolean = false,
+      evolveSchema: Boolean = false): DataFrame =
     winners(existing, batch, keyCol, tsCol, batchWinsTies,
-      restrictToBatch = true)
+      restrictToBatch = true, evolveSchema = evolveSchema)
 
   private def winners(
-      existing: DataFrame,
-      batch: DataFrame,
+      existing0: DataFrame,
+      batch0: DataFrame,
       keyCol: String,
       tsCol: String,
       batchWinsTies: Boolean,
-      restrictToBatch: Boolean): DataFrame = {
+      restrictToBatch: Boolean,
+      evolveSchema: Boolean = false): DataFrame = {
+    val (existing, batch) =
+      if (evolveSchema) alignEvolved(existing0, batch0)
+      else (existing0, batch0)
     val cols = existing.columns.toSeq
     require(batch.columns.toSet == cols.toSet,
       s"schema mismatch: ${cols.sorted} vs ${batch.columns.toSeq.sorted}")

@@ -21,6 +21,8 @@ object StoreOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val ivmCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val evoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** The %7 rescan delta (strictly newer + bigger), the %11 delete set
     * — the same generations the merge/deletion queries use, so the
@@ -86,6 +88,49 @@ object StoreOps {
       |FROM ranked
       |WHERE rn = 1 AND relative_path NOT IN (
       |  SELECT relative_path FROM fs_files WHERE l_orderkey % 11 = 0)
+      |ORDER BY relative_path""".stripMargin)
+
+  // ------------------------------------------------------------------ //
+  // Additive schema evolution, driver-gated: the %7 rescan delta is    //
+  // appended WITH A NEW COLUMN (owner) under the explicit              //
+  // evolveSchema contract — no base rewrite (the 100 TB requirement    //
+  // for adding a column) — and readMor resolves across the two schema  //
+  // eras: delta keys carry owner, base-era rows read it as NULL, LWW   //
+  // per key otherwise untouched. The oracle is the definitional        //
+  // per-key CASE over the same generations.                            //
+  // ------------------------------------------------------------------ //
+
+  def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(evoCache, sfDir, "graft-evostore") {
+      root =>
+        val idx = new ParquetIndex(s"$root/store", writeFiles = 4)
+        idx.write(baseFrame(spark, sfDir)): Unit
+        idx.appendDelta(spark,
+          deltaFrame(spark, sfDir).join(
+            SyntheticFs.files(spark, sfDir)
+              .select(col("relative_path"),
+                concat(lit("u"), (col("l_orderkey") % 5).cast("string"))
+                  .as("owner")),
+            Seq("relative_path")),
+          evolveSchema = true): Unit
+    }
+    new ParquetIndex(s"$dir/store")
+      .readMor(spark, "relative_path", "modified_time")
+      .getOrElse(sys.error(s"fs_schema_evolution: empty store at $dir"))
+      .select("relative_path", "size_bytes", "modified_time", "owner")
+      .orderBy("relative_path")
+  }
+
+  val schemaEvolutionSql: String = SyntheticFs.withCtes(
+    """SELECT relative_path,
+      |  CASE WHEN l_orderkey % 7 = 0 THEN size_bytes + 777
+      |       ELSE size_bytes END AS size_bytes,
+      |  CASE WHEN l_orderkey % 7 = 0
+      |       THEN modified_time + INTERVAL 5 DAY
+      |       ELSE modified_time END AS modified_time,
+      |  CASE WHEN l_orderkey % 7 = 0
+      |       THEN 'u' || CAST(l_orderkey % 5 AS VARCHAR) END AS owner
+      |FROM fs_files
       |ORDER BY relative_path""".stripMargin)
 
   // ------------------------------------------------------------------ //
@@ -205,11 +250,13 @@ object StoreOps {
     "fs_mor_read" -> morRead,
     "fs_ivm_rollup" -> ivmRollup,
     "fs_time_travel" -> timeTravelRead,
-    "fs_change_feed" -> changeFeedRead)
+    "fs_change_feed" -> changeFeedRead,
+    "fs_schema_evolution" -> schemaEvolutionRead)
 
   def oracleSql: Map[String, String] = Map(
     "fs_mor_read" -> morReadSql,
     "fs_ivm_rollup" -> ivmRollupSql,
     "fs_time_travel" -> timeTravelReadSql,
-    "fs_change_feed" -> changeFeedReadSql)
+    "fs_change_feed" -> changeFeedReadSql,
+    "fs_schema_evolution" -> schemaEvolutionSql)
 }

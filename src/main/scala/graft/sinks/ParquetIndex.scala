@@ -498,11 +498,13 @@ final class ParquetIndex(root: String, keep: Int = 2,
     * consumed by the write — mixing the two write paths loses nothing.
     */
   def upsert(spark: SparkSession, batch: DataFrame, keyCol: String,
-      tsCol: String, batchWinsTies: Boolean = false): String =
+      tsCol: String, batchWinsTies: Boolean = false,
+      evolveSchema: Boolean = false): String =
     readMor(spark, keyCol, tsCol, batchWinsTies) match {
       case None => write(batch)
       case Some(cur) =>
-        write(Merge.merge(cur, batch, keyCol, tsCol, batchWinsTies))
+        write(Merge.merge(cur, batch, keyCol, tsCol, batchWinsTies,
+          evolveSchema))
     }
 
   /** J1+J6/ST3 in one write: merge a FULL-rescan batch and drop keys the
@@ -511,11 +513,13 @@ final class ParquetIndex(root: String, keep: Int = 2,
     * and of continuous indexing's every micro-batch.
     */
   def upsertReconcile(spark: SparkSession, scan: DataFrame, keyCol: String,
-      tsCol: String, batchWinsTies: Boolean = false): String =
+      tsCol: String, batchWinsTies: Boolean = false,
+      evolveSchema: Boolean = false): String =
     readMor(spark, keyCol, tsCol, batchWinsTies) match {
       case None => write(scan)
       case Some(cur) =>
-        write(Merge.mergeReconcile(cur, scan, keyCol, tsCol, batchWinsTies))
+        write(Merge.mergeReconcile(cur, scan, keyCol, tsCol,
+          batchWinsTies, evolveSchema))
     }
 
   /** J6/ST3: drop rows whose key vanished from the current scan; returns
@@ -608,13 +612,35 @@ final class ParquetIndex(root: String, keep: Int = 2,
   /** Append an upsert batch to the MOR log of the current base (write
     * cost ∝ batch). With no base yet, the batch BECOMES the base
     * snapshot. Returns the committed log entry (or new base id).
+    *
+    * `evolveSchema = true` is the explicit ADDITIVE-evolution contract
+    * (the 100 TB way to add a column — no base rewrite): the batch may
+    * carry new columns beyond the base's (never drop or retype one —
+    * key/ts columns are base columns, so every delta still carries
+    * them); [[readMor]] resolves over the union schema with rows
+    * null-filled for columns their era didn't have, and the next
+    * [[checkpointMor]] folds the evolved schema into the base.
     */
-  def appendDelta(spark: SparkSession, batch: DataFrame): String =
+  def appendDelta(spark: SparkSession, batch: DataFrame,
+      evolveSchema: Boolean = false): String =
     currentId match {
       case None => write(batch)
       case Some(cid) =>
-        val cols = readSnapshot(spark, cid).columns.toSet
-        require(batch.columns.toSet == cols,
+        val snap = readSnapshot(spark, cid)
+        val cols = snap.columns.toSet
+        if (evolveSchema) {
+          val bTypes =
+            batch.schema.fields.map(f => f.name -> f.dataType).toMap
+          snap.schema.fields.foreach { f =>
+            require(bTypes.contains(f.name),
+              s"appendDelta: evolution is additive-only — batch is " +
+                s"missing stored column ${f.name}")
+            require(bTypes(f.name) == f.dataType,
+              s"appendDelta: cannot retype ${f.name}: " +
+                s"${f.dataType.simpleString} vs " +
+                bTypes(f.name).simpleString)
+          }
+        } else require(batch.columns.toSet == cols,
           s"appendDelta: schema mismatch: ${batch.columns.toSeq.sorted}" +
             s" vs ${cols.toSeq.sorted}")
         val name = f"delta-${morEntries(cid).size}%05d"
@@ -649,13 +675,30 @@ final class ParquetIndex(root: String, keep: Int = 2,
       val entries = morEntries(cid)
       if (entries.isEmpty) base
       else {
-        val cols = base.columns.toSeq
         val gens = entries.zipWithIndex
-        val ups = (base.withColumn("__gen", lit(0L)) +:
-          gens.collect { case (("u", name), i) =>
-            readMorDir(spark, cid, name).select(cols.map(col): _*)
-              .withColumn("__gen", lit((i + 1).toLong))
-          }).reduce(_ unionByName _)
+        val upFrames = (base, 0L) +: gens.collect {
+          case (("u", name), i) =>
+            (readMorDir(spark, cid, name), (i + 1).toLong)
+        }
+        // resolve over the UNION schema: base columns in order, then
+        // each delta's additions in first-seen order (additive
+        // evolution — appendDelta guarantees no drop/retype, so a
+        // name collision always agrees on type); rows null-fill the
+        // columns their era didn't have
+        val fields = scala.collection.mutable.LinkedHashMap(
+          base.schema.fields.map(f => f.name -> f.dataType): _*)
+        upFrames.foreach { case (df, _) =>
+          df.schema.fields.foreach(f =>
+            if (!fields.contains(f.name)) fields += f.name -> f.dataType)
+        }
+        val cols = fields.keys.toSeq
+        val ups = upFrames.map { case (df, gen) =>
+          val have = df.columns.toSet
+          df.select(cols.map(c =>
+            if (have(c)) col(c)
+            else lit(null).cast(fields(c)).as(c)): _*)
+            .withColumn("__gen", lit(gen))
+        }.reduce(_ unionByName _)
         val dels = gens.collect { case (("d", name), i) =>
           readMorDir(spark, cid, name)
             .select(col(keyCol), lit((i + 1).toLong).as("__dgen"))
