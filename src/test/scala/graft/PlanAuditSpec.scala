@@ -593,4 +593,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("train order: the ranged form has NO single-partition exchange; " +
+    "the global-window form is pinned as the parity shape it replaces") {
+    // the scale form: positions from per-partition offsets over a range
+    // exchange — a SinglePartition exchange here would mean someone
+    // reintroduced the global-window serialization point
+    val p = finalPlan(
+      SparkEntry.queries("docs_train_order_ranged")(spark, sf))
+    assert(!p.contains("SinglePartition"), p)
+    // the ≤parts-row offset frame joins back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the parity twin IS the single-partition window — pinned so the
+    // two shapes can't silently swap
+    val g = finalPlan(SparkEntry.queries("docs_train_order")(spark, sf))
+    assert(g.contains("SinglePartition"), g)
+  }
+
 }
