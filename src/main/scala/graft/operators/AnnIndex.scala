@@ -411,6 +411,25 @@ object AnnIndex {
       max(lit(probed)).as("cells_probed"),
       max(lit(total)).as("cells_total")))
 
+  /** The BATCH twin of [[observed]], attached to the post-cell-join
+    * candidate frame (it still carries `q_id` and `c_id`). A batch has
+    * no driver-collected cell list to quote as literals, so the
+    * per-query breadth metrics come from the frame itself via
+    * `approx_count_distinct` — exact at request-batch cardinalities
+    * (HLL++ answers exactly below its sparse threshold) and within 5%
+    * far beyond; `postings_rows_read` stays an exact count. One
+    * CollectMetrics node, no extra jobs, no extra column references —
+    * pruning and the GroupTopK rewrite are unaffected.
+    */
+  private def observedAll(df: org.apache.spark.sql.DataFrame,
+      obs: Option[org.apache.spark.sql.Observation])
+      : org.apache.spark.sql.DataFrame =
+    obs.fold(df)(o => df.observe(o,
+      count(lit(1)).as("postings_rows_read"),
+      approx_count_distinct(col("q_id")).as("queries_served"),
+      approx_count_distinct(struct(col("q_id"), col("c_id")))
+        .as("cells_probed")))
+
   /** Top-k cosine neighbors of `query` from the nprobe nearest cells. */
   def search(spark: SparkSession, dir: String, query: Seq[Float],
       k: Int = 10, nprobe: Int = 2): DataFrame = {
@@ -528,7 +547,8 @@ object AnnIndex {
     */
   def searchAllMatryoshka(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 2,
-      shortK: Int = 50): DataFrame = {
+      shortK: Int = 50,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
     val (dMin, _) = queryDims(queries)
     require(dMin >= MPrefix,
@@ -538,8 +558,10 @@ object AnnIndex {
     val probed = probedAll(queries, cents, nprobe)
     val q16 = queries.select(col("q_id"),
       expr(s"slice(qe, 1, $MPrefix)").as("q16"))
-    val stage1 = spark.read.parquet(s"$dir/postings")
-      .join(probed, Seq("c_id"))
+    // the observation sits on the STAGE-1 prefix scan (the corpus-∝
+    // pass), mirroring searchMatryoshka's placement
+    val stage1 = observedAll(spark.read.parquet(s"$dir/postings")
+      .join(probed, Seq("c_id")), obs)
       .select(col("q_id"), col("vec_id"), col("m16"))
       .join(broadcast(q16), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -575,7 +597,8 @@ object AnnIndex {
     * rows instead of every scored candidate.
     */
   def searchAll(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 10, nprobe: Int = 2): DataFrame = {
+      k: Int = 10, nprobe: Int = 2,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
     val cents = spark.read.parquet(s"$dir/centroids")
     val probed = graft.plans.GroupTopK.topK(
@@ -586,8 +609,8 @@ object AnnIndex {
       orderKeys = Seq(("d2", false), ("c_id", false)),
       k = nprobe)
       .select(col("q_id"), col("c_id"))
-    val scored = spark.read.parquet(s"$dir/postings")
-      .join(probed, Seq("c_id"))
+    val scored = observedAll(spark.read.parquet(s"$dir/postings")
+      .join(probed, Seq("c_id")), obs)
       .join(queries, Seq("q_id"))
       .withColumn("cos_sim", round(
         expr("vec_dot(embedding, qe)") /
@@ -644,7 +667,8 @@ object AnnIndex {
   }
 
   def searchAllAdc(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 10, nprobe: Int = 2): DataFrame = {
+      k: Int = 10, nprobe: Int = 2,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
     val cents = spark.read.parquet(s"$dir/centroids")
     val sub = subLenOf(cents)
@@ -659,8 +683,8 @@ object AnnIndex {
           round(expr(s"vec_dist2(slice(qe, $off, $sub), " +
             s"slice(ce, $off, $sub))"), 4).as(s"qd$m"))
     }
-    val base = spark.read.parquet(s"$dir/postings")
-      .join(probedAll(queries, cents, nprobe), Seq("c_id"))
+    val base = observedAll(spark.read.parquet(s"$dir/postings")
+      .join(probedAll(queries, cents, nprobe), Seq("c_id")), obs)
       .select(col("q_id"), col("vec_id"), col("label"),
         col("pq0"), col("pq1"), col("pq2"), col("pq3"))
     val scored = (0 until PqM).foldLeft(base)((df, m) =>
@@ -684,7 +708,8 @@ object AnnIndex {
     * (a wider query would be sketch-blind past dim 64).
     */
   def searchAllHamming(spark: SparkSession, dir: String,
-      queries: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+      queries: DataFrame, k: Int = 10, nprobe: Int = 2,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
     val (_, dMax) = queryDims(queries)
     require(dMax <= 64,
@@ -695,8 +720,8 @@ object AnnIndex {
       .withColumn("q_lo", VectorOps.signWord(1))
       .withColumn("q_hi", VectorOps.signWord(33))
       .select("q_id", "q_lo", "q_hi")
-    val scored = spark.read.parquet(s"$dir/postings")
-      .join(probedAll(queries, cents, nprobe), Seq("c_id"))
+    val scored = observedAll(spark.read.parquet(s"$dir/postings")
+      .join(probedAll(queries, cents, nprobe), Seq("c_id")), obs)
       .join(broadcast(qWords), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"),
         (expr("bit_count(b_lo ^ q_lo)") +

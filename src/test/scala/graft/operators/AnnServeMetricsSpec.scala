@@ -70,4 +70,54 @@ class AnnServeMetricsSpec extends SparkSpecBase {
     assert(mm("cells_probed") == 2, s"mrl: $mm")
     assert(mm("cells_total") == 8L, s"mrl: $mm")
   }
+
+  test("BATCH serving tiers report per-frame metrics that match an " +
+    "independent count over every query's probed cells") {
+    val dir = Files.createTempDirectory("annobsb").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb)
+    val qids = Seq(0L, 50L, 100L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .localCheckpoint(true)
+
+    // independent expectation: each query's 2 nearest cells by the
+    // store's assignment rule; candidate rows = Σ_q postings in q's cells
+    graft.functions.GraftFunctions.register(spark)
+    val postings = spark.read.parquet(s"$dir/postings")
+    val perCell = postings.groupBy("c_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probedPairs = qids.flatMap { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      cents.withColumn("qe", typedLit(q))
+        .withColumn("d2", round(expr(
+          "vec_dot(ce, ce) - 2 * vec_dot(ce, qe) + vec_dot(qe, qe)"), 4))
+        .orderBy(col("d2"), col("c_id")).limit(2)
+        .select(col("c_id").cast("int")).collect().map(_.getInt(0))
+        .map(qid -> _)
+    }
+    val expRows = probedPairs.map { case (_, c) => perCell(c) }.sum
+
+    // all four batch tiers share the post-cell-join observation point;
+    // the tiny cardinalities here sit well inside HLL++'s exact range
+    def check(name: String,
+        run: Observation => org.apache.spark.sql.DataFrame): Unit = {
+      val o = Observation(name)
+      run(o).collect()
+      val m = o.get
+      assert(m("postings_rows_read") == expRows, s"$name: $m")
+      assert(m("queries_served") == qids.length.toLong, s"$name: $m")
+      assert(m("cells_probed") == probedPairs.length.toLong, s"$name: $m")
+    }
+    check("b_exact", o => AnnIndex.searchAll(spark, dir, queries,
+      k = 5, nprobe = 2, obs = Some(o)))
+    check("b_adc", o => AnnIndex.searchAllAdc(spark, dir, queries,
+      k = 5, nprobe = 2, obs = Some(o)))
+    check("b_ham", o => AnnIndex.searchAllHamming(spark, dir, queries,
+      k = 5, nprobe = 2, obs = Some(o)))
+    check("b_mrl", o => AnnIndex.searchAllMatryoshka(spark, dir, queries,
+      k = 5, nprobe = 2, obs = Some(o)))
+  }
 }
