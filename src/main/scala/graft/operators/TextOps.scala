@@ -3257,12 +3257,21 @@ object TextOps {
   // trivial (shard = prefix of the key space).                          //
   // -------------------------------------------------------------------- //
 
-  def trainOrder(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keyed = Tables(spark, sfDir, "documents")
+  def trainOrder(spark: SparkSession, sfDir: String): DataFrame =
+    trainOrderGlobalOn(docsKeyed(spark, sfDir))
+
+  private def docsKeyed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
         sha2(concat(lit("seed42:"), col("doc_id").cast("string")), 256)
           .as("shuffle_key"))
+
+  /** The oracle-parity form: ONE global row_number window (a
+    * single-partition sort — `graft.OrderProbe` measures where it
+    * stops scaling against the ranged core below).
+    */
+  private[graft] def trainOrderGlobalOn(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     keyed
       .withColumn("shuffle_pos",
         row_number().over(Window.orderBy("shuffle_key", "doc_id")))
@@ -3291,12 +3300,11 @@ object TextOps {
     * partitioning), so this row shares `docs_train_order`'s oracle
     * bit-for-bit.
     */
-  def trainOrderRanged(spark: SparkSession, sfDir: String): DataFrame = {
-    val parts = 32
-    val keyed = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        sha2(concat(lit("seed42:"), col("doc_id").cast("string")), 256)
-          .as("shuffle_key"))
+  def trainOrderRanged(spark: SparkSession, sfDir: String): DataFrame =
+    trainOrderRangedOn(spark, docsKeyed(spark, sfDir), parts = 32)
+
+  private[graft] def trainOrderRangedOn(spark: SparkSession,
+      keyed: DataFrame, parts: Int): DataFrame = {
     // checkpoint AFTER the id projection: the per-partition counts job
     // and the final output must see identical row/partition placement
     val mid = keyed
