@@ -123,6 +123,52 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     }
   }
 
+  test("evolved MOR resolution across three eras matches the " +
+    "definitional LWW in both tie modes, incl. the revive case") {
+    import spark.implicits._
+    // era 1 (base): (k, ts, v) — MorIndexSpec's exact generation
+    // structure (overlap, tie, delete, revive-with-older-ts), but era
+    // 2 adds `owner` and era 3 adds `score` WITHOUT owner (additive
+    // requires ⊇ the BASE columns only — owner is a delta-era column,
+    // so a later delta may legitimately not know it). The winner's
+    // columns are its own era's facts; everything else is null.
+    val b0 = Seq(("a", 5L, "a0"), ("b", 3L, "b0"), ("c", 7L, "c0"),
+      ("d", 1L, "d0")).toDF("k", "ts", "v")
+    val b1 = Seq(("a", 6L, "a1", "o1"), ("b", 3L, "b1", "o2"),
+      ("c", 2L, "c1", "o3"), ("e", 4L, "e1", "o4"))
+      .toDF("k", "ts", "v", "owner")
+    val delKeys = Seq("a", "d")
+    val b2 = Seq(("a", 2L, "a2", 0.5), ("f", 9L, "f2", 0.7))
+      .toDF("k", "ts", "v", "score")
+    for (ties <- Seq(false, true)) {
+      val idx = new ParquetIndex(
+        Files.createTempDirectory(s"evo3-$ties").toString)
+      idx.appendDelta(spark, b0): Unit // becomes the base
+      idx.appendDelta(spark, b1, evolveSchema = true): Unit
+      idx.appendDelete(spark, delKeys.toDF("k"), "k"): Unit
+      idx.appendDelta(spark, b2, evolveSchema = true): Unit
+      def state(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("ts"),
+          r.getAs[String]("v"), Option(r.getAs[String]("owner")),
+          Option(r.getAs[Any]("score")))).toSet
+      val tieB = // the only exact-ts tie: b@3 in eras 1 and 2
+        if (ties) ("b", 3L, "b1", Some("o2"), None)
+        else ("b", 3L, "b0", None, None)
+      val expected = Set(
+        ("a", 2L, "a2", None, Some(0.5)), // revived by era 3 after delete
+        tieB,
+        ("c", 7L, "c0", None, None), // era-1 row outlasts the era-2 update
+        ("e", 4L, "e1", Some("o4"), None),
+        ("f", 9L, "f2", None, Some(0.7)))
+      val mor = idx.readMor(spark, "k", "ts", ties).get
+      assert(mor.columns.toSeq == Seq("k", "ts", "v", "owner", "score"))
+      assert(state(mor) == expected, s"ties=$ties")
+      // and the fold serves the identical evolved state
+      idx.checkpointMor(spark, "k", "ts", ties)
+      assert(state(idx.read(spark).get) == expected, s"fold ties=$ties")
+    }
+  }
+
   test("copy-on-write upsert evolves under the explicit flag and " +
     "refuses otherwise") {
     import spark.implicits._
