@@ -292,6 +292,64 @@ object TextOps {
        |  max(c) AS q90_cut
        |FROM sc, cut GROUP BY source ORDER BY source""".stripMargin
 
+  /** Length-bucketed batching report — the PADDING half of the
+    * packing-vs-padding loader trade ([[packSegments]] is the packing
+    * half): sequences grouped into power-of-two length buckets
+    * (16..512, the dynamic-batching shape inference and non-causal
+    * training loaders use), each doc padded to its bucket top and
+    * truncated at 512. Per bucket: docs, effective tokens, padded
+    * slots, waste, the waste fraction in exact integer 4dp half-up
+    * units (the anneal_frac discipline), batch count at 8 docs/batch,
+    * and truncated-token volume. The bucket ladder is pure integer
+    * CASE comparisons — no float log2 to drift between engines — and
+    * the whole report is ONE map pass + a 6-key map-side-combinable
+    * aggregate: at 100 TB the corpus pass is embarrassingly parallel
+    * and the report never moves more than 6 rows.
+    */
+  def lengthBatching(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(expr(s"size($toks)").cast("long").as("nt"))
+      .withColumn("bucket",
+        when(col("nt") <= 16, 16L).when(col("nt") <= 32, 32L)
+          .when(col("nt") <= 64, 64L).when(col("nt") <= 128, 128L)
+          .when(col("nt") <= 256, 256L).otherwise(512L))
+      .withColumn("eff", least(col("nt"), col("bucket")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("eff").as("n_tokens"),
+        sum(greatest(col("nt") - 512L, lit(0L))).as("trunc_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_slots"),
+        (col("n_docs") * col("bucket") - col("n_tokens")).as("pad_waste"),
+        (expr("(2 * 10000 * (n_docs * bucket - n_tokens) + " +
+          "n_docs * bucket) div (2 * n_docs * bucket)")
+          .cast("double") / 10000.0).as("pad_frac"),
+        expr("(n_docs + 7) div 8").as("n_batches"),
+        col("trunc_tokens"))
+      .orderBy("bucket")
+  }
+
+  val lengthBatchingSql: String =
+    s"""WITH lens AS (
+       |  SELECT CAST(len($duckToks) AS BIGINT) AS nt FROM documents),
+       |bucketed AS (
+       |  SELECT nt,
+       |    CAST(CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+       |         WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+       |         WHEN nt <= 256 THEN 256 ELSE 512 END AS BIGINT) AS bucket
+       |  FROM lens)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(LEAST(nt, bucket)) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) * bucket AS BIGINT) AS padded_slots,
+       |  CAST(count(*) * bucket - sum(LEAST(nt, bucket)) AS BIGINT)
+       |    AS pad_waste,
+       |  CAST((2 * 10000 * (count(*) * bucket - sum(LEAST(nt, bucket)))
+       |      + count(*) * bucket) // (2 * count(*) * bucket) AS DOUBLE)
+       |    / 10000.0 AS pad_frac,
+       |  CAST((count(*) + 7) // 8 AS BIGINT) AS n_batches,
+       |  CAST(sum(CASE WHEN nt > 512 THEN nt - 512 ELSE 0 END) AS BIGINT)
+       |    AS trunc_tokens
+       |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val qualityDupCalibrationSql: String =
     s"""WITH sc AS (
        |  SELECT doc_id,
@@ -3743,6 +3801,7 @@ object TextOps {
     "docs_blocklist_filter" -> blocklistFilter,
     "docs_train_order" -> trainOrder,
     "docs_train_order_ranged" -> trainOrderRanged,
+    "docs_length_batching" -> lengthBatching,
     "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
@@ -3812,6 +3871,7 @@ object TextOps {
     // the range-partitioned scale form must reproduce the global
     // window's positions bit-for-bit
     "docs_train_order_ranged" -> trainOrderSql,
+    "docs_length_batching" -> lengthBatchingSql,
     "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,

@@ -31,6 +31,22 @@ class TextOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("length batching: buckets partition the corpus, waste is the " +
+    "definitional slot difference, truncation only in the top bucket") {
+    val rows = TextOps.lengthBatching(spark, sf).collect()
+    val docs = graft.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs) // a partition
+    rows.foreach { r =>
+      assert(r.getAs[Long]("padded_slots") ==
+        r.getAs[Long]("n_docs") * r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("pad_waste") ==
+        r.getAs[Long]("padded_slots") - r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("pad_waste") >= 0L)
+      if (r.getAs[Long]("bucket") < 512L)
+        assert(r.getAs[Long]("trunc_tokens") == 0L)
+    }
+  }
+
   /** Writes a tiny documents table (driver schema) with short-doc traps. */
   private def shortDocsDir(): String = {
     val dir = Files.createTempDirectory("textops").toString
