@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object PackProbe {
   private val B = 2048L
 
-  private def segments(df: DataFrame, w: org.apache.spark.sql
+  private[graft] def segments(df: DataFrame, w: org.apache.spark.sql
       .expressions.WindowSpec, shardCols: Seq[String]): DataFrame =
     df.withColumn("e", sum("nt").over(w))
       .withColumn("s", col("e") - col("nt"))
