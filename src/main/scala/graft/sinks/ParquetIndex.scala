@@ -203,6 +203,21 @@ final class ParquetIndex(root: String, keep: Int = 2,
     */
   def write(df: DataFrame): String = {
     val prevBase = currentId
+    val id = writeSnapshotDir(df)
+    val committed = commit(id)
+    // after the swap: the plan that produced df has fully executed, so
+    // dropping the old base's log can't pull files out from under it
+    prevBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
+    committed
+  }
+
+  /** Write `df`'s snapshot DIRECTORY (data + schema sidecar +
+    * z-manifest) WITHOUT committing — the first half of [[write]],
+    * split out so [[writeIfCurrent]] can make the commit conditional.
+    * An uncommitted dir is exactly the crash-before-commit state the
+    * pruner already ignores.
+    */
+  private def writeSnapshotDir(df: DataFrame): String = {
     val id = newId()
     import org.apache.spark.sql.functions.col
     // partitioned + bounded-width: repartition BY the partition columns
@@ -233,12 +248,71 @@ final class ParquetIndex(root: String, keep: Int = 2,
       df.schema.toDDL)
     if (zorderExprs.nonEmpty)
       writeZManifest(df.sparkSession, s"$root/snap-$id")
-    val committed = commit(id)
-    // after the swap: the plan that produced df has fully executed, so
-    // dropping the old base's log can't pull files out from under it
-    prevBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
-    committed
+    id
   }
+
+  /** OPTIMISTIC-CONCURRENCY commit — the lost-update guard two
+    * concurrent writers need (the Delta/Iceberg conditional-commit
+    * contract on this store's pointer layout): write `df`'s snapshot
+    * dir unconditionally (the expensive, lock-free part), then swap
+    * the pointer ONLY IF the base the writer derived `df` from is
+    * still current. A stale writer gets `None` back — its dir is
+    * removed, the pointer and manifest are untouched — and retries by
+    * re-reading the new current and re-deriving. The check+swap holds
+    * a per-root commit lock (a JVM monitor nested inside an OS file
+    * lock, so both same-JVM threads and separate processes serialize);
+    * data writes never hold it, so the lock is held for microseconds
+    * regardless of snapshot size. `expectedBase = None` means "I
+    * expect to create the first snapshot".
+    */
+  def writeIfCurrent(df: DataFrame,
+      expectedBase: Option[String]): Option[String] = {
+    val id = writeSnapshotDir(df)
+    val won = withCommitLock {
+      if (currentId == expectedBase) { commit(id): Unit; true }
+      else false
+    }
+    if (!won) {
+      deleteRec(Paths.get(root, s"snap-$id"))
+      None
+    } else {
+      expectedBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
+      Some(id)
+    }
+  }
+
+  /** The retrying read-merge-commit loop over [[writeIfCurrent]]:
+    * `derive` maps the current resolved view (None before the first
+    * snapshot) to the next snapshot's frame; on a lost race the loop
+    * re-reads and re-derives against the winner's state, so no
+    * writer's update is ever silently dropped. Returns the committed
+    * id and the number of attempts it took.
+    */
+  def commitWithRetry(spark: SparkSession, keyCol: String, tsCol: String,
+      derive: Option[DataFrame] => DataFrame,
+      maxAttempts: Int = 20): (String, Int) = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = currentId
+      val next = derive(readMor(spark, keyCol, tsCol))
+      writeIfCurrent(next, base) match {
+        case Some(id) => return (id, attempt)
+        case None => // raced: re-derive against the new current
+      }
+    }
+    sys.error(s"commitWithRetry: lost $maxAttempts straight races")
+  }
+
+  private def withCommitLock[A](body: => A): A =
+    ParquetIndex.jvmLock(root).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, ".COMMIT_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    }
 
   /** Z-order the snapshot frame: derive the two layout dimensions,
     * range-partition + sort on their Morton interleave, drop helpers.
@@ -686,7 +760,7 @@ final class ParquetIndex(root: String, keep: Int = 2,
         // name collision always agrees on type); rows null-fill the
         // columns their era didn't have
         val fields = scala.collection.mutable.LinkedHashMap(
-          base.schema.fields.map(f => f.name -> f.dataType): _*)
+          base.schema.fields.toIndexedSeq.map(f => f.name -> f.dataType): _*)
         upFrames.foreach { case (df, _) =>
           df.schema.fields.foreach(f =>
             if (!fields.contains(f.name)) fields += f.name -> f.dataType)
@@ -826,6 +900,15 @@ final class ParquetIndex(root: String, keep: Int = 2,
 }
 
 object ParquetIndex {
+
+  /** Per-root JVM commit monitors (nested inside the cross-process OS
+    * file lock — FileLock alone throws OverlappingFileLockException for
+    * two threads of ONE JVM, so same-JVM writers serialize here first).
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private[sinks] def jvmLock(root: String): Object =
+    jvmLocks.computeIfAbsent(root, _ => new Object)
 
   /** The partition column the pipeline derives for path-partitioned
     * snapshots (SURVEY §4.1 — the replacement for the reference's ART
