@@ -1623,13 +1623,22 @@ object VectorOps {
     */
   def hybridServeAll(spark: SparkSession, tq: DataFrame, vq: DataFrame,
       termDir: String, annDir: String, legK: Int,
-      annNprobe: Int = 8, k: Int = 20): DataFrame = {
+      annNprobe: Int = 8, k: Int = 20,
+      textObs: Option[org.apache.spark.sql.Observation] = None,
+      vecObs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
     withVecFns(spark)
-    val text = TermIndex.searchAll(spark, tq, termDir, k = legK)
+    // per-leg observability: the hybrid tier alarms on EACH store's
+    // pruned-scan breadth separately (a text bucket that stopped
+    // pruning and an ANN cell that stopped pruning are different
+    // pages), so the two legs take their own Observation
+    val text = TermIndex.searchAll(spark, tq, termDir, k = legK,
+        obs = textObs)
       .select(col("q_id"), col("doc_id"),
         col("rank").cast("int").as("r_text"))
     val vec = AnnIndex
-      .searchAll(spark, annDir, vq, k = legK, nprobe = annNprobe)
+      .searchAll(spark, annDir, vq, k = legK, nprobe = annNprobe,
+        obs = vecObs)
       .select(col("q_id"), col("vec_id").as("doc_id"),
         col("rk").cast("int").as("r_vec"))
     val rrf =

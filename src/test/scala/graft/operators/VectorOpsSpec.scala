@@ -270,6 +270,22 @@ class VectorOpsSpec extends SparkSpecBase {
         termDir, annDir, legK = 100, k = 10))
     }.sortBy(t => (t._1, -t._5, t._2))
     assert(batch == singles)
+
+    // per-leg serving observability: each store reports its own pruned
+    // -scan breadth through the hybrid plan (the two legs page
+    // different on-call surfaces)
+    val tObs = org.apache.spark.sql.Observation("hybrid_text")
+    val vObs = org.apache.spark.sql.Observation("hybrid_vec")
+    VectorOps.hybridServeAll(spark, tq, vq, termDir, annDir,
+      legK = 100, k = 10, textObs = Some(tObs), vecObs = Some(vObs))
+      .collect()
+    val tm = tObs.get
+    assert(tm("postings_rows_read").asInstanceOf[Long] > 0L &&
+      tm("buckets_probed").asInstanceOf[Int] <=
+        tm("buckets_total").asInstanceOf[Int], s"text leg: $tm")
+    val vm = vObs.get
+    assert(vm("postings_rows_read").asInstanceOf[Long] > 0L &&
+      vm("queries_served") == termSets.length.toLong, s"vec leg: $vm")
   }
 
   test("store-served matryoshka re-rank equals the batch form; its " +
