@@ -3344,6 +3344,67 @@ object TextOps {
       |    AS shuffle_pos
       |FROM documents ORDER BY shuffle_pos""".stripMargin
 
+  /** CURRICULUM-ordered training schedule — the banded generalization
+    * of [[trainOrder]]'s uniform shuffle (curriculum data scheduling:
+    * coarse quality phases, uniform shuffle INSIDE each phase — the
+    * anneal recipe's "best data last", [[annealMix]], turned into a
+    * loadable order): band = the corpus-wide quality decile via the
+    * calibration row's ONE bounded-state percentile broadcast (never a
+    * global sort to FIND bands), position = row_number over
+    * (band ASC, seeded content hash, doc_id) so the highest-quality
+    * decile streams last. The global window is the oracle-parity
+    * shape; at scale [[trainOrderRangedOn]]'s range-exchange core
+    * applies unchanged with (band, shuffle_key) as the range key —
+    * `graft.OrderProbe` measured that crossover.
+    */
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(filter($toks, t -> t IN ($stopList)))").as("n_stop"))
+      .withColumn("quality", qualityCol(col("n_stop"), col("n_tokens")))
+      .select(col("doc_id"), col("quality"),
+        sha2(concat(lit("seed42:"), col("doc_id").cast("string")), 256)
+          .as("shuffle_key"))
+      .localCheckpoint(true)
+    val cuts = scored.agg(expr(
+      "transform(percentile(quality, array(0.1D, 0.2D, 0.3D, 0.4D, " +
+        "0.5D, 0.6D, 0.7D, 0.8D, 0.9D)), x -> round(x, 4))").as("cs"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        expr("int(1 + size(filter(cs, c -> quality > c)))").as("band"),
+        col("shuffle_key"))
+      .withColumn("curriculum_pos", row_number().over(
+        Window.orderBy("band", "shuffle_key", "doc_id")))
+      .orderBy("curriculum_pos")
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    round(0.5 * (CAST(len(list_filter($duckToks,
+       |          t -> t IN ($stopList))) AS DOUBLE) / len($duckToks))
+       |        + 0.5 * least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0),
+       |        4) AS quality,
+       |    sha256('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+       |  FROM documents),
+       |cuts AS (
+       |  SELECT list_transform(quantile_cont(quality,
+       |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+       |    x -> round(x, 4)) AS cs
+       |  FROM sc),
+       |banded AS (
+       |  SELECT doc_id,
+       |    CAST(1 + len(list_filter(cuts.cs, c -> sc.quality > c))
+       |      AS INT) AS band,
+       |    shuffle_key
+       |  FROM sc, cuts)
+       |SELECT doc_id, band, shuffle_key,
+       |  row_number() OVER (ORDER BY band, shuffle_key, doc_id)
+       |    AS curriculum_pos
+       |FROM banded ORDER BY curriculum_pos""".stripMargin
+
   /** The SCALE form of [[trainOrder]] — closing the one documented
     * parity-only shape: instead of the single-partition global
     * `row_number` window (fine as an oracle anchor, a serialization
@@ -3801,6 +3862,7 @@ object TextOps {
     "docs_blocklist_filter" -> blocklistFilter,
     "docs_train_order" -> trainOrder,
     "docs_train_order_ranged" -> trainOrderRanged,
+    "docs_curriculum_order" -> curriculumOrder,
     "docs_length_batching" -> lengthBatching,
     "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
@@ -3871,6 +3933,7 @@ object TextOps {
     // the range-partitioned scale form must reproduce the global
     // window's positions bit-for-bit
     "docs_train_order_ranged" -> trainOrderSql,
+    "docs_curriculum_order" -> curriculumOrderSql,
     "docs_length_batching" -> lengthBatchingSql,
     "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,
