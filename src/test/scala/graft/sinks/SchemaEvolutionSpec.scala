@@ -169,6 +169,26 @@ class SchemaEvolutionSpec extends SparkSpecBase {
     }
   }
 
+  test("a key predicate still pushes below the EVOLVED MOR resolution " +
+    "into the base and delta scans") {
+    import spark.implicits._
+    val idx = mkStore()
+    idx.appendDelta(spark,
+      Seq(("a/f1", 11L, 200L, "alice"))
+        .toDF("relative_path", "size_bytes", "mt", "owner"),
+      evolveSchema = true)
+    // the union-schema null-fill projections must not block the
+    // key-from-grouping-column pushdown readMor's scaladoc promises
+    val df = idx.readMor(spark, "relative_path", "mt").get
+      .filter(col("relative_path") === "a/f1")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*relative_path[^\\]]*\\]".r
+      .findAllIn(plan).toList
+    assert(pushed.size >= 2, // the base scan AND the delta scan
+      s"key predicate not pushed into both scans:\n$plan")
+  }
+
   test("copy-on-write upsert evolves under the explicit flag and " +
     "refuses otherwise") {
     import spark.implicits._
