@@ -714,6 +714,22 @@ final class ParquetIndex(root: String, keep: Int = 2,
                 s"${f.dataType.simpleString} vs " +
                 bTypes(f.name).simpleString)
           }
+          // the same no-retype rule against EARLIER deltas' additions:
+          // without this, two deltas adding the same column with
+          // different types would both pass the base check and readMor
+          // would fail later with an opaque union error — check here,
+          // where the writer can act on it (the delta SchemaFiles are
+          // local sidecars, so this costs a few file reads, no scans)
+          morEntries(cid).collect { case ("u", name) =>
+            org.apache.spark.sql.types.StructType.fromDDL(
+              Files.readString(
+                morRoot(cid).resolve(name).resolve(SchemaFile)))
+          }.flatten.foreach { f =>
+            bTypes.get(f.name).foreach(t => require(t == f.dataType,
+              s"appendDelta: cannot retype ${f.name} added by an " +
+                s"earlier delta: ${f.dataType.simpleString} vs " +
+                t.simpleString))
+          }
         } else require(batch.columns.toSet == cols,
           s"appendDelta: schema mismatch: ${batch.columns.toSeq.sorted}" +
             s" vs ${cols.toSeq.sorted}")

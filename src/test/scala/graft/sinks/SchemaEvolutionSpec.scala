@@ -75,6 +75,15 @@ class SchemaEvolutionSpec extends SparkSpecBase {
         Seq(("a/f2", "big", 300L)).toDF("relative_path", "size_bytes", "mt"),
         evolveSchema = true)
     }
+    // retype of an EARLIER DELTA's addition refused too (both batches
+    // pass the base check; without the cross-delta guard readMor would
+    // fail later with an opaque union error)
+    intercept[IllegalArgumentException] {
+      idx.appendDelta(spark,
+        Seq(("a/f2", 21L, 300L, 7L))
+          .toDF("relative_path", "size_bytes", "mt", "owner"),
+        evolveSchema = true)
+    }
     // a different addition in a later delta: union schema carries both,
     // each row null-filled for the columns its era didn't have
     idx.appendDelta(spark,
