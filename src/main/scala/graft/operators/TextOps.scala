@@ -792,7 +792,10 @@ object TextOps {
     // The checkpoint materialized the edge set, so its size is known for
     // free — route tiny graphs around the multi-round join fixpoint
     // (each round is ~1 s of scheduling even on 25 edges).
-    if (edges.count() <= 2 * localEdgeLimit)
+    // divide the (doubled) edge count rather than doubling the limit:
+    // 2 * Long.MaxValue overflows negative and would silently route a
+    // force-local probe (limit = Long.MaxValue) to the distributed leg
+    if (edges.count() / 2 <= localEdgeLimit)
       return componentsLocal(pairs.sparkSession, edges)
     // Iterate to FULL convergence: labels are monotonically decreasing,
     // so termination is guaranteed in ≤ diameter rounds and the result

@@ -49,4 +49,16 @@ class ComponentsSpec extends SparkSpecBase {
       assert(m.size === 20)
     }
   }
+
+  test("limit = Long.MaxValue really routes LOCAL (the overflow " +
+    "regression: 2 * MaxValue went negative and forced the fixpoint)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    TextOps.lastFixpointRounds.set(-7) // sentinel: only the FIXPOINT resets it
+    TextOps.components(pairs, localEdgeLimit = Long.MaxValue).count()
+    assert(TextOps.lastFixpointRounds.get == -7,
+      "force-local limit ran the distributed fixpoint")
+    TextOps.components(pairs, localEdgeLimit = -1L).count()
+    assert(TextOps.lastFixpointRounds.get > 0)
+  }
 }
