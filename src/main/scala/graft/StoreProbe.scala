@@ -150,11 +150,15 @@ object StoreProbe {
         // three tokens of docs 1..16 — distinct vocab, so the batch
         // bucket union is a real multi-term workload, not one query
         // replicated)
-        val termSets = docs.filter(col("doc_id").between(1, 16))
+        // q_id = doc_id so the vector leg (vec_id 0..15, aligned with
+        // doc_id in the corpus) queries the SAME document as the text
+        // leg — the earlier doc_id-1 shift paired doc q+1's terms with
+        // doc q's embedding, skewing per-leg overlap in the fusion
+        val termSets = docs.filter(col("doc_id").between(0, 15))
           .select(col("doc_id"),
             slice(split(col("text"), " "), 1, 3).as("terms"))
           .collect()
-          .map(r => (r.getLong(0) - 1, r.getSeq[String](1).toSeq)).toSeq
+          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
         val tq = termSets.toDF("q_id", "terms").localCheckpoint(true)
         val vq = emb.filter(col("vec_id").between(0, 15))
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

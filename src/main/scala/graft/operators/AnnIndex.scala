@@ -285,8 +285,15 @@ object AnnIndex {
         .select(col("vec_id"), col("label"), col("embedding"))
         .localCheckpoint(true)
     // manifest row commits BEFORE the postings append (see the manifest
-    // header: torn update → over-approximating bloom → safe re-verify)
-    if (useManifest) appendManifest(spark, dir, incoming.select("vec_id"))
+    // header: torn update → over-approximating bloom → safe re-verify).
+    // Once a store HAS a manifest, every update maintains it regardless
+    // of the flag — otherwise a scan-path update would append postings
+    // the manifest doesn't know, and a later manifest-path update could
+    // classify those ids "definitely new" and append them AGAIN
+    // (duplicate vec_ids in top-k). The flag chooses how membership is
+    // CHECKED; manifest maintenance follows the store's state.
+    if (useManifest || StoreUtil.exists(spark, manifestPath(dir)))
+      appendManifest(spark, dir, incoming.select("vec_id"))
     val cents = spark.read.parquet(s"$dir/centroids")
     val byDist = Window.partitionBy("vec_id")
       .orderBy(col("d2"), col("c_id"))
@@ -506,9 +513,13 @@ object AnnIndex {
       query: Seq[Float], k: Int = 10, nprobe: Int = 2, shortK: Int = 50,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
-    require(query.length >= MPrefix,
-      s"searchMatryoshka: query dim ${query.length} is narrower than " +
-        s"the $MPrefix-dim stored prefix")
+    // == store dim (not just >= prefix): stage 2 scores the shortlist
+    // with the FULL vectors, and vec_dot yields NULL on a length
+    // mismatch — a wrong-dim query would silently return k rows ranked
+    // by null cos_sim instead of failing fast like searchAdc
+    val sd = storeDimOf(spark, dir)
+    require(query.length == sd,
+      s"searchMatryoshka: query dim ${query.length} != store dim $sd")
     val (probed, nCells) =
       probedCells(spark, dir, query, nprobe, countCells = obs.isDefined)
     val cellFilter = col("c_id").isin(probed.toIndexedSeq: _*)
@@ -550,10 +561,15 @@ object AnnIndex {
       shortK: Int = 50,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
-    val (dMin, _) = queryDims(queries)
-    require(dMin >= MPrefix,
-      s"searchAllMatryoshka: query dim $dMin is narrower than the " +
-        s"$MPrefix-dim stored prefix — same guard as searchMatryoshka")
+    queryDims(queries).foreach { case (dMin, dMax) =>
+      val sd = storeDimOf(spark, dir)
+      // == store dim, not just >= prefix: stage 2's vec_dot returns
+      // NULL on a length mismatch, which would silently rank the
+      // shortlist by null scores instead of failing fast
+      require(dMin == sd && dMax == sd,
+        s"searchAllMatryoshka: query dims [$dMin, $dMax] != store " +
+          s"dim $sd — same guard as searchMatryoshka")
+    }
     val cents = spark.read.parquet(s"$dir/centroids")
     val probed = probedAll(queries, cents, nprobe)
     val q16 = queries.select(col("q_id"),
@@ -659,12 +675,27 @@ object AnnIndex {
     * wrong-dim query frame would silently serve sketch-blind
     * (Hamming) or mis-sliced (ADC) rankings where the single-query
     * path fails fast, despite the bit-identical-behavior contract.
+    * None for an EMPTY frame — the guards are vacuous there and the
+    * pipelines flow through to an empty result (getInt on the null
+    * aggregate would NPE, regressing a no-op shard to a crash).
     */
-  private def queryDims(queries: DataFrame): (Int, Int) = {
+  private def queryDims(queries: DataFrame): Option[(Int, Int)] = {
     val r = queries
       .agg(min(size(col("qe"))), max(size(col("qe")))).head()
-    (r.getInt(0), r.getInt(1))
+    if (r.isNullAt(0)) None else Some((r.getInt(0), r.getInt(1)))
   }
+
+  /** The store's full vector dimension, memoized per dir (a store's
+    * dimension is fixed at build; rebuilds replace the dir contents
+    * but never the dimension) — so the matryoshka guards cost one tiny
+    * centroid read per dir per JVM, not one per serve.
+    */
+  private val storeDims =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]
+  private def storeDimOf(spark: SparkSession, dir: String): Int =
+    storeDims.computeIfAbsent(dir, _ =>
+      spark.read.parquet(s"$dir/centroids")
+        .select(size(col("ce"))).head().getInt(0))
 
   def searchAllAdc(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 10, nprobe: Int = 2,
@@ -672,10 +703,11 @@ object AnnIndex {
     vecFns(spark)
     val cents = spark.read.parquet(s"$dir/centroids")
     val sub = subLenOf(cents)
-    val (dMin, dMax) = queryDims(queries)
-    require(dMin == sub * PqM && dMax == sub * PqM,
-      s"searchAllAdc: query dims [$dMin, $dMax] != store dim " +
-        s"${sub * PqM} — same guard as searchAdc")
+    queryDims(queries).foreach { case (dMin, dMax) =>
+      require(dMin == sub * PqM && dMax == sub * PqM,
+        s"searchAllAdc: query dims [$dMin, $dMax] != store dim " +
+          s"${sub * PqM} — same guard as searchAdc")
+    }
     val lut = (0 until PqM).map { m =>
       val off = m * sub + 1
       queries.crossJoin(broadcast(cents))
@@ -711,10 +743,11 @@ object AnnIndex {
       queries: DataFrame, k: Int = 10, nprobe: Int = 2,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     vecFns(spark)
-    val (_, dMax) = queryDims(queries)
-    require(dMax <= 64,
-      s"searchAllHamming: query dim $dMax exceeds the 64 dims the " +
-        "sign sketch covers — same guard as searchHamming")
+    queryDims(queries).foreach { case (_, dMax) =>
+      require(dMax <= 64,
+        s"searchAllHamming: query dim $dMax exceeds the 64 dims the " +
+          "sign sketch covers — same guard as searchHamming")
+    }
     val cents = spark.read.parquet(s"$dir/centroids")
     val qWords = queries.select(col("q_id"), col("qe").as("embedding"))
       .withColumn("q_lo", VectorOps.signWord(1))

@@ -180,9 +180,16 @@ final class ParquetIndex(root: String, keep: Int = 2,
   /** Swap `CURRENT` to `id` atomically and prune the retention window.
     * The snapshot directory must be fully written before this is called —
     * a crash before commit leaves only a dangling dir that pruning never
-    * confuses with a committed snapshot.
+    * confuses with a committed snapshot. Every commit — OCC or not —
+    * takes the per-root commit lock, so an unconditional [[write]] can
+    * never interleave with [[writeIfCurrent]]'s check-then-swap (the
+    * conditional writer would observe a base that is being replaced and
+    * still win, silently dropping the unconditional writer's commit).
     */
-  private def commit(id: String): String = {
+  private def commit(id: String): String =
+    withCommitLock(commitUnlocked(id))
+
+  private def commitUnlocked(id: String): String = {
     val tmp = Paths.get(root, s".CURRENT.tmp-$id")
     Files.writeString(tmp, id)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
@@ -269,7 +276,7 @@ final class ParquetIndex(root: String, keep: Int = 2,
       expectedBase: Option[String]): Option[String] = {
     val id = writeSnapshotDir(df)
     val won = withCommitLock {
-      if (currentId == expectedBase) { commit(id): Unit; true }
+      if (currentId == expectedBase) { commitUnlocked(id): Unit; true }
       else false
     }
     if (!won) {
@@ -305,7 +312,12 @@ final class ParquetIndex(root: String, keep: Int = 2,
   }
 
   private def withCommitLock[A](body: => A): A =
-    ParquetIndex.jvmLock(root).synchronized {
+    // normalized key: two handles on one store via different path
+    // spellings ("/s" vs "/s/" vs relative) must share the monitor, or
+    // they'd meet at the OS FileLock and die on
+    // OverlappingFileLockException instead of serializing
+    ParquetIndex.jvmLock(
+      Paths.get(root).toAbsolutePath.normalize.toString).synchronized {
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(root, ".COMMIT_LOCK"),
         java.nio.file.StandardOpenOption.CREATE,

@@ -306,6 +306,18 @@ class AnnIndexSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
       .filter(_._1 < 100000L).take(10).toSeq
     assert(top(a, 10) == top(b, 30))
+
+    // MIXED flags must not desync the manifest: a scan-path update on
+    // a manifest-bearing store still maintains the manifest, so a
+    // later manifest-path replay of the same batch appends nothing
+    // (without the maintenance it would classify those ids "definitely
+    // new" and duplicate them)
+    val mixed = odd.withColumn("vec_id", col("vec_id") + 200000L)
+    AnnIndex.update(spark, b, mixed) // default flag, manifest exists
+    val afterMixed = ids(b)
+    AnnIndex.update(spark, b, mixed, useManifest = true) // the replay
+    assert(ids(b) == afterMixed,
+      "scan-path update desynced the manifest: replay duplicated ids")
   }
 
   test("batch search with all cells matches per-query single search") {
@@ -372,6 +384,31 @@ class AnnIndexSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       AnnIndex.rebuild(spark, oldDir, newDir)
     }
+  }
+
+  test("dim guards: matryoshka fails fast on a wrong-dim query (stage " +
+    "2 would otherwise rank by null cos_sim); empty batch frames are a " +
+    "no-op, not an NPE") {
+    val dir = Files.createTempDirectory("annguard").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb)
+    // >= prefix but != store dim: must be refused, not silently served
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchMatryoshka(spark, dir, Seq.fill(20)(0.1f), k = 3)
+    }
+    val wrong = emb.limit(1)
+      .select(col("vec_id").as("q_id"),
+        expr("slice(embedding, 1, 20)").as("qe"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchAllMatryoshka(spark, dir, wrong, k = 3)
+    }
+    // an empty query shard flows through every batch tier as empty
+    val empty = emb.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    assert(AnnIndex.searchAll(spark, dir, empty).count() == 0)
+    assert(AnnIndex.searchAllAdc(spark, dir, empty).count() == 0)
+    assert(AnnIndex.searchAllHamming(spark, dir, empty).count() == 0)
+    assert(AnnIndex.searchAllMatryoshka(spark, dir, empty).count() == 0)
   }
 
   test("batch matryoshka serving matches per-query two-stage search " +

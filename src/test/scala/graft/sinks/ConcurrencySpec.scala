@@ -71,17 +71,23 @@ class ConcurrencySpec extends SparkSpecBase {
   }
 
   test("N racing increment writers all land: the counter reaches N " +
-    "(the lost-update litmus)") {
+    "(the lost-update litmus), even through differently-spelled " +
+    "handles on one store") {
     import spark.implicits._
-    val idx = new ParquetIndex(
-      Files.createTempDirectory("occN").toString, writeFiles = 1)
+    val root = Files.createTempDirectory("occN").toString
+    val idx = new ParquetIndex(root, writeFiles = 1)
+    // a second handle with a different spelling of the same root: both
+    // must share the commit monitor (pre-normalization this raced to
+    // OverlappingFileLockException at the OS file lock)
+    val idx2 = new ParquetIndex(root + "/", writeFiles = 1)
     idx.write(Seq(("ctr", 0L, 0L)).toDF("k", "ts", "v")): Unit
     val n = 6
     val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
     try {
-      val tasks = (1 to n).map { _ =>
+      val tasks = (1 to n).map { i =>
+        val handle = if (i % 2 == 0) idx else idx2
         pool.submit(new java.util.concurrent.Callable[Int] {
-          def call(): Int = idx.commitWithRetry(spark, "k", "ts", cur =>
+          def call(): Int = handle.commitWithRetry(spark, "k", "ts", cur =>
             cur.get.withColumn("v", col("v") + 1L)
               .withColumn("ts", col("ts") + 1L))._2
         })

@@ -11,6 +11,7 @@ actually surface.
 Usage: python3 tools/scalegate.py [k] [--skip-dump]
 """
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -20,6 +21,9 @@ import duckdb
 from diffcheck import ADD_OPENS, REPO, cmp_frames
 
 K = next((a for a in sys.argv[1:] if not a.startswith("-")), "10")
+# honor the same override graft.ScaleGate itself honors — the scrubbed
+# subprocess env would otherwise silently pin the default corpus
+SFDIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = REPO / "target" / "scalegate"
 OUT = ROOT / "verify"
 
@@ -34,7 +38,7 @@ def run_dump():
         "-Dspark.sql.session.timeZone=UTC",
         "-cp",
         f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
-        "graft.ScaleGate", K, "/root/testdata/sf0.1", str(ROOT),
+        "graft.ScaleGate", K, SFDIR, str(ROOT),
     ]
     env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
            "SPARK_GRAFT_CPUS": "32"}
