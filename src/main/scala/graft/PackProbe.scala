@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * 1/shards of the window state each). The kernels below mirror
   * TextOps.packSegments / packSegmentsSharded (TextOps.scala:1732,
   * :1839) on a synthetic (doc_id, nt) frame so the probe times the
-  * WINDOW + explode arithmetic, not tokenization. The two manifests
-  * differ by design (different concatenation streams), so the asserted
-  * invariant is coverage: both tile exactly Σnt tokens.
+  * WINDOW + explode arithmetic, not tokenization — and PackProbeSpec
+  * pins the mirror against the gated query's output on real data, so
+  * the copy cannot silently drift from the kernel it claims to time.
+  * The two manifests differ by design (different concatenation
+  * streams), so the asserted invariant is coverage: both tile exactly
+  * Σnt tokens.
   *
   * `graft.PackProbe [rows...]` — per size, min-of-2 seconds per arm.
   */

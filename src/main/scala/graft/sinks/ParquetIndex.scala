@@ -706,6 +706,19 @@ final class ParquetIndex(root: String, keep: Int = 2,
     * them); [[readMor]] resolves over the union schema with rows
     * null-filled for columns their era didn't have, and the next
     * [[checkpointMor]] folds the evolved schema into the base.
+    *
+    * ROW-LEVEL LWW ACROSS ERAS, deliberately: a winner carries only
+    * its own era's columns — if a plain-schema writer (a scoped
+    * rescan, an old producer) re-updates a key after another delta
+    * enriched it, the winner's enrichment columns read null. That IS
+    * the resolution rule, not an accident (column-level backfill from
+    * older generations would resurrect values their writer may have
+    * meant to retract); producers that must preserve enrichment
+    * re-enrich after refresh, or evolve their own batches. Before the
+    * evolved schema is FOLDED into the base, plain-schema writers pass
+    * the additive guard; after a fold the enriched columns are base
+    * columns and plain writers fail fast instead (SchemaEvolutionSpec
+    * pins both).
     */
   def appendDelta(spark: SparkSession, batch: DataFrame,
       evolveSchema: Boolean = false): String =
