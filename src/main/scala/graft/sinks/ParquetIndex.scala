@@ -921,6 +921,47 @@ final class ParquetIndex(root: String, keep: Int = 2,
       else checkpointMor(spark, keyCol, tsCol, batchWinsTies)
     }
 
+  /** `DESCRIBE DETAIL` for the store — the operational surface a
+    * lakehouse table exposes, as a small DataFrame (one row per
+    * committed snapshot in the retention window, oldest first): data
+    * file count and bytes, the schema width it was WRITTEN with, and
+    * for the current base its MOR log (entry count, bytes, and the
+    * read-amplification estimate `1 + log/base` the ratio policy
+    * bounds). Pure local metadata — file listings and the schema
+    * sidecars; zero data scans, so it is safe to poll from a
+    * maintenance loop at any store size.
+    */
+  def describe(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cur = currentId
+    committedIds.map { id =>
+      val dir = Paths.get(root, s"snap-$id")
+      val files = {
+        val s = Files.walk(dir)
+        try s.iterator().asScala.count(p =>
+          Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      val cols = {
+        val ddl = dir.resolve(SchemaFile)
+        if (Files.exists(ddl))
+          org.apache.spark.sql.types.StructType
+            .fromDDL(Files.readString(ddl)).size
+        else -1
+      }
+      val isCur = cur.contains(id)
+      val (logN, logB) =
+        if (isCur) (morEntries(id).size, morLogBytes) else (0, 0L)
+      val bytes = dirBytes(dir)
+      val amp =
+        if (isCur && bytes > 0)
+          math.round((1.0 + logB.toDouble / bytes) * 10000) / 10000.0
+        else 1.0
+      (id, isCur, files.toLong, bytes, cols, logN.toLong, logB, amp)
+    }.toDF("snapshot_id", "is_current", "data_files", "bytes",
+      "schema_cols", "log_entries", "log_bytes", "read_amplification")
+  }
+
   private def prune(committed: Seq[String]): Unit = {
     val (drop, kept) = committed.splitAt(math.max(0, committed.size - keep))
     drop.foreach(id => deleteRec(Paths.get(root, s"snap-$id")))
