@@ -297,6 +297,80 @@ object EventsOps {
     """SELECT event_type, true AS p50_ok, true AS p99_ok, true AS users_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Re-aggregatable distinct sketches — the pattern `approx_count_distinct`
+    * alone can't express: HLL partials (`hll_sketch_agg`, Apache
+    * DataSketches binary columns) built once per (event_type, day) as an
+    * ingest-time table, then MERGED (`hll_union_agg`) at two different
+    * grains — per type (30 partials each) and corpus-wide (the `ALL` row,
+    * |types|×|days| partials) — without ever touching the raw rows again.
+    * At 100 TB this is the default distinct-count architecture: raw data
+    * is scanned exactly once at ingest; every later rollup, backfill or
+    * dashboard grain is a merge over kilobyte sketches (register-wise max
+    * — associative and order-independent, so map-side combinable with
+    * constant memory at any fan-in), where re-running COUNT(DISTINCT)
+    * per grain would re-shuffle the full key universe each time.
+    *
+    * Gate discipline (the `events_approx_stats` pattern): sketch bytes
+    * and estimates aren't bit-stable across engines, so the declared
+    * row carries the exact distinct counts and the partial fan-in —
+    * both hash-gated cell-exact against DuckDB — plus a deterministic
+    * bounded-error boolean per merged estimate (±5% of exact, floor 2;
+    * lgK=12 ⇒ rse ≈ 1.6%, so the bound sits at ~3σ — and below the
+    * sparse-exact threshold the sketch is exact outright). The partials
+    * are eagerly checkpointed so the plan consumes the STORED table
+    * twice, as production would, instead of re-sketching per grain.
+    */
+  /** Raw merged estimates beside the exact counts — the spec's
+    * accuracy- and merge-invariance-bounding surface.
+    */
+  def sketchRollupRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(true)
+    val merged = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_partials"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .unionByName(daily
+        .agg(count(lit(1)).as("n_partials"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .select(lit("ALL").as("event_type"), col("n_partials"), col("est")))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .unionByName(ev
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(lit("ALL").as("event_type"), col("exact_users")))
+    merged.join(exact, Seq("event_type"))
+  }
+
+  def sketchRollup(spark: SparkSession, sfDir: String): DataFrame =
+    sketchRollupRaw(spark, sfDir)
+      .select(col("event_type"), col("exact_users"), col("n_partials"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          greatest(col("exact_users") * lit(0.05), lit(2.0)))
+          .as("merged_ok"))
+      .orderBy("event_type")
+
+  /** Exact counts and fan-in are replayed cell-exact; the merged-estimate
+    * bound is the literal expected outcome per grain (see approxStatsSql).
+    */
+  val sketchRollupSql: String =
+    """WITH e AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |    count(DISTINCT CAST(ts AS DATE)) AS n_partials
+      |  FROM events GROUP BY event_type),
+      |a AS (
+      |  SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS exact_users,
+      |    (SELECT count(*) FROM (
+      |       SELECT DISTINCT event_type, CAST(ts AS DATE) FROM events))
+      |      AS n_partials
+      |  FROM events)
+      |SELECT event_type, exact_users, n_partials, true AS merged_ok FROM e
+      |UNION ALL
+      |SELECT event_type, exact_users, n_partials, true AS merged_ok FROM a
+      |ORDER BY event_type""".stripMargin
+
   /** Per-group top-k via rank over a partitioned window: top 3 users by
     * spend within each event_type (partition-local sort only — no
     * global ordering).
@@ -877,6 +951,7 @@ object EventsOps {
     "events_value_quantiles" -> valueQuantiles,
     "events_value_stats" -> valueStats,
     "events_approx_stats" -> approxStats,
+    "events_sketch_rollup" -> sketchRollup,
     "events_top_users" -> topUsersPerType,
     "events_top_users_native" -> topUsersPerTypeNative,
     "events_topk_values" -> topkValues,
@@ -893,6 +968,7 @@ object EventsOps {
     "events_conversion_lag" -> conversionLagSql,
     "events_column_stats" -> columnStatsSql,
     "events_approx_stats" -> approxStatsSql,
+    "events_sketch_rollup" -> sketchRollupSql,
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
     "events_daily_rollup" -> dailyRollupSql,

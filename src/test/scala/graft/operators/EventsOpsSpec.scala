@@ -135,4 +135,30 @@ class EventsOpsSpec extends SparkSpecBase {
     assert(converted == direct.count { case (v, p) =>
       v.nonEmpty && p.nonEmpty && !p.get.before(v.get) })
   }
+
+  test("HLL partial sketches merge losslessly across rollup grains") {
+    val raw = EventsOps.sketchRollupRaw(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // ALL row's fan-in = sum of per-type fan-ins (every partial merged)
+    val typed = raw.view.filterKeys(_ != "ALL").toMap
+    assert(raw("ALL")._1 == typed.values.map(_._1).sum,
+      "ALL fan-in must equal the sum of per-type partial counts")
+    // merge-invariance: register-wise max is decomposable, so the
+    // estimate from merged per-day partials equals the estimate of one
+    // sketch built over the whole partition in a single pass
+    val direct = graft.Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg(
+          org.apache.spark.sql.functions.col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, (_, est, _)) <- typed)
+      assert(est == direct(k),
+        s"$k merged-partials estimate $est != single-pass ${direct(k)}")
+    // accuracy: every grain within the gated ±5% (floor 2) of exact
+    for ((k, (_, est, exact)) <- raw)
+      assert(math.abs(est - exact).toDouble <=
+        math.max(exact * 0.05, 2.0), s"$k est=$est exact=$exact")
+  }
 }
