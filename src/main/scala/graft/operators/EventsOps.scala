@@ -352,6 +352,64 @@ object EventsOps {
           .as("merged_ok"))
       .orderBy("event_type")
 
+  /** Sketch SET ALGEBRA over the same per-type HLL sketches: pairwise
+    * distinct-user overlap between event types by inclusion–exclusion —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union sketch from the
+    * binary `hll_union` (register-wise max again, so est(A∪B) is exactly
+    * what one sketch over both partitions would say). This is the
+    * audience-overlap / cross-dataset-contamination estimate: at 100 TB
+    * the exact form self-joins a (type, user) frame — a second shuffle
+    * of the key universe PER GRAIN pair — while the sketch form touches
+    * raw data once for |types| kilobyte sketches and answers all
+    * |types|² pairs from a tiny broadcast cross of those.
+    *
+    * Gate: exact pairwise overlaps (self-join on the distinct
+    * (type, user) frame) hash-matched cell-exact; the estimator as a
+    * deterministic boolean at ±10% (floor 5) — inclusion–exclusion sums
+    * three estimate errors, so the bound is twice the single-estimate
+    * gate's. Error is relative to the SET sizes, so the bound is
+    * meaningful here where overlaps are commensurate with the sets; a
+    * tiny-intersection regime would need a theta-style intersection
+    * sketch instead, which Spark does not ship.
+    */
+  def sketchOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"))
+    val tu = ev.distinct()
+    val exact = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val sk = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(true)
+    val est = sk.as("x").crossJoin(sk.as("y"))
+      .filter(col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"),
+        (hll_sketch_estimate(col("x.sk")) +
+          hll_sketch_estimate(col("y.sk")) -
+          hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk"))))
+          .as("est_overlap"))
+    exact.join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")).cast("double") <=
+          greatest(col("exact_overlap") * lit(0.10), lit(5.0)))
+          .as("overlap_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val sketchOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS exact_overlap, true AS overlap_ok
+      |FROM tu a JOIN tu b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY type_a, type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** Exact counts and fan-in are replayed cell-exact; the merged-estimate
     * bound is the literal expected outcome per grain (see approxStatsSql).
     */
@@ -952,6 +1010,7 @@ object EventsOps {
     "events_value_stats" -> valueStats,
     "events_approx_stats" -> approxStats,
     "events_sketch_rollup" -> sketchRollup,
+    "events_sketch_overlap" -> sketchOverlap,
     "events_top_users" -> topUsersPerType,
     "events_top_users_native" -> topUsersPerTypeNative,
     "events_topk_values" -> topkValues,
@@ -969,6 +1028,7 @@ object EventsOps {
     "events_column_stats" -> columnStatsSql,
     "events_approx_stats" -> approxStatsSql,
     "events_sketch_rollup" -> sketchRollupSql,
+    "events_sketch_overlap" -> sketchOverlapSql,
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,
     "events_daily_rollup" -> dailyRollupSql,

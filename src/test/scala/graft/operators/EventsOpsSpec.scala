@@ -161,4 +161,22 @@ class EventsOpsSpec extends SparkSpecBase {
       assert(math.abs(est - exact).toDouble <=
         math.max(exact * 0.05, 2.0), s"$k est=$est exact=$exact")
   }
+
+  test("HLL inclusion-exclusion overlap covers every type pair within bound") {
+    val rows = EventsOps.sketchOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    val types = graft.Tables(spark, sf, "events")
+      .select("event_type").distinct().count().toInt
+    // one row per unordered type pair, all estimator bounds holding
+    assert(rows.length == types * (types - 1) / 2)
+    assert(rows.forall(_._4), s"estimator bound failed: ${
+      rows.filterNot(_._4).mkString(", ")}")
+    // overlap can never exceed either side's distinct-user count
+    val perType = EventsOps.sketchRollupRaw(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    for ((a, b, ov, _) <- rows)
+      assert(ov <= math.min(perType(a), perType(b)),
+        s"($a,$b) overlap $ov exceeds a side")
+  }
 }
