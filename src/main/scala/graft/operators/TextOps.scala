@@ -3362,6 +3362,17 @@ object TextOps {
     */
   def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    curriculumBanded(spark, sfDir)
+      .withColumn("curriculum_pos", row_number().over(
+        Window.orderBy("band", "shuffle_key", "doc_id")))
+      .orderBy("curriculum_pos")
+  }
+
+  /** The shared banding stage: (doc_id, band, shuffle_key) — quality
+    * decile via ONE bounded-state percentile broadcast.
+    */
+  private def curriculumBanded(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val scored = Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
         expr(s"size($toks)").as("n_tokens"),
@@ -3378,10 +3389,19 @@ object TextOps {
       .select(col("doc_id"),
         expr("int(1 + size(filter(cs, c -> quality > c)))").as("band"),
         col("shuffle_key"))
-      .withColumn("curriculum_pos", row_number().over(
-        Window.orderBy("band", "shuffle_key", "doc_id")))
-      .orderBy("curriculum_pos")
   }
+
+  /** The SCALE form of [[curriculumOrder]] — [[rangedPositionsOn]]'s
+    * range-exchange core with (band, shuffle_key, doc_id) as the range
+    * key, exactly as the parity row's scaladoc claims: one range
+    * exchange, per-partition offsets, no global window. Positions are
+    * invariant to the partitioning, so this shares
+    * `docs_curriculum_order`'s oracle bit-for-bit.
+    */
+  def curriculumOrderRanged(spark: SparkSession, sfDir: String): DataFrame =
+    rangedPositionsOn(spark, curriculumBanded(spark, sfDir), parts = 32,
+      keys = Seq("band", "shuffle_key", "doc_id"),
+      posCol = "curriculum_pos")
 
   val curriculumOrderSql: String =
     s"""WITH sc AS (
@@ -3426,16 +3446,30 @@ object TextOps {
     trainOrderRangedOn(spark, docsKeyed(spark, sfDir), parts = 32)
 
   private[graft] def trainOrderRangedOn(spark: SparkSession,
-      keyed: DataFrame, parts: Int): DataFrame = {
+      keyed: DataFrame, parts: Int): DataFrame =
+    rangedPositionsOn(spark, keyed, parts,
+      keys = Seq("shuffle_key", "doc_id"), posCol = "shuffle_pos")
+
+  /** The reusable range-exchange positions core: range-partition on
+    * `keys`, sort within partitions on the same keys, lift local ranks
+    * to global positions via cumulative per-partition counts (a
+    * ≤`parts`-row collect). Emits every column of `keyed` plus
+    * `posCol`; the result is invariant to where the sampled range
+    * bounds fall.
+    */
+  private[graft] def rangedPositionsOn(spark: SparkSession,
+      keyed: DataFrame, parts: Int, keys: Seq[String],
+      posCol: String): DataFrame = {
+    val outCols = keyed.columns.toSeq
     // checkpoint AFTER the id projection: the per-partition counts job
     // and the final output must see identical row/partition placement
     val mid = keyed
-      .repartitionByRange(parts, col("shuffle_key"), col("doc_id"))
-      .sortWithinPartitions("shuffle_key", "doc_id")
-      .select(col("doc_id"), col("shuffle_key"),
+      .repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .select(outCols.map(col) ++ Seq(
         spark_partition_id().as("__pid"),
         monotonically_increasing_id()
-          .bitwiseAND(lit((1L << 33) - 1)).as("__loc"))
+          .bitwiseAND(lit((1L << 33) - 1)).as("__loc")): _*)
       .localCheckpoint(true)
     val counts = mid.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -3449,9 +3483,9 @@ object TextOps {
       offByPid.toSeq.toDF("__pid", "__off")
     }
     mid.join(broadcast(offDf), Seq("__pid"))
-      .select(col("doc_id"), col("shuffle_key"),
-        (col("__off") + col("__loc") + 1L).cast("int").as("shuffle_pos"))
-      .orderBy("shuffle_pos")
+      .select(outCols.map(col) :+
+        ((col("__off") + col("__loc") + 1L).cast("int").as(posCol)): _*)
+      .orderBy(posCol)
   }
 
   // -------------------------------------------------------------------- //
@@ -3866,6 +3900,7 @@ object TextOps {
     "docs_train_order" -> trainOrder,
     "docs_train_order_ranged" -> trainOrderRanged,
     "docs_curriculum_order" -> curriculumOrder,
+    "docs_curriculum_order_ranged" -> curriculumOrderRanged,
     "docs_length_batching" -> lengthBatching,
     "docs_phrase_search" -> phraseSearch,
     "docs_inverted_index" -> invertedIndex,
@@ -3937,6 +3972,7 @@ object TextOps {
     // window's positions bit-for-bit
     "docs_train_order_ranged" -> trainOrderSql,
     "docs_curriculum_order" -> curriculumOrderSql,
+    "docs_curriculum_order_ranged" -> curriculumOrderSql,
     "docs_length_batching" -> lengthBatchingSql,
     "docs_phrase_search" -> phraseSearchSql,
     "docs_inverted_index" -> invertedIndexSql,

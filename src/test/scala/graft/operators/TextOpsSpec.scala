@@ -31,6 +31,22 @@ class TextOpsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("range-partitioned curriculum order reproduces the global " +
+    "window's positions bit-for-bit") {
+    // same invariance with the banded (band, shuffle_key, doc_id)
+    // range key: the curriculum's scale form must agree with the
+    // parity window on every row
+    val a = TextOps.curriculumOrder(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    val b = TextOps.curriculumOrderRanged(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    assert(a == b)
+  }
+
   test("length batching: buckets partition the corpus, waste is the " +
     "definitional slot difference, truncation only in the top bucket") {
     val rows = TextOps.lengthBatching(spark, sf).collect()
