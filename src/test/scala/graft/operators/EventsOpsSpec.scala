@@ -179,4 +179,41 @@ class EventsOpsSpec extends SparkSpecBase {
       assert(ov <= math.min(perType(a), perType(b)),
         s"($a,$b) overlap $ov exceeds a side")
   }
+
+  test("sketch gates hold in the DENSE regime the fixtures never reach") {
+    // the events fixture's cardinalities (150/1,500 users) keep the
+    // HLL sketches sparse-exact, so the declared ±5%/±10% gates are
+    // never stressed there; a bigger corpus promotes to dense
+    // registers with real estimation error. Prove the gated bounds at
+    // 200k distinct keys — lgK=12 dense, rse ≈ 1.6% — including the
+    // merged-partials and inclusion-exclusion forms the two queries
+    // gate, so a scale-up can't flip the booleans.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 200000
+    val base = spark.range(n.toLong).toDF("user_id")
+      .withColumn("day", (col("user_id") % 30).cast("int"))
+      .localCheckpoint(true)
+    val merged = base.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(math.abs(merged - n).toDouble <= 0.05 * n,
+      s"dense merged estimate $merged vs exact $n breaches the 5% gate")
+    // overlap: A = [0, 150k), B = [50k, 200k), exact |A∩B| = 100k
+    val a = base.filter(col("user_id") < 150000)
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val b = base.filter(col("user_id") >= 50000)
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val Array(estA, estB, estU) = a.as("x").crossJoin(b.as("y"))
+      .select(hll_sketch_estimate(col("x.sk")),
+        hll_sketch_estimate(col("y.sk")),
+        hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk"))))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1),
+        r.getLong(2)) }
+    val estOverlap = estA + estB - estU
+    assert(math.abs(estOverlap - 100000).toDouble <= 0.10 * 100000,
+      s"dense overlap estimate $estOverlap vs exact 100000 breaches " +
+        "the 10% gate")
+  }
 }
