@@ -193,8 +193,12 @@ object AnnIndex {
   // OVER-approximates membership — extra "maybe" rows re-verify       //
   // exactly and re-append cleanly. (Postings-first would leave ids    //
   // the bloom doesn't know → false "definitely new" → duplicates.)    //
-  // Blooms are fixed-geometry (1M items / 1% fpp ≈ 1.2 MB) so rows    //
-  // merge driver-side into one filter regardless of batch sizes.      //
+  // Blooms are fixed-geometry (1M items / 1% fpp ≈ 1.2 MB); a batch   //
+  // larger than the geometry — the bootstrap pass inserts the WHOLE   //
+  // store — splits into ≤1M-id ID RANGES, one manifest row each, so   //
+  // no row's bloom ever saturates. Membership tests rows SEPARATELY   //
+  // (range gate, then that row's own bloom): merging saturated blooms //
+  // would just OR the degraded bit arrays back together.              //
   // ------------------------------------------------------------------ //
 
   private val ManifestBloomItems = 1000000L
@@ -204,15 +208,32 @@ object AnnIndex {
 
   private def appendManifest(spark: SparkSession, dir: String,
       ids: DataFrame): Unit = {
-    val r = ids.agg(count(lit(1)), min("vec_id"), max("vec_id")).head()
-    if (r.getLong(0) == 0L) return // an all-duplicate batch: no new ids
-    val bf = ids.stat.bloomFilter("vec_id", ManifestBloomItems,
-      ManifestFpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    val total = ids.count()
+    if (total == 0L) return // an all-duplicate batch: no new ids
+    // ≤1M ids per row: one fixed-geometry bloom holding the whole store
+    // (bootstrap at 5M ids) would degrade fpp to tens of percent and
+    // drag in-range appends back toward scan cost — split by id range
+    // (ntile over vec_id) so each row keeps the 1% contract AND its
+    // [min,max] stays a tight, disjoint range gate
+    val chunks = ((total - 1) / ManifestBloomItems + 1).toInt
+    val parts =
+      if (chunks == 1) Seq(ids)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val t = ids.withColumn("__c",
+          ntile(chunks).over(Window.orderBy("vec_id")))
+          .localCheckpoint(true)
+        (1 to chunks).map(c => t.filter(col("__c") === c).drop("__c"))
+      }
     import spark.implicits._
-    Seq((r.getLong(0), r.getLong(1), r.getLong(2), bos.toByteArray))
-      .toDF("n", "min_id", "max_id", "bloom")
+    parts.map { part =>
+      val r = part.agg(count(lit(1)), min("vec_id"), max("vec_id")).head()
+      val bf = part.stat.bloomFilter("vec_id", ManifestBloomItems,
+        ManifestFpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      (r.getLong(0), r.getLong(1), r.getLong(2), bos.toByteArray)
+    }.toDF("n", "min_id", "max_id", "bloom")
       .coalesce(1).write.mode("append").parquet(manifestPath(dir))
   }
 
@@ -228,14 +249,19 @@ object AnnIndex {
     if (!StoreUtil.exists(spark, manifestPath(dir)))
       appendManifest(spark, dir, p.select("vec_id"))
     val rows = spark.read.parquet(manifestPath(dir)).collect()
-    val merged = rows.map { r =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-    }.reduce { (a, b) => a.mergeInPlace(b); a }
-    val lo = rows.map(_.getAs[Long]("min_id")).min
-    val hi = rows.map(_.getAs[Long]("max_id")).max
+    // test rows SEPARATELY: each row's bloom holds ≤1M ids at 1% fpp,
+    // and its [min,max] prunes most rows before any bloom bit is read —
+    // merging the blooms would OR potentially-saturated bit arrays and
+    // give back the degraded fpp the per-row split exists to avoid
+    val entries = rows.map { r =>
+      (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"),
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
+    }
     val mightContain = udf((id: Long) =>
-      id >= lo && id <= hi && merged.mightContainLong(id))
+      entries.exists { case (lo, hi, bf) =>
+        id >= lo && id <= hi && bf.mightContainLong(id)
+      })
     // batch-sized checkpoint: the maybe/definite split feeds an isEmpty
     // probe and both union legs — the bloom udf must not run 3×
     val flagged = batch
@@ -422,9 +448,11 @@ object AnnIndex {
     * candidate frame (it still carries `q_id` and `c_id`). A batch has
     * no driver-collected cell list to quote as literals, so the
     * per-query breadth metrics come from the frame itself via
-    * `approx_count_distinct` — exact at request-batch cardinalities
-    * (HLL++ answers exactly below its sparse threshold) and within 5%
-    * far beyond; `postings_rows_read` stays an exact count. One
+    * `approx_count_distinct` — approximate (Spark's HLL++ omits the
+    * sparse exact-at-small-cardinality representation, so these are
+    * estimates even for tiny request batches, typically exact in
+    * practice but not contractually) and within 5% at any scale;
+    * `postings_rows_read` stays an exact count. One
     * CollectMetrics node, no extra jobs, no extra column references —
     * pruning and the GroupTopK rewrite are unaffected.
     */

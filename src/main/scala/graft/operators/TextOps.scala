@@ -3473,6 +3473,13 @@ object TextOps {
       .localCheckpoint(true)
     val counts = mid.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // positions are emitted as int (the oracle's row_number() caps
+    // there too); past 2^31 rows the cast would silently WRAP negative
+    // — the counts are already on the driver, so fail fast instead
+    val total = counts.map(_._2).sum
+    require(total <= Int.MaxValue,
+      s"rangedPositionsOn: $total rows exceed Int position range — " +
+        "widen posCol to long before ordering corpora this large")
     val offsets = counts.scanLeft((0, 0L)) {
       case ((_, acc), (pid, n)) => (pid, acc + n)
     }

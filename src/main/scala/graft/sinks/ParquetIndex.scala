@@ -294,6 +294,16 @@ final class ParquetIndex(root: String, keep: Int = 2,
     * re-reads and re-derives against the winner's state, so no
     * writer's update is ever silently dropped. Returns the committed
     * id and the number of attempts it took.
+    *
+    * The derived plan is LAZY: it executes inside [[writeIfCurrent]],
+    * and by then a winning concurrent commit may already have deleted
+    * the base's MOR log ([[write]]/[[writeIfCurrent]] consume it) or
+    * pruned the base's snapshot dir past the retention window — the
+    * loser's scan then throws (FileNotFound and friends) instead of
+    * returning `None`. That is still just a lost race: if the base
+    * moved underneath us, swallow the failure and re-derive against
+    * the winner; only a failure with the base UNCHANGED is a real
+    * error and propagates.
     */
   def commitWithRetry(spark: SparkSession, keyCol: String, tsCol: String,
       derive: Option[DataFrame] => DataFrame,
@@ -302,8 +312,19 @@ final class ParquetIndex(root: String, keep: Int = 2,
     while (attempt < maxAttempts) {
       attempt += 1
       val base = currentId
-      val next = derive(readMor(spark, keyCol, tsCol))
-      writeIfCurrent(next, base) match {
+      val attemptResult =
+        try {
+          val next = derive(readMor(spark, keyCol, tsCol))
+          writeIfCurrent(next, base)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // a winner may have deleted this base's inputs mid-scan;
+            // re-check AFTER the failure — base unchanged means the
+            // inputs were not pulled out from under us, so rethrow
+            if (currentId == base) throw e
+            None // lost race: loop re-reads the winner's state
+        }
+      attemptResult match {
         case Some(id) => return (id, attempt)
         case None => // raced: re-derive against the new current
       }
