@@ -125,7 +125,10 @@ object AnnIndex {
     require(!StoreUtil.exists(spark, s"$newDir/postings"),
       s"rebuild: $newDir already has postings — rebuild targets a " +
         "fresh dir (the old store keeps serving until the swap)")
-    val emb = spark.read.parquet(s"$oldDir/postings")
+    // tombstoned rows do NOT carry over: rebuild trains on and
+    // re-indexes the LIVE corpus — the new store needs no tombstones
+    val emb = Tombstones.minus(spark, oldDir,
+      spark.read.parquet(s"$oldDir/postings"), "vec_id")
       .select("vec_id", "label", "embedding")
     var cents = spark.read.parquet(s"$oldDir/centroids")
     for (_ <- 1 to lloydRounds)
@@ -359,6 +362,50 @@ object AnnIndex {
       .write.mode("append").partitionBy("c_id").parquet(postingsPath)
   }
 
+  /** DELETE vectors from the serving index — the [[TermIndex.delete]]
+    * twin for the ANN store: tombstone ids append under
+    * `dir/tombstones` and every serving tier (exact, ADC, Hamming,
+    * matryoshka — single-query and batch) subtracts them immediately
+    * via [[servingPostings]], so a deleted or dedup-dropped vector
+    * stops appearing in ANY tier's top-k without a store rewrite
+    * (`ann_hamming_indexed_deleted` gates the subtracted read path
+    * against a from-scratch oracle on the post-delete corpus). Rows
+    * physically fold out at the next [[compact]].
+    *
+    * A tombstoned id cannot RE-index until [[compact]] folds it out:
+    * [[update]]'s membership check (postings anti-join / manifest)
+    * still sees the physical row. The manifest needs no delete-side
+    * maintenance — its blooms merely OVER-approximate membership, and
+    * after the fold the "maybe duplicate" verification anti-join finds
+    * no postings row, so the id re-indexes cleanly.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, dir, ids, "vec_id")
+
+  /** Fold tombstones out of the postings (cell partition layout
+    * preserved — centroids and cell assignment are untouched, so every
+    * surviving row keeps its cell) and clear the tombstone set.
+    * Serving is bit-identical before and after; after the fold, a
+    * previously-deleted id may re-index. Single-writer, like
+    * [[update]].
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    Tombstones.fold(spark, dir, "postings", "vec_id", Seq("c_id"))
+    Tombstones.clear(spark, dir)
+  }
+
+  /** The postings as every SERVING tier must read them: tombstoned
+    * rows subtracted (a tiny broadcast anti-join; absent tombstones →
+    * the exact raw scan, so tombstone-free stores keep their pinned
+    * plan shapes). [[update]]'s membership check deliberately reads
+    * the RAW postings instead — a tombstoned id stays "known" until
+    * [[compact]] folds it out.
+    */
+  private[operators] def servingPostings(spark: SparkSession,
+      dir: String): DataFrame =
+    Tombstones.minus(spark, dir,
+      spark.read.parquet(s"$dir/postings"), "vec_id")
+
   /** Driver-side twin of [[VectorOps.signWord]] for a literal query:
     * bits [0, 31] of the word are components [lo, lo+31] (1-based),
     * set iff > 0.
@@ -389,7 +436,7 @@ object AnnIndex {
     val (probed, nCells) =
       probedCells(spark, dir, query, nprobe, countCells = obs.isDefined)
     val (qLo, qHi) = (signWordOf(query, 1), signWordOf(query, 33))
-    val scan = spark.read.parquet(s"$dir/postings")
+    val scan = servingPostings(spark, dir)
       .filter(col("c_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("label"),
         (expr(s"bit_count(b_lo ^ ${qLo}L)") +
@@ -471,7 +518,7 @@ object AnnIndex {
     vecFns(spark)
     val q = typedLit(query)
     val (probed, _) = probedCells(spark, dir, query, nprobe)
-    spark.read.parquet(s"$dir/postings")
+    servingPostings(spark, dir)
       .filter(col("c_id").isin(probed.toIndexedSeq: _*))
       .withColumn("qe", q)
       .withColumn("cos_sim", round(
@@ -511,7 +558,7 @@ object AnnIndex {
             s"slice(ce, $off, $sub))"), 4).as(s"qd$m"))
     }
     val base = observed(
-      spark.read.parquet(s"$dir/postings")
+      servingPostings(spark, dir)
         .filter(col("c_id").isin(probed.toIndexedSeq: _*))
         .select(col("vec_id"), col("label"),
           col("pq0"), col("pq1"), col("pq2"), col("pq3")),
@@ -551,7 +598,7 @@ object AnnIndex {
     val (probed, nCells) =
       probedCells(spark, dir, query, nprobe, countCells = obs.isDefined)
     val cellFilter = col("c_id").isin(probed.toIndexedSeq: _*)
-    val stage1 = spark.read.parquet(s"$dir/postings")
+    val stage1 = servingPostings(spark, dir)
       .filter(cellFilter)
       .select(col("vec_id"), col("m16"))
       .withColumn("q16", typedLit(query.take(MPrefix)))
@@ -562,7 +609,7 @@ object AnnIndex {
       .orderBy(col("pcos").desc, col("vec_id"))
       .limit(shortK)
       .select("vec_id")
-    spark.read.parquet(s"$dir/postings")
+    servingPostings(spark, dir)
       .filter(cellFilter)
       .join(broadcast(short), "vec_id")
       .withColumn("qe", typedLit(query))
@@ -604,7 +651,7 @@ object AnnIndex {
       expr(s"slice(qe, 1, $MPrefix)").as("q16"))
     // the observation sits on the STAGE-1 prefix scan (the corpus-∝
     // pass), mirroring searchMatryoshka's placement
-    val stage1 = observedAll(spark.read.parquet(s"$dir/postings")
+    val stage1 = observedAll(servingPostings(spark, dir)
       .join(probed, Seq("c_id")), obs)
       .select(col("q_id"), col("vec_id"), col("m16"))
       .join(broadcast(q16), Seq("q_id"))
@@ -616,7 +663,7 @@ object AnnIndex {
       groupCols = Seq("q_id"),
       orderKeys = Seq(("pcos", true), ("vec_id", false)), k = shortK)
       .select("q_id", "vec_id")
-    val scored = spark.read.parquet(s"$dir/postings")
+    val scored = servingPostings(spark, dir)
       .join(probed, Seq("c_id"))
       .join(broadcast(short), Seq("q_id", "vec_id"))
       .join(queries, Seq("q_id"))
@@ -653,7 +700,7 @@ object AnnIndex {
       orderKeys = Seq(("d2", false), ("c_id", false)),
       k = nprobe)
       .select(col("q_id"), col("c_id"))
-    val scored = observedAll(spark.read.parquet(s"$dir/postings")
+    val scored = observedAll(servingPostings(spark, dir)
       .join(probed, Seq("c_id")), obs)
       .join(queries, Seq("q_id"))
       .withColumn("cos_sim", round(
@@ -743,7 +790,7 @@ object AnnIndex {
           round(expr(s"vec_dist2(slice(qe, $off, $sub), " +
             s"slice(ce, $off, $sub))"), 4).as(s"qd$m"))
     }
-    val base = observedAll(spark.read.parquet(s"$dir/postings")
+    val base = observedAll(servingPostings(spark, dir)
       .join(probedAll(queries, cents, nprobe), Seq("c_id")), obs)
       .select(col("q_id"), col("vec_id"), col("label"),
         col("pq0"), col("pq1"), col("pq2"), col("pq3"))
@@ -781,7 +828,7 @@ object AnnIndex {
       .withColumn("q_lo", VectorOps.signWord(1))
       .withColumn("q_hi", VectorOps.signWord(33))
       .select("q_id", "q_lo", "q_hi")
-    val scored = observedAll(spark.read.parquet(s"$dir/postings")
+    val scored = observedAll(servingPostings(spark, dir)
       .join(probedAll(queries, cents, nprobe), Seq("c_id")), obs)
       .join(broadcast(qWords), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), col("label"),

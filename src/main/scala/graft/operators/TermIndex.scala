@@ -86,6 +86,39 @@ object TermIndex {
       .write.mode("append").parquet(doclenPath)
   }
 
+  /** DELETE documents from the serving index — the in-engine mirror of
+    * the reference's ES delete path (elasticsearch_integration.py:
+    * 453-566, without its 10k scan cap): tombstone ids append under
+    * `dir/tombstones` and every serving read ([[searchAll]]/[[search]]
+    * scoring AND the corpus statistics n/avgdl/df, [[phraseSearch]])
+    * subtracts them immediately, so a deleted document's results —
+    * and its influence on every OTHER document's BM25 score — vanish
+    * as if the store had been rebuilt on the post-delete corpus
+    * (`docs_bm25_indexed_deleted` gates exactly that, bit-for-bit).
+    * The rows physically fold out at the next [[compact]].
+    *
+    * A tombstoned id cannot RE-index until [[compact]] folds it out:
+    * the doclen membership list still carries it, so [[update]] skips
+    * it — the hide-then-remove lifecycle of MOR deletes.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, dir, ids, "doc_id")
+
+  /** Fold tombstones out of the store: rewrite postings (bucket
+    * partition layout preserved) and doclen without the deleted rows,
+    * then clear the tombstone set. Serving is bit-identical before and
+    * after (`docs_bm25_compacted` shares the deleted oracle); after the
+    * fold, a previously-deleted id may re-index. Order matters for
+    * crash safety: tombstones clear LAST, so an interrupted fold keeps
+    * subtracting and a re-run finishes the job. Single-writer, like
+    * [[update]] and [[graft.sinks.DirCompaction]].
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    Tombstones.fold(spark, dir, "postings", "doc_id", Seq("t_b"))
+    Tombstones.fold(spark, dir, "doclen", "doc_id", Nil)
+    Tombstones.clear(spark, dir)
+  }
+
   /** BM25 top-k served FROM the store: reads only the query terms'
     * bucket partitions, derives (n, avgdl, per-term df) as a one-row
     * broadcast, and scores with [[TextOps.bm25Topk]]'s exact formula.
@@ -143,9 +176,16 @@ object TermIndex {
       count(lit(1)).as("postings_rows_read"),
       max(lit(buckets.length)).as("buckets_probed"),
       max(lit(NBuckets)).as("buckets_total")))
-    val pruned = scan
+    // tombstone subtraction BEFORE df/doclen derivation: a deleted doc
+    // must stop contributing to document frequencies, n and avgdl —
+    // not just drop out of the hit list — or served scores would drift
+    // from a rebuild on the post-delete corpus. The subtraction sits
+    // ABOVE the observe node: postings_rows_read reports what the scan
+    // actually read, tombstoned or not.
+    val pruned = Tombstones.minus(spark, dir, scan, "doc_id")
       .groupBy("term", "doc_id").agg(max(col("tf")).as("tf"))
-    val doclen = spark.read.parquet(s"$dir/doclen")
+    val doclen = Tombstones.minus(spark, dir,
+      spark.read.parquet(s"$dir/doclen"), "doc_id")
     val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
     // per-term document frequency over the pruned postings (distinct
@@ -198,8 +238,9 @@ object TermIndex {
   def phraseSearch(spark: SparkSession, dir: String, first: String,
       second: String, k: Int = 20): DataFrame = {
     val buckets = Seq(first, second).map(bucketOf).distinct
-    val posts = spark.read.parquet(s"$dir/postings")
-      .filter(col("t_b").isin(buckets: _*))
+    val posts = Tombstones.minus(spark, dir,
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("t_b").isin(buckets: _*)), "doc_id")
     def positions(term: String) = posts
       .filter(col("term") === term)
       .select(col("doc_id"), explode(col("positions")).as("pos"))

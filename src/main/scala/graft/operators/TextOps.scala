@@ -1593,10 +1593,12 @@ object TextOps {
   }
 
   /** DuckDB CTE body (`d`, `st`) + the score expression — shared by the
-    * standalone top-k oracle and the hybrid-search oracle so the
-    * formula text exists exactly once.
+    * standalone top-k oracle, the hybrid-search oracle and the
+    * post-delete oracles so the formula text exists exactly once.
+    * `corpusWhere` restricts the corpus (the deleted-store oracles
+    * score against the post-delete corpus — n, avgdl and df all move).
     */
-  private[graft] val bm25CtesSql: String = {
+  private[graft] def bm25CtesSqlOn(corpusWhere: String): String = {
     val tfSelects = bmTerms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter($duckToks, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(", ")
@@ -1605,11 +1607,13 @@ object TextOps {
       .mkString(", ")
     s"""d AS (
        |  SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, $tfSelects
-       |  FROM documents),
+       |  FROM documents WHERE $corpusWhere),
        |st AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfSelects
        |  FROM d)""".stripMargin
   }
+
+  private[graft] val bm25CtesSql: String = bm25CtesSqlOn("TRUE")
 
   private[graft] val bm25ScoreExprSql: String =
     bmTerms.indices.map(i =>
@@ -1617,12 +1621,29 @@ object TextOps {
          | * (tf$i * (1.2 + 1)) / (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"""
         .stripMargin).mkString(" + ")
 
-  val bm25TopkSql: String =
-    s"""WITH $bm25CtesSql
+  private def bm25TopkSqlOn(corpusWhere: String): String =
+    s"""WITH ${bm25CtesSqlOn(corpusWhere)}
        |SELECT doc_id, round($bm25ScoreExprSql, 4) AS score
        |FROM d, st
        |WHERE round($bm25ScoreExprSql, 4) > 0
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  val bm25TopkSql: String = bm25TopkSqlOn("TRUE")
+
+  /** The deterministic delete set for the deletion-lifecycle queries:
+    * every 7th document (predicate mirrored in [[bm25TopkDeletedSql]]
+    * and the ANN twin) — large enough to move n/avgdl/df visibly,
+    * small enough that the top-20 stays populated at sf0.001.
+    */
+  private[graft] val delPred = col("doc_id") % 7 === 3
+  private[graft] val delPredSql = "doc_id % 7 = 3"
+
+  /** The post-DELETE oracle: from-scratch BM25 on the corpus minus the
+    * deleted ids — what both the tombstone-subtracted read path
+    * (`docs_bm25_indexed_deleted`) and the compaction-folded store
+    * (`docs_bm25_compacted`) must reproduce bit-for-bit.
+    */
+  val bm25TopkDeletedSql: String = bm25TopkSqlOn(s"NOT ($delPredSql)")
 
   /** The same BM25 top-k served from the DURABLE [[TermIndex]] store:
     * the corpus is indexed incrementally in two halves (doc_id parity —
@@ -1658,6 +1679,61 @@ object TextOps {
 
   def bm25Indexed(spark: SparkSession, sfDir: String): DataFrame =
     TermIndex.search(spark, termIndexFor(spark, sfDir), bmTerms, k = 20)
+
+  /** [[termIndexFor]]'s post-DELETE twin: same two-half incremental
+    * build, then every 7th document tombstoned — serving reads go
+    * through the tombstone subtraction ([[TermIndex.delete]]).
+    */
+  private val termIndexDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def termIndexDeletedFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(termIndexDelCache, sfDir,
+      "graft-termindex-del") { dir =>
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+      TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
+    }
+
+  /** [[termIndexDeletedFor]] COMPACTED: the tombstones physically fold
+    * out of postings + doclen ([[TermIndex.compact]]), so serving runs
+    * the plain no-tombstone path over the rewritten store — and must
+    * still match the post-delete oracle bit-for-bit.
+    */
+  private val termIndexDelcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def termIndexCompactedFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(termIndexDelcCache, sfDir,
+      "graft-termindex-delc") { dir =>
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+      TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
+      TermIndex.compact(spark, dir)
+    }
+
+  /** BM25 from the store AFTER deleting every 7th document — the
+    * tombstone-subtracted READ path, gated against from-scratch BM25
+    * on the post-delete corpus (deleted docs must stop influencing
+    * n/avgdl/df, not just vanish from the hit list).
+    */
+  def bm25IndexedDeleted(spark: SparkSession, sfDir: String): DataFrame =
+    TermIndex.search(spark, termIndexDeletedFor(spark, sfDir),
+      bmTerms, k = 20)
+
+  /** The same search after [[TermIndex.compact]] folded the tombstones
+    * out — the REWRITTEN store must serve the identical post-delete
+    * result with zero tombstones left to subtract.
+    */
+  def bm25Compacted(spark: SparkSession, sfDir: String): DataFrame =
+    TermIndex.search(spark, termIndexCompactedFor(spark, sfDir),
+      bmTerms, k = 20)
 
   // -------------------------------------------------------------------- //
   // Deterministic content-addressed train/val/test split: the hash of    //
@@ -3941,6 +4017,8 @@ object TextOps {
     "docs_ngram_jaccard" -> ngramJaccard,
     "docs_bm25_topk" -> bm25Topk,
     "docs_bm25_indexed" -> bm25Indexed,
+    "docs_bm25_indexed_deleted" -> bm25IndexedDeleted,
+    "docs_bm25_compacted" -> bm25Compacted,
     "docs_phrase_indexed" -> phraseIndexed,
     "docs_hash_split" -> hashSplit,
     "docs_token_packing" -> tokenPacking,
@@ -4015,6 +4093,8 @@ object TextOps {
     "docs_ngram_jaccard" -> ngramJaccardSql,
     "docs_bm25_topk" -> bm25TopkSql,
     "docs_bm25_indexed" -> bm25TopkSql,
+    "docs_bm25_indexed_deleted" -> bm25TopkDeletedSql,
+    "docs_bm25_compacted" -> bm25TopkDeletedSql,
     "docs_phrase_indexed" -> phraseSearchSql,
     "docs_hash_split" -> hashSplitSql,
     "docs_token_packing" -> tokenPackingSql,

@@ -1913,7 +1913,10 @@ object VectorOps {
         col("rk").as("rank"))
       .orderBy("q_id", "rank")
 
-  val binaryHammingSql: String =
+  /** `candWhere` restricts the candidate set — the post-delete oracle
+    * scores against the corpus minus the tombstoned ids.
+    */
+  private def binaryHammingSqlOn(candWhere: String): String =
     s"""WITH b AS (
        |  SELECT vec_id, label,
        |    ${duckSignWord(1)} AS b_lo,
@@ -1925,12 +1928,14 @@ object VectorOps {
        |  SELECT q.q_id, b.vec_id, b.label,
        |    CAST(bit_count(xor(b.b_lo, q.q_lo))
        |       + bit_count(xor(b.b_hi, q.q_hi)) AS INTEGER) AS hamming
-       |  FROM b, q WHERE b.vec_id >= 5),
+       |  FROM b, q WHERE $candWhere),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY hamming, vec_id) AS rank FROM s)
        |SELECT q_id, vec_id, label, hamming, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  val binaryHammingSql: String = binaryHammingSqlOn("b.vec_id >= 5")
 
   /** Two-stage serving through the sign sketch: Hamming top-50
     * shortlist, then exact cosine re-rank of ONLY the shortlist rows —
@@ -2007,7 +2012,7 @@ object VectorOps {
     val dir = annIndexFor(spark, sfDir)
     val qsk = signSketches(
       Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 5))
-    val cand = spark.read.parquet(s"$dir/postings")
+    val cand = AnnIndex.servingPostings(spark, dir)
       .select("vec_id", "label", "b_lo", "b_hi")
       .filter(col("vec_id") >= 5)
     binaryTopkOn(qsk.unionByName(cand))
@@ -2015,6 +2020,53 @@ object VectorOps {
         col("rk").as("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** [[annIndexFor]]'s post-DELETE twin: same two-phase incremental
+    * build, then every 7th candidate vector tombstoned
+    * ([[AnnIndex.delete]]) — the [[TextOps.termIndexDeletedFor]]
+    * discipline for the vector store. Query ids (vec_id < 5) are never
+    * deleted; seeds 1–8 keep the quantizer deterministic.
+    */
+  private val annIndexDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def annIndexDeletedFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(annIndexDelCache, sfDir,
+      "graft-annindex-del") { dir =>
+      val emb = Tables(spark, sfDir, "embeddings")
+      AnnIndex.build(spark, dir,
+        emb.filter(col("vec_id").between(1, 8) ||
+          (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
+      AnnIndex.update(spark, dir,
+        emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
+      AnnIndex.delete(spark, dir,
+        emb.filter(col("vec_id") >= 9 && col("vec_id") % 7 === 3)
+          .select("vec_id"))
+    }
+
+  /** [[hammingIndexed]] over the post-DELETE store: the
+    * tombstone-subtracted serving read, gated against a from-scratch
+    * Hamming top-k on the post-delete corpus — a deleted vector must
+    * vanish from the ranking AND every displaced rank below it must
+    * close up exactly.
+    */
+  def hammingIndexedDeleted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = annIndexDeletedFor(spark, sfDir)
+    val qsk = signSketches(
+      Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 5))
+    val cand = AnnIndex.servingPostings(spark, dir)
+      .select("vec_id", "label", "b_lo", "b_hi")
+      .filter(col("vec_id") >= 5)
+    binaryTopkOn(qsk.unionByName(cand))
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val hammingIndexedDeletedSql: String = binaryHammingSqlOn(
+    "b.vec_id >= 5 AND NOT (b.vec_id >= 9 AND b.vec_id % 7 = 3)")
 
   /** Store-served TWO-STAGE binary serving — [[hammingIndexed]] is
     * stage one only; this adds the exact re-rank, both stages reading
@@ -2034,7 +2086,7 @@ object VectorOps {
     withVecFns(spark)
     val dir = annIndexFor(spark, sfDir)
     val emb = Tables(spark, sfDir, "embeddings")
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = AnnIndex.servingPostings(spark, dir)
     val qsk = signSketches(emb.filter(col("vec_id") < 5))
     val cand = post.select("vec_id", "label", "b_lo", "b_hi")
       .filter(col("vec_id") >= 5)
@@ -2295,7 +2347,7 @@ object VectorOps {
     withVecFns(spark)
     val dir = annIndexFor(spark, sfDir)
     val emb = Tables(spark, sfDir, "embeddings")
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = AnnIndex.servingPostings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val q16 = q.select(col("q_id"),
@@ -2338,6 +2390,7 @@ object VectorOps {
     "ann_matryoshka_indexed" -> matryoshkaIndexed,
     "ann_hamming_rerank" -> binaryRerank,
     "ann_hamming_indexed" -> hammingIndexed,
+    "ann_hamming_indexed_deleted" -> hammingIndexedDeleted,
     "ann_hamming_indexed_rerank" -> hammingIndexedRerank,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
@@ -2372,6 +2425,7 @@ object VectorOps {
     "ann_hamming_rerank" -> binaryRerankSql,
     // store-served twin must reproduce the batch top-k exactly
     "ann_hamming_indexed" -> binaryHammingSql,
+    "ann_hamming_indexed_deleted" -> hammingIndexedDeletedSql,
     // store-served two-stage re-rank shares the batch re-rank oracle
     "ann_hamming_indexed_rerank" -> binaryRerankSql,
     "ann_topk_brute" -> topkBruteSql,

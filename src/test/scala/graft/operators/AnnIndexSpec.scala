@@ -468,4 +468,76 @@ class AnnIndexSpec extends SparkSpecBase {
       assert(batchHam(qid) == singleHam, s"hamming q=$qid")
     }
   }
+
+  test("delete lifecycle: a tombstoned id vanishes from EVERY serving " +
+      "tier, compact folds it physically with serving unchanged, and " +
+      "the folded id can re-index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("annidx_del").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") > 0))
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    // delete the CURRENT top hit — the strongest absence test
+    val top = AnnIndex.search(spark, dir, q, k = 1, nprobe = 8)
+      .collect()(0).getLong(0)
+    AnnIndex.delete(spark, dir, Seq(top).toDF("vec_id"))
+
+    val qdf = Seq((0L, q)).toDF("q_id", "qe")
+    def servedIds(): Seq[Seq[Long]] = Seq(
+      AnnIndex.search(spark, dir, q, k = 10, nprobe = 8),
+      AnnIndex.searchAdc(spark, dir, q, k = 10, nprobe = 8),
+      AnnIndex.searchHamming(spark, dir, q, k = 10, nprobe = 8),
+      AnnIndex.searchMatryoshka(spark, dir, q, k = 10, nprobe = 8),
+      AnnIndex.searchAll(spark, dir, qdf, k = 10, nprobe = 8),
+      AnnIndex.searchAllAdc(spark, dir, qdf, k = 10, nprobe = 8),
+      AnnIndex.searchAllHamming(spark, dir, qdf, k = 10, nprobe = 8),
+      AnnIndex.searchAllMatryoshka(spark, dir, qdf, k = 10, nprobe = 8))
+      .map(_.collect().map(_.getAs[Long]("vec_id")).toSeq)
+
+    val pre = servedIds()
+    pre.foreach(ids => assert(!ids.contains(top), s"$top in $ids"))
+    // the exact tier must now match brute force on the post-delete set
+    graft.functions.GraftFunctions.register(spark)
+    val brute = emb.filter(col("vec_id") > 0 && col("vec_id") =!= top)
+      .withColumn("qe", typedLit(q))
+      .withColumn("cos_sim", round(
+        expr("vec_dot(embedding, qe)") /
+          (sqrt(expr("vec_dot(embedding, embedding)")) *
+            sqrt(expr("vec_dot(qe, qe)"))), 4))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(pre.head == brute)
+
+    // compact: one postings row gone, tombstones cleared, every tier
+    // serves the identical post-delete result from the folded store
+    val nBefore = spark.read.parquet(s"$dir/postings").count()
+    AnnIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings").count() == nBefore - 1)
+    assert(!StoreUtil.exists(spark, s"$dir/tombstones"))
+    assert(servedIds() == pre)
+
+    // membership forgot the id at the fold: it re-indexes and returns
+    // to the top of the exact tier
+    AnnIndex.update(spark, dir, emb.filter(col("vec_id") === top))
+    val again = AnnIndex.search(spark, dir, q, k = 1, nprobe = 8)
+      .collect()(0).getLong(0)
+    assert(again == top)
+  }
+
+  test("a tombstoned vector cannot re-index before compact (postings " +
+      "membership still carries it) and stays hidden") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("annidx_del2").toString
+    val emb = graft.Tables(spark, sf, "embeddings")
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") > 0))
+    val victim = 9L
+    AnnIndex.delete(spark, dir, Seq(victim).toDF("vec_id"))
+    AnnIndex.update(spark, dir, emb.filter(col("vec_id") === victim))
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val ids = AnnIndex.search(spark, dir, q, k = 10000, nprobe = 8)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(!ids.contains(victim))
+  }
 }

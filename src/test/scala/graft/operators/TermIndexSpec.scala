@@ -152,4 +152,57 @@ class TermIndexSpec extends SparkSpecBase {
       terms.map(TermIndex.bucketOf).distinct.length, s"$m")
     assert(m("buckets_total") == TermIndex.NBuckets, s"$m")
   }
+
+  test("delete lifecycle: tombstoned docs stop serving everywhere, " +
+      "compact folds them to a from-scratch post-delete store, and a " +
+      "folded id can re-index") {
+    val dir = Files.createTempDirectory("termidx_del").toString
+    TermIndex.update(spark, dir, docs)
+    TermIndex.delete(spark, dir,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    // the oracle: a from-scratch store on the post-delete corpus
+    val ref = Files.createTempDirectory("termidx_delref").toString
+    TermIndex.update(spark, ref, docs.filter(!(col("doc_id") % 7 === 3)))
+    def res(d: String) = TermIndex.search(spark, d, TextOps.bmTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def phrase(d: String) = TermIndex.phraseSearch(spark, d,
+      "order", "order", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = res(ref)
+    // tombstone-subtracted read path: scores AND corpus stats match the
+    // post-delete rebuild; phrase serving subtracts too
+    assert(res(dir) == expected)
+    assert(phrase(dir) == phrase(ref))
+    assert(!phrase(dir).exists(_._1 % 7 == 3))
+    // compact: physical fold — row sets equal the from-scratch build,
+    // tombstones cleared, serving unchanged
+    TermIndex.compact(spark, dir)
+    assert(!StoreUtil.exists(spark, s"$dir/tombstones"))
+    assert(res(dir) == expected)
+    def rows(d: String, sub: String) =
+      spark.read.parquet(s"$d/$sub").collect()
+        .map(_.toString).sorted.toSeq
+    assert(rows(dir, "doclen") == rows(ref, "doclen"))
+    assert(rows(dir, "postings") == rows(ref, "postings"))
+    // after the fold the membership list no longer knows the deleted
+    // ids, so they can re-index — back to the full-corpus result
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 7 === 3))
+    val full = TextOps.bm25Topk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res(dir) == full)
+  }
+
+  test("a tombstoned id cannot re-index before compact folds it out") {
+    val dir = Files.createTempDirectory("termidx_del2").toString
+    TermIndex.update(spark, dir, docs)
+    val victim = docs.limit(1).collect()(0).getLong(0)
+    TermIndex.delete(spark, dir,
+      docs.filter(col("doc_id") === victim).select("doc_id"))
+    // the doclen membership list still carries the id: re-sending it
+    // is a no-op and it stays hidden (hide-then-remove)
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") === victim))
+    val served = TermIndex.search(spark, dir, TextOps.bmTerms, 1000)
+      .collect().map(_.getLong(0))
+    assert(!served.contains(victim))
+  }
 }
