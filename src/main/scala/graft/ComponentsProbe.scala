@@ -64,20 +64,28 @@ object ComponentsProbe {
     for ((shape, gen) <- Seq(
         ("star", starPairs _), ("chain", chainPairs _));
         n <- sizes) {
-      // checkpoint the pair list so generation cost stays out of both
+      // checkpoint the pair list so generation cost stays out of the
       // timed arms (the minhash pipeline pays its own generation)
       val pairs = gen(spark, n).localCheckpoint(true)
-      val (distSec, nodes) =
+      // the DEFAULT distributed leg: alternating star contraction
+      val (starSec, nodes) =
         time(operators.TextOps.components(pairs, localEdgeLimit = 0L)
           .count())
+      val starRounds = operators.TextOps.lastStarRounds.get
+      // the reference it replaced: diameter-bound min-label fixpoint
+      val (fixSec, nodes3) =
+        time(operators.TextOps.componentsFixpoint(pairs).count())
       val rounds = operators.TextOps.lastFixpointRounds.get
       val (drvSec, nodes2) =
         time(operators.TextOps
           .components(pairs, localEdgeLimit = Long.MaxValue).count())
-      require(nodes == nodes2, s"paths disagree: $nodes vs $nodes2")
+      require(nodes == nodes2 && nodes == nodes3,
+        s"paths disagree: $nodes vs $nodes2 vs $nodes3")
       println(
         s"""{"probe":"components","shape":"$shape","edges":$n,""" +
-          s""""nodes":$nodes,"fixpoint_sec":${"%.2f".format(distSec)},""" +
+          s""""nodes":$nodes,"star_sec":${"%.2f".format(starSec)},""" +
+          s""""star_rounds":$starRounds,""" +
+          s""""fixpoint_sec":${"%.2f".format(fixSec)},""" +
           s""""fixpoint_rounds":$rounds,""" +
           s""""driver_sec":${"%.2f".format(drvSec)}}""")
     }

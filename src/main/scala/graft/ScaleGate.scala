@@ -21,14 +21,24 @@ import java.nio.file.{Files, Paths}
   */
 object ScaleGate {
 
-  /** The gate set: the five heaviest/scale-riskiest queries per the
-    * r9 verdict — the publish join whose output is the corpus, the
-    * one-exchange merge, the ancestor-explode rollup, the banded
-    * MinHash pair join, and the anchored substring-dedup join.
+  /** The gate set (widened to 10 per the r10 verdict): the five
+    * heaviest/scale-riskiest fs/merge rows from r9 — the publish join
+    * whose output is the corpus, the one-exchange merge, the
+    * ancestor-explode rollup, the banded MinHash pair join, the
+    * anchored substring-dedup join — plus the five heaviest rows of
+    * the knife-edge classes the fs set missed: the components
+    * clustering over the pair graph, the sharded pack manifest, the
+    * percentile-cut curriculum order (its band boundaries are exactly
+    * the round()/percentile-sensitive shape the r8 sweep caught), the
+    * gap-based sessionizer over the now-replicated events, and TPC-H
+    * q21's 4-way lineitem self-join.
     */
   val gated: Seq[String] = Seq(
     "fs_es_docs", "fs_merge_upsert", "fs_dir_rollup_explode",
-    "docs_minhash_neardup", "docs_exact_substrings")
+    "docs_minhash_neardup", "docs_exact_substrings",
+    "docs_neardup_clusters", "docs_pack_segments_sharded",
+    "docs_curriculum_order_ranged", "events_sessionize",
+    "q21_waiting_suppliers")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10

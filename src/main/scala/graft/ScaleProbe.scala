@@ -77,7 +77,18 @@ object ScaleProbe {
         .withColumn("n_chars", length(col("text"))))
       .repartition(32)
       .write.parquet(s"$dst/documents.parquet")
-    val scaledTables = Set("lineitem", "orders", "documents")
+    // events replicate with disjoint users AND event ids, so the
+    // sessionize/window gate rows scale in session COUNT (the way real
+    // traffic grows) rather than stretching one user's history
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evShift = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userShift = ev.agg(max("user_id")).head().getLong(0) + 1
+    copies(ev, (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * evShift))
+        .withColumn("user_id", col("user_id") + lit(i * userShift)))
+      .repartition(32)
+      .write.parquet(s"$dst/events.parquet")
+    val scaledTables = Set("lineitem", "orders", "documents", "events")
     val s = Files.list(Paths.get(src))
     try {
       s.forEach { p =>

@@ -780,23 +780,46 @@ object TextOps {
   private[graft] val lastFixpointRounds =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Rounds the last star-contraction run took — probe observability
+    * only, like [[lastFixpointRounds]].
+    */
+  private[graft] val lastStarRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def components(pairs: DataFrame,
       localEdgeLimit: Long = LocalComponentEdgeLimit): DataFrame = {
-    // eager localCheckpoint: every fixpoint round's plan embeds `edges`,
-    // so a cache would drag the ENTIRE minhash-pipeline logical plan
-    // through analysis once per round — checkpointing pins just the rows
+    // eager localCheckpoint: every contraction round's plan embeds
+    // `edges`, so a cache would drag the ENTIRE minhash-pipeline
+    // logical plan through analysis once per round — checkpointing
+    // pins just the rows
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .localCheckpoint(true)
     // The checkpoint materialized the edge set, so its size is known for
-    // free — route tiny graphs around the multi-round join fixpoint
+    // free — route tiny graphs around the multi-round join rounds
     // (each round is ~1 s of scheduling even on 25 edges).
     // divide the (doubled) edge count rather than doubling the limit:
     // 2 * Long.MaxValue overflows negative and would silently route a
     // force-local probe (limit = Long.MaxValue) to the distributed leg
     if (edges.count() / 2 <= localEdgeLimit)
       return componentsLocal(pairs.sparkSession, edges)
+    componentsStarOn(edges)
+  }
+
+  /** The previous distributed leg — iterative min-label propagation to
+    * fixpoint. Kept as the probe/gate REFERENCE for the star
+    * contraction (ComponentsProbe times both; ComponentsSpec gates
+    * label-identical output): its round count tracks graph DIAMETER
+    * (chain@10M edges: 11 rounds, 42 s vs star-shape's 2 rounds —
+    * PERF.md round 10), which is exactly what [[componentsStarOn]]
+    * bounds logarithmically.
+    */
+  private[graft] def componentsFixpoint(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
     // Iterate to FULL convergence: labels are monotonically decreasing,
     // so termination is guaranteed in ≤ diameter rounds and the result
     // matches the oracle's transitive closure exactly. One cached frame
@@ -831,6 +854,64 @@ object TextOps {
       labels = merged.select(col("node"), col("newLabel").as("label"))
     }
     labels
+  }
+
+  /** Distributed components via ALTERNATING STAR CONTRACTION —
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * Map-Reduce and Beyond", SoCC 2014): rounds are provably
+    * O(log² n) and in practice track log(diameter), where the
+    * min-label fixpoint's rounds track the diameter ITSELF — the
+    * chain-of-near-dups regime that cost the fixpoint 11 rounds at 10M
+    * edges converges here in ~4. Each round:
+    *
+    *   LARGE-STAR: every node u links each LARGER neighbor to
+    *     min(Γ(u) ∪ {u}) — long tails fold onto their local minimum
+    *     without ever creating an edge that points "up".
+    *   SMALL-STAR: canonicalize edges (hi → lo); every node links its
+    *     smaller neighbors AND itself to the minimum — flattening the
+    *     partial stars large-star left.
+    *
+    * Both steps are a groupBy(min) + a same-key join + a distinct —
+    * key-partitioned shuffles only, no driver state; converged when
+    * the edge set reaches its fixed point (then every edge is
+    * (node → component-min), i.e. the label forest itself).
+    */
+  private def componentsStarOn(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    // canonical (v > m) seed set — `edges` arrives doubled, so keeping
+    // the src > dst direction is one filter, not a greatest/least pass
+    var cur = edges.filter(col("src") > col("dst"))
+      .select(col("src").as("v"), col("dst").as("m"))
+      .distinct()
+      .localCheckpoint(true)
+    lastStarRounds.set(0)
+    var converged = cur.isEmpty // all-singleton input: nothing to do
+    while (!converged) {
+      lastStarRounds.incrementAndGet(): Unit
+      val adj = cur.select(col("v").as("u"), col("m").as("w"))
+        .union(cur.select(col("m").as("u"), col("v").as("w")))
+      val lmins = adj.groupBy("u").agg(min("w").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("lm"))
+      val large = adj.join(lmins, "u")
+        .filter(col("w") > col("u"))
+        .select(col("w").as("hi"), col("lm").as("lo"))
+        .distinct()
+        .localCheckpoint(true)
+      val smins = large.groupBy("hi").agg(min("lo").as("sm"))
+      val small = large.join(smins, "hi")
+        .filter(col("lo") =!= col("sm"))
+        .select(col("lo").as("v"), col("sm").as("m"))
+        .union(smins.select(col("hi").as("v"), col("sm").as("m")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: new ⊆ old and |new| == |old| → the sets are equal
+      converged = small.count() == cur.count() &&
+        small.join(cur, Seq("v", "m"), "left_anti").isEmpty
+      cur = small
+    }
+    nodes.join(cur.withColumnRenamed("v", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("m"), col("node")).as("label"))
   }
 
   /** Driver union-find over a BOUNDED edge set (min-id root + full path

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """k-replica scale correctness gate (VERDICT r9 item #1).
 
-Runs graft.ScaleGate (dumps the 5 heaviest queries' results on a k x
+Runs graft.ScaleGate (dumps the 10 gated queries' results on a k x
 replica of sf0.1), then replays each query's oracle SQL in DuckDB over
 the SAME replica tables and compares with diffcheck's exact frame
 comparator — the sf0.01 gate's discipline at ~6M lineitem rows / 50k
