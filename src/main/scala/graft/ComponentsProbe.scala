@@ -48,6 +48,16 @@ object ComponentsProbe {
       expr("(id div 10) * 11").as("a_id"),
       expr("(id div 10) * 11 + (id % 10) + 1").as("b_id"))
 
+  /** `nEdges/100` disjoint 101-node paths — diameter 100, the
+    * pathological regime where the fixpoint's rounds (≈ diameter + 1)
+    * dwarf the contraction's log-bounded count.
+    */
+  private def longChainPairs(spark: org.apache.spark.sql.SparkSession,
+      nEdges: Long): DataFrame =
+    spark.range(nEdges).select(
+      expr("(id div 100) * 101 + (id % 100)").as("a_id"),
+      expr("(id div 100) * 101 + (id % 100) + 1").as("b_id"))
+
   def main(args: Array[String]): Unit = {
     val sizes =
       if (args.nonEmpty) args.toSeq.map(_.toLong)
@@ -62,8 +72,12 @@ object ComponentsProbe {
     }
 
     for ((shape, gen) <- Seq(
-        ("star", starPairs _), ("chain", chainPairs _));
-        n <- sizes) {
+        ("star", starPairs _), ("chain", chainPairs _),
+        ("longchain", longChainPairs _));
+        // longchain runs the smallest size only: the fixpoint arm costs
+        // ~diameter rounds (101 at this shape), so larger cells would
+        // add minutes to re-prove an already-unambiguous regime
+        n <- (if (shape == "longchain") sizes.take(1) else sizes)) {
       // checkpoint the pair list so generation cost stays out of the
       // timed arms (the minhash pipeline pays its own generation)
       val pairs = gen(spark, n).localCheckpoint(true)

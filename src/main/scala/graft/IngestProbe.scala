@@ -4,22 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Durable-ANN-store INGEST probe: measures [[operators.AnnIndex.update]]
-  * cost for a CONSTANT-size batch as the store grows, isolating the one
-  * term that scales with store size — the membership anti-join, which
-  * reads the postings' narrow vec_id column (plus partition discovery)
-  * on every incremental batch. Two numbers per store size:
+  * cost for a CONSTANT-size batch as the store grows. The default mode
+  * times the DEFAULT ingest path (manifest membership since r11). Two
+  * numbers per store size:
   *
-  *  - `append_sec`: update of a fresh batch (anti-join + assignment +
+  *  - `append_sec`: update of a fresh batch (membership + assignment +
   *    PQ codes + sketch + partitioned append);
   *  - `replay_sec`: the SAME batch again — appends nothing, so this is
   *    the pure membership-check + plan overhead, the floor every
   *    batch pays regardless of its own size.
   *
-  * If replay_sec grows linearly with store size, the anti-join's
-  * O(store) id-column scan is the dominant incremental-ingest term and
-  * a membership manifest (per-cell id ranges or blooms) becomes worth
-  * its complexity; if it stays near-flat at these sizes, the narrow
-  * column scan is cheap enough that the simpler design wins.
+  * The `manifest` mode separates the two membership paths explicitly
+  * (legacy O(store) id-column scan vs manifest range+bloom) — the
+  * measurement that justified making the manifest the default.
   *
   * Corpus: deterministic hash-arithmetic embeddings (64 dims), labels
   * l0..l7, seeds vec_id 1..8 present in the first build. No RNG.
@@ -61,15 +58,21 @@ object IngestProbe {
       try {
         operators.AnnIndex.build(spark, dir.toString,
           corpus(spark, 0L, s), lloydRounds = 0)
+        // build() maintains a manifest by default now — drop it so the
+        // scan arms measure the PURE legacy path and the boot arm is a
+        // genuine first-manifest-call on a pre-manifest store
+        Bench.rm(java.nio.file.Paths.get(dir.toString, "manifest"))
         def timed(f: => Unit): Double = {
           val t0 = System.nanoTime(); f
           (System.nanoTime() - t0) / 1e9
         }
         val f1 = corpus(spark, s, s + batch)
-        val scanAppend = timed(
-          operators.AnnIndex.update(spark, dir.toString, f1))
-        val scanReplay = timed(
-          operators.AnnIndex.update(spark, dir.toString, f1))
+        // the LEGACY scan path is now behind the compatibility flag
+        // (manifest is the default since r11) — probe it explicitly
+        val scanAppend = timed(operators.AnnIndex.update(
+          spark, dir.toString, f1, useManifest = false))
+        val scanReplay = timed(operators.AnnIndex.update(
+          spark, dir.toString, f1, useManifest = false))
         val f2 = corpus(spark, s + batch, s + 2 * batch)
         val boot = timed(operators.AnnIndex.update(spark, dir.toString,
           f2, useManifest = true))

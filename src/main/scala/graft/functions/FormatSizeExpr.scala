@@ -96,6 +96,8 @@ object GraftFunctions {
       binary("zorder2", ZOrder2.apply),
       binary("topk_list", (v, k) => TopKListAgg(v, k)
         .toAggregateExpression()),
+      binary("kmv_sketch", (v, k) => KmvSketchAgg(v, k)
+        .toAggregateExpression()),
       (FunctionIdentifier("winnow_select"),
         new ExpressionInfo(classOf[WinnowSelect].getCanonicalName,
           "winnow_select"),

@@ -138,14 +138,17 @@ object AnnIndex {
   }
 
   /** Assign a new embedding batch to cells and append its postings.
-    * Already-indexed vec_ids are dropped first (anti-join on the
-    * postings' id set — the narrow vec_id column of the store, the
-    * same membership discipline as [[TermIndex.update]]), so a retried
-    * or duplicated batch appends nothing: without it a re-sent vec_id
-    * would appear twice in top-k results, crowding out genuine
-    * neighbors. Postings are the store's only per-update write, so
-    * they are their own commit marker — a torn (crashed) update
-    * committed nothing and re-runs cleanly.
+    * Already-indexed vec_ids are dropped first — by MANIFEST lookup by
+    * default (range + bloom, ~KBs read however big the store; see the
+    * manifest header below), or by the legacy postings anti-join under
+    * `useManifest = false` (the narrow vec_id column of the store, the
+    * same membership discipline as [[TermIndex.update]]) — so a
+    * retried or duplicated batch appends nothing: without it a re-sent
+    * vec_id would appear twice in top-k results, crowding out genuine
+    * neighbors. The manifest row commits before the postings append
+    * (over-approximation is safe); postings remain the store's only
+    * data write, so a torn (crashed) update committed nothing and
+    * re-runs cleanly.
     */
   /** PQ geometry: 4 subspaces over the store's centroid slices. */
   private val PqM = 4
@@ -178,8 +181,10 @@ object AnnIndex {
     }.reduce((a, b) => a.join(b, Seq("vec_id")))
 
   // ------------------------------------------------------------------ //
-  // MEMBERSHIP MANIFEST (flag-gated prototype — VERDICT r9 item #7).  //
-  // update()'s anti-join reads the postings' narrow vec_id column on  //
+  // MEMBERSHIP MANIFEST (DEFAULT since r11; the scan path remains as  //
+  // a compatibility flag — r9 item #7 introduced it flag-gated, r10   //
+  // probed it safe, r11 promoted it).                                 //
+  // The legacy anti-join reads the postings' narrow vec_id column on  //
   // every incremental batch: measured flat through 640k vectors       //
   // (IngestProbe), but it is O(store) and eventually dominates the    //
   // per-batch floor. The manifest is the named escalation: one row    //
@@ -278,7 +283,7 @@ object AnnIndex {
   }
 
   def update(spark: SparkSession, dir: String, emb: DataFrame,
-      useManifest: Boolean = false): Unit = {
+      useManifest: Boolean = true): Unit = {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
     val postingsPath = s"$dir/postings"
@@ -316,11 +321,12 @@ object AnnIndex {
     // manifest row commits BEFORE the postings append (see the manifest
     // header: torn update → over-approximating bloom → safe re-verify).
     // Once a store HAS a manifest, every update maintains it regardless
-    // of the flag — otherwise a scan-path update would append postings
-    // the manifest doesn't know, and a later manifest-path update could
-    // classify those ids "definitely new" and append them AGAIN
-    // (duplicate vec_ids in top-k). The flag chooses how membership is
-    // CHECKED; manifest maintenance follows the store's state.
+    // of the flag — otherwise a scan-path (useManifest=false, the
+    // compatibility flag) update would append postings the manifest
+    // doesn't know, and a later manifest-path update could classify
+    // those ids "definitely new" and append them AGAIN (duplicate
+    // vec_ids in top-k). The flag chooses how membership is CHECKED;
+    // manifest maintenance follows the store's state.
     if (useManifest || StoreUtil.exists(spark, manifestPath(dir)))
       appendManifest(spark, dir, incoming.select("vec_id"))
     val cents = spark.read.parquet(s"$dir/centroids")

@@ -893,10 +893,14 @@ object TextOps {
         .union(cur.select(col("m").as("u"), col("v").as("w")))
       val lmins = adj.groupBy("u").agg(min("w").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("lm"))
+      // large-star output deliberately NOT distinct'd: duplicates (the
+      // same (hi, lo) emitted from two different u-groups) are bounded
+      // by degree, the min aggregate below is duplicate-blind, and the
+      // round's set semantics are restored by `small`'s distinct — one
+      // fewer full-data shuffle per round
       val large = adj.join(lmins, "u")
         .filter(col("w") > col("u"))
         .select(col("w").as("hi"), col("lm").as("lo"))
-        .distinct()
         .localCheckpoint(true)
       val smins = large.groupBy("hi").agg(min("lo").as("sm"))
       val small = large.join(smins, "hi")
