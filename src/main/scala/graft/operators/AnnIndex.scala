@@ -126,10 +126,12 @@ object AnnIndex {
       s"rebuild: $newDir already has postings — rebuild targets a " +
         "fresh dir (the old store keeps serving until the swap)")
     // tombstoned rows do NOT carry over: rebuild trains on and
-    // re-indexes the LIVE corpus — the new store needs no tombstones
+    // re-indexes the LIVE corpus — the new store needs no tombstones;
+    // metadata eras DO carry over (drop only the derived serving
+    // columns — update() re-derives them under the new assignment)
     val emb = Tombstones.minus(spark, oldDir,
-      spark.read.parquet(s"$oldDir/postings"), "vec_id")
-      .select("vec_id", "label", "embedding")
+      readPostings(spark, s"$oldDir/postings"), "vec_id")
+      .drop(DerivedCols.toSeq: _*)
     var cents = spark.read.parquet(s"$oldDir/centroids")
     for (_ <- 1 to lloydRounds)
       cents = lloydStep(emb, cents).localCheckpoint(true)
@@ -152,6 +154,25 @@ object AnnIndex {
     */
   /** PQ geometry: 4 subspaces over the store's centroid slices. */
   private val PqM = 4
+
+  /** Columns [[update]] DERIVES and writes beside the caller's batch —
+    * the serving columns (PQ codes, sign words, matryoshka prefix) and
+    * the cell partition. Everything else in a posting row is the
+    * caller's METADATA era (label + whatever a later batch adds).
+    */
+  private val DerivedCols =
+    Set("pq0", "pq1", "pq2", "pq3", "b_lo", "b_hi", "m16", "c_id")
+
+  /** Read a postings dir with SCHEMA MERGING: after a metadata-era
+    * evolution the dir holds files of different (additive) widths, and
+    * a plain read would sample one footer — silently dropping a newer
+    * era's columns (or presenting them era-dependently). Merging reads
+    * every footer once per scan; a store that wants the cost back
+    * compacts ([[compact]]/[[graft.sinks.DirCompaction]] rewrite mixed
+    * dirs to the union schema, single era per file).
+    */
+  private def readPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Matryoshka prefix width: the leading dims stored as their own
     * narrow column (`m16`) so stage-one prefix-cosine serving reads
@@ -292,7 +313,7 @@ object AnnIndex {
     // and footer inference twice per incremental batch
     val postings =
       if (StoreUtil.exists(spark, postingsPath))
-        Some(spark.read.parquet(postingsPath))
+        Some(readPostings(spark, postingsPath))
       else None
     postings.foreach { p =>
       // fail fast on a store written before postings carried PQ codes:
@@ -308,6 +329,35 @@ object AnnIndex {
         "update: postings lack the matryoshka prefix column (store " +
           "predates the MRL tier) — rebuild the store with build()")
     }
+    // ---- metadata-era alignment (additive-only schema evolution) ----
+    // everything in the batch beyond the id and the vector is caller
+    // METADATA and rides the postings write verbatim — label plus
+    // whatever a later era adds (source, quality, ...). The contract is
+    // the snapshot store's ([[Merge.alignEvolved]], reused here on the
+    // append path): a batch may ADD metadata columns — existing rows
+    // read them as null through the schema-merged serving scan, no
+    // rewrite — but may never drop or retype a stored one.
+    val reserved = Seq("vec_id", "embedding")
+    val batchMeta = emb.columns.toSeq.filterNot(reserved.contains)
+    require(batchMeta.contains("label"),
+      "update: batch lacks the 'label' metadata column")
+    batchMeta.foreach(c => require(!DerivedCols(c),
+      s"update: metadata column '$c' collides with a derived posting " +
+        "column"))
+    val metaOrder: Seq[String] = postings match {
+      case Some(p) =>
+        val storedMeta = p.columns.toSeq.filterNot(c =>
+          DerivedCols(c) || reserved.contains(c))
+        // alignEvolved enforces additive-only + no-retype and yields
+        // the union order (stored metadata first, then the batch's
+        // additions) — plans only, nothing executes here
+        val (_, aligned) = Merge.alignEvolved(
+          p.select(storedMeta.map(col): _*),
+          emb.select(batchMeta.map(col): _*))
+        aligned.columns.toSeq
+      case None => batchMeta
+    }
+    val rowCols = (col("vec_id") +: metaOrder.map(col)) :+ col("embedding")
     // materialize the batch ONCE: it feeds the cell assignment AND the
     // four PQ subspace passes — without the checkpoint the anti-join
     // plan (and its postings scan) would re-execute five times
@@ -316,7 +366,7 @@ object AnnIndex {
         if (useManifest) manifestAntiJoin(spark, dir, emb, p)
         else emb.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
         .getOrElse(emb)
-        .select(col("vec_id"), col("label"), col("embedding"))
+        .select(rowCols: _*)
         .localCheckpoint(true)
     // manifest row commits BEFORE the postings append (see the manifest
     // header: torn update → over-approximating bloom → safe re-verify).
@@ -337,7 +387,7 @@ object AnnIndex {
       .withColumn("d2", round(dist2("embedding", "ce"), 4))
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("c_id"))
+      .select(rowCols :+ col("c_id"): _*)
     // PQ codes ride along in the same postings write (one commit): the
     // compressed-domain serving columns for searchAdc — 4 small ids a
     // 100 TB deployment can scan where raw vectors don't fit in memory
@@ -362,9 +412,12 @@ object AnnIndex {
       // reads 64 bytes/row where the full vector is 4× that (and at a
       // production dim of 768+, 48× — the whole point of MRL serving)
       .withColumn("m16", expr(s"slice(embedding, 1, $MPrefix)"))
-      .select(col("vec_id"), col("label"), col("embedding"),
+      // column order: id, metadata era (stored order + additions),
+      // vector, derived serving columns, cell — for a label-only era
+      // this is byte-for-byte the historical layout
+      .select(rowCols ++ Seq(
         col("pq0"), col("pq1"), col("pq2"), col("pq3"),
-        col("b_lo"), col("b_hi"), col("m16"), col("c_id"))
+        col("b_lo"), col("b_hi"), col("m16"), col("c_id")): _*)
       .write.mode("append").partitionBy("c_id").parquet(postingsPath)
   }
 
@@ -410,7 +463,7 @@ object AnnIndex {
   private[operators] def servingPostings(spark: SparkSession,
       dir: String): DataFrame =
     Tombstones.minus(spark, dir,
-      spark.read.parquet(s"$dir/postings"), "vec_id")
+      readPostings(spark, s"$dir/postings"), "vec_id")
 
   /** Driver-side twin of [[VectorOps.signWord]] for a literal query:
     * bits [0, 31] of the word are components [lo, lo+31] (1-based),

@@ -71,7 +71,12 @@ private[operators] object Tombstones {
     if (!fs.exists(base)) return
     val tmp = new HPath(s"$dir/$sub$TmpSuffix")
     val old = new HPath(s"$dir/$sub$OldSuffix")
-    val kept = minus(spark, dir, spark.read.parquet(base.toString), idCol)
+    // mergeSchema: after a metadata-era evolution the dir holds files
+    // of different (additive) widths — a sampled-footer read would
+    // silently DROP a newer era's columns from the rewritten store
+    val kept = minus(spark, dir,
+      spark.read.option("mergeSchema", "true").parquet(base.toString),
+      idCol)
     // the tmp parquet commit fully executes the filtered plan BEFORE
     // the first rename — the live dir is never touched while a plan
     // still reads it

@@ -116,7 +116,11 @@ object DirCompaction {
           val old = new HPath(dir.getParent, dir.getName + OldSuffix)
           fs.delete(tmp, true)
           fs.delete(old, true)
-          spark.read.parquet(dir.toString).coalesce(target)
+          // mergeSchema: a leaf dir can hold files of different
+          // (additive) metadata eras — a sampled-footer read would
+          // silently drop a newer era's columns from the rewrite
+          spark.read.option("mergeSchema", "true")
+            .parquet(dir.toString).coalesce(target)
             .write.mode("overwrite").parquet(tmp.toString)
           // swap via two renames, never a delete of live data: a crash
           // at any point leaves the rows in exactly one of dir /

@@ -540,4 +540,82 @@ class AnnIndexSpec extends SparkSpecBase {
       .collect().map(_.getAs[Long]("vec_id"))
     assert(!ids.contains(victim))
   }
+
+  test("metadata-era evolution: a later batch may ADD columns (old " +
+      "rows read null), serving tiers stay bit-identical, rebuild and " +
+      "the tombstone fold carry the era, and the snapshot-store " +
+      "evolution contract is enforced") {
+    import spark.implicits._
+    val emb = graft.Tables(spark, sf, "embeddings")
+    // reference store: the SAME two-phase recipe, label-only both eras
+    // (the build corpus must match — centroids train on it, so a
+    // one-shot build would differ in ADC/cell layout, not metadata)
+    val buildHalf = emb.filter(col("vec_id").between(1, 8) ||
+      (col("vec_id") > 8 && col("vec_id") % 2 === 0))
+    val oddHalf = emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1)
+    val ref = Files.createTempDirectory("annidx_evo_ref").toString
+    AnnIndex.build(spark, ref, buildHalf)
+    AnnIndex.update(spark, ref, oddHalf)
+    // evolved store: era 1 = even ids (label only), era 2 = odd ids
+    // carrying a NEW `source` column
+    val dir = Files.createTempDirectory("annidx_evo").toString
+    AnnIndex.build(spark, dir, buildHalf)
+    AnnIndex.update(spark, dir,
+      oddHalf.withColumn("source", concat(lit("s"), col("vec_id") % 3)))
+    // the merged serving scan exposes the union schema: era-2 rows
+    // carry source, era-1 rows read it as null
+    val p = AnnIndex.servingPostings(spark, dir)
+    assert(p.columns.contains("source"))
+    val era1nulls = p.filter(col("vec_id") > 8 &&
+      col("vec_id") % 2 === 0 && col("source").isNotNull).count()
+    val era2vals = p.filter(col("vec_id") > 8 &&
+      col("vec_id") % 2 === 1 && col("source").isNull).count()
+    assert(era1nulls == 0 && era2vals == 0)
+    // every serving tier is bit-identical to the label-only store
+    // (metadata never participates in scoring) — note the evolved
+    // store differs from ref only in the missing vec_id<=8-odd rows?
+    // no: both stores hold vec_id > 0 entirely; eras only split parity
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    def ids(d: String) = Seq(
+      AnnIndex.search(spark, d, q, k = 10, nprobe = 8),
+      AnnIndex.searchAdc(spark, d, q, k = 10, nprobe = 8),
+      AnnIndex.searchHamming(spark, d, q, k = 10, nprobe = 8),
+      AnnIndex.searchMatryoshka(spark, d, q, k = 10, nprobe = 8))
+      .map(_.collect().map(_.toString).toSeq)
+    assert(ids(dir) == ids(ref))
+    // tombstone fold PRESERVES the era: delete one id, compact, and
+    // the union schema (with era-1 nulls) survives the rewrite
+    AnnIndex.delete(spark, dir, Seq(9L).toDF("vec_id"))
+    AnnIndex.compact(spark, dir)
+    val folded = AnnIndex.servingPostings(spark, dir)
+    assert(folded.columns.contains("source"))
+    assert(folded.filter(col("vec_id") === 9).isEmpty)
+    assert(folded.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1 &&
+      col("source").isNull).count() == 0)
+    // rebuild carries the metadata era into the fresh store
+    val re = Files.createTempDirectory("annidx_evo_re").toString
+    AnnIndex.rebuild(spark, dir, re)
+    val rp = AnnIndex.servingPostings(spark, re)
+    assert(rp.columns.contains("source"))
+    assert(rp.filter(col("vec_id") === 9).isEmpty)
+    // the snapshot store's evolution contract holds on the append
+    // path: dropping a stored metadata column or retyping one refuses
+    val eDrop = intercept[IllegalArgumentException] {
+      AnnIndex.update(spark, dir, emb.filter(col("vec_id") === 9)
+        .drop("label"))
+    }
+    assert(eDrop.getMessage.contains("label"))
+    val eRetype = intercept[IllegalArgumentException] {
+      AnnIndex.update(spark, dir, emb.filter(col("vec_id") === 9)
+        .withColumn("source", lit(7)))
+    }
+    assert(eRetype.getMessage.contains("source"))
+    // and a derived-name collision refuses too
+    val eClash = intercept[IllegalArgumentException] {
+      AnnIndex.update(spark, dir, emb.filter(col("vec_id") === 9)
+        .withColumn("b_lo", lit("x")))
+    }
+    assert(eClash.getMessage.contains("b_lo"))
+  }
 }
