@@ -42,6 +42,29 @@ object NearDupIndex {
   private def hExists(spark: SparkSession, path: String): Boolean =
     StoreUtil.exists(spark, path)
 
+  /** DELETE documents from the near-dup store — [[TermIndex.delete]]'s
+    * twin for the third store: tombstoned ids stop surfacing in
+    * [[probe]]/[[update]] pair results immediately (both the band
+    * postings and the verify shingles subtract them — a scrubbed
+    * document must not veto the admission of a fresh candidate), and
+    * the rows physically fold out at the next [[compact]]. A
+    * tombstoned id cannot re-index until the fold (the shingles
+    * membership list still carries it) — the hide-then-remove
+    * lifecycle shared with [[TermIndex]]/[[AnnIndex]].
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    Tombstones.append(spark, dir, ids, "doc_id")
+
+  /** Fold tombstones out of both store legs (bands, shingles), then
+    * clear the set; probe/update behavior is identical before and
+    * after, and a previously-deleted id may re-index.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    Tombstones.fold(spark, dir, "bands", "doc_id", Nil)
+    Tombstones.fold(spark, dir, "shingles", "doc_id", Nil)
+    Tombstones.clear(spark, dir)
+  }
+
   /** Read-only serving call: which documents of `docs` near-duplicate
     * something ALREADY IN the store (or each other)? Same probe plan as
     * [[update]] but nothing is appended — the admission check a
@@ -94,8 +117,14 @@ object NearDupIndex {
     // store detection through Spark's Hadoop FS layer, not java.nio —
     // an hdfs:// or s3a:// store must not silently read as absent
     val hasStore = hExists(spark, bandsPath)
+    // tombstone subtraction on the SERVING side of both legs (band
+    // postings here, store shingles below): a deleted document must
+    // stop pairing immediately; the membership anti-join above stays
+    // RAW so a hidden id cannot re-index before compact() folds it
     val oldBands =
-      if (hasStore) spark.read.parquet(bandsPath)
+      if (hasStore)
+        Tombstones.minus(spark, dir, spark.read.parquet(bandsPath),
+          "doc_id")
       else spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit("").as("band_key")).limit(0)
 
@@ -122,7 +151,9 @@ object NearDupIndex {
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val allSh =
-      (if (hasStore) spark.read.parquet(shinglesPath).union(freshSh)
+      (if (hasStore)
+         Tombstones.minus(spark, dir,
+           spark.read.parquet(shinglesPath), "doc_id").union(freshSh)
        else freshSh)
         .join(candIds, Seq("doc_id"), "left_semi")
     val pairs = cand

@@ -104,4 +104,45 @@ class NearDupIndexSpec extends SparkSpecBase {
       assert(found.toSet == pairSet(TextOps.minhashNearDup(spark, sf)))
     } finally q.stop()
   }
+
+  test("delete lifecycle: a tombstoned doc stops pairing in probe and " +
+      "update, compact folds it to a from-scratch post-delete store, " +
+      "and the folded id can re-index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ndidx_del").toString
+    val docs = graft.Tables(spark, sf, "documents")
+    val batch = pairSet(NearDupIndex.update(spark, dir, docs))
+    assert(batch.nonEmpty)
+    // delete one member of a known pair — the strongest absence test
+    val (aKeep, bDel, _) = batch.head
+    NearDupIndex.delete(spark, dir, Seq(bDel).toDF("doc_id"))
+    // probing the kept member's text must no longer pair it with the
+    // deleted doc (but may still pair with other live near-dups)
+    val aDocs = docs.filter(col("doc_id") === aKeep)
+      .select(col("doc_id") + 1000000L as "doc_id", col("text"))
+    val probed = pairSet(NearDupIndex.probe(spark, dir, aDocs))
+    assert(!probed.exists { case (a, b, _) => a == bDel || b == bDel })
+    assert(probed.exists { case (a, b, _) =>
+      a == aKeep || b == aKeep || a == aKeep + 1000000L ||
+        b == aKeep + 1000000L })
+    // a tombstoned id cannot re-index before the fold
+    val re = NearDupIndex.update(spark, dir,
+      docs.filter(col("doc_id") === bDel))
+    assert(re.isEmpty)
+    // compact: physical fold, equal to a from-scratch store on the
+    // post-delete corpus, and the id can re-index afterwards
+    NearDupIndex.compact(spark, dir)
+    assert(!StoreUtil.exists(spark, s"$dir/tombstones"))
+    val ref = Files.createTempDirectory("ndidx_delref").toString
+    NearDupIndex.update(spark, ref,
+      docs.filter(col("doc_id") =!= bDel)).count()
+    def rows(d: String, sub: String) =
+      spark.read.parquet(s"$d/$sub").collect()
+        .map(_.toString).sorted.toSeq
+    assert(rows(dir, "bands") == rows(ref, "bands"))
+    assert(rows(dir, "shingles") == rows(ref, "shingles"))
+    val back = pairSet(NearDupIndex.update(spark, dir,
+      docs.filter(col("doc_id") === bDel)))
+    assert(back.exists { case (a, b, _) => a == bDel || b == bDel })
+  }
 }
