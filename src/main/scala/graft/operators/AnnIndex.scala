@@ -465,6 +465,41 @@ object AnnIndex {
     Tombstones.minus(spark, dir,
       readPostings(spark, s"$dir/postings"), "vec_id")
 
+  /** DESCRIBE the store — the [[graft.sinks.ParquetIndex.describe]]
+    * observability discipline for the vector index: one row of the
+    * numbers a vector tier alarms on (postings volume and cell fill;
+    * indexed vs LIVE counts, whose gap is the tombstone debt
+    * [[compact]] will fold; manifest rows/ids so membership-path
+    * health is visible; the metadata-era columns currently stored).
+    * Reads narrow columns only — never the vectors.
+    */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posts = readPostings(spark, s"$dir/postings")
+    val pr = posts.agg(count(lit(1)), countDistinct(col("c_id"))).head()
+    val live = Tombstones.minus(spark, dir,
+      posts.select("vec_id"), "vec_id").count()
+    val tombs =
+      if (Tombstones.exists(spark, dir))
+        spark.read.parquet(Tombstones.path(dir)).count()
+      else 0L
+    val (manRows, manIds) =
+      if (StoreUtil.exists(spark, manifestPath(dir))) {
+        val m = spark.read.parquet(manifestPath(dir))
+          .agg(count(lit(1)), sum("n")).head()
+        (m.getLong(0), m.getLong(1))
+      } else (0L, 0L)
+    val cells = spark.read.parquet(s"$dir/centroids").count()
+    val metaCols = posts.columns.toSeq.filterNot(c =>
+      DerivedCols(c) || c == "vec_id" || c == "embedding")
+    Seq((pr.getLong(0), live, tombs, pr.getLong(1), cells,
+      storeDimOf(spark, dir).toLong, manRows, manIds,
+      metaCols.mkString(",")))
+      .toDF("postings_rows", "live_rows", "tombstones",
+        "cells_occupied", "cells_total", "dim", "manifest_rows",
+        "manifest_ids", "meta_columns")
+  }
+
   /** Driver-side twin of [[VectorOps.signWord]] for a literal query:
     * bits [0, 31] of the word are components [lo, lo+31] (1-based),
     * set iff > 0.

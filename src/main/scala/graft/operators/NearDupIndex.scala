@@ -65,6 +65,27 @@ object NearDupIndex {
     Tombstones.clear(spark, dir)
   }
 
+  /** DESCRIBE the store — the observability row for the third store:
+    * band-posting volume and key spread, indexed vs LIVE docs (the gap
+    * is [[compact]]'s pending tombstone debt). Narrow columns only.
+    */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = spark.read.parquet(s"$dir/bands")
+    val br = bands.agg(count(lit(1)),
+      countDistinct(col("band_key"))).head()
+    val docs = spark.read.parquet(s"$dir/shingles").select("doc_id")
+    val indexed = docs.count()
+    val live = Tombstones.minus(spark, dir, docs, "doc_id").count()
+    val tombs =
+      if (Tombstones.exists(spark, dir))
+        spark.read.parquet(Tombstones.path(dir)).count()
+      else 0L
+    Seq((br.getLong(0), br.getLong(1), indexed, live, tombs))
+      .toDF("band_rows", "distinct_band_keys", "indexed_docs",
+        "live_docs", "tombstones")
+  }
+
   /** Read-only serving call: which documents of `docs` near-duplicate
     * something ALREADY IN the store (or each other)? Same probe plan as
     * [[update]] but nothing is appended — the admission check a

@@ -119,6 +119,34 @@ object TermIndex {
     Tombstones.clear(spark, dir)
   }
 
+  /** DESCRIBE the store — the [[graft.sinks.ParquetIndex.describe]]
+    * observability discipline for the term index: one row of the
+    * numbers an operator alarms on (postings volume, bucket fill,
+    * membership vs LIVE counts — their gap is the pending tombstone
+    * debt [[compact]] will fold, `avgdl` is the serving-side BM25
+    * length norm actually in effect). Reads the narrow columns only.
+    */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posts = spark.read.parquet(s"$dir/postings")
+    val doclen = spark.read.parquet(s"$dir/doclen")
+    val liveLen = Tombstones.minus(spark, dir, doclen, "doc_id")
+    val pr = posts.agg(count(lit(1)), countDistinct(col("t_b")),
+      countDistinct(col("term"))).head()
+    val dr = doclen.agg(count(lit(1))).head()
+    val lr = liveLen.agg(count(lit(1)), avg("dl")).head()
+    val tombs =
+      if (Tombstones.exists(spark, dir))
+        spark.read.parquet(Tombstones.path(dir)).count()
+      else 0L
+    Seq((pr.getLong(0), pr.getLong(1), NBuckets.toLong, pr.getLong(2),
+      dr.getLong(0), lr.getLong(0), tombs,
+      if (lr.isNullAt(1)) 0.0 else lr.getDouble(1)))
+      .toDF("postings_rows", "buckets_occupied", "buckets_total",
+        "distinct_terms", "indexed_docs", "live_docs", "tombstones",
+        "live_avgdl")
+  }
+
   /** BM25 top-k served FROM the store: reads only the query terms'
     * bucket partitions, derives (n, avgdl, per-term df) as a one-row
     * broadcast, and scores with [[TextOps.bm25Topk]]'s exact formula.
