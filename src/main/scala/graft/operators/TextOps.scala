@@ -889,24 +889,27 @@ object TextOps {
     var converged = cur.isEmpty // all-singleton input: nothing to do
     while (!converged) {
       lastStarRounds.incrementAndGet(): Unit
+      import org.apache.spark.sql.expressions.Window
       val adj = cur.select(col("v").as("u"), col("m").as("w"))
         .union(cur.select(col("m").as("u"), col("v").as("w")))
-      val lmins = adj.groupBy("u").agg(min("w").as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("lm"))
-      // large-star output deliberately NOT distinct'd: duplicates (the
-      // same (hi, lo) emitted from two different u-groups) are bounded
-      // by degree, the min aggregate below is duplicate-blind, and the
-      // round's set semantics are restored by `small`'s distinct — one
-      // fewer full-data shuffle per round
-      val large = adj.join(lmins, "u")
+      // each star step is a WINDOW MIN over the node's partition — ONE
+      // exchange of the edge frame per step, where a groupBy(min) +
+      // join costs the aggregate's exchange AND a second shuffle of
+      // the edges into the join (the aggregate exchange partial-
+      // combines, so the planner can never reuse it for the join
+      // side). Duplicates out of large-star (the same (hi, lo) from
+      // two u-partitions) are min-blind and fold at `small`'s distinct.
+      val large = adj
+        .withColumn("lm", least(min("w").over(Window.partitionBy("u")),
+          col("u")))
         .filter(col("w") > col("u"))
         .select(col("w").as("hi"), col("lm").as("lo"))
         .localCheckpoint(true)
-      val smins = large.groupBy("hi").agg(min("lo").as("sm"))
-      val small = large.join(smins, "hi")
-        .filter(col("lo") =!= col("sm"))
+      val smAll = large
+        .withColumn("sm", min("lo").over(Window.partitionBy("hi")))
+      val small = smAll.filter(col("lo") =!= col("sm"))
         .select(col("lo").as("v"), col("sm").as("m"))
-        .union(smins.select(col("hi").as("v"), col("sm").as("m")))
+        .union(smAll.select(col("hi").as("v"), col("sm").as("m")))
         .distinct()
         .localCheckpoint(true)
       // fixed point: new ⊆ old and |new| == |old| → the sets are equal
