@@ -257,28 +257,40 @@ object TermIndex {
         col("rk").as("rank"))
   }
 
-  /** Exact 2-token phrase occurrences served FROM the store's
-    * positional postings: reads the two terms' buckets only, explodes
-    * their (deduplicated — torn-update-safe) position lists and counts
-    * adjacency pairs, with OVERLAP semantics identical to
+  /** Exact N-token phrase occurrences served FROM the store's
+    * positional postings (the Lucene positional-index query shape,
+    * arbitrary phrase length): reads ONLY the phrase terms' bucket
+    * partitions, explodes their (deduplicated — torn-update-safe)
+    * position lists with term i's positions shifted by −i, and counts
+    * full adjacency chains as an equi-join chain on (doc_id,
+    * anchor-position) — n−1 co-keyed joins over the pruned postings,
+    * never the corpus. OVERLAP semantics identical to
     * [[TextOps.phraseSearch]] ("w w w" = 2 matches of "w w").
+    * Repeated tokens are fine: each slot reads the same pruned term
+    * frame at its own shift.
     */
-  def phraseSearch(spark: SparkSession, dir: String, first: String,
-      second: String, k: Int = 20): DataFrame = {
-    val buckets = Seq(first, second).map(bucketOf).distinct
+  def phraseSearch(spark: SparkSession, dir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.length >= 2,
+      "phraseSearch: a phrase needs at least 2 tokens")
+    val buckets = terms.map(bucketOf).distinct
     val posts = Tombstones.minus(spark, dir,
       spark.read.parquet(s"$dir/postings")
         .filter(col("t_b").isin(buckets: _*)), "doc_id")
-    def positions(term: String) = posts
+    def anchored(term: String, i: Int) = posts
       .filter(col("term") === term)
       .select(col("doc_id"), explode(col("positions")).as("pos"))
-      .distinct()
-    val a = positions(first)
-    val b = positions(second)
-      .select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"))
-    a.join(b, col("doc_id") === col("d2") && col("pos") === col("p2"))
+      .distinct() // duplicate postings from a torn update count once
+      .select(col("doc_id"), (col("pos") - i).as("p"))
+    terms.zipWithIndex.map { case (t, i) => anchored(t, i) }
+      .reduce((a, b) => a.join(b, Seq("doc_id", "p")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_occur"))
       .orderBy(col("n_occur").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** The original 2-token form, kept as the convenience overload. */
+  def phraseSearch(spark: SparkSession, dir: String, first: String,
+      second: String, k: Int = 20): DataFrame =
+    phraseSearch(spark, dir, Seq(first, second), k)
 }

@@ -3470,6 +3470,37 @@ object TextOps {
     TermIndex.phraseSearch(spark, termIndexFor(spark, sfDir),
       "order", "order", k = 20)
 
+  /** N-TOKEN phrase serving from the same store — the generalized
+    * positional query ([[TermIndex.phraseSearch]]'s Seq form, the
+    * arbitrary-length Lucene phrase shape): the 3-token chain reads
+    * the three terms' bucket partitions and runs two co-keyed
+    * (doc_id, anchor-position) joins. Oracle: the same three-way
+    * position chain in DuckDB.
+    */
+  private val phrase3 = Seq("big", "order", "scan")
+
+  def phrase3Indexed(spark: SparkSession, sfDir: String): DataFrame =
+    TermIndex.phraseSearch(spark, termIndexFor(spark, sfDir),
+      phrase3, k = 20)
+
+  val phrase3IndexedSql: String = {
+    val legs = phrase3.zipWithIndex.map { case (t, i) =>
+      s"""p$i AS (SELECT doc_id, u.i - $i AS p
+         |      FROM t, LATERAL unnest(generate_series(1, len(w))) AS u(i)
+         |      WHERE w[u.i] = '$t')""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until phrase3.length).map(i =>
+      s"JOIN p$i ON p$i.doc_id = p0.doc_id AND p$i.p = p0.p")
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+       |           FROM documents),
+       |$legs
+       |SELECT p0.doc_id AS doc_id, count(*) AS n_occur
+       |FROM p0 $joins
+       |GROUP BY p0.doc_id ORDER BY n_occur DESC, p0.doc_id LIMIT 20"""
+      .stripMargin
+  }
+
   // -------------------------------------------------------------------- //
   // Deterministic training-order shuffle — the last step of a curation  //
   // pipeline: order the corpus by a seeded content hash so every run    //
@@ -4074,6 +4105,7 @@ object TextOps {
     "docs_curriculum_order_ranged" -> curriculumOrderRanged,
     "docs_length_batching" -> lengthBatching,
     "docs_phrase_search" -> phraseSearch,
+    "docs_phrase3_indexed" -> phrase3Indexed,
     "docs_inverted_index" -> invertedIndex,
     "docs_decontaminate" -> decontaminate,
     "docs_pii_scrub" -> piiScrub,
@@ -4148,6 +4180,7 @@ object TextOps {
     "docs_curriculum_order_ranged" -> curriculumOrderSql,
     "docs_length_batching" -> lengthBatchingSql,
     "docs_phrase_search" -> phraseSearchSql,
+    "docs_phrase3_indexed" -> phrase3IndexedSql,
     "docs_inverted_index" -> invertedIndexSql,
     "docs_decontaminate" -> decontaminateSql,
     "docs_pii_scrub" -> piiScrubSql,

@@ -205,4 +205,31 @@ class TermIndexSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(!served.contains(victim))
   }
+
+  test("n-token phrase serving: overlap semantics, repeated tokens, " +
+      "and the 2-token overload agreement") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("termidx_ph").toString
+    TermIndex.update(spark, dir, Seq(
+      (1L, "w w w x y z"),
+      (2L, "a w w b w w w"),
+      (3L, "x y z x y z x y")).toDF("doc_id", "text"))
+    def occ(terms: Seq[String]) =
+      TermIndex.phraseSearch(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // "w w w" holds 2 overlapping "w w" matches and 1 "w w w"
+    assert(occ(Seq("w", "w")) == Map(1L -> 2L, 2L -> 3L))
+    assert(occ(Seq("w", "w", "w")) == Map(1L -> 1L, 2L -> 1L))
+    // 3-token distinct-term chain
+    assert(occ(Seq("x", "y", "z")) == Map(1L -> 1L, 3L -> 2L))
+    // 4 tokens with a repeated term: "x y z x" anchors at 0 and 3
+    assert(occ(Seq("x", "y", "z", "x")) == Map(3L -> 2L))
+    // the 2-arg overload is the Seq form
+    val legacy = TermIndex.phraseSearch(spark, dir, "w", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(legacy == occ(Seq("w", "w")))
+    // tombstoned docs vanish from phrase results too
+    TermIndex.delete(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(occ(Seq("w", "w")) == Map(2L -> 3L))
+  }
 }
