@@ -462,6 +462,16 @@ object EventsOps {
     def thetaOf(sk: String) =
       when(size(col(sk)) < k, lit(maxL))
         .otherwise(element_at(col(sk), size(col(sk))).cast("long"))
+    // per-set CARDINALITY from the same sketch: exact below k (the
+    // sketch IS the hash set), the classic (k−1)/θ bottom-k estimator
+    // at k — with UNION by re-sketching the merged arrays (bottom-k of
+    // a union of bottom-k samples = the union's bottom-k, so the
+    // estimator composes losslessly): the full theta ALGEBRA
+    // (cardinality, union, intersection) from two kilobyte columns
+    def cardOf(sk: String) =
+      when(size(col(sk)) < k, size(col(sk)).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(maxL.toDouble) /
+          element_at(col(sk), size(col(sk))).cast("double"))
     // one-row aggregate crosses (the sketchOverlap broadcast pattern)
     leg(a, "a").crossJoin(broadcast(leg(b, "b")))
       .crossJoin(broadcast(exact))
@@ -470,21 +480,31 @@ object EventsOps {
         expr("size(filter(array_intersect(sk_a, sk_b), " +
           "h -> h < theta_l))").cast("double") *
           lit(maxL.toDouble) / col("theta_l").cast("double"))
+      .withColumn("sk_u", expr(
+        s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $k)"))
+      .withColumn("card_a_est", cardOf("sk_a"))
+      .withColumn("card_b_est", cardOf("sk_b"))
+      .withColumn("union_est", cardOf("sk_u"))
       .withColumn("ie_est",
         hll_sketch_estimate(col("hll_a")) +
           hll_sketch_estimate(col("hll_b")) -
           hll_sketch_estimate(hll_union(col("hll_a"), col("hll_b"))))
       .select(col("n_a"), col("n_b"), col("exact_overlap"),
-        col("theta_est"), col("ie_est"))
+        col("theta_est"), col("card_a_est"), col("card_b_est"),
+        col("union_est"), col("ie_est"))
   }
 
   def sketchTheta(spark: SparkSession, sfDir: String): DataFrame = {
-    def ok(est: String) =
-      abs(col(est) - col("exact_overlap")).cast("double") <=
-        greatest(col("exact_overlap") * lit(0.10), lit(2.0))
+    def okVs(est: String, exact: org.apache.spark.sql.Column) =
+      abs(col(est) - exact).cast("double") <=
+        greatest(exact * lit(0.10), lit(2.0))
     sketchThetaRaw(spark, sfDir)
       .select(col("n_a"), col("n_b"), col("exact_overlap"),
-        ok("theta_est").as("theta_ok"))
+        okVs("theta_est", col("exact_overlap")).as("theta_ok"),
+        okVs("card_a_est", col("n_a")).as("card_a_ok"),
+        okVs("card_b_est", col("n_b")).as("card_b_ok"),
+        okVs("union_est",
+          col("n_a") + col("n_b") - col("exact_overlap")).as("union_ok"))
   }
 
   val sketchThetaSql: String =
@@ -496,7 +516,8 @@ object EventsOps {
       |  (SELECT count(*) FROM b) AS n_b,
       |  (SELECT count(*) FROM (SELECT m FROM a INTERSECT SELECT m FROM b))
       |    AS exact_overlap,
-      |  true AS theta_ok""".stripMargin
+      |  true AS theta_ok, true AS card_a_ok, true AS card_b_ok,
+      |  true AS union_ok""".stripMargin
 
   /** Exact counts and fan-in are replayed cell-exact; the merged-estimate
     * bound is the literal expected outcome per grain (see approxStatsSql).

@@ -87,5 +87,20 @@ class KmvSketchSpec extends SparkSpecBase {
       s"expected IE to fail the 10% gate here, got $ie vs $exact")
     assert(thetaErr < ieErr,
       s"theta err $thetaErr not below IE err $ieErr")
+
+    // the rest of the theta ALGEBRA holds in the saturated regime too:
+    // per-set cardinality via (k−1)/θ and union via re-sketching the
+    // merged bottom-k samples (= the union's own bottom-k)
+    def cardEstimate(s: Array[Long]): Double =
+      if (s.length < k) s.length.toDouble
+      else (k - 1).toDouble * maxL.toDouble / s.last.toDouble
+    val (ska, skb) = (sketchOf(a), sketchOf(b))
+    val cardA = cardEstimate(ska)
+    assert(math.abs(cardA - 300000.0) <= 30000.0, s"cardA $cardA")
+    val skU = (ska ++ skb).distinct.sorted.take(k)
+    val unionTrue = 2 * 300000.0 - 6000.0
+    val unionEst = cardEstimate(skU)
+    assert(math.abs(unionEst - unionTrue) <= unionTrue * 0.10,
+      s"union $unionEst vs $unionTrue")
   }
 }
