@@ -1478,8 +1478,13 @@ object VectorOps {
       .limit(20)
   }
 
-  val hybridSearchSql: String =
-    s"""WITH ${TextOps.bm25CtesSql},
+  /** `corpusWhere` restricts the TEXT leg's corpus, `candWhere` the
+    * VECTOR leg's candidates — the post-delete hybrid oracle filters
+    * both (each store carries its own delete set).
+    */
+  private def hybridSearchSqlOn(corpusWhere: String,
+      candWhere: String): String =
+    s"""WITH ${TextOps.bm25CtesSqlOn(corpusWhere)},
        |ts AS (
        |  SELECT doc_id, round(${TextOps.bm25ScoreExprSql}, 4) AS score
        |  FROM d, st
@@ -1490,7 +1495,7 @@ object VectorOps {
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (
        |  SELECT vec_id AS doc_id, $duckCosine AS cos_sim
-       |  FROM embeddings, q WHERE vec_id <> 0),
+       |  FROM embeddings, q WHERE vec_id <> 0 AND $candWhere),
        |v AS (
        |  SELECT doc_id, CAST(row_number() OVER
        |    (ORDER BY cos_sim DESC, doc_id) AS INT) AS r_vec FROM vs)
@@ -1501,6 +1506,8 @@ object VectorOps {
        |          CAST(0 AS DOUBLE)), 6) AS rrf
        |FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  val hybridSearchSql: String = hybridSearchSqlOn("TRUE", "TRUE")
 
   /** One [[AnnIndex]] store per JVM per sfDir — query vector (id 0)
     * excluded, two-phase incremental build (build() with the seeds+even
@@ -1603,6 +1610,36 @@ object VectorOps {
       .select("doc_id", "r_text", "r_vec", "rrf")
       .orderBy(col("rrf").desc, col("doc_id"))
   }
+
+  /** [[hybridIndexed]] over BOTH post-DELETE stores — the fused
+    * end-to-end proof of delete propagation: the text leg serves from
+    * [[TextOps.termIndexDeletedFor]] (every 7th document tombstoned),
+    * the vector leg from [[annIndexDeletedFor]] (every 7th candidate
+    * vector tombstoned — a DIFFERENT delete set: each store carries
+    * its own), and the fusion must equal a from-scratch RRF over the
+    * two post-delete corpora bit-for-bit — deleted members vanish from
+    * both legs AND every displaced rank (hence every RRF contribution)
+    * closes up exactly.
+    */
+  def hybridIndexedDeleted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val tq = {
+      import spark.implicits._
+      Seq((0L, TextOps.bmTerms)).toDF("q_id", "terms")
+    }
+    val vq = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(lit(0L).as("q_id"), col("embedding").as("qe"))
+    hybridServeAll(spark, tq, vq,
+      TextOps.termIndexDeletedFor(spark, sfDir),
+      annIndexDeletedFor(spark, sfDir), legK = 100000, k = 20)
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  val hybridIndexedDeletedSql: String = hybridSearchSqlOn(
+    s"NOT (${TextOps.delPredSql})",
+    "NOT (vec_id >= 9 AND vec_id % 7 = 3)")
 
   /** BATCH hybrid serving: RRF-fuse BOTH index-served legs for a whole
     * frame of queries in one plan — the text leg is ONE
@@ -2380,6 +2417,7 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_hybrid_search" -> hybridSearch,
     "docs_hybrid_indexed" -> hybridIndexed,
+    "docs_hybrid_indexed_deleted" -> hybridIndexedDeleted,
     "ann_hard_negatives" -> hardNegatives,
     "ann_label_outliers" -> labelOutliers,
     "ann_label_confusion" -> labelConfusion,
@@ -2413,6 +2451,7 @@ object VectorOps {
     "docs_hybrid_search" -> hybridSearchSql,
     // index-served twin must reproduce the batch fusion bit-for-bit
     "docs_hybrid_indexed" -> hybridSearchSql,
+    "docs_hybrid_indexed_deleted" -> hybridIndexedDeletedSql,
     "ann_hard_negatives" -> hardNegativesSql,
     "ann_label_outliers" -> labelOutliersSql,
     "ann_label_confusion" -> labelConfusionSql,
