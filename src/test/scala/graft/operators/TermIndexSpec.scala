@@ -232,4 +232,38 @@ class TermIndexSpec extends SparkSpecBase {
     TermIndex.delete(spark, dir, Seq(1L).toDF("doc_id"))
     assert(occ(Seq("w", "w")) == Map(2L -> 3L))
   }
+
+  test("a DELETE stream drained through foreachBatch tombstones " +
+      "incrementally; serving tracks the post-delete corpus per batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("termidx_delstream").toString
+    TermIndex.update(spark, dir, docs)
+    val delIds = docs.filter(col("doc_id") % 7 === 3)
+      .select("doc_id").as[Long].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = ms.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TermIndex.delete(spark, dir, batch)
+        (): Unit
+      }
+      .start()
+    try {
+      val (h1, h2) = delIds.splitAt(delIds.length / 2)
+      ms.addData(h1.toIndexedSeq); q.processAllAvailable()
+      // mid-stream: the first half is already gone from serving
+      val mid = TermIndex.search(spark, dir, TextOps.bmTerms, 10000)
+        .collect().map(_.getLong(0)).toSet
+      assert(h1.forall(!mid.contains(_)))
+      ms.addData(h2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // drained: serving equals a from-scratch build on the post-delete
+    // corpus (the docs_bm25_indexed_deleted discipline, stream-fed)
+    val ref = Files.createTempDirectory("termidx_delstream_ref").toString
+    TermIndex.update(spark, ref, docs.filter(!(col("doc_id") % 7 === 3)))
+    def res(d: String) = TermIndex.search(spark, d, TextOps.bmTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res(dir) == res(ref))
+  }
 }
