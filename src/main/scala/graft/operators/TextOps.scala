@@ -633,6 +633,36 @@ object TextOps {
     spark.read.parquet(s"$dir/pairs").orderBy("a_id", "b_id")
   }
 
+  /** The ADMISSION check as a gated query: [[NearDupIndex.probe]] of
+    * the odd half against an even-half store — read-only, nothing
+    * appended — must surface exactly the batch pair set's rows with at
+    * least one ODD member (probe pairs new×old and new×new; the
+    * store-internal even×even pairs are by definition not its
+    * business). The oracle is the batch pipeline's pair CTE with that
+    * membership predicate.
+    */
+  private val neardupProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def neardupProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(neardupProbeCache, sfDir,
+      "graft-ndprobe") { d =>
+      NearDupIndex.update(spark, d,
+        Tables(spark, sfDir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") % 2 === 0)).count(): Unit
+    }
+    NearDupIndex.probe(spark, dir,
+      Tables(spark, sfDir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 2 === 1))
+      .orderBy("a_id", "b_id")
+  }
+
+  val neardupProbeSql: String =
+    s"""WITH ${minhashCtesFrom("documents")}
+       |SELECT a_id, b_id, jac FROM pairs
+       |WHERE jac >= 0.3 AND NOT (a_id % 2 = 0 AND b_id % 2 = 0)
+       |ORDER BY a_id, b_id""".stripMargin
+
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     // Materialize eagerly (the pair set is tiny — banded candidates that
     // survived the verify) so the shingle cache can be RELEASED here:
@@ -4125,6 +4155,7 @@ object TextOps {
     "docs_rolling_hash" -> rollingHash,
     "docs_minhash_neardup" -> minhashNearDup,
     "docs_neardup_indexed" -> neardupIndexed,
+    "docs_neardup_probe" -> neardupProbe,
     "docs_neardup_clusters" -> neardupClusters,
     "docs_neardup_keep_best" -> neardupKeepBest,
     "docs_bpe_merges" -> bpeMerges,
@@ -4201,6 +4232,7 @@ object TextOps {
     "docs_minhash_neardup" -> minhashNearDupSql,
     // index-served twin must reproduce the batch pair set exactly
     "docs_neardup_indexed" -> minhashNearDupSql,
+    "docs_neardup_probe" -> neardupProbeSql,
     "docs_neardup_clusters" -> neardupClustersSql,
     "docs_neardup_keep_best" -> neardupKeepBestSql,
     "docs_bpe_merges" -> bpeMergesSql,
