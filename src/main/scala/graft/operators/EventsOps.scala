@@ -494,6 +494,65 @@ object EventsOps {
         col("union_est"), col("ie_est"))
   }
 
+  /** KMV partials RE-AGGREGATED across grains — the
+    * [[sketchRollup]] architecture with the round-11 sketch: per
+    * (event_type, day) `kmv_sketch` partials built once (the
+    * ingest-time table), then MERGED to the per-type and corpus-wide
+    * grains by re-sketching the exploded partial hashes — the bottom-k
+    * of a union of bottom-k samples IS the union's bottom-k, so the
+    * merge is lossless (not merely bounded-error like HLL's register
+    * max) and the raw rows are never touched again. Unlike the HLL
+    * rollup, the merged KMV sketch keeps supporting the THETA algebra
+    * (intersection/union across any two grains), which register-max
+    * HLL cannot. Same gate discipline as `events_sketch_rollup`:
+    * exact counts + partial fan-in cell-checked, merged estimate as a
+    * deterministic ±5%-floor-2 boolean (exact below k at test scale);
+    * the oracle is sketchRollupSql verbatim.
+    */
+  def kmvRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 4096
+    val maxL = Long.MaxValue
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr(s"xxhash64(user_id) & ${maxL}L").as("h"),
+        to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+      .localCheckpoint(true)
+    def mergeGrain(df: DataFrame, keyed: Boolean): DataFrame = {
+      val exploded = df.select(
+        (if (keyed) col("event_type") else lit("ALL")).as("event_type"),
+        col("sk"))
+      val fanIn = exploded.groupBy("event_type")
+        .agg(count(lit(1)).as("n_partials"))
+      exploded.select(col("event_type"), explode(col("sk")).as("h"))
+        .groupBy("event_type")
+        .agg(expr(s"kmv_sketch(h, $k)").as("msk"))
+        .join(fanIn, Seq("event_type"))
+        .select(col("event_type"), col("n_partials"),
+          when(size(col("msk")) < k, size(col("msk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(maxL.toDouble) /
+              element_at(col("msk"), size(col("msk"))).cast("double"))
+            .as("est"))
+    }
+    val merged = mergeGrain(daily, keyed = true)
+      .unionByName(mergeGrain(daily, keyed = false))
+    val evu = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"))
+    val exact = evu.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .unionByName(evu
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(lit("ALL").as("event_type"), col("exact_users")))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_partials"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          greatest(col("exact_users") * lit(0.05), lit(2.0)))
+          .as("merged_ok"))
+      .orderBy("event_type")
+  }
+
   def sketchTheta(spark: SparkSession, sfDir: String): DataFrame = {
     def okVs(est: String, exact: org.apache.spark.sql.Column) =
       abs(col(est) - exact).cast("double") <=
@@ -1120,6 +1179,7 @@ object EventsOps {
     "events_approx_stats" -> approxStats,
     "events_sketch_rollup" -> sketchRollup,
     "events_sketch_theta" -> sketchTheta,
+    "events_kmv_rollup" -> kmvRollup,
     "events_sketch_overlap" -> sketchOverlap,
     "events_top_users" -> topUsersPerType,
     "events_top_users_native" -> topUsersPerTypeNative,
@@ -1139,6 +1199,7 @@ object EventsOps {
     "events_approx_stats" -> approxStatsSql,
     "events_sketch_rollup" -> sketchRollupSql,
     "events_sketch_theta" -> sketchThetaSql,
+    "events_kmv_rollup" -> sketchRollupSql,
     "events_sketch_overlap" -> sketchOverlapSql,
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,

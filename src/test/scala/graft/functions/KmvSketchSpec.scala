@@ -103,4 +103,21 @@ class KmvSketchSpec extends SparkSpecBase {
     assert(math.abs(unionEst - unionTrue) <= unionTrue * 0.10,
       s"union $unionEst vs $unionTrue")
   }
+
+  test("partial re-aggregation is LOSSLESS: re-sketching per-group " +
+    "partials equals the one-shot sketch array exactly") {
+    import spark.implicits._
+    val rows = (1L to 50000L).toDF("m")
+    val oneShot = sketchOf(rows)
+    // 7 partials (the ingest-time table), then merged by re-sketching
+    // the exploded partial hashes — bottom-k of a union of bottom-k
+    // samples IS the union's bottom-k
+    val partials = hashed(rows)
+      .withColumn("g", col("m") % 7)
+      .groupBy("g").agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+    val merged = partials.select(explode(col("sk")).as("h"))
+      .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(merged.toSeq == oneShot.toSeq)
+  }
 }
