@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
@@ -39,10 +39,13 @@ case class KmvSketchAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) => v
-    case _ => throw new IllegalArgumentException(
-      "kmv_sketch: k must be an integer literal")
+  // eval(), not a Literal pattern-match: a foldable-but-non-literal k
+  // (e.g. `2 + 2`) is legal per checkInputDataTypes and must resolve
+  // here rather than escape analysis as an IllegalArgumentException
+  private lazy val k: Int = kExpr.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"kmv_sketch: k must be an INT literal, got $other")
   }
 
   override def children: Seq[Expression] = Seq(child, kExpr)
@@ -55,6 +58,13 @@ case class KmvSketchAgg(
         s"kmv_sketch expects a LONG hash input, got ${child.dataType.sql}")
     } else if (!kExpr.foldable) {
       TypeCheckResult.TypeCheckFailure("kmv_sketch: k must be foldable")
+    } else if (kExpr.dataType != IntegerType) {
+      // an analysis-time failure, not a runtime throw: `kmv_sketch(h,
+      // 4096L)` should read as a type error, same as a wrong hash type
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch: k must be an INT literal, got ${kExpr.dataType.sql}")
+    } else if (kExpr.eval() == null) {
+      TypeCheckResult.TypeCheckFailure("kmv_sketch: k must not be null")
     } else if (k <= 0) {
       TypeCheckResult.TypeCheckFailure(
         s"kmv_sketch: k must be > 0, got $k")

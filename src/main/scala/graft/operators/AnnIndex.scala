@@ -130,7 +130,8 @@ object AnnIndex {
     // metadata eras DO carry over (drop only the derived serving
     // columns — update() re-derives them under the new assignment)
     val emb = Tombstones.minus(spark, oldDir,
-      readPostings(spark, s"$oldDir/postings"), "vec_id")
+      readPostings(spark, s"$oldDir/postings"), "vec_id",
+      genCol = Some("gen"))
       .drop(DerivedCols.toSeq: _*)
     var cents = spark.read.parquet(s"$oldDir/centroids")
     for (_ <- 1 to lloydRounds)
@@ -156,12 +157,14 @@ object AnnIndex {
   private val PqM = 4
 
   /** Columns [[update]] DERIVES and writes beside the caller's batch —
-    * the serving columns (PQ codes, sign words, matryoshka prefix) and
-    * the cell partition. Everything else in a posting row is the
-    * caller's METADATA era (label + whatever a later batch adds).
+    * the serving columns (PQ codes, sign words, matryoshka prefix),
+    * the write generation ([[GenMeta]] — 0 for inserts, fresh per
+    * [[upsert]]) and the cell partition. Everything else in a posting
+    * row is the caller's METADATA era (label + whatever a later batch
+    * adds).
     */
   private val DerivedCols =
-    Set("pq0", "pq1", "pq2", "pq3", "b_lo", "b_hi", "m16", "c_id")
+    Set("pq0", "pq1", "pq2", "pq3", "b_lo", "b_hi", "m16", "gen", "c_id")
 
   /** Read a postings dir with SCHEMA MERGING: after a metadata-era
     * evolution the dir holds files of different (additive) widths, and
@@ -233,38 +236,73 @@ object AnnIndex {
   private val ManifestBloomItems = 1000000L
   private val ManifestFpp = 0.01
 
+  /** Target ids per manifest row — sized with headroom under the 1M
+    * bloom geometry so the range partitioner's sampling skew can never
+    * push a chunk past the fpp contract.
+    */
+  private val ManifestChunkTarget = 700000L
+
   private def manifestPath(dir: String) = s"$dir/manifest"
 
   private def appendManifest(spark: SparkSession, dir: String,
       ids: DataFrame): Unit = {
-    val total = ids.count()
-    if (total == 0L) return // an all-duplicate batch: no new ids
-    // ≤1M ids per row: one fixed-geometry bloom holding the whole store
-    // (bootstrap at 5M ids) would degrade fpp to tens of percent and
-    // drag in-range appends back toward scan cost — split by id range
-    // (ntile over vec_id) so each row keeps the 1% contract AND its
-    // [min,max] stays a tight, disjoint range gate
-    val chunks = ((total - 1) / ManifestBloomItems + 1).toInt
-    val parts =
-      if (chunks == 1) Seq(ids)
-      else {
-        import org.apache.spark.sql.expressions.Window
-        val t = ids.withColumn("__c",
-          ntile(chunks).over(Window.orderBy("vec_id")))
-          .localCheckpoint(true)
-        (1 to chunks).map(c => t.filter(col("__c") === c).drop("__c"))
-      }
     import spark.implicits._
-    parts.map { part =>
-      val r = part.agg(count(lit(1)), min("vec_id"), max("vec_id")).head()
-      val bf = part.stat.bloomFilter("vec_id", ManifestBloomItems,
-        ManifestFpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      (r.getLong(0), r.getLong(1), r.getLong(2), bos.toByteArray)
-    }.toDF("n", "min_id", "max_id", "bloom")
+    val distinctIds = ids.distinct() // bootstrap postings may hold
+    // multiple generations of an id after upserts — count each once
+    val total = distinctIds.count()
+    if (total == 0L) return // an all-duplicate batch: no new ids
+    // ≤~700k ids per row: one fixed-geometry bloom holding the whole
+    // store (bootstrap at 5M ids) would degrade fpp to tens of percent
+    // and drag in-range appends back toward scan cost — RANGE-PARTITION
+    // the ids (sampling-balanced, disjoint sorted ranges, one parallel
+    // pass; no single-task global window) and build each row's bloom
+    // executor-side in the same pass that finds its n/min/max
+    val chunks = ((total - 1) / ManifestChunkTarget + 1).toInt
+    val parts =
+      if (chunks == 1) distinctIds.select("vec_id").coalesce(1)
+      else distinctIds.select("vec_id")
+        .repartitionByRange(chunks, col("vec_id"))
+    parts.as[Long]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(ManifestBloomItems, ManifestFpp)
+          var n = 0L
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          it.foreach { id =>
+            bf.putLong(id)
+            n += 1
+            if (id < lo) lo = id
+            if (id > hi) hi = id
+          }
+          // fail fast rather than silently degrade the 1% fpp: a
+          // pathological sampling skew would have to overshoot the
+          // 700k target by 43% to land here
+          require(n <= ManifestBloomItems,
+            s"manifest chunk holds $n ids > $ManifestBloomItems bloom " +
+              "geometry — range partitioning skewed far past target")
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Iterator.single((n, lo, hi, bos.toByteArray))
+        }
+      }.toDF("n", "min_id", "max_id", "bloom")
       .coalesce(1).write.mode("append").parquet(manifestPath(dir))
   }
+
+  /** The manifest rows a batch spanning [lo, hi] could possibly match —
+    * the PRE-COLLECT prune: only rows whose [min_id, max_id] intersects
+    * the batch's id range load at all, as a pushed parquet filter
+    * (row-group min/max stats skip the rest — AnnManifestSpec pins the
+    * PushedFilters), so the driver pull is bounded by the batch's range
+    * overlap, not the store's append history.
+    */
+  private[operators] def manifestCandidates(spark: SparkSession,
+      dir: String, lo: Long, hi: Long): DataFrame =
+    spark.read.parquet(manifestPath(dir))
+      .filter(col("max_id") >= lo && col("min_id") <= hi)
+      .select("min_id", "max_id", "bloom")
 
   /** Drop already-indexed ids from `batch` by MANIFEST lookup: range +
     * bloom split the batch into definitely-new rows (no postings read)
@@ -272,25 +310,62 @@ object AnnIndex {
     * empty or tiny). First call on a pre-manifest store bootstraps the
     * manifest with one O(store) pass over the postings' id column —
     * paid once, after which membership never reads the store again.
+    *
+    * Scale shape of the lookup itself: candidate manifest rows prune
+    * by the batch's [min, max] BEFORE the driver sees them
+    * ([[manifestCandidates]]); the surviving entries BROADCAST once
+    * (not captured per-task in a closure), and each id probes at most
+    * the entries whose range can hold it — binary search on the
+    * sorted min_ids, walking back only while the prefix-max of max_id
+    * still covers the id — so per-id work is O(log entries + overlap),
+    * not a linear scan of the append history.
     */
   private def manifestAntiJoin(spark: SparkSession, dir: String,
       batch: DataFrame, p: DataFrame): DataFrame = {
     if (!StoreUtil.exists(spark, manifestPath(dir)))
       appendManifest(spark, dir, p.select("vec_id"))
-    val rows = spark.read.parquet(manifestPath(dir)).collect()
+    val r = batch.agg(min("vec_id"), max("vec_id")).head()
+    if (r.isNullAt(0)) return batch // empty batch: nothing to drop
+    val rows = manifestCandidates(spark, dir, r.getLong(0), r.getLong(1))
+      .collect()
+    if (rows.isEmpty) return batch // disjoint ranges: all definitely new
     // test rows SEPARATELY: each row's bloom holds ≤1M ids at 1% fpp,
     // and its [min,max] prunes most rows before any bloom bit is read —
     // merging the blooms would OR potentially-saturated bit arrays and
     // give back the degraded fpp the per-row split exists to avoid
-    val entries = rows.map { r =>
-      (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"),
+    val entries = rows.map { row =>
+      (row.getAs[Long]("min_id"), row.getAs[Long]("max_id"),
         org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
-    }
-    val mightContain = udf((id: Long) =>
-      entries.exists { case (lo, hi, bf) =>
-        id >= lo && id <= hi && bf.mightContainLong(id)
-      })
+          new java.io.ByteArrayInputStream(
+            row.getAs[Array[Byte]]("bloom"))))
+    }.sortBy(_._1)
+    val los = entries.map(_._1)
+    val prefixMaxHi = entries.scanLeft(Long.MinValue) {
+      case (acc, (_, hi, _)) => math.max(acc, hi)
+    }.tail
+    val bc = spark.sparkContext.broadcast((los, prefixMaxHi, entries))
+    val mightContain = udf((id: Long) => {
+      val (los, prefHi, es) = bc.value
+      // last entry with min_id <= id
+      var j = java.util.Arrays.binarySearch(los, id) match {
+        case found if found >= 0 =>
+          // step past equal min_ids (binarySearch picks any duplicate)
+          var k = found
+          while (k + 1 < los.length && los(k + 1) <= id) k += 1
+          k
+        case ins => -ins - 2
+      }
+      var found = false
+      // walk back only while SOME not-yet-tested entry can still cover
+      // the id (prefix-max of max_id) — early exit for the monotonic-
+      // id ingest common case
+      while (j >= 0 && !found && prefHi(j) >= id) {
+        val (_, hi, bf) = es(j)
+        if (hi >= id && bf.mightContainLong(id)) found = true
+        j -= 1
+      }
+      found
+    })
     // batch-sized checkpoint: the maybe/definite split feeds an isEmpty
     // probe and both union legs — the bloom udf must not run 3×
     val flagged = batch
@@ -304,7 +379,65 @@ object AnnIndex {
   }
 
   def update(spark: SparkSession, dir: String, emb: DataFrame,
-      useManifest: Boolean = true): Unit = {
+      useManifest: Boolean = true): Unit =
+    ingest(spark, dir, emb, useManifest, gen = 0L, overwrite = false)
+
+  /** UPSERT a batch — last-writer-wins by vec_id, the [[TermIndex
+    * .upsert]] twin for the vector store (the reference ES sink's
+    * `{"index": {_id}}` overwrite actions,
+    * elasticsearch_integration.py:403-409): present ids re-index with
+    * the new embedding (re-quantized — the row may move cells), absent
+    * or previously-DELETED ids insert, all without a store rewrite and
+    * without a compact between delete and re-add. Mechanism: reserve
+    * the next write generation ([[GenMeta]]), tombstone the batch ids
+    * at `gen - 1` (hides every older row of those ids wherever its
+    * cell is — which is why the vector store upserts via tombstones
+    * rather than a read-side winner fold: cell-partition pruning
+    * would hide a stale sibling cell from any per-probe fold), then
+    * run the normal derive+append pipeline at `gen` with the
+    * membership check skipped (overwrite intent). Write order is the
+    * crash argument, as in TermIndex: generation first (a re-run
+    * lands strictly higher and its tombstone hides torn rows),
+    * tombstone before data (the intermediate state is a clean
+    * delete), postings append last. `ann_hamming_reindexed` gates
+    * serving bit-identical to a from-scratch build on the post-upsert
+    * corpus. The manifest needs no special handling: upserted ids are
+    * members (over-approximation is its contract) and [[ingest]]
+    * appends their manifest row as always.
+    */
+  def upsert(spark: SparkSession, dir: String, emb: DataFrame,
+      autoFoldAt: Double = AutoFoldAt): Unit = {
+    val g = GenMeta.reserve(spark, dir)
+    Tombstones.append(spark, dir, emb.select("vec_id"), "vec_id",
+      gen = g - 1)
+    ingest(spark, dir, emb, useManifest = true, gen = g,
+      overwrite = true)
+    maybeAutoFold(spark, dir, autoFoldAt)
+  }
+
+  /** Tombstone-debt ratio past which [[delete]]/[[upsert]] trigger an
+    * automatic [[compact]] — the [[TermIndex.AutoFoldAt]] twin. Debt
+    * reads cheap: tombstone rows (tiny) over manifest id counts (a
+    * few-row sum) or, pre-manifest, a footer-stats postings count.
+    */
+  val AutoFoldAt = 0.5
+
+  private def maybeAutoFold(spark: SparkSession, dir: String,
+      threshold: Double): Unit = {
+    if (threshold.isInfinite) return
+    val debt = Tombstones.pendingRows(spark, dir)
+    if (debt == 0L) return
+    val total =
+      if (StoreUtil.exists(spark, manifestPath(dir)))
+        spark.read.parquet(manifestPath(dir)).agg(sum("n")).head()
+          .getLong(0)
+      else spark.read.parquet(s"$dir/postings").count()
+    if (debt.toDouble >= threshold * math.max(total, 1L).toDouble)
+      compact(spark, dir)
+  }
+
+  private def ingest(spark: SparkSession, dir: String, emb: DataFrame,
+      useManifest: Boolean, gen: Long, overwrite: Boolean): Unit = {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
     val postingsPath = s"$dir/postings"
@@ -360,12 +493,16 @@ object AnnIndex {
     val rowCols = (col("vec_id") +: metaOrder.map(col)) :+ col("embedding")
     // materialize the batch ONCE: it feeds the cell assignment AND the
     // four PQ subspace passes — without the checkpoint the anti-join
-    // plan (and its postings scan) would re-execute five times
+    // plan (and its postings scan) would re-execute five times.
+    // overwrite (upsert) SKIPS the membership check: re-sending a
+    // present id is the intent, and the caller already tombstoned its
+    // older generations
     val incoming =
-      postings.map(p =>
-        if (useManifest) manifestAntiJoin(spark, dir, emb, p)
-        else emb.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
-        .getOrElse(emb)
+      (if (overwrite) emb
+       else postings.map(p =>
+         if (useManifest) manifestAntiJoin(spark, dir, emb, p)
+         else emb.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+         .getOrElse(emb))
         .select(rowCols: _*)
         .localCheckpoint(true)
     // manifest row commits BEFORE the postings append (see the manifest
@@ -413,11 +550,11 @@ object AnnIndex {
       // production dim of 768+, 48× — the whole point of MRL serving)
       .withColumn("m16", expr(s"slice(embedding, 1, $MPrefix)"))
       // column order: id, metadata era (stored order + additions),
-      // vector, derived serving columns, cell — for a label-only era
-      // this is byte-for-byte the historical layout
+      // vector, derived serving columns (write generation last), cell
       .select(rowCols ++ Seq(
         col("pq0"), col("pq1"), col("pq2"), col("pq3"),
-        col("b_lo"), col("b_hi"), col("m16"), col("c_id")): _*)
+        col("b_lo"), col("b_hi"), col("m16"),
+        lit(gen).as("gen"), col("c_id")): _*)
       .write.mode("append").partitionBy("c_id").parquet(postingsPath)
   }
 
@@ -431,15 +568,24 @@ object AnnIndex {
     * against a from-scratch oracle on the post-delete corpus). Rows
     * physically fold out at the next [[compact]].
     *
-    * A tombstoned id cannot RE-index until [[compact]] folds it out:
-    * [[update]]'s membership check (postings anti-join / manifest)
-    * still sees the physical row. The manifest needs no delete-side
-    * maintenance — its blooms merely OVER-approximate membership, and
-    * after the fold the "maybe duplicate" verification anti-join finds
-    * no postings row, so the id re-indexes cleanly.
+    * A tombstoned id cannot RE-index through [[update]] ([[update]]'s
+    * membership check — postings anti-join / manifest — still sees
+    * the physical row), but [[upsert]] re-adds it at a fresh write
+    * generation with no compact in between: the tombstone pins the
+    * CURRENT [[GenMeta]] generation, hiding everything written so far
+    * and nothing written after (for a never-upserted store that is
+    * generation 0 = every row, the legacy hide-all semantics). The
+    * manifest needs no delete-side maintenance — its blooms merely
+    * OVER-approximate membership, and after a fold the "maybe
+    * duplicate" verification anti-join finds no postings row, so the
+    * id re-indexes cleanly.
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
-    Tombstones.append(spark, dir, ids, "vec_id")
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      autoFoldAt: Double = AutoFoldAt): Unit = {
+    Tombstones.append(spark, dir, ids, "vec_id",
+      gen = GenMeta.current(spark, dir))
+    maybeAutoFold(spark, dir, autoFoldAt)
+  }
 
   /** Fold tombstones out of the postings (cell partition layout
     * preserved — centroids and cell assignment are untouched, so every
@@ -449,8 +595,11 @@ object AnnIndex {
     * [[update]].
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    Tombstones.fold(spark, dir, "postings", "vec_id", Seq("c_id"))
+    Tombstones.fold(spark, dir, "postings", "vec_id", Seq("c_id"),
+      genCol = Some("gen"))
     Tombstones.clear(spark, dir)
+    // fold the per-upsert reservation rows too — PRESERVING the max
+    GenMeta.consolidate(spark, dir)
   }
 
   /** The postings as every SERVING tier must read them: tombstoned
@@ -463,7 +612,8 @@ object AnnIndex {
   private[operators] def servingPostings(spark: SparkSession,
       dir: String): DataFrame =
     Tombstones.minus(spark, dir,
-      readPostings(spark, s"$dir/postings"), "vec_id")
+      readPostings(spark, s"$dir/postings"), "vec_id",
+      genCol = Some("gen"))
 
   /** DESCRIBE the store — the [[graft.sinks.ParquetIndex.describe]]
     * observability discipline for the vector index: one row of the
@@ -477,8 +627,11 @@ object AnnIndex {
     import spark.implicits._
     val posts = readPostings(spark, s"$dir/postings")
     val pr = posts.agg(count(lit(1)), countDistinct(col("c_id"))).head()
-    val live = Tombstones.minus(spark, dir,
-      posts.select("vec_id"), "vec_id").count()
+    val narrowPosts = // pre-gen store layouts lack the column
+      if (posts.columns.contains("gen")) posts.select("vec_id", "gen")
+      else posts.select("vec_id")
+    val live = Tombstones.minus(spark, dir, narrowPosts, "vec_id",
+      genCol = Some("gen")).count()
     val tombs =
       if (Tombstones.exists(spark, dir))
         spark.read.parquet(Tombstones.path(dir)).count()

@@ -57,17 +57,58 @@ object TermIndex {
 
   /** Index a batch of (doc_id, text). Already-indexed doc_ids are
     * skipped (anti-join on the doclen membership list), so re-running a
-    * failed or duplicated batch cannot double-count a document.
+    * failed or duplicated batch cannot double-count a document. Rows
+    * are stamped write-generation 0 — insert-only stores never touch
+    * the [[GenMeta]] counter; [[upsert]] is the overwrite path.
     */
   def update(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
     val doclenPath = s"$dir/doclen"
     val fresh =
-      (if (exists(spark, doclenPath))
-         docs.join(spark.read.parquet(doclenPath).select("doc_id"),
-           Seq("doc_id"), "left_anti")
-       else docs)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .localCheckpoint(true) // tokenize once; stable across both writes
+      if (exists(spark, doclenPath))
+        docs.join(spark.read.parquet(doclenPath).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else docs
+    writeRows(spark, dir, fresh, gen = 0L)
+  }
+
+  /** UPSERT a batch of (doc_id, text) — last-writer-wins by id, the
+    * in-engine mirror of the reference ES sink's `{"index": {_id}}`
+    * overwrite actions (elasticsearch_integration.py:403-409) and of
+    * `INSERT OR REPLACE` (direct_links.py:169-172): present ids are
+    * re-indexed with the new text, absent (even previously-DELETED)
+    * ids insert — all WITHOUT a store rewrite and without a compact
+    * between delete and re-add. Mechanism: reserve the next write
+    * generation ([[GenMeta]]), tombstone the batch ids at `gen - 1`
+    * (hiding every older row of those ids — a broadcast anti-join at
+    * serve, same as delete), then append postings + doclen stamped
+    * `gen`. Write order is the crash argument: the generation reserves
+    * FIRST (a re-run lands at a strictly higher gen whose tombstone
+    * hides the torn rows), the tombstone lands BEFORE the data (a
+    * crash in between leaves the doc absent — a clean MOR
+    * delete+insert intermediate — never double-counted in df/n), and
+    * a re-run finishes the job. Single-writer, like [[update]].
+    * `docs_bm25_reindexed` gates serving bit-identical to a
+    * from-scratch build on the post-upsert corpus; the rows physically
+    * fold at [[compact]] exactly as deletes do.
+    */
+  def upsert(spark: SparkSession, dir: String, docs: DataFrame,
+      autoFoldAt: Double = AutoFoldAt): Unit = {
+    val g = GenMeta.reserve(spark, dir)
+    Tombstones.append(spark, dir, docs.select("doc_id"), "doc_id",
+      gen = g - 1)
+    writeRows(spark, dir, docs, gen = g)
+    maybeAutoFold(spark, dir, autoFoldAt)
+  }
+
+  /** Tokenize `docs` once and append postings + doclen at `gen` — the
+    * shared write tail of [[update]] (gen 0, membership-filtered) and
+    * [[upsert]] (a fresh generation, overwrite-intent).
+    */
+  private def writeRows(spark: SparkSession, dir: String,
+      docs: DataFrame, gen: Long): Unit = {
+    val fresh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint(true) // tokenize once; stable across both writes
     fresh
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("doc_id", "term")
@@ -76,14 +117,36 @@ object TermIndex {
       // the phrase path
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("gen", lit(gen))
       .withColumn("t_b", pmod(crc32(col("term")), lit(NBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("t_b").parquet(s"$dir/postings")
     // dl as DOUBLE at write time: bm25Topk averages doubles, and a
     // long-summing avg differs in the last bits — parity needs the
-    // same input type on both paths
+    // same input type on both paths. doclen lands LAST (the commit
+    // marker): a torn write re-runs cleanly.
     fresh
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
-      .write.mode("append").parquet(doclenPath)
+      .withColumn("gen", lit(gen))
+      .write.mode("append").parquet(s"$dir/doclen")
+  }
+
+  /** Tombstone-debt ratio past which [[delete]]/[[upsert]] trigger an
+    * automatic [[compact]] — the self-enforcing hygiene bound keeping
+    * the serving-side anti-join's tombstone set small relative to the
+    * store (pass `Double.PositiveInfinity` to opt out). Debt is
+    * measured on cheap reads: tombstone rows (tiny set) over doclen
+    * rows (a footer-stats count, no data pages).
+    */
+  val AutoFoldAt = 0.5
+
+  private def maybeAutoFold(spark: SparkSession, dir: String,
+      threshold: Double): Unit = {
+    if (threshold.isInfinite) return
+    val debt = Tombstones.pendingRows(spark, dir)
+    if (debt == 0L) return
+    val total = spark.read.parquet(s"$dir/doclen").count()
+    if (debt.toDouble >= threshold * math.max(total, 1L).toDouble)
+      compact(spark, dir)
   }
 
   /** DELETE documents from the serving index — the in-engine mirror of
@@ -97,12 +160,20 @@ object TermIndex {
     * (`docs_bm25_indexed_deleted` gates exactly that, bit-for-bit).
     * The rows physically fold out at the next [[compact]].
     *
-    * A tombstoned id cannot RE-index until [[compact]] folds it out:
-    * the doclen membership list still carries it, so [[update]] skips
-    * it — the hide-then-remove lifecycle of MOR deletes.
+    * A tombstoned id cannot RE-index through [[update]] (the doclen
+    * membership list still carries it physically) — but [[upsert]]
+    * re-adds it at a fresh write generation with no compact in
+    * between: the tombstone pins the CURRENT [[GenMeta]] generation,
+    * so it hides everything written so far and nothing written after.
+    * For a store that never upserted, the current generation is 0 =
+    * every row — the exact legacy hide-all semantics.
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
-    Tombstones.append(spark, dir, ids, "doc_id")
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      autoFoldAt: Double = AutoFoldAt): Unit = {
+    Tombstones.append(spark, dir, ids, "doc_id",
+      gen = GenMeta.current(spark, dir))
+    maybeAutoFold(spark, dir, autoFoldAt)
+  }
 
   /** Fold tombstones out of the store: rewrite postings (bucket
     * partition layout preserved) and doclen without the deleted rows,
@@ -114,9 +185,15 @@ object TermIndex {
     * [[update]] and [[graft.sinks.DirCompaction]].
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    Tombstones.fold(spark, dir, "postings", "doc_id", Seq("t_b"))
-    Tombstones.fold(spark, dir, "doclen", "doc_id", Nil)
+    Tombstones.fold(spark, dir, "postings", "doc_id", Seq("t_b"),
+      genCol = Some("gen"))
+    Tombstones.fold(spark, dir, "doclen", "doc_id", Nil,
+      genCol = Some("gen"))
     Tombstones.clear(spark, dir)
+    // fold the per-upsert reservation rows too — PRESERVING the max
+    // (resetting it would let a later delete's threshold miss live
+    // higher-generation rows)
+    GenMeta.consolidate(spark, dir)
   }
 
   /** DESCRIBE the store — the [[graft.sinks.ParquetIndex.describe]]
@@ -130,7 +207,8 @@ object TermIndex {
     import spark.implicits._
     val posts = spark.read.parquet(s"$dir/postings")
     val doclen = spark.read.parquet(s"$dir/doclen")
-    val liveLen = Tombstones.minus(spark, dir, doclen, "doc_id")
+    val liveLen = Tombstones.minus(spark, dir, doclen, "doc_id",
+      genCol = Some("gen"))
     val pr = posts.agg(count(lit(1)), countDistinct(col("t_b")),
       countDistinct(col("term"))).head()
     val dr = doclen.agg(count(lit(1))).head()
@@ -210,10 +288,13 @@ object TermIndex {
     // from a rebuild on the post-delete corpus. The subtraction sits
     // ABOVE the observe node: postings_rows_read reports what the scan
     // actually read, tombstoned or not.
-    val pruned = Tombstones.minus(spark, dir, scan, "doc_id")
+    val pruned = Tombstones.minus(spark, dir, scan, "doc_id",
+      genCol = Some("gen"))
       .groupBy("term", "doc_id").agg(max(col("tf")).as("tf"))
     val doclen = Tombstones.minus(spark, dir,
-      spark.read.parquet(s"$dir/doclen"), "doc_id")
+        spark.read.parquet(s"$dir/doclen"), "doc_id",
+        genCol = Some("gen"))
+      .select("doc_id", "dl")
     val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
     // per-term document frequency over the pruned postings (distinct
@@ -276,7 +357,8 @@ object TermIndex {
     val buckets = terms.map(bucketOf).distinct
     val posts = Tombstones.minus(spark, dir,
       spark.read.parquet(s"$dir/postings")
-        .filter(col("t_b").isin(buckets: _*)), "doc_id")
+        .filter(col("t_b").isin(buckets: _*)), "doc_id",
+      genCol = Some("gen"))
     def anchored(term: String, i: Int) = posts
       .filter(col("term") === term)
       .select(col("doc_id"), explode(col("positions")).as("pos"))

@@ -2,12 +2,12 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Shared DELETE lifecycle for the durable serving stores
-  * ([[TermIndex]], [[AnnIndex]]) — the in-engine mirror of the
-  * reference's search-sink delete semantics
+/** Shared DELETE/UPSERT lifecycle for the durable serving stores
+  * ([[TermIndex]], [[AnnIndex]], [[NearDupIndex]]) — the in-engine
+  * mirror of the reference's search-sink delete semantics
   * (elasticsearch_integration.py:453-566, bulk delete by id): a delete
   * APPENDS tombstone ids (cheap — no store rewrite), every serving
   * read SUBTRACTS them, and the next [[fold]] (compaction) rewrites
@@ -16,54 +16,160 @@ import org.apache.spark.sql.functions._
   * ([[graft.sinks.ParquetIndex]]'s MOR fold pattern, applied to the
   * pointer-less index stores).
   *
-  * Scale shape: tombstones are bounded by delete volume since the last
-  * fold (bare ids, a few bytes each), so the serving-side subtraction
-  * is a BROADCAST anti-join that reshuffles nothing and leaves the
-  * postings scan's partition pruning untouched; the fold is one
-  * partition-layout-preserving rewrite through
-  * [[graft.sinks.DirCompaction]]'s two-rename swap — a crash at any
-  * point leaves the rows in exactly one of live/tmp/old, and the
-  * tombstone set clears only after every data subdir has folded, so an
-  * interrupted compaction still serves correctly and a re-run finishes
-  * the job (subtracting already-removed ids is a no-op).
+  * GENERATION THRESHOLDS (since r12): each tombstone row carries
+  * `ts_gen` — it hides rows of its id whose write generation (the
+  * stores' [[GenMeta]]-stamped `gen` column) is `<= ts_gen`. Hide-sets
+  * are downward-closed intervals, so deduping a re-tombstoned id by
+  * MAX ts_gen is the exact union. This is what makes upsert-by-id
+  * work WITHOUT a compact between delete and re-add: a delete
+  * tombstones at the store's current generation, and a later upsert
+  * writes at a strictly higher one — visible immediately. Rows/stores
+  * without a generation column are generation 0 (the insert-only
+  * layout), hidden by every tombstone, so the legacy hide-all
+  * semantics ([[NearDupIndex]], pre-r12 tombstone files) are the
+  * degenerate case of the same rule.
+  *
+  * Scale shape: tombstones are bounded by delete/upsert volume since
+  * the last fold (bare ids + a long, a few bytes each), so the
+  * serving-side subtraction is a BROADCAST anti-join that reshuffles
+  * nothing and leaves the postings scan's partition pruning untouched.
+  * The contract is SELF-ENFORCING on two axes: [[append]] merges the
+  * one-file-per-delete accumulation back to a single file past a
+  * count threshold (append-then-drop, crash-safe superset at every
+  * step), and [[minus]] measures the tombstone bytes before planning —
+  * past `spark.graft.tombstone.broadcastBytes` (default 8 MB parquet)
+  * it drops the broadcast hint and lets AQE pick a shuffle anti-join,
+  * so a mass-delete cannot broadcast an over-large frame. The fold is
+  * one partition-layout-preserving rewrite through the tmp/old
+  * two-rename swap — a crash at any point leaves the rows in exactly
+  * one of live/tmp/old, and the tombstone set clears only after every
+  * data subdir has folded, so an interrupted compaction still serves
+  * correctly and a re-run finishes the job (subtracting
+  * already-removed ids is a no-op). Writers are single at a time per
+  * store (the stores' documented discipline); readers racing a merge
+  * or fold see either layout, never a torn one.
   */
 private[operators] object Tombstones {
 
   private val TmpSuffix = ".compact-tmp"
   private val OldSuffix = ".compact-old"
 
+  /** Generation threshold column of a tombstone row (hide gens <= it). */
+  private val GenCol = "ts_gen"
+
+  /** Merge the tombstone dir back to one file past this many files —
+    * each delete/upsert appends one, and between folds every serving
+    * query's anti-join reads them all.
+    */
+  private val MergeAtFiles = 16
+
+  /** Parquet-bytes ceiling for broadcasting the tombstone set; above
+    * it [[minus]] lets AQE plan the anti-join (a mass-delete must not
+    * force-broadcast). Overridable per session for tests/tuning.
+    */
+  private val BroadcastBytesKey = "spark.graft.tombstone.broadcastBytes"
+  private val BroadcastBytesDefault = 8L * 1024 * 1024
+
   def path(dir: String): String = s"$dir/tombstones"
 
   def exists(spark: SparkSession, dir: String): Boolean =
     StoreUtil.exists(spark, path(dir))
 
-  /** Append tombstone ids. Duplicates (re-deleting an id, or an id the
-    * store never held) are harmless: the subtraction is an anti-join.
+  private def hfs(spark: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(fs: FileSystem, p: HPath): Array[HPath] =
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+
+  /** Append tombstone ids hiding generations `<= gen` (default: hide
+    * every generation — the insert-only stores' delete semantics).
+    * Duplicates (re-deleting an id, or an id the store never held) are
+    * harmless: the subtraction is an anti-join and re-tombstoned ids
+    * dedup by max threshold. Past [[MergeAtFiles]] files the set is
+    * merged back to one file: the merged file APPENDS first and the
+    * captured originals drop after, so a crash at any point leaves a
+    * row SUPERSET with the identical hide-set (max-dedup at read).
     */
   def append(spark: SparkSession, dir: String, ids: DataFrame,
-      idCol: String): Unit =
-    ids.select(idCol).distinct()
+      idCol: String, gen: Long = Long.MaxValue): Unit = {
+    ids.select(idCol).distinct().withColumn(GenCol, lit(gen))
       .coalesce(1).write.mode("append").parquet(path(dir))
+    val p = new HPath(path(dir))
+    val fs = hfs(spark, p)
+    val files = dataFiles(fs, p)
+    if (files.length > MergeAtFiles) {
+      readAll(spark, dir)
+        .groupBy(idCol).agg(max(GenCol).as(GenCol))
+        .coalesce(1).write.mode("append").parquet(path(dir))
+      files.foreach(f => fs.delete(f, false): Unit)
+    }
+  }
 
-  /** Serving-side subtraction: `df` minus the tombstoned ids. No
-    * tombstones → `df` unchanged (the common case pays one existence
-    * check and keeps its exact plan, so the pinned plan shapes of
-    * tombstone-free stores are unaffected).
+  /** The tombstone set with `ts_gen` normalized: legacy rows (files
+    * written before the generation column existed) read as null
+    * through the merged schema and mean "hide everything".
+    */
+  private def readAll(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(path(dir))
+    if (raw.columns.contains(GenCol))
+      raw.withColumn(GenCol, coalesce(col(GenCol), lit(Long.MaxValue)))
+    else raw.withColumn(GenCol, lit(Long.MaxValue))
+  }
+
+  /** Hint the tombstone side for the anti-join: broadcast while the
+    * set is small (the common bounded-by-delete-volume case — plan
+    * shape unchanged vs pre-guard), plain past the byte ceiling so AQE
+    * picks the join for a mass-delete.
+    */
+  private def sized(spark: SparkSession, dir: String,
+      tomb: DataFrame): DataFrame = {
+    val p = new HPath(path(dir))
+    val fs = hfs(spark, p)
+    val bytes = dataFiles(fs, p).map(fs.getFileStatus(_).getLen).sum
+    val ceiling = spark.conf.getOption(BroadcastBytesKey)
+      .map(_.toLong).getOrElse(BroadcastBytesDefault)
+    if (bytes <= ceiling) broadcast(tomb) else tomb
+  }
+
+  /** Serving-side subtraction: `df` minus the tombstone-hidden rows.
+    * With `genCol` (and `df` carrying it), a row hides iff SOME
+    * tombstone of its id has `ts_gen >= row.gen` — upserted rows at a
+    * higher generation survive their own id's older tombstones.
+    * Without it, `df`'s rows are generation 0 and every tombstone of
+    * the id hides them (ts_gen is never negative), so the plain
+    * id-anti-join is exact. No tombstones → `df` unchanged (the common
+    * case pays one existence check and keeps its exact plan, so the
+    * pinned plan shapes of tombstone-free stores are unaffected).
     */
   def minus(spark: SparkSession, dir: String, df: DataFrame,
-      idCol: String): DataFrame =
-    if (exists(spark, dir))
-      df.join(broadcast(spark.read.parquet(path(dir)).select(idCol)),
-        Seq(idCol), "left_anti")
-    else df
+      idCol: String, genCol: Option[String] = None): DataFrame =
+    if (!exists(spark, dir)) df
+    else genCol.filter(df.columns.contains) match {
+      case Some(g) =>
+        val tomb = readAll(spark, dir)
+          .groupBy(idCol).agg(max(GenCol).as(GenCol))
+          .withColumnRenamed(idCol, "__ts_id")
+        val t = sized(spark, dir, tomb)
+        val cond: Column = df(idCol) === t("__ts_id") &&
+          coalesce(df(g), lit(0L)) <= t(GenCol)
+        df.join(t, cond, "left_anti")
+      case None =>
+        df.join(sized(spark, dir, readAll(spark, dir).select(idCol)),
+          Seq(idCol), "left_anti")
+    }
 
-  /** Rewrite `dir/$sub` without the tombstoned rows, preserving its
-    * partition layout, via the tmp/old two-rename swap (recovering an
-    * interrupted earlier swap first). No-op when the store carries no
-    * tombstones.
+  /** Rewrite `dir/$sub` without the tombstone-hidden rows, preserving
+    * its partition layout, via the tmp/old two-rename swap (recovering
+    * an interrupted earlier swap first). No-op when the store carries
+    * no tombstones.
     */
   def fold(spark: SparkSession, dir: String, sub: String, idCol: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String],
+      genCol: Option[String] = None): Unit = {
     if (!exists(spark, dir)) return
     val base = new HPath(s"$dir/$sub")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,7 +182,7 @@ private[operators] object Tombstones {
     // silently DROP a newer era's columns from the rewritten store
     val kept = minus(spark, dir,
       spark.read.option("mergeSchema", "true").parquet(base.toString),
-      idCol)
+      idCol, genCol)
     // the tmp parquet commit fully executes the filtered plan BEFORE
     // the first rename — the live dir is never touched while a plan
     // still reads it
@@ -97,6 +203,14 @@ private[operators] object Tombstones {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, true): Unit
   }
+
+  /** Tombstone rows currently pending (0 without a set) — the debt
+    * numerator the stores' ratio-triggered auto-fold alarms on.
+    */
+  def pendingRows(spark: SparkSession, dir: String): Long =
+    if (exists(spark, dir))
+      spark.read.parquet(path(dir)).count()
+    else 0L
 
   /** Repair an interrupted swap of `base` —
     * [[graft.sinks.DirCompaction]]'s state table: live dir present →

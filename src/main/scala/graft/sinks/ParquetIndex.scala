@@ -276,14 +276,29 @@ final class ParquetIndex(root: String, keep: Int = 2,
       expectedBase: Option[String]): Option[String] = {
     val id = writeSnapshotDir(df)
     val won = withCommitLock {
-      if (currentId == expectedBase) { commitUnlocked(id): Unit; true }
-      else false
+      if (currentId == expectedBase) {
+        try { commitUnlocked(id): Unit }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // the pointer move is the commit point; a failure AFTER it
+            // (commitUnlocked's prune of expired snapshots) must not
+            // mask a durable commit as a lost race — callers like
+            // commitWithRetry would re-derive against the committed
+            // state and apply a non-idempotent derive twice
+            if (!currentId.contains(id)) throw e
+        }
+        true
+      } else false
     }
     if (!won) {
       deleteRec(Paths.get(root, s"snap-$id"))
       None
     } else {
-      expectedBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
+      // post-commit cleanup only: the old base's consumed MOR log is
+      // orphan garbage once the pointer moved — an IO failure here
+      // leaks a directory (re-deletable later), never the commit
+      try expectedBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
+      catch { case scala.util.control.NonFatal(_) => () }
       Some(id)
     }
   }
