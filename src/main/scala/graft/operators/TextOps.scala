@@ -1716,7 +1716,15 @@ object TextOps {
     * `corpusWhere` restricts the corpus (the deleted-store oracles
     * score against the post-delete corpus — n, avgdl and df all move).
     */
-  private[graft] def bm25CtesSqlOn(corpusWhere: String): String = {
+  private[graft] def bm25CtesSqlOn(corpusWhere: String): String =
+    bm25CtesSqlFrom(
+      s"SELECT doc_id, text FROM documents WHERE $corpusWhere")
+
+  /** The same CTE body over an ARBITRARY (doc_id, text) corpus
+    * subquery — the reindexed-store oracle scores against a corpus
+    * whose rows are filtered AND whose text is rewritten per doc.
+    */
+  private[graft] def bm25CtesSqlFrom(corpusSql: String): String = {
     val tfSelects = bmTerms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter($duckToks, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(", ")
@@ -1725,7 +1733,7 @@ object TextOps {
       .mkString(", ")
     s"""d AS (
        |  SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, $tfSelects
-       |  FROM documents WHERE $corpusWhere),
+       |  FROM ($corpusSql) corpus),
        |st AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfSelects
        |  FROM d)""".stripMargin
@@ -1740,7 +1748,11 @@ object TextOps {
         .stripMargin).mkString(" + ")
 
   private def bm25TopkSqlOn(corpusWhere: String): String =
-    s"""WITH ${bm25CtesSqlOn(corpusWhere)}
+    bm25TopkSqlFrom(
+      s"SELECT doc_id, text FROM documents WHERE $corpusWhere")
+
+  private def bm25TopkSqlFrom(corpusSql: String): String =
+    s"""WITH ${bm25CtesSqlFrom(corpusSql)}
        |SELECT doc_id, round($bm25ScoreExprSql, 4) AS score
        |FROM d, st
        |WHERE round($bm25ScoreExprSql, 4) > 0
@@ -1852,6 +1864,105 @@ object TextOps {
   def bm25Compacted(spark: SparkSession, sfDir: String): DataFrame =
     TermIndex.search(spark, termIndexCompactedFor(spark, sfDir),
       bmTerms, k = 20)
+
+  // -------------------------------------------------------------------- //
+  // UPSERT-BY-ID (re-index) lifecycle: the store replays the loop a      //
+  // curation pipeline actually runs — delete a contaminated doc, re-add  //
+  // its cleaned version, overwrite live docs in place — with NO compact  //
+  // anywhere, and must serve bit-identically to a from-scratch build on  //
+  // the final corpus (the ES sink's `{"index": {_id}}` overwrite-by-id   //
+  // semantics, elasticsearch_integration.py:403-409).                    //
+  // -------------------------------------------------------------------- //
+
+  /** Reindex-scenario predicates, mirrored in [[bm25TopkReindexedSql]]:
+    * deleted = [[delPred]] (doc_id % 7 == 3); RE-ADDED = its odd half,
+    * upserted back AFTER the delete with doubled text; UPDATED =
+    * doc_id % 11 == 5 outside the deleted set, overwritten live with
+    * doubled text. Doubling (`text || ' ' || text`) moves tf, dl,
+    * avgdl and df all at once, so a stale generation anywhere in the
+    * serving read shifts scores corpus-wide.
+    */
+  private val reAddPred = delPred && col("doc_id") % 2 === 1
+  private val reUpdPred = col("doc_id") % 11 === 5 && !delPred
+
+  private def doubledText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "), col("text")).as("text"))
+
+  /** [[termIndexFor]]'s UPSERT twin: two-half build, delete every 7th
+    * doc, then two upserts — generations 1 and 2 — re-adding the
+    * deleted odd half and overwriting the %11 live slice, both with
+    * doubled text. No compact: serving must subtract exactly the
+    * superseded generations.
+    */
+  private val termIndexReixCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def termIndexReindexedFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(termIndexReixCache, sfDir,
+      "graft-termindex-reix") { dir =>
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+      TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
+      TermIndex.upsert(spark, dir, doubledText(docs.filter(reAddPred)))
+      TermIndex.upsert(spark, dir, doubledText(docs.filter(reUpdPred)))
+    }
+
+  /** [[termIndexReindexedFor]] COMPACTED: the superseded generations
+    * and deleted docs physically fold out; serving runs the plain
+    * no-tombstone path and must still match the same oracle
+    * bit-for-bit (fold ≡ subtraction, the `docs_bm25_compacted`
+    * discipline for upserts).
+    */
+  private val termIndexReixcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def termIndexReindexCompactedFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(termIndexReixcCache, sfDir,
+      "graft-termindex-reixc") { dir =>
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+      TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
+      TermIndex.upsert(spark, dir, doubledText(docs.filter(reAddPred)))
+      TermIndex.upsert(spark, dir, doubledText(docs.filter(reUpdPred)))
+      TermIndex.compact(spark, dir)
+    }
+
+  /** BM25 from the store after the delete → re-add → overwrite loop —
+    * gated against from-scratch BM25 on the post-upsert corpus (the
+    * re-added docs must count ONCE with their new text; the
+    * overwritten docs' old generations must stop influencing
+    * n/avgdl/df entirely).
+    */
+  def bm25Reindexed(spark: SparkSession, sfDir: String): DataFrame =
+    TermIndex.search(spark, termIndexReindexedFor(spark, sfDir),
+      bmTerms, k = 20)
+
+  /** The same search after [[TermIndex.compact]] folded the upsert
+    * history out — zero tombstones, zero superseded rows left.
+    */
+  def bm25ReindexCompacted(spark: SparkSession, sfDir: String): DataFrame =
+    TermIndex.search(spark, termIndexReindexCompactedFor(spark, sfDir),
+      bmTerms, k = 20)
+
+  /** The post-UPSERT oracle: from-scratch BM25 on the final corpus —
+    * rows = NOT deleted OR re-added; text doubled for re-added and
+    * updated docs (the same predicates [[termIndexReindexedFor]]
+    * replays against the store).
+    */
+  val bm25TopkReindexedSql: String = bm25TopkSqlFrom(
+    """SELECT doc_id,
+      |  CASE WHEN (doc_id % 7 = 3 AND doc_id % 2 = 1)
+      |         OR (doc_id % 11 = 5 AND doc_id % 7 <> 3)
+      |       THEN text || ' ' || text ELSE text END AS text
+      |FROM documents
+      |WHERE NOT (doc_id % 7 = 3) OR doc_id % 2 = 1""".stripMargin)
 
   // -------------------------------------------------------------------- //
   // Deterministic content-addressed train/val/test split: the hash of    //
@@ -4170,6 +4281,8 @@ object TextOps {
     "docs_bm25_indexed" -> bm25Indexed,
     "docs_bm25_indexed_deleted" -> bm25IndexedDeleted,
     "docs_bm25_compacted" -> bm25Compacted,
+    "docs_bm25_reindexed" -> bm25Reindexed,
+    "docs_bm25_reindex_compacted" -> bm25ReindexCompacted,
     "docs_phrase_indexed" -> phraseIndexed,
     "docs_hash_split" -> hashSplit,
     "docs_token_packing" -> tokenPacking,
@@ -4248,6 +4361,9 @@ object TextOps {
     "docs_bm25_indexed" -> bm25TopkSql,
     "docs_bm25_indexed_deleted" -> bm25TopkDeletedSql,
     "docs_bm25_compacted" -> bm25TopkDeletedSql,
+    // the compacted twin is lossless — identical output, same oracle
+    "docs_bm25_reindexed" -> bm25TopkReindexedSql,
+    "docs_bm25_reindex_compacted" -> bm25TopkReindexedSql,
     "docs_phrase_indexed" -> phraseSearchSql,
     "docs_hash_split" -> hashSplitSql,
     "docs_token_packing" -> tokenPackingSql,

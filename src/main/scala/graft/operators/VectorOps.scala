@@ -1951,14 +1951,17 @@ object VectorOps {
       .orderBy("q_id", "rank")
 
   /** `candWhere` restricts the candidate set — the post-delete oracle
-    * scores against the corpus minus the tombstoned ids.
+    * scores against the corpus minus the tombstoned ids. `corpusFrom`
+    * swaps the corpus source — the post-upsert oracle scores against
+    * embeddings rewritten per vec_id.
     */
-  private def binaryHammingSqlOn(candWhere: String): String =
+  private def binaryHammingSqlOn(candWhere: String,
+      corpusFrom: String = "embeddings"): String =
     s"""WITH b AS (
        |  SELECT vec_id, label,
        |    ${duckSignWord(1)} AS b_lo,
        |    ${duckSignWord(33)} AS b_hi
-       |  FROM embeddings),
+       |  FROM $corpusFrom),
        |q AS (SELECT vec_id AS q_id, b_lo AS q_lo, b_hi AS q_hi
        |      FROM b WHERE vec_id < 5),
        |s AS (
@@ -2104,6 +2107,109 @@ object VectorOps {
 
   val hammingIndexedDeletedSql: String = binaryHammingSqlOn(
     "b.vec_id >= 5 AND NOT (b.vec_id >= 9 AND b.vec_id % 7 = 3)")
+
+  /** [[annIndexFor]]'s UPSERT twin — the vector-store half of the
+    * re-index lifecycle ([[TextOps.termIndexReindexedFor]]'s
+    * discipline): two-phase build, delete every 7th candidate, then
+    * two upserts with NEGATED embeddings — re-adding the deleted odd
+    * half (no compact between delete and re-add) and overwriting the
+    * %11 live slice. Negation flips every sign bit of a vector's
+    * Hamming sketch AND moves its cell assignment, so a stale
+    * generation served from ANY cell shifts the ranking. Seeds (1–8)
+    * and query ids (< 5) are never touched.
+    */
+  private def negatedEmb(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> -x)").as("embedding"),
+      col("label"))
+
+  private val annDelPred =
+    col("vec_id") >= 9 && col("vec_id") % 7 === 3
+  private val annReAddPred = annDelPred && col("vec_id") % 2 === 1
+  private val annReUpdPred =
+    col("vec_id") >= 9 && col("vec_id") % 11 === 5 &&
+      !(col("vec_id") % 7 === 3)
+
+  private def buildReindexedStore(spark: SparkSession, sfDir: String,
+      dir: String): Unit = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    AnnIndex.build(spark, dir,
+      emb.filter(col("vec_id").between(1, 8) ||
+        (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
+    AnnIndex.update(spark, dir,
+      emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
+    AnnIndex.delete(spark, dir, emb.filter(annDelPred).select("vec_id"))
+    AnnIndex.upsert(spark, dir, negatedEmb(emb.filter(annReAddPred)))
+    AnnIndex.upsert(spark, dir, negatedEmb(emb.filter(annReUpdPred)))
+  }
+
+  private val annIndexReixCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def annIndexReindexedFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(annIndexReixCache, sfDir,
+      "graft-annindex-reix")(buildReindexedStore(spark, sfDir, _))
+
+  /** [[annIndexReindexedFor]] COMPACTED: superseded generations and
+    * deleted vectors physically fold out of the cell partitions; the
+    * rewritten store must serve the identical post-upsert ranking with
+    * zero tombstones left.
+    */
+  private val annIndexReixcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def annIndexReindexCompactedFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(annIndexReixcCache, sfDir,
+      "graft-annindex-reixc") { dir =>
+      buildReindexedStore(spark, sfDir, dir)
+      AnnIndex.compact(spark, dir)
+    }
+
+  /** [[hammingIndexed]] over the post-UPSERT store — the
+    * generation-subtracted serving read, gated against a from-scratch
+    * Hamming top-k on the corpus with the upserted vectors' embeddings
+    * rewritten: every superseded generation must vanish and every
+    * upserted vector must rank by its NEW sketch.
+    */
+  def hammingReindexed(spark: SparkSession, sfDir: String): DataFrame =
+    hammingServedFrom(spark, sfDir, annIndexReindexedFor(spark, sfDir))
+
+  /** The same ranking served from the compacted store. */
+  def hammingReindexCompacted(spark: SparkSession,
+      sfDir: String): DataFrame =
+    hammingServedFrom(spark, sfDir,
+      annIndexReindexCompactedFor(spark, sfDir))
+
+  private def hammingServedFrom(spark: SparkSession, sfDir: String,
+      dir: String): DataFrame = {
+    val qsk = signSketches(
+      Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 5))
+    val cand = AnnIndex.servingPostings(spark, dir)
+      .select("vec_id", "label", "b_lo", "b_hi")
+      .filter(col("vec_id") >= 5)
+    binaryTopkOn(qsk.unionByName(cand))
+      .select(col("q_id"), col("vec_id"), col("label"), col("hamming"),
+        col("rk").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The post-upsert oracle: sketches from the REWRITTEN corpus
+    * (re-added + overwritten ids negated), candidates minus the
+    * still-deleted even half — the exact predicates
+    * [[buildReindexedStore]] replays against the store.
+    */
+  val hammingReindexedSql: String = binaryHammingSqlOn(
+    "b.vec_id >= 5 AND NOT (b.vec_id >= 9 AND b.vec_id % 7 = 3 " +
+      "AND b.vec_id % 2 = 0)",
+    corpusFrom =
+      """(SELECT vec_id, label,
+        |   CASE WHEN (vec_id >= 9 AND vec_id % 7 = 3 AND vec_id % 2 = 1)
+        |          OR (vec_id >= 9 AND vec_id % 11 = 5 AND vec_id % 7 <> 3)
+        |        THEN list_transform(embedding, x -> -x)
+        |        ELSE embedding END AS embedding
+        | FROM embeddings) emb2""".stripMargin)
 
   /** Store-served TWO-STAGE binary serving — [[hammingIndexed]] is
     * stage one only; this adds the exact re-rank, both stages reading
@@ -2429,6 +2535,8 @@ object VectorOps {
     "ann_hamming_rerank" -> binaryRerank,
     "ann_hamming_indexed" -> hammingIndexed,
     "ann_hamming_indexed_deleted" -> hammingIndexedDeleted,
+    "ann_hamming_reindexed" -> hammingReindexed,
+    "ann_hamming_reindex_compacted" -> hammingReindexCompacted,
     "ann_hamming_indexed_rerank" -> hammingIndexedRerank,
     "ann_topk_brute" -> topkBrute,
     "ann_topk_bucketed" -> topkBucketed,
@@ -2465,6 +2573,9 @@ object VectorOps {
     // store-served twin must reproduce the batch top-k exactly
     "ann_hamming_indexed" -> binaryHammingSql,
     "ann_hamming_indexed_deleted" -> hammingIndexedDeletedSql,
+    // the compacted twin is lossless — identical output, same oracle
+    "ann_hamming_reindexed" -> hammingReindexedSql,
+    "ann_hamming_reindex_compacted" -> hammingReindexedSql,
     // store-served two-stage re-rank shares the batch re-rank oracle
     "ann_hamming_indexed_rerank" -> binaryRerankSql,
     "ann_topk_brute" -> topkBruteSql,

@@ -541,6 +541,79 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(!ids.contains(victim))
   }
 
+  test("manifest candidate read pushes the batch id-range filter to " +
+      "parquet — membership never pulls the full append history") {
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val dir = Files.createTempDirectory("annidx_manpush").toString
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") > 0),
+      lloydRounds = 0)
+    val df = AnnIndex.manifestCandidates(spark, dir, 5L, 10L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(max_id,5)"), plan)
+    assert(plan.contains("LessThanOrEqual(min_id,10)"), plan)
+    // a batch whose range is DISJOINT from the store loads no rows
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    assert(AnnIndex.manifestCandidates(spark, dir, hi + 1, hi + 100)
+      .count() == 0L)
+  }
+
+  test("upsert lifecycle: delete -> re-add -> live overwrite, every " +
+      "serving tier matches a fresh store on the modified corpus with " +
+      "NO compact; compact folds generations physically") {
+    import spark.implicits._
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val dir = Files.createTempDirectory("annidx_up").toString
+    // lloydRounds = 0 (the pure seeded quantizer) so the fresh
+    // reference store trains IDENTICAL centroids (seeds are never
+    // modified) — at nprobe = all cells every tier's ranking is then
+    // corpus-determined, making the two stores bit-comparable across
+    // exact, ADC, Hamming and matryoshka
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") > 0),
+      lloydRounds = 0)
+    val delP = col("vec_id") >= 9 && col("vec_id") % 7 === 3
+    val readdP = delP && col("vec_id") % 2 === 1
+    val updP = col("vec_id") >= 9 && col("vec_id") % 11 === 5 &&
+      !(col("vec_id") % 7 === 3)
+    def negated(p: org.apache.spark.sql.Column) = emb.filter(p)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"),
+        col("label"))
+    AnnIndex.delete(spark, dir, emb.filter(delP).select("vec_id"))
+    AnnIndex.upsert(spark, dir, negated(readdP))
+    AnnIndex.upsert(spark, dir, negated(updP))
+    assert(StoreUtil.exists(spark, s"$dir/tombstones"))
+    // fresh store on the corpus with the upserts applied from scratch
+    val modCorpus = emb.filter(col("vec_id") > 0 && (!delP || readdP))
+      .select(col("vec_id"),
+        when(readdP || updP, expr("transform(embedding, x -> -x)"))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    val ref = Files.createTempDirectory("annidx_upref").toString
+    AnnIndex.build(spark, ref, modCorpus, lloydRounds = 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val qdf = Seq((0L, q)).toDF("q_id", "qe")
+    def served(d: String): Seq[Seq[Long]] = Seq(
+      AnnIndex.search(spark, d, q, k = 10, nprobe = 8),
+      AnnIndex.searchAdc(spark, d, q, k = 10, nprobe = 8),
+      AnnIndex.searchHamming(spark, d, q, k = 10, nprobe = 8),
+      AnnIndex.searchMatryoshka(spark, d, q, k = 10, nprobe = 8),
+      AnnIndex.searchAllHamming(spark, d, qdf, k = 10, nprobe = 8))
+      .map(_.collect().map(_.getAs[Long]("vec_id")).toSeq)
+    assert(served(dir) == served(ref))
+    // an upserted vector re-quantized under its NEW embedding — ids
+    // that moved cells must exist in exactly one (the new) cell among
+    // the LIVE rows
+    val pre = served(dir)
+    AnnIndex.compact(spark, dir)
+    assert(!StoreUtil.exists(spark, s"$dir/tombstones"))
+    assert(served(dir) == pre)
+    val posts = spark.read.parquet(s"$dir/postings")
+    assert(posts.count() == posts.select("vec_id").distinct().count())
+    assert(posts.count() == modCorpus.count())
+  }
+
   test("metadata-era evolution: a later batch may ADD columns (old " +
       "rows read null), serving tiers stay bit-identical, rebuild and " +
       "the tombstone fold carry the era, and the snapshot-store " +

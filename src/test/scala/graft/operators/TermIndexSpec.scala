@@ -233,6 +233,74 @@ class TermIndexSpec extends SparkSpecBase {
     assert(occ(Seq("w", "w")) == Map(2L -> 3L))
   }
 
+  test("upsert lifecycle: delete -> re-add -> live overwrite serves a " +
+      "from-scratch-identical result with NO compact in between") {
+    val dir = Files.createTempDirectory("termidx_up").toString
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+    TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    val del = col("doc_id") % 7 === 3
+    val readd = del && col("doc_id") % 2 === 1
+    val upd = col("doc_id") % 11 === 5 && !del
+    def doubled(p: org.apache.spark.sql.Column) = docs.filter(p)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    TermIndex.delete(spark, dir, docs.filter(del).select("doc_id"))
+    TermIndex.upsert(spark, dir, doubled(readd))
+    TermIndex.upsert(spark, dir, doubled(upd))
+    // deliberately NO compact: generations must subtract at read
+    assert(StoreUtil.exists(spark, s"$dir/tombstones"))
+    // oracle: a from-scratch store on the final corpus
+    val finalCorpus = docs.filter(!del || readd)
+      .select(col("doc_id"),
+        when(readd || upd, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val ref = Files.createTempDirectory("termidx_upref").toString
+    TermIndex.update(spark, ref, finalCorpus)
+    def res(d: String) = TermIndex.search(spark, d, TextOps.bmTerms, 10000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def phrase(d: String) = TermIndex.phraseSearch(spark, d,
+      "order", "order", k = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(res(dir) == res(ref))
+    // phrase serving subtracts superseded generations too (doubling a
+    // doc changes its adjacency counts — a stale generation would show)
+    assert(phrase(dir) == phrase(ref))
+    // compact folds the upsert history physically; serving unchanged;
+    // exactly one doclen row per live doc remains
+    val expected = res(dir)
+    TermIndex.compact(spark, dir)
+    assert(!StoreUtil.exists(spark, s"$dir/tombstones"))
+    assert(res(dir) == expected)
+    val dl = spark.read.parquet(s"$dir/doclen")
+    assert(dl.count() == dl.select("doc_id").distinct().count())
+    assert(dl.count() == finalCorpus.count())
+  }
+
+  test("upsert inserts absent ids, overwrites present ones, and " +
+      "re-adds deleted ones; update stays insert-if-absent beside it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("termidx_up2").toString
+    TermIndex.update(spark, dir,
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"))
+    // overwrite 1, insert 3, in one call
+    TermIndex.upsert(spark, dir,
+      Seq((1L, "delta delta"), (3L, "alpha alpha")).toDF("doc_id", "text"))
+    // update of a present id must NOT downgrade the upserted text
+    TermIndex.update(spark, dir, Seq((1L, "stale text")).toDF("doc_id", "text"))
+    def hits(term: String) = TermIndex.search(spark, dir, Seq(term), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits("delta") == Set(1L))
+    assert(hits("alpha") == Set(3L)) // doc 1's old alpha is superseded
+    assert(hits("beta") == Set(2L))
+    assert(hits("stale").isEmpty)
+    // delete then upsert re-adds IMMEDIATELY — no compact between
+    TermIndex.delete(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(hits("gamma").isEmpty)
+    TermIndex.upsert(spark, dir, Seq((2L, "epsilon")).toDF("doc_id", "text"))
+    assert(hits("epsilon") == Set(2L))
+    assert(hits("gamma").isEmpty) // the pre-delete generation stays hidden
+  }
+
   test("a DELETE stream drained through foreachBatch tombstones " +
       "incrementally; serving tracks the post-delete corpus per batch") {
     import spark.implicits._
