@@ -480,6 +480,19 @@ object EventsOps {
         expr("size(filter(array_intersect(sk_a, sk_b), " +
           "h -> h < theta_l))").cast("double") *
           lit(maxL.toDouble) / col("theta_l").cast("double"))
+      // SET DIFFERENCE completes the algebra — the "new tokens this
+      // grain" audit estimator: sample A's hashes below the shared θ
+      // that B's sample lacks, scaled by the same 1/θ (exact below k,
+      // like the intersection; NOT |A| − |A∩B| over two different
+      // θ-scalings, whose errors don't cancel)
+      .withColumn("diff_ab_est",
+        expr("size(filter(array_except(sk_a, sk_b), " +
+          "h -> h < theta_l))").cast("double") *
+          lit(maxL.toDouble) / col("theta_l").cast("double"))
+      .withColumn("diff_ba_est",
+        expr("size(filter(array_except(sk_b, sk_a), " +
+          "h -> h < theta_l))").cast("double") *
+          lit(maxL.toDouble) / col("theta_l").cast("double"))
       .withColumn("sk_u", expr(
         s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $k)"))
       .withColumn("card_a_est", cardOf("sk_a"))
@@ -490,7 +503,8 @@ object EventsOps {
           hll_sketch_estimate(col("hll_b")) -
           hll_sketch_estimate(hll_union(col("hll_a"), col("hll_b"))))
       .select(col("n_a"), col("n_b"), col("exact_overlap"),
-        col("theta_est"), col("card_a_est"), col("card_b_est"),
+        col("theta_est"), col("diff_ab_est"), col("diff_ba_est"),
+        col("card_a_est"), col("card_b_est"),
         col("union_est"), col("ie_est"))
   }
 
@@ -553,6 +567,76 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** CROSS-GRAIN theta intersection over the rolled-up sketches — what
+    * the lossless KMV merge ([[kmvRollup]]) actually buys: the same
+    * per-(event_type, day) partials merge to a PER-TYPE grain and a
+    * PER-DAY grain, and any sketch from one grain intersects any
+    * sketch from the other ("users of type T who were active on day
+    * D") — |types| × |days| audit cells from kilobyte columns, the raw
+    * rows touched exactly ONCE to build the partials. Register-max HLL
+    * rollups cannot answer this at all (no intersection operator);
+    * re-scanning raw data per cell would be |types|·|days| corpus
+    * passes. Estimator: the shared-θ intersection rule of
+    * [[sketchThetaRaw]], exact below k (test scale), ±5%-floor-2
+    * gated per cell against the exact join.
+    */
+  def kmvCrossGrain(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 4096
+    val maxL = Long.MaxValue
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr(s"xxhash64(user_id) & ${maxL}L").as("h"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    // the SAME ingest-time partial table kmvRollup merges
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+      .localCheckpoint(true)
+    def grain(key: String) = daily
+      .select(col(key), explode(col("sk")).as("h"))
+      .groupBy(key)
+      .agg(expr(s"kmv_sketch(h, $k)").as(s"sk_$key"))
+    def thetaOf(sk: String) =
+      when(size(col(sk)) < k, lit(maxL))
+        .otherwise(element_at(col(sk), size(col(sk))).cast("long"))
+    // |types| × |days| sketch rows — both sides kilobyte frames; the
+    // cross is the audit matrix itself, not a data join
+    val cells = grain("event_type")
+      .crossJoin(broadcast(grain("day")))
+      .withColumn("theta_l",
+        least(thetaOf("sk_event_type"), thetaOf("sk_day")))
+      .withColumn("cross_est",
+        expr("size(filter(array_intersect(sk_event_type, sk_day), " +
+          "h -> h < theta_l))").cast("double") *
+          lit(maxL.toDouble) / col("theta_l").cast("double"))
+      .select("event_type", "day", "cross_est")
+    // exact oracle join: users of the type ∩ users active on the day
+    val tu = Tables(spark, sfDir, "events")
+      .select("event_type", "user_id").distinct()
+    val du = Tables(spark, sfDir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id")).distinct()
+    val exact = tu.join(du, Seq("user_id"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("exact_cross"))
+    cells.join(exact, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("exact_cross"),
+        (abs(col("cross_est") - col("exact_cross")).cast("double") <=
+          greatest(col("exact_cross") * lit(0.05), lit(2.0)))
+          .as("cross_ok"))
+      .orderBy("event_type", "day")
+  }
+
+  val kmvCrossGrainSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |du AS (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d')
+      |         AS day, user_id FROM events)
+      |SELECT tu.event_type, du.day, count(*) AS exact_cross,
+      |  true AS cross_ok
+      |FROM tu JOIN du ON tu.user_id = du.user_id
+      |GROUP BY tu.event_type, du.day
+      |ORDER BY event_type, day""".stripMargin
+
   def sketchTheta(spark: SparkSession, sfDir: String): DataFrame = {
     def okVs(est: String, exact: org.apache.spark.sql.Column) =
       abs(col(est) - exact).cast("double") <=
@@ -560,6 +644,10 @@ object EventsOps {
     sketchThetaRaw(spark, sfDir)
       .select(col("n_a"), col("n_b"), col("exact_overlap"),
         okVs("theta_est", col("exact_overlap")).as("theta_ok"),
+        okVs("diff_ab_est",
+          col("n_a") - col("exact_overlap")).as("diff_ab_ok"),
+        okVs("diff_ba_est",
+          col("n_b") - col("exact_overlap")).as("diff_ba_ok"),
         okVs("card_a_est", col("n_a")).as("card_a_ok"),
         okVs("card_b_est", col("n_b")).as("card_b_ok"),
         okVs("union_est",
@@ -575,7 +663,8 @@ object EventsOps {
       |  (SELECT count(*) FROM b) AS n_b,
       |  (SELECT count(*) FROM (SELECT m FROM a INTERSECT SELECT m FROM b))
       |    AS exact_overlap,
-      |  true AS theta_ok, true AS card_a_ok, true AS card_b_ok,
+      |  true AS theta_ok, true AS diff_ab_ok, true AS diff_ba_ok,
+      |  true AS card_a_ok, true AS card_b_ok,
       |  true AS union_ok""".stripMargin
 
   /** Exact counts and fan-in are replayed cell-exact; the merged-estimate
@@ -1180,6 +1269,7 @@ object EventsOps {
     "events_sketch_rollup" -> sketchRollup,
     "events_sketch_theta" -> sketchTheta,
     "events_kmv_rollup" -> kmvRollup,
+    "events_kmv_cross_grain" -> kmvCrossGrain,
     "events_sketch_overlap" -> sketchOverlap,
     "events_top_users" -> topUsersPerType,
     "events_top_users_native" -> topUsersPerTypeNative,
@@ -1200,6 +1290,7 @@ object EventsOps {
     "events_sketch_rollup" -> sketchRollupSql,
     "events_sketch_theta" -> sketchThetaSql,
     "events_kmv_rollup" -> sketchRollupSql,
+    "events_kmv_cross_grain" -> kmvCrossGrainSql,
     "events_sketch_overlap" -> sketchOverlapSql,
     "events_json_extract" -> jsonExtractSql,
     "events_hourly_window" -> hourlyWindowSql,

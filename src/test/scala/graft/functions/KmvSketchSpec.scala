@@ -102,6 +102,27 @@ class KmvSketchSpec extends SparkSpecBase {
     val unionEst = cardEstimate(skU)
     assert(math.abs(unionEst - unionTrue) <= unionTrue * 0.10,
       s"union $unionEst vs $unionTrue")
+
+    // SET DIFFERENCE under the same shared θ: sample A's hashes below
+    // θ that B's sample lacks, scaled 1/θ — the "new ids this grain"
+    // estimator; its error scales with |A∖B|'s sample count, not the
+    // set sizes (here |A∖B| is 98% of A, so a generous relative gate)
+    def diffEstimate(x: Array[Long], y: Array[Long]): Double = {
+      def theta(s: Array[Long]) = if (s.length < k) maxL else s.last
+      val t = math.min(theta(x), theta(y))
+      val ys = y.toSet
+      x.count(h => h < t && !ys.contains(h)).toDouble *
+        maxL.toDouble / t.toDouble
+    }
+    val diffTrue = 300000.0 - 6000.0
+    val diffEst = diffEstimate(ska, skb)
+    assert(math.abs(diffEst - diffTrue) <= diffTrue * 0.10,
+      s"diff $diffEst vs $diffTrue")
+    // and exact below k (the unsaturated regime)
+    import spark.implicits._
+    val smallA = (1L to 500L).toDF("m")
+    val smallB = (401L to 900L).toDF("m")
+    assert(diffEstimate(sketchOf(smallA), sketchOf(smallB)) == 400.0)
   }
 
   test("partial re-aggregation is LOSSLESS: re-sketching per-group " +
