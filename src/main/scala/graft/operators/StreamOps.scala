@@ -545,6 +545,67 @@ object StreamOps {
       .orderBy("q_id", "rank")
   }
 
+  // ------------------------------------------------------------------ //
+  // Streaming DELETE drain: inserts AND deletes arrive as streams and  //
+  // drain through foreachBatch into the SAME serving store — the       //
+  // change-feed consumption shape of a curation pipeline (new docs     //
+  // flow in, contamination verdicts flow in behind them), promoted     //
+  // from a spec to an oracle-gated row per the r11 verdict.            //
+  // ------------------------------------------------------------------ //
+
+  private val termStreamDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The stream-fed deleted text store root for `sfDir`, if built in
+    * this JVM (spec inspection surface).
+    */
+  private[operators] def termStreamDelStoreDir(
+      sfDir: String): Option[String] = Option(termStreamDelCache.get(sfDir))
+
+  /** BM25 served from a [[TermIndex]] fed ENTIRELY by streams: the
+    * corpus drains through foreachBatch → [[TermIndex.update]] (one
+    * micro-batch per staged file; membership makes replays no-ops),
+    * then a DELETE id stream drains through [[TermIndex.delete]]
+    * (tombstone appends — re-deleting on recovery replay is harmless,
+    * the same exactly-once-store discipline). The served ranking must
+    * be bit-identical to from-scratch BM25 on the post-delete corpus,
+    * so the row shares `docs_bm25_indexed_deleted`'s oracle verbatim —
+    * deleted docs stop influencing n/avgdl/df, not just the hit list,
+    * even though the store never saw a batch build or a compact.
+    */
+  def streamIndexedDeleted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(termStreamDelCache, sfDir,
+      "graft-termstream-del") { root =>
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      docs.repartition(4, col("doc_id")).write.parquet(s"$root/in")
+      docs.filter(TextOps.delPred).select("doc_id")
+        .repartition(2, col("doc_id")).write.parquet(s"$root/dels")
+      def drain(src: String, ckpt: String)(
+          f: (DataFrame, Long) => Unit): Unit = {
+        val q = spark.readStream
+          .schema(spark.read.parquet(s"$root/$src").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/$src")
+          .writeStream
+          .option("checkpointLocation", s"$root/$ckpt")
+          .outputMode("append")
+          .foreachBatch(f)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain("in", "ckpt_in") { (batch, _) =>
+        TermIndex.update(batch.sparkSession, s"$root/store", batch)
+      }
+      drain("dels", "ckpt_dels") { (batch, _) =>
+        TermIndex.delete(batch.sparkSession, s"$root/store", batch)
+      }
+    }
+    TermIndex.search(spark, s"$dir/store", TextOps.bmTerms, k = 20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_hourly" -> streamHourly,
     "events_stream_sessionize" -> streamSessionize,
@@ -554,7 +615,8 @@ object StreamOps {
     "docs_stream_neardup" -> streamNearDup,
     "fs_stream_index" -> streamIndex,
     "fs_stream_index_mor" -> streamIndexMor,
-    "ann_stream_indexed" -> annStreamIndexed)
+    "ann_stream_indexed" -> annStreamIndexed,
+    "docs_stream_indexed_deleted" -> streamIndexedDeleted)
 
   def oracleSql: Map[String, String] = Map(
     "events_stream_hourly" -> EventsOps.hourlyWindowSql,
@@ -569,5 +631,7 @@ object StreamOps {
     // the MOR twin folds to the identical LWW snapshot — same oracle
     "fs_stream_index_mor" -> FsOps.mergeUpsertSql,
     // stream-fed vector store serves the batch binary top-k verbatim
-    "ann_stream_indexed" -> VectorOps.binaryHammingSql)
+    "ann_stream_indexed" -> VectorOps.binaryHammingSql,
+    // stream-fed inserts + deletes fold to the batch post-delete BM25
+    "docs_stream_indexed_deleted" -> TextOps.bm25TopkDeletedSql)
 }
