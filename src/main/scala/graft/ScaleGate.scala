@@ -59,7 +59,13 @@ object ScaleGate {
     val out = root.resolve("verify")
     Files.createDirectories(out)
     val qs = SparkEntry.queries
-    gated.foreach { name =>
+    // SPARK_GRAFT_GATED=a,b,c restricts the gate set — the k=100
+    // (~sf10) decade runs only the three heaviest rows, where dumping
+    // all ten would cost an hour to re-prove the same classes
+    val run = sys.env.get("SPARK_GRAFT_GATED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(gated)
+    run.foreach { name =>
       val t1 = System.nanoTime()
       qs(name)(spark, data.toString).coalesce(1)
         .write.mode("overwrite").parquet(out.resolve(name).toString)
@@ -69,7 +75,7 @@ object ScaleGate {
     def q(s: String): String =
       "\"" + graft.functions.JsonText.esc(s) + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (n, _) => gated.contains(n) }
+      .filter { case (n, _) => run.contains(n) }
       .map { case (n, v) => s"${q(n)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(out.resolve("oracle_sql.json"), json)
     spark.stop()

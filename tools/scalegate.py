@@ -42,6 +42,10 @@ def run_dump():
     ]
     env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
            "SPARK_GRAFT_CPUS": "32"}
+    # pass the gate-subset override through the scrubbed env (the
+    # k=100 decade runs only the heaviest rows)
+    if os.environ.get("SPARK_GRAFT_GATED"):
+        env["SPARK_GRAFT_GATED"] = os.environ["SPARK_GRAFT_GATED"]
     r = subprocess.run(cmd, env=env)
     if r.returncode != 0:
         sys.exit(f"scalegate dump exited {r.returncode}")
