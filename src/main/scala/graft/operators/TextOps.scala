@@ -892,10 +892,13 @@ object TextOps {
     * O(log² n) and in practice track log(diameter), where the
     * min-label fixpoint's rounds track the diameter ITSELF — the
     * chain-of-near-dups regime that cost the fixpoint 11 rounds at 10M
-    * edges converges here in ~4. Each round (since r12) opens with a
-    * RANDOM-MATE contraction (Reif-style deterministic symmetry
-    * breaking — see the hook-ledger comment in the body) so the live
-    * EDGE set also shrinks geometrically in the chain regime, then:
+    * edges converges here in ~4. (An r12 experiment interleaved a
+    * Reif-style RANDOM-MATE contraction into each round so the live
+    * EDGE set would shrink geometrically in the chain regime; measured
+    * SLOWER on every 10M-edge cell — the mate step costs a full
+    * star-pass per round and the shrink never repays it. Negative
+    * result recorded in PERF.md round 12, next to the fixpoint's
+    * pointer-doubling negative below.) Each round:
     *
     *   LARGE-STAR: every node u links each LARGER neighbor to
     *     min(Γ(u) ∪ {u}) — long tails fold onto their local minimum
@@ -918,51 +921,13 @@ object TextOps {
       .select(col("src").as("v"), col("dst").as("m"))
       .distinct()
       .localCheckpoint(true)
-    // RANDOM-MATE hook ledger (node → rep), one row per contracted
-    // node. Star contraction alone halves path LENGTHS per round but a
-    // chain keeps ~|E| live edges until the very last rounds (the
-    // r11-measured 2.2× chain-vs-star gap at 10M edges); the mate step
-    // (Reif's symmetry-breaking contraction, the classic PRAM CC
-    // primitive) makes the live EDGE set shrink geometrically: each
-    // round flips a deterministic per-(node, round) coin, every tail
-    // (odd) hooks onto its minimum head (even) neighbor — heads never
-    // hook, so the round's hooks are a single-level function — and the
-    // edge set rewires through the hooks (a contracted node never
-    // reappears). Expected constant contraction fraction per round on
-    // ANY bounded-degree region, chains included.
-    var hooks: Option[DataFrame] = None
     lastStarRounds.set(0)
-    var round = 0
     var converged = cur.isEmpty // all-singleton input: nothing to do
     while (!converged) {
-      round += 1
       lastStarRounds.incrementAndGet(): Unit
       import org.apache.spark.sql.expressions.Window
-      // ---- random-mate contraction ----
-      val adj0 = cur.select(col("v").as("u"), col("m").as("w"))
+      val adj = cur.select(col("v").as("u"), col("m").as("w"))
         .union(cur.select(col("m").as("u"), col("v").as("w")))
-      def head(c: String) = expr(s"xxhash64($c, $round) % 2 = 0")
-      val hook = adj0.filter(!head("u") && head("w"))
-        .groupBy("u").agg(min("w").as("rep"))
-        .localCheckpoint(true)
-      val curM =
-        if (hook.isEmpty) cur
-        else {
-          hooks = Some(hooks.fold(hook)(_.unionByName(hook))
-            .localCheckpoint(true))
-          cur
-            .join(hook.select(col("u").as("v"), col("rep").as("rv")),
-              Seq("v"), "left")
-            .join(hook.select(col("u").as("m"), col("rep").as("rm")),
-              Seq("m"), "left")
-            .select(coalesce(col("rv"), col("v")).as("a"),
-              coalesce(col("rm"), col("m")).as("b"))
-            .filter(col("a") =!= col("b"))
-            .select(greatest(col("a"), col("b")).as("v"),
-              least(col("a"), col("b")).as("m"))
-            .distinct()
-            .localCheckpoint(true)
-        }
       // each star step is a WINDOW MIN over the node's partition — ONE
       // exchange of the edge frame per step, where a groupBy(min) +
       // join costs the aggregate's exchange AND a second shuffle of
@@ -970,8 +935,6 @@ object TextOps {
       // combines, so the planner can never reuse it for the join
       // side). Duplicates out of large-star (the same (hi, lo) from
       // two u-partitions) are min-blind and fold at `small`'s distinct.
-      val adj = curM.select(col("v").as("u"), col("m").as("w"))
-        .union(curM.select(col("m").as("u"), col("v").as("w")))
       val large = adj
         .withColumn("lm", least(min("w").over(Window.partitionBy("u")),
           col("u")))
@@ -985,48 +948,13 @@ object TextOps {
         .union(smAll.select(col("hi").as("v"), col("sm").as("m")))
         .distinct()
         .localCheckpoint(true)
-      // fixed point vs the REWIRED set: stable under large+small star
-      // means every surviving edge is already (node → contracted-
-      // component min) — the mate hooks resolve below. new ⊆ old and
-      // |new| == |old| → the sets are equal.
-      converged = small.count() == curM.count() &&
-        small.join(curM, Seq("v", "m"), "left_anti").isEmpty
+      // fixed point: new ⊆ old and |new| == |old| → the sets are equal
+      converged = small.count() == cur.count() &&
+        small.join(cur, Seq("v", "m"), "left_anti").isEmpty
       cur = small
     }
-    // component mapping = the hook forest ∪ the stable star edges;
-    // hooked nodes left `cur` at their hook round and star-stable
-    // non-min nodes map straight to their component min, so each node
-    // has at most ONE outgoing mapping and depth ≤ rounds — resolve by
-    // pointer doubling (≤ log₂(rounds) tiny-frame self-joins)
-    val starMap = cur.select(col("v").as("node"), col("m").as("rep"))
-    var mapping = hooks
-      .map(h => h.select(col("u").as("node"), col("rep"))
-        .unionByName(starMap))
-      .getOrElse(starMap)
-      .localCheckpoint(true)
-    var resolving = !mapping.isEmpty
-    while (resolving) {
-      val step = mapping
-        .join(mapping.select(col("node").as("rep"), col("rep").as("r2")),
-          Seq("rep"), "left")
-        .select(col("node"), coalesce(col("r2"), col("rep")).as("rep"))
-        .localCheckpoint(true)
-      resolving = !step.join(mapping, Seq("node", "rep"), "left_anti")
-        .isEmpty
-      mapping = step
-    }
-    // a mate hook may point UPWARD (a tail minimum hooking a larger
-    // head), so the forest root need not be the component minimum —
-    // relabel each root group to min(members ∪ root)
-    val rootMin = mapping.groupBy("rep").agg(min("node").as("gmin"))
-      .select(col("rep").as("root"),
-        least(col("gmin"), col("rep")).as("label"))
-    nodes
-      .join(mapping, Seq("node"), "left")
-      .select(col("node"), coalesce(col("rep"), col("node")).as("root"))
-      .join(rootMin, Seq("root"), "left")
-      .select(col("node"),
-        coalesce(col("label"), col("node")).as("label"))
+    nodes.join(cur.withColumnRenamed("v", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("m"), col("node")).as("label"))
   }
 
   /** Driver union-find over a BOUNDED edge set (min-id root + full path
