@@ -52,17 +52,70 @@ object NearDupIndex {
     * membership list still carries it) — the hide-then-remove
     * lifecycle shared with [[TermIndex]]/[[AnnIndex]].
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
-    Tombstones.append(spark, dir, ids, "doc_id")
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      autoFoldAt: Double = AutoFoldAt): Unit = {
+    Tombstones.append(spark, dir, ids, "doc_id",
+      gen = GenMeta.current(spark, dir))
+    maybeAutoFold(spark, dir, autoFoldAt)
+  }
+
+  /** UPSERT a batch of (doc_id, text) — last-writer-wins by id, the
+    * [[TermIndex.upsert]]/[[AnnIndex.upsert]] twin completing the
+    * store trio's write lifecycle: present ids re-index with the new
+    * text (their band keys and shingles CHANGE — the new generation
+    * pairs by its new content), absent or previously-DELETED ids
+    * insert, all with no compact between. Mechanism identical to the
+    * siblings: reserve the next write generation ([[GenMeta]]),
+    * tombstone the batch ids at `gen - 1` (hiding every older row —
+    * including from THIS call's own candidate probe, so a doc's old
+    * text can never pair against its replacement), then run the
+    * normal probe+append at `gen` with the membership check skipped.
+    * Returns the pairs the new generations surface against the LIVE
+    * store — note the one contract delta vs [[update]]'s
+    * every-pair-exactly-once: a re-indexed document is a new document
+    * VERSION, so a pair may legitimately re-surface with its new
+    * content.
+    */
+  def upsert(spark: SparkSession, dir: String, docs: DataFrame,
+      threshold: Double = 0.3,
+      autoFoldAt: Double = AutoFoldAt): DataFrame = {
+    val g = GenMeta.reserve(spark, dir)
+    Tombstones.append(spark, dir, docs.select("doc_id"), "doc_id",
+      gen = g - 1)
+    val pairs = run(spark, dir, docs, threshold, append = true,
+      gen = g, overwrite = true)
+    maybeAutoFold(spark, dir, autoFoldAt)
+    pairs
+  }
+
+  /** Tombstone-debt ratio past which [[delete]]/[[upsert]] trigger an
+    * automatic [[compact]] — the shared hygiene bound (see
+    * [[TermIndex.AutoFoldAt]]); debt reads the tiny tombstone set over
+    * a footer-stats shingles count.
+    */
+  val AutoFoldAt = 0.5
+
+  private def maybeAutoFold(spark: SparkSession, dir: String,
+      threshold: Double): Unit = {
+    if (threshold.isInfinite) return
+    val debt = Tombstones.pendingRows(spark, dir)
+    if (debt == 0L) return
+    val total = spark.read.parquet(s"$dir/shingles").count()
+    if (debt.toDouble >= threshold * math.max(total, 1L).toDouble)
+      compact(spark, dir)
+  }
 
   /** Fold tombstones out of both store legs (bands, shingles), then
     * clear the set; probe/update behavior is identical before and
     * after, and a previously-deleted id may re-index.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    Tombstones.fold(spark, dir, "bands", "doc_id", Nil)
-    Tombstones.fold(spark, dir, "shingles", "doc_id", Nil)
+    Tombstones.fold(spark, dir, "bands", "doc_id", Nil,
+      genCol = Some("gen"))
+    Tombstones.fold(spark, dir, "shingles", "doc_id", Nil,
+      genCol = Some("gen"))
     Tombstones.clear(spark, dir)
+    GenMeta.consolidate(spark, dir)
   }
 
   /** DESCRIBE the store — the observability row for the third store:
@@ -74,9 +127,13 @@ object NearDupIndex {
     val bands = spark.read.parquet(s"$dir/bands")
     val br = bands.agg(count(lit(1)),
       countDistinct(col("band_key"))).head()
-    val docs = spark.read.parquet(s"$dir/shingles").select("doc_id")
+    val sh = spark.read.parquet(s"$dir/shingles")
+    val docs = // pre-gen store layouts lack the column
+      if (sh.columns.contains("gen")) sh.select("doc_id", "gen")
+      else sh.select("doc_id")
     val indexed = docs.count()
-    val live = Tombstones.minus(spark, dir, docs, "doc_id").count()
+    val live = Tombstones.minus(spark, dir, docs, "doc_id",
+      genCol = Some("gen")).count()
     val tombs =
       if (Tombstones.exists(spark, dir))
         spark.read.parquet(Tombstones.path(dir)).count()
@@ -99,13 +156,16 @@ object NearDupIndex {
   /** Update the store at `dir` with `docs` (doc_id, text); returns the
     * NEW verified pairs (a_id < b_id, jac) this batch surfaced, fully
     * materialized (the caller may write them wherever pairs live).
+    * Rows are stamped write-generation 0 — insert-only stores never
+    * touch the [[GenMeta]] counter; [[upsert]] is the overwrite path.
     */
   def update(spark: SparkSession, dir: String, docs: DataFrame,
       threshold: Double = 0.3): DataFrame =
     run(spark, dir, docs, threshold, append = true)
 
   private def run(spark: SparkSession, dir: String, docs: DataFrame,
-      threshold: Double, append: Boolean): DataFrame = {
+      threshold: Double, append: Boolean, gen: Long = 0L,
+      overwrite: Boolean = false): DataFrame = {
     val bandsPath = s"$dir/bands"
     val shinglesPath = s"$dir/shingles"
 
@@ -119,8 +179,11 @@ object NearDupIndex {
     // deliberately keeps all incoming docs — the admission question
     // "does this near-duplicate anything in the store?" applies to
     // already-admitted ids too.
+    // an UPSERT skips the membership check — re-sending a present id
+    // is the intent, and the caller already tombstoned its older
+    // generations (including from this call's own candidate probe)
     val incoming =
-      if (append && hExists(spark, shinglesPath))
+      if (append && !overwrite && hExists(spark, shinglesPath))
         docs.join(spark.read.parquet(shinglesPath).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else docs
@@ -145,7 +208,8 @@ object NearDupIndex {
     val oldBands =
       if (hasStore)
         Tombstones.minus(spark, dir, spark.read.parquet(bandsPath),
-          "doc_id")
+          "doc_id", genCol = Some("gen"))
+          .select("doc_id", "band_key")
       else spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit("").as("band_key")).limit(0)
 
@@ -174,7 +238,9 @@ object NearDupIndex {
     val allSh =
       (if (hasStore)
          Tombstones.minus(spark, dir,
-           spark.read.parquet(shinglesPath), "doc_id").union(freshSh)
+             spark.read.parquet(shinglesPath), "doc_id",
+             genCol = Some("gen"))
+           .select("doc_id", "sh").union(freshSh)
        else freshSh)
         .join(candIds, Seq("doc_id"), "left_semi")
     val pairs = cand
@@ -190,8 +256,10 @@ object NearDupIndex {
       .localCheckpoint(true) // materialize BEFORE the store mutates
 
     if (append) {
-      freshBands.write.mode("append").parquet(bandsPath)
-      freshSh.write.mode("append").parquet(shinglesPath)
+      freshBands.withColumn("gen", lit(gen))
+        .write.mode("append").parquet(bandsPath)
+      freshSh.withColumn("gen", lit(gen))
+        .write.mode("append").parquet(shinglesPath)
     }
     pairs
   }

@@ -663,6 +663,61 @@ object TextOps {
        |WHERE jac >= 0.3 AND NOT (a_id % 2 = 0 AND b_id % 2 = 0)
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The third store's UPSERT lifecycle as a gated row
+    * ([[termIndexReindexedFor]]'s discipline on [[NearDupIndex]]):
+    * build on the full corpus, delete every 7th doc, upsert back its
+    * odd half and overwrite the %11 live slice with DOUBLED text (two
+    * write generations, no compact anywhere), then PROBE a disjoint
+    * query set — the %5==2 docs re-badged with ids shifted +10⁷ so
+    * every probe id is new — against the store. Each reported pair
+    * has its probe member as `b_id` (shifted ids sort above every
+    * store id), so the oracle is the batch pair CTE over the union of
+    * the probe docs and the LIVE post-upsert corpus, filtered to
+    * pairs with a probe member: deleted docs must not pair at all,
+    * superseded generations must not pair, upserted docs must pair by
+    * their NEW text.
+    */
+  private val neardupReixCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def neardupReindexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(neardupReixCache, sfDir,
+      "graft-ndreix") { d =>
+      val docs = Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      NearDupIndex.update(spark, d, docs.filter(col("doc_id") % 2 === 0))
+      NearDupIndex.update(spark, d, docs.filter(col("doc_id") % 2 === 1))
+      NearDupIndex.delete(spark, d,
+        docs.filter(delPred).select("doc_id"))
+      NearDupIndex.upsert(spark, d, doubledText(docs.filter(reAddPred)))
+      NearDupIndex.upsert(spark, d, doubledText(docs.filter(reUpdPred)))
+      (): Unit
+    }
+    NearDupIndex.probe(spark, dir,
+      Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .orderBy("a_id", "b_id")
+  }
+
+  val neardupReindexedSql: String = {
+    val corpus =
+      """(SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id % 7 = 3 AND doc_id % 2 = 1)
+        |           OR (doc_id % 11 = 5 AND doc_id % 7 <> 3)
+        |         THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents
+        |  WHERE NOT (doc_id % 7 = 3) OR doc_id % 2 = 1) u"""
+        .stripMargin
+    s"""WITH ${minhashCtesFrom(corpus)}
+       |SELECT a_id, b_id, jac FROM pairs
+       |WHERE jac >= 0.3 AND b_id >= 10000000
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     // Materialize eagerly (the pair set is tiny — banded candidates that
     // survived the verify) so the shingle cache can be RELEASED here:
@@ -4272,6 +4327,7 @@ object TextOps {
     "docs_rolling_hash" -> rollingHash,
     "docs_minhash_neardup" -> minhashNearDup,
     "docs_neardup_indexed" -> neardupIndexed,
+    "docs_neardup_reindexed" -> neardupReindexed,
     "docs_neardup_probe" -> neardupProbe,
     "docs_neardup_clusters" -> neardupClusters,
     "docs_neardup_keep_best" -> neardupKeepBest,
@@ -4351,6 +4407,7 @@ object TextOps {
     "docs_minhash_neardup" -> minhashNearDupSql,
     // index-served twin must reproduce the batch pair set exactly
     "docs_neardup_indexed" -> minhashNearDupSql,
+    "docs_neardup_reindexed" -> neardupReindexedSql,
     "docs_neardup_probe" -> neardupProbeSql,
     "docs_neardup_clusters" -> neardupClustersSql,
     "docs_neardup_keep_best" -> neardupKeepBestSql,

@@ -145,4 +145,49 @@ class NearDupIndexSpec extends SparkSpecBase {
       docs.filter(col("doc_id") === bDel)))
     assert(back.exists { case (a, b, _) => a == bDel || b == bDel })
   }
+
+  test("upsert lifecycle: delete -> re-add -> overwrite; a probe " +
+      "against the store matches a fresh store on the modified " +
+      "corpus, with no compact; compact folds generations physically") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+    val del = col("doc_id") % 7 === 3
+    val readd = del && col("doc_id") % 2 === 1
+    val upd = col("doc_id") % 11 === 5 && !del
+    def doubled(p: org.apache.spark.sql.Column) = docs.filter(p)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    val dir = Files.createTempDirectory("ndidx_up").toString
+    NearDupIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
+    NearDupIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    NearDupIndex.delete(spark, dir, docs.filter(del).select("doc_id"))
+    // the upsert's returned pairs must never pair a doc's old text
+    // against its own replacement (self-id pairs are impossible by
+    // contract; the gen-1 tombstone hides the batch's old rows from
+    // this call's own candidate probe)
+    val up1 = pairSet(NearDupIndex.upsert(spark, dir, doubled(readd)))
+    assert(!up1.exists { case (a, b, _) => a == b })
+    NearDupIndex.upsert(spark, dir, doubled(upd))
+    assert(StoreUtil.exists(spark, s"$dir/tombstones"))
+    // reference: a fresh store on the final corpus
+    val ref = Files.createTempDirectory("ndidx_upref").toString
+    val finalCorpus = docs.filter(!del || readd)
+      .select(col("doc_id"),
+        when(readd || upd, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    NearDupIndex.update(spark, ref, finalCorpus)
+    // disjoint probe ids: every probe answer reflects the LIVE store
+    val q = docs.filter(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    def probed(d: String) = pairSet(NearDupIndex.probe(spark, d, q))
+    val expected = probed(ref)
+    assert(probed(dir) == expected)
+    // compact folds the upsert history; probing is unchanged and
+    // exactly one shingle row per live doc remains
+    NearDupIndex.compact(spark, dir)
+    assert(!StoreUtil.exists(spark, s"$dir/tombstones"))
+    assert(probed(dir) == expected)
+    val sh = spark.read.parquet(s"$dir/shingles")
+    assert(sh.count() == sh.select("doc_id").distinct().count())
+  }
 }
