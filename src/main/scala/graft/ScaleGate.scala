@@ -61,9 +61,23 @@ object ScaleGate {
     val qs = SparkEntry.queries
     // SPARK_GRAFT_GATED=a,b,c restricts the gate set — the k=100
     // (~sf10) decade runs only the three heaviest rows, where dumping
-    // all ten would cost an hour to re-prove the same classes
+    // all ten would cost an hour to re-prove the same classes.
+    // VALIDATED: the override must be a non-empty subset of the gate
+    // set (a typo'd name would otherwise throw a raw
+    // NoSuchElementException from qs(name) mid-run), and the active
+    // subset is recorded in gate_meta.json beside the oracles so a
+    // three-row decade artifact can never masquerade as full coverage.
     val run = sys.env.get("SPARK_GRAFT_GATED")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map { s =>
+        val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(names.nonEmpty,
+          "SPARK_GRAFT_GATED is set but names no queries")
+        val unknown = names.filterNot(gated.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_GATED names queries outside the gate set: " +
+            s"${unknown.mkString(", ")} — valid: ${gated.mkString(", ")}")
+        names
+      }
       .getOrElse(gated)
     run.foreach { name =>
       val t1 = System.nanoTime()
@@ -78,6 +92,16 @@ object ScaleGate {
       .filter { case (n, _) => run.contains(n) }
       .map { case (n, v) => s"${q(n)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(out.resolve("oracle_sql.json"), json)
+    // record what this artifact actually covers: k, the active subset,
+    // and whether an override narrowed it — downstream checks can tell
+    // a 3-row k=100 run from the full gate without inference
+    val meta = Seq(
+      s"${q("k")}: $k",
+      s"${q("override")}: ${sys.env.contains("SPARK_GRAFT_GATED")}",
+      s"${q("gated")}: [${run.map(q).mkString(", ")}]",
+      s"${q("gate_full")}: [${gated.map(q).mkString(", ")}]")
+      .mkString("{", ", ", "}")
+    Files.writeString(out.resolve("gate_meta.json"), meta)
     spark.stop()
   }
 }

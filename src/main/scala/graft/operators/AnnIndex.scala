@@ -332,45 +332,24 @@ object AnnIndex {
     // test rows SEPARATELY: each row's bloom holds ≤1M ids at 1% fpp,
     // and its [min,max] prunes most rows before any bloom bit is read —
     // merging the blooms would OR potentially-saturated bit arrays and
-    // give back the degraded fpp the per-row split exists to avoid
-    val entries = rows.map { row =>
+    // give back the degraded fpp the per-row split exists to avoid.
+    // The probe itself is a native codegen Expression over the
+    // broadcast entries ([[graft.functions.ManifestMember]] — bytes
+    // ship once per executor, blooms deserialize once per executor):
+    // no ScalaUDF node, so the membership filter stays inside
+    // whole-stage codegen (AnnIndexSpec pins the plan).
+    val bc = spark.sparkContext.broadcast(rows.map { row =>
       (row.getAs[Long]("min_id"), row.getAs[Long]("max_id"),
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(
-            row.getAs[Array[Byte]]("bloom"))))
-    }.sortBy(_._1)
-    val los = entries.map(_._1)
-    val prefixMaxHi = entries.scanLeft(Long.MinValue) {
-      case (acc, (_, hi, _)) => math.max(acc, hi)
-    }.tail
-    val bc = spark.sparkContext.broadcast((los, prefixMaxHi, entries))
-    val mightContain = udf((id: Long) => {
-      val (los, prefHi, es) = bc.value
-      // last entry with min_id <= id
-      var j = java.util.Arrays.binarySearch(los, id) match {
-        case found if found >= 0 =>
-          // step past equal min_ids (binarySearch picks any duplicate)
-          var k = found
-          while (k + 1 < los.length && los(k + 1) <= id) k += 1
-          k
-        case ins => -ins - 2
-      }
-      var found = false
-      // walk back only while SOME not-yet-tested entry can still cover
-      // the id (prefix-max of max_id) — early exit for the monotonic-
-      // id ingest common case
-      while (j >= 0 && !found && prefHi(j) >= id) {
-        val (_, hi, bf) = es(j)
-        if (hi >= id && bf.mightContainLong(id)) found = true
-        j -= 1
-      }
-      found
+        row.getAs[Array[Byte]]("bloom"))
     })
+    val (memberCol, dropFn) = graft.functions.ManifestMember
+      .columnFor(spark, bc, "vec_id")
     // batch-sized checkpoint: the maybe/definite split feeds an isEmpty
-    // probe and both union legs — the bloom udf must not run 3×
-    val flagged = batch
-      .withColumn("__maybe", mightContain(col("vec_id")))
-      .localCheckpoint(true)
+    // probe and both union legs — the bloom probe must not run 3×
+    val flagged =
+      try batch.withColumn("__maybe", memberCol).localCheckpoint(true)
+      finally dropFn() // analysis embedded the expression; the
+    // session-registry name is transient per call
     val definite = flagged.filter(!col("__maybe")).drop("__maybe")
     val maybe = flagged.filter(col("__maybe")).drop("__maybe")
     if (maybe.isEmpty) definite
@@ -395,23 +374,30 @@ object AnnIndex {
     * rather than a read-side winner fold: cell-partition pruning
     * would hide a stale sibling cell from any per-probe fold), then
     * run the normal derive+append pipeline at `gen` with the
-    * membership check skipped (overwrite intent). Write order is the
-    * crash argument, as in TermIndex: generation first (a re-run
-    * lands strictly higher and its tombstone hides torn rows),
-    * tombstone before data (the intermediate state is a clean
-    * delete), postings append last. `ann_hamming_reindexed` gates
-    * serving bit-identical to a from-scratch build on the post-upsert
-    * corpus. The manifest needs no special handling: upserted ids are
-    * members (over-approximation is its contract) and [[ingest]]
-    * appends their manifest row as always.
+    * membership check skipped (overwrite intent), and COMMIT `gen` to
+    * the watermark last. Write order is the reader-atomicity AND
+    * crash argument, as in [[TermIndex.upsert]]: generation reserves
+    * first (a re-run lands strictly higher), data and tombstone land
+    * next — both INVISIBLE while the watermark sits below `gen`, so a
+    * concurrent reader serves the OLD vector from its old cell, never
+    * a gap and never both generations — and [[GenMeta.commit]]'s
+    * one-file append flips them visible together; a torn upsert's
+    * rows stay invisible until the re-run's commit hides them.
+    * `ann_hamming_reindexed` gates serving bit-identical to a
+    * from-scratch build on the post-upsert corpus. The manifest needs
+    * no special handling: upserted ids are members
+    * (over-approximation is its contract) and [[ingest]] appends
+    * their manifest row as always.
     */
   def upsert(spark: SparkSession, dir: String, emb: DataFrame,
       autoFoldAt: Double = AutoFoldAt): Unit = {
+    GenMeta.initCommitted(spark, dir)
     val g = GenMeta.reserve(spark, dir)
-    Tombstones.append(spark, dir, emb.select("vec_id"), "vec_id",
-      gen = g - 1)
     ingest(spark, dir, emb, useManifest = true, gen = g,
       overwrite = true)
+    Tombstones.append(spark, dir, emb.select("vec_id"), "vec_id",
+      gen = g - 1, wgen = g)
+    GenMeta.commit(spark, dir, g)
     maybeAutoFold(spark, dir, autoFoldAt)
   }
 
@@ -427,16 +413,24 @@ object AnnIndex {
     if (threshold.isInfinite) return
     val debt = Tombstones.pendingRows(spark, dir)
     if (debt == 0L) return
+    // LIVE-row proxy: the manifest only ever grows between compacts —
+    // every upsert re-appends rows for already-member ids and deletes
+    // never shrink it — so a raw sum("n") denominator systematically
+    // under-triggers on upsert-heavy stores. Each upsert adds ~1
+    // manifest id AND ~1 tombstone row, so (sum - debt) tracks the
+    // live count (conservative — over-triggering — for re-deletes);
+    // [[compact]] additionally rebuilds the manifest from the folded
+    // postings, resetting the drift to zero.
     val total =
-      if (StoreUtil.exists(spark, manifestPath(dir)))
-        spark.read.parquet(manifestPath(dir)).agg(sum("n")).head()
-          .getLong(0)
-      else spark.read.parquet(s"$dir/postings").count()
+      (if (StoreUtil.exists(spark, manifestPath(dir)))
+         spark.read.parquet(manifestPath(dir)).agg(sum("n")).head()
+           .getLong(0)
+       else spark.read.parquet(s"$dir/postings").count()) - debt
     if (debt.toDouble >= threshold * math.max(total, 1L).toDouble)
       compact(spark, dir)
   }
 
-  private def ingest(spark: SparkSession, dir: String, emb: DataFrame,
+  private[operators] def ingest(spark: SparkSession, dir: String, emb: DataFrame,
       useManifest: Boolean, gen: Long, overwrite: Boolean): Unit = {
     import org.apache.spark.sql.expressions.Window
     vecFns(spark)
@@ -597,6 +591,20 @@ object AnnIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     Tombstones.fold(spark, dir, "postings", "vec_id", Seq("c_id"),
       genCol = Some("gen"))
+    // TRIM the manifest to the folded postings: between compacts it
+    // over-approximates (upsert re-appends member ids; deletes never
+    // shrink it) — the fold is the natural reset point. Crash-safe:
+    // a crash after the delete leaves NO manifest, and the next
+    // update() bootstraps one from the postings (the tested
+    // pre-manifest path); membership over-approximation in the
+    // surviving states costs a verify scan, never correctness.
+    if (StoreUtil.exists(spark, manifestPath(dir))) {
+      val mp = new org.apache.hadoop.fs.Path(manifestPath(dir))
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(mp, true): Unit
+      appendManifest(spark, dir,
+        spark.read.parquet(s"$dir/postings").select("vec_id"))
+    }
     Tombstones.clear(spark, dir)
     // fold the per-upsert reservation rows too — PRESERVING the max
     GenMeta.consolidate(spark, dir)

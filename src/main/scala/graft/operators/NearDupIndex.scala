@@ -42,6 +42,15 @@ object NearDupIndex {
   private def hExists(spark: SparkSession, path: String): Boolean =
     StoreUtil.exists(spark, path)
 
+  /** Read a store leg with SCHEMA MERGING — see [[TermIndex]]'s
+    * readLeg: a dir mixing pre-gen-era and gen-stamped files must not
+    * lose the `gen` column to footer sampling, or [[Tombstones.minus]]
+    * silently degrades to hide-all and live upserted rows vanish.
+    */
+  private def readLeg(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** DELETE documents from the near-dup store — [[TermIndex.delete]]'s
     * twin for the third store: tombstoned ids stop surfacing in
     * [[probe]]/[[update]] pair results immediately (both the band
@@ -65,25 +74,32 @@ object NearDupIndex {
     * text (their band keys and shingles CHANGE — the new generation
     * pairs by its new content), absent or previously-DELETED ids
     * insert, all with no compact between. Mechanism identical to the
-    * siblings: reserve the next write generation ([[GenMeta]]),
-    * tombstone the batch ids at `gen - 1` (hiding every older row —
-    * including from THIS call's own candidate probe, so a doc's old
-    * text can never pair against its replacement), then run the
-    * normal probe+append at `gen` with the membership check skipped.
-    * Returns the pairs the new generations surface against the LIVE
-    * store — note the one contract delta vs [[update]]'s
-    * every-pair-exactly-once: a re-indexed document is a new document
-    * VERSION, so a pair may legitimately re-surface with its new
-    * content.
+    * siblings ([[TermIndex.upsert]]'s reader-atomic order): reserve
+    * the next write generation ([[GenMeta]]), run the probe+append at
+    * `gen` with the membership check skipped and the batch ids
+    * excluded from the store legs (a doc's old text must never pair
+    * against its replacement), tombstone the batch ids at `gen - 1`
+    * tagged writer `gen`, and COMMIT `gen` to the watermark — the
+    * one-file append that makes the tombstone and the new band/
+    * shingle rows visible together. A concurrent [[probe]] anywhere
+    * in the window pairs against the OLD versions, never a gap and
+    * never both generations; a torn upsert's rows stay invisible
+    * until a re-run's commit hides them. Returns the pairs the new
+    * generations surface against the LIVE store — note the one
+    * contract delta vs [[update]]'s every-pair-exactly-once: a
+    * re-indexed document is a new document VERSION, so a pair may
+    * legitimately re-surface with its new content.
     */
   def upsert(spark: SparkSession, dir: String, docs: DataFrame,
       threshold: Double = 0.3,
       autoFoldAt: Double = AutoFoldAt): DataFrame = {
+    GenMeta.initCommitted(spark, dir)
     val g = GenMeta.reserve(spark, dir)
-    Tombstones.append(spark, dir, docs.select("doc_id"), "doc_id",
-      gen = g - 1)
     val pairs = run(spark, dir, docs, threshold, append = true,
       gen = g, overwrite = true)
+    Tombstones.append(spark, dir, docs.select("doc_id"), "doc_id",
+      gen = g - 1, wgen = g)
+    GenMeta.commit(spark, dir, g)
     maybeAutoFold(spark, dir, autoFoldAt)
     pairs
   }
@@ -100,7 +116,10 @@ object NearDupIndex {
     if (threshold.isInfinite) return
     val debt = Tombstones.pendingRows(spark, dir)
     if (debt == 0L) return
-    val total = spark.read.parquet(s"$dir/shingles").count()
+    // live-row proxy: raw shingles count superseded generations too —
+    // subtract the debt so upsert-heavy stores don't under-trigger
+    // (the [[TermIndex]] denominator discipline)
+    val total = readLeg(spark, s"$dir/shingles").count() - debt
     if (debt.toDouble >= threshold * math.max(total, 1L).toDouble)
       compact(spark, dir)
   }
@@ -124,10 +143,10 @@ object NearDupIndex {
     */
   def describe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bands = spark.read.parquet(s"$dir/bands")
+    val bands = readLeg(spark, s"$dir/bands")
     val br = bands.agg(count(lit(1)),
       countDistinct(col("band_key"))).head()
-    val sh = spark.read.parquet(s"$dir/shingles")
+    val sh = readLeg(spark, s"$dir/shingles")
     val docs = // pre-gen store layouts lack the column
       if (sh.columns.contains("gen")) sh.select("doc_id", "gen")
       else sh.select("doc_id")
@@ -163,7 +182,7 @@ object NearDupIndex {
       threshold: Double = 0.3): DataFrame =
     run(spark, dir, docs, threshold, append = true)
 
-  private def run(spark: SparkSession, dir: String, docs: DataFrame,
+  private[operators] def run(spark: SparkSession, dir: String, docs: DataFrame,
       threshold: Double, append: Boolean, gen: Long = 0L,
       overwrite: Boolean = false): DataFrame = {
     val bandsPath = s"$dir/bands"
@@ -180,11 +199,12 @@ object NearDupIndex {
     // "does this near-duplicate anything in the store?" applies to
     // already-admitted ids too.
     // an UPSERT skips the membership check — re-sending a present id
-    // is the intent, and the caller already tombstoned its older
-    // generations (including from this call's own candidate probe)
+    // is the intent; its older generations are excluded from the
+    // probe legs explicitly below (the tombstone that will hide them
+    // from later readers lands AFTER this call — commit-last order)
     val incoming =
       if (append && !overwrite && hExists(spark, shinglesPath))
-        docs.join(spark.read.parquet(shinglesPath).select("doc_id"),
+        docs.join(readLeg(spark, shinglesPath).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else docs
 
@@ -205,10 +225,19 @@ object NearDupIndex {
     // postings here, store shingles below): a deleted document must
     // stop pairing immediately; the membership anti-join above stays
     // RAW so a hidden id cannot re-index before compact() folds it
+    // an upsert's batch ids anti-join OUT of both store legs: the old
+    // generations are still watermark-visible while this call runs
+    // (the hiding tombstone commits after), and old-vs-new pairing of
+    // the same id would be self-pairing across versions
+    def dropBatchIds(df: DataFrame): DataFrame =
+      if (overwrite)
+        df.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+      else df
     val oldBands =
       if (hasStore)
-        Tombstones.minus(spark, dir, spark.read.parquet(bandsPath),
-          "doc_id", genCol = Some("gen"))
+        dropBatchIds(
+          Tombstones.minus(spark, dir, readLeg(spark, bandsPath),
+            "doc_id", genCol = Some("gen")))
           .select("doc_id", "band_key")
       else spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit("").as("band_key")).limit(0)
@@ -237,9 +266,10 @@ object NearDupIndex {
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val allSh =
       (if (hasStore)
-         Tombstones.minus(spark, dir,
-             spark.read.parquet(shinglesPath), "doc_id",
-             genCol = Some("gen"))
+         dropBatchIds(
+           Tombstones.minus(spark, dir,
+             readLeg(spark, shinglesPath), "doc_id",
+             genCol = Some("gen")))
            .select("doc_id", "sh").union(freshSh)
        else freshSh)
         .join(candIds, Seq("doc_id"), "left_semi")

@@ -43,6 +43,31 @@ private[operators] object StoreUtil {
       dir.toString
     })
 
+  /** Recursive local copy of a store directory's CONTENTS into an
+    * existing destination dir — the lifecycle fixtures' prefix-sharing
+    * primitive: a compacted serving twin differs from its uncompacted
+    * sibling only in the final fold, so it copies the sibling's store
+    * and folds the copy instead of replaying the whole
+    * build→delete→upsert sequence per JVM (r12's bench-all cold pass
+    * grew 241→307 s exactly on those replays).
+    */
+  def copyRec(srcDir: String, dstDir: String): Unit = {
+    val src = java.nio.file.Paths.get(srcDir)
+    val dst = java.nio.file.Paths.get(dstDir)
+    java.nio.file.Files.createDirectories(dst)
+    val s = java.nio.file.Files.walk(src)
+    try {
+      s.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t): Unit
+        else
+          java.nio.file.Files.copy(p, t, java.nio.file.StandardCopyOption
+            .REPLACE_EXISTING): Unit
+      }
+    } finally s.close()
+  }
+
   /** Best-effort recursive delete for transient local scratch (stream
     * checkpoints): the data outcome never depends on it succeeding.
     */

@@ -55,6 +55,18 @@ object TermIndex {
   private def exists(spark: SparkSession, path: String): Boolean =
     StoreUtil.exists(spark, path)
 
+  /** Read a store leg with SCHEMA MERGING — every path that feeds
+    * [[Tombstones.minus]] with a `genCol` must see the `gen` column
+    * even when the dir mixes pre-gen-era files (written before upserts
+    * existed) with stamped ones: a plain read samples ONE footer, and
+    * if it picks a pre-gen file the column vanishes, `minus` falls
+    * back to the hide-all branch, and live upserted rows disappear
+    * from serving nondeterministically. Same discipline as
+    * [[AnnIndex]]'s readPostings and [[Tombstones.fold]].
+    */
+  private def readLeg(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Index a batch of (doc_id, text). Already-indexed doc_ids are
     * skipped (anti-join on the doclen membership list), so re-running a
     * failed or duplicated batch cannot double-count a document. Rows
@@ -65,7 +77,7 @@ object TermIndex {
     val doclenPath = s"$dir/doclen"
     val fresh =
       if (exists(spark, doclenPath))
-        docs.join(spark.read.parquet(doclenPath).select("doc_id"),
+        docs.join(readLeg(spark, doclenPath).select("doc_id"),
           Seq("doc_id"), "left_anti")
       else docs
     writeRows(spark, dir, fresh, gen = 0L)
@@ -78,25 +90,38 @@ object TermIndex {
     * re-indexed with the new text, absent (even previously-DELETED)
     * ids insert — all WITHOUT a store rewrite and without a compact
     * between delete and re-add. Mechanism: reserve the next write
-    * generation ([[GenMeta]]), tombstone the batch ids at `gen - 1`
-    * (hiding every older row of those ids — a broadcast anti-join at
-    * serve, same as delete), then append postings + doclen stamped
-    * `gen`. Write order is the crash argument: the generation reserves
-    * FIRST (a re-run lands at a strictly higher gen whose tombstone
-    * hides the torn rows), the tombstone lands BEFORE the data (a
-    * crash in between leaves the doc absent — a clean MOR
-    * delete+insert intermediate — never double-counted in df/n), and
-    * a re-run finishes the job. Single-writer, like [[update]].
-    * `docs_bm25_reindexed` gates serving bit-identical to a
-    * from-scratch build on the post-upsert corpus; the rows physically
-    * fold at [[compact]] exactly as deletes do.
+    * generation ([[GenMeta]]), append postings + doclen stamped `gen`,
+    * tombstone the batch ids at threshold `gen - 1` tagged writer
+    * `gen` (hiding every older row of those ids — a broadcast
+    * anti-join at serve, same as delete), then COMMIT `gen` to the
+    * [[GenMeta]] watermark — the one-file append that is the upsert's
+    * atomic visibility flip. READER-ATOMIC: serving reads snapshot the
+    * watermark at plan time and gate both the data rows (`gen <=
+    * watermark`) and the tombstone rows (`ts_wgen <= watermark`), so a
+    * reader anywhere in the window serves the OLD version of every
+    * upserted doc — never absent, never both generations, with df/n/
+    * avgdl all computed on the same snapshot (TombstoneHygieneSpec
+    * interleaves a reader between every pair of writes and pins it).
+    * Crash argument: the generation reserves FIRST (a re-run lands at
+    * a strictly higher gen), the watermark commits LAST — a torn
+    * upsert's data and tombstone stay invisible forever, and the
+    * re-run's own tombstone hides the torn rows the moment its commit
+    * raises the watermark past them. Recovery goes through [[upsert]]
+    * (re-send the batch), not [[update]]: the torn rows still occupy
+    * the raw membership list. Single-writer per store, now enforced by
+    * [[GenMeta.reserve]]'s atomic marker. `docs_bm25_reindexed` gates
+    * serving bit-identical to a from-scratch build on the post-upsert
+    * corpus; the rows physically fold at [[compact]] exactly as
+    * deletes do.
     */
   def upsert(spark: SparkSession, dir: String, docs: DataFrame,
       autoFoldAt: Double = AutoFoldAt): Unit = {
+    GenMeta.initCommitted(spark, dir)
     val g = GenMeta.reserve(spark, dir)
-    Tombstones.append(spark, dir, docs.select("doc_id"), "doc_id",
-      gen = g - 1)
     writeRows(spark, dir, docs, gen = g)
+    Tombstones.append(spark, dir, docs.select("doc_id"), "doc_id",
+      gen = g - 1, wgen = g)
+    GenMeta.commit(spark, dir, g)
     maybeAutoFold(spark, dir, autoFoldAt)
   }
 
@@ -104,7 +129,7 @@ object TermIndex {
     * shared write tail of [[update]] (gen 0, membership-filtered) and
     * [[upsert]] (a fresh generation, overwrite-intent).
     */
-  private def writeRows(spark: SparkSession, dir: String,
+  private[operators] def writeRows(spark: SparkSession, dir: String,
       docs: DataFrame, gen: Long): Unit = {
     val fresh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -122,8 +147,18 @@ object TermIndex {
       .write.mode("append").partitionBy("t_b").parquet(s"$dir/postings")
     // dl as DOUBLE at write time: bm25Topk averages doubles, and a
     // long-summing avg differs in the last bits — parity needs the
-    // same input type on both paths. doclen lands LAST (the commit
-    // marker): a torn write re-runs cleanly.
+    // same input type on both paths. doclen lands LAST — it is the
+    // membership list, so a torn gen-0 update (postings committed,
+    // doclen not) re-runs cleanly THROUGH update(); in the torn
+    // window the doc is not a corpus member anywhere that carries
+    // statistics: absent from n/avgdl (doclen-derived), from df
+    // (semi-joined through doclen) and from scoring (contrib
+    // inner-joins doclen). phraseSearch MAY surface a torn doc's
+    // positions until the re-run lands — positions carry no corpus
+    // statistics, and the reference's per-doc bulk indexing exposes
+    // the same not-yet-everywhere state mid-batch. Upserts have no
+    // such window at all: their writes sit above the commit watermark
+    // until GenMeta.commit flips them visible atomically.
     fresh
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
       .withColumn("gen", lit(gen))
@@ -205,8 +240,8 @@ object TermIndex {
     */
   def describe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val posts = spark.read.parquet(s"$dir/postings")
-    val doclen = spark.read.parquet(s"$dir/doclen")
+    val posts = readLeg(spark, s"$dir/postings")
+    val doclen = readLeg(spark, s"$dir/doclen")
     val liveLen = Tombstones.minus(spark, dir, doclen, "doc_id",
       genCol = Some("gen"))
     val pr = posts.agg(count(lit(1)), countDistinct(col("t_b")),
@@ -271,7 +306,7 @@ object TermIndex {
     // max-collapse duplicate postings from a torn update (same tf),
     // as search()'s pivot and phraseSearch's distinct do — without it
     // a duplicated posting would double a doc's contribution sum
-    val scan0 = spark.read.parquet(s"$dir/postings")
+    val scan0 = readLeg(spark, s"$dir/postings")
       .filter(col("t_b").isin(buckets: _*) && col("term").isin(terms: _*))
     // serving observability (the AnnIndex.observed symmetry): postings
     // rows the probe actually read, buckets probed vs the store's
@@ -292,14 +327,23 @@ object TermIndex {
       genCol = Some("gen"))
       .groupBy("term", "doc_id").agg(max(col("tf")).as("tf"))
     val doclen = Tombstones.minus(spark, dir,
-        spark.read.parquet(s"$dir/doclen"), "doc_id",
+        readLeg(spark, s"$dir/doclen"), "doc_id",
         genCol = Some("gen"))
       .select("doc_id", "dl")
     val corpus = doclen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
     // per-term document frequency over the pruned postings (distinct
-    // doc_ids — duplicate postings from a torn update count once)
-    val dfByTerm = pruned.groupBy("term")
+    // doc_ids — duplicate postings from a torn update count once),
+    // restricted to docs WITH a live doclen row: a torn gen-0 update
+    // (crash between the postings and doclen appends) leaves postings
+    // whose doc is not a corpus member — n/avgdl never counted it and
+    // contrib's inner doclen join never scores it — so it must not
+    // count in df either. The semi-join reuses the narrow live-doclen
+    // ids the plan already derives; pruned is query-term-sized, so
+    // AQE broadcasts it against the id column.
+    val dfByTerm = pruned
+      .join(doclen.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("term")
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
 
     val qTerms = queries
@@ -356,7 +400,7 @@ object TermIndex {
       "phraseSearch: a phrase needs at least 2 tokens")
     val buckets = terms.map(bucketOf).distinct
     val posts = Tombstones.minus(spark, dir,
-      spark.read.parquet(s"$dir/postings")
+      readLeg(spark, s"$dir/postings")
         .filter(col("t_b").isin(buckets: _*)), "doc_id",
       genCol = Some("gen"))
     def anchored(term: String, i: Int) = posts

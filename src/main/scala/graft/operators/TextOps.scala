@@ -1901,11 +1901,10 @@ object TextOps {
       sfDir: String): String =
     StoreUtil.cachedTempDir(termIndexDelcCache, sfDir,
       "graft-termindex-delc") { dir =>
-      val docs = Tables(spark, sfDir, "documents")
-        .select("doc_id", "text")
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
-      TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
+      // prefix-shared with the deleted twin: same store up to the
+      // fold, so COPY it and compact the copy instead of replaying
+      // the build+delete sequence (StoreUtil.copyRec doc)
+      StoreUtil.copyRec(termIndexDeletedFor(spark, sfDir), dir)
       TermIndex.compact(spark, dir)
     }
 
@@ -1985,13 +1984,8 @@ object TextOps {
       sfDir: String): String =
     StoreUtil.cachedTempDir(termIndexReixcCache, sfDir,
       "graft-termindex-reixc") { dir =>
-      val docs = Tables(spark, sfDir, "documents")
-        .select("doc_id", "text")
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
-      TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
-      TermIndex.upsert(spark, dir, doubledText(docs.filter(reAddPred)))
-      TermIndex.upsert(spark, dir, doubledText(docs.filter(reUpdPred)))
+      // prefix-shared with the reindexed twin (StoreUtil.copyRec doc)
+      StoreUtil.copyRec(termIndexReindexedFor(spark, sfDir), dir)
       TermIndex.compact(spark, dir)
     }
 
@@ -2017,13 +2011,15 @@ object TextOps {
     * updated docs (the same predicates [[termIndexReindexedFor]]
     * replays against the store).
     */
-  val bm25TopkReindexedSql: String = bm25TopkSqlFrom(
+  private[operators] val reindexedCorpusSql: String =
     """SELECT doc_id,
       |  CASE WHEN (doc_id % 7 = 3 AND doc_id % 2 = 1)
       |         OR (doc_id % 11 = 5 AND doc_id % 7 <> 3)
       |       THEN text || ' ' || text ELSE text END AS text
       |FROM documents
-      |WHERE NOT (doc_id % 7 = 3) OR doc_id % 2 = 1""".stripMargin)
+      |WHERE NOT (doc_id % 7 = 3) OR doc_id % 2 = 1""".stripMargin
+
+  val bm25TopkReindexedSql: String = bm25TopkSqlFrom(reindexedCorpusSql)
 
   // -------------------------------------------------------------------- //
   // Deterministic content-addressed train/val/test split: the hash of    //
@@ -3853,10 +3849,21 @@ object TextOps {
     * ≤`parts`-row collect). Emits every column of `keyed` plus
     * `posCol`; the result is invariant to where the sampled range
     * bounds fall.
+    *
+    * Positions are BIGINT (the ranged forms exist precisely for
+    * corpora past 2³¹ documents, where the parity twins' global
+    * `row_number()` window is already off the table — an int position
+    * would wrap negative in the operator's own target regime; DuckDB's
+    * `row_number()` oracle is BIGINT natively, and the driver compare
+    * accepts integer-width drift against the int parity twins).
+    * `base` offsets every emitted position — positions continue from
+    * `base + 1` — so a resumable multi-epoch/multi-shard order can
+    * chain calls without renumbering; TextOpsSpec drives it across the
+    * 2³¹ boundary to pin that positions stay exact longs there.
     */
   private[graft] def rangedPositionsOn(spark: SparkSession,
       keyed: DataFrame, parts: Int, keys: Seq[String],
-      posCol: String): DataFrame = {
+      posCol: String, base: Long = 0L): DataFrame = {
     val outCols = keyed.columns.toSeq
     // checkpoint AFTER the id projection: the per-partition counts job
     // and the final output must see identical row/partition placement
@@ -3870,13 +3877,6 @@ object TextOps {
       .localCheckpoint(true)
     val counts = mid.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // positions are emitted as int (the oracle's row_number() caps
-    // there too); past 2^31 rows the cast would silently WRAP negative
-    // — the counts are already on the driver, so fail fast instead
-    val total = counts.map(_._2).sum
-    require(total <= Int.MaxValue,
-      s"rangedPositionsOn: $total rows exceed Int position range — " +
-        "widen posCol to long before ordering corpora this large")
     val offsets = counts.scanLeft((0, 0L)) {
       case ((_, acc), (pid, n)) => (pid, acc + n)
     }
@@ -3888,7 +3888,8 @@ object TextOps {
     }
     mid.join(broadcast(offDf), Seq("__pid"))
       .select(outCols.map(col) :+
-        ((col("__off") + col("__loc") + 1L).cast("int").as(posCol)): _*)
+        ((col("__off") + col("__loc") + lit(1L) + lit(base))
+          .as(posCol)): _*)
       .orderBy(posCol)
   }
 

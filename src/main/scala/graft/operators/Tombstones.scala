@@ -29,6 +29,23 @@ import org.apache.spark.sql.functions._
   * semantics ([[NearDupIndex]], pre-r12 tombstone files) are the
   * degenerate case of the same rule.
   *
+  * COMMIT WATERMARK (since r13 — reader-ATOMIC upsert): each tombstone
+  * row additionally carries `ts_wgen`, the generation of the WRITER
+  * that appended it — 0 for deletes (visible immediately, as ever),
+  * `g` for the tombstone an upsert-to-generation-`g` writes. When the
+  * store has a [[GenMeta]] commit watermark, [[minus]] snapshots it
+  * once at plan time and gates BOTH sides on it: tombstones with
+  * `ts_wgen > watermark` and data rows with `gen > watermark` are
+  * in-flight (or torn) and do not serve. An upsert therefore appends
+  * its data AND its tombstone first — both invisible — and flips them
+  * visible together with [[GenMeta.commit]]'s one-file append: a
+  * concurrent reader serves the OLD version of every upserted doc
+  * throughout the window, never a gap and never both versions, and a
+  * crashed upsert's rows stay invisible until the re-run's higher
+  * tombstone hides them. Stores without a watermark table (insert-only
+  * or pre-r13) read exactly as before — one existence check, same
+  * plans.
+  *
   * Scale shape: tombstones are bounded by delete/upsert volume since
   * the last fold (bare ids + a long, a few bytes each), so the
   * serving-side subtraction is a BROADCAST anti-join that reshuffles
@@ -56,6 +73,12 @@ private[operators] object Tombstones {
 
   /** Generation threshold column of a tombstone row (hide gens <= it). */
   private val GenCol = "ts_gen"
+
+  /** Writer-generation column: the [[GenMeta]] generation whose commit
+    * makes this tombstone row visible (0 = always — deletes and every
+    * pre-watermark file).
+    */
+  private val WGenCol = "ts_wgen"
 
   /** Merge the tombstone dir back to one file past this many files —
     * each delete/upsert appends one, and between folds every serving
@@ -94,30 +117,45 @@ private[operators] object Tombstones {
     * row SUPERSET with the identical hide-set (max-dedup at read).
     */
   def append(spark: SparkSession, dir: String, ids: DataFrame,
-      idCol: String, gen: Long = Long.MaxValue): Unit = {
+      idCol: String, gen: Long = Long.MaxValue,
+      wgen: Long = 0L): Unit = {
     ids.select(idCol).distinct().withColumn(GenCol, lit(gen))
+      .withColumn(WGenCol, lit(wgen))
       .coalesce(1).write.mode("append").parquet(path(dir))
     val p = new HPath(path(dir))
     val fs = hfs(spark, p)
     val files = dataFiles(fs, p)
     if (files.length > MergeAtFiles) {
+      // merge per (id, WRITER generation), not per id: collapsing an
+      // id's rows across writer generations onto one max-ts row would
+      // tag a committed hide-set with an uncommitted writer — the old
+      // delete would stop serving until the in-flight upsert commits.
+      // Grouping by (id, wgen) preserves the visible hide-set at EVERY
+      // watermark; (id, wgen) repeats only across separate delete
+      // calls (wgen 0), which is exactly what the merge is for.
       readAll(spark, dir)
-        .groupBy(idCol).agg(max(GenCol).as(GenCol))
+        .groupBy(idCol, WGenCol).agg(max(GenCol).as(GenCol))
         .coalesce(1).write.mode("append").parquet(path(dir))
       files.foreach(f => fs.delete(f, false): Unit)
     }
   }
 
-  /** The tombstone set with `ts_gen` normalized: legacy rows (files
-    * written before the generation column existed) read as null
-    * through the merged schema and mean "hide everything".
+  /** The tombstone set with `ts_gen`/`ts_wgen` normalized: legacy rows
+    * (files written before either column existed) read as null through
+    * the merged schema and mean "hide everything" / "visible at every
+    * watermark". `watermark` (when the store has one) drops rows an
+    * uncommitted writer appended.
     */
-  private def readAll(spark: SparkSession, dir: String): DataFrame = {
+  private def readAll(spark: SparkSession, dir: String,
+      watermark: Option[Long] = None): DataFrame = {
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(path(dir))
-    if (raw.columns.contains(GenCol))
-      raw.withColumn(GenCol, coalesce(col(GenCol), lit(Long.MaxValue)))
-    else raw.withColumn(GenCol, lit(Long.MaxValue))
+    def norm(df: DataFrame, c: String, dflt: Long) =
+      if (df.columns.contains(c))
+        df.withColumn(c, coalesce(col(c), lit(dflt)))
+      else df.withColumn(c, lit(dflt))
+    val all = norm(norm(raw, GenCol, Long.MaxValue), WGenCol, 0L)
+    watermark.fold(all)(w => all.filter(col(WGenCol) <= w))
   }
 
   /** Hint the tombstone side for the anti-join: broadcast while the
@@ -146,21 +184,37 @@ private[operators] object Tombstones {
     * pinned plan shapes of tombstone-free stores are unaffected).
     */
   def minus(spark: SparkSession, dir: String, df: DataFrame,
-      idCol: String, genCol: Option[String] = None): DataFrame =
-    if (!exists(spark, dir)) df
+      idCol: String, genCol: Option[String] = None): DataFrame = {
+    // the watermark snapshots ONCE, driver-side, before the plan is
+    // built — every leaf the plan later reads is gated on the same
+    // committed generation, so a reader racing an upsert sees a
+    // CONSISTENT old snapshot whichever leg executes first. Absent
+    // watermark table (insert-only / pre-r13 stores): ungated, the
+    // exact legacy read.
+    val wm = GenMeta.committed(spark, dir)
+    val gated = genCol.filter(df.columns.contains) match {
+      case Some(g) =>
+        // rows stamped above the watermark are in-flight/torn upsert
+        // data — invisible until their GenMeta.commit lands
+        wm.fold(df)(w => df.filter(coalesce(col(g), lit(0L)) <= w))
+      case None => df
+    }
+    if (!exists(spark, dir)) gated
     else genCol.filter(df.columns.contains) match {
       case Some(g) =>
-        val tomb = readAll(spark, dir)
+        val tomb = readAll(spark, dir, wm)
           .groupBy(idCol).agg(max(GenCol).as(GenCol))
           .withColumnRenamed(idCol, "__ts_id")
         val t = sized(spark, dir, tomb)
-        val cond: Column = df(idCol) === t("__ts_id") &&
-          coalesce(df(g), lit(0L)) <= t(GenCol)
-        df.join(t, cond, "left_anti")
+        val cond: Column = gated(idCol) === t("__ts_id") &&
+          coalesce(gated(g), lit(0L)) <= t(GenCol)
+        gated.join(t, cond, "left_anti")
       case None =>
-        df.join(sized(spark, dir, readAll(spark, dir).select(idCol)),
+        gated.join(
+          sized(spark, dir, readAll(spark, dir, wm).select(idCol)),
           Seq(idCol), "left_anti")
     }
+  }
 
   /** Rewrite `dir/$sub` without the tombstone-hidden rows, preserving
     * its partition layout, via the tmp/old two-rename swap (recovering

@@ -1484,7 +1484,18 @@ object VectorOps {
     */
   private def hybridSearchSqlOn(corpusWhere: String,
       candWhere: String): String =
-    s"""WITH ${TextOps.bm25CtesSqlOn(corpusWhere)},
+    hybridSearchSqlFrom(
+      s"SELECT doc_id, text FROM documents WHERE $corpusWhere",
+      "embeddings", candWhere)
+
+  /** The fully-general hybrid oracle: an arbitrary (doc_id, text)
+    * TEXT-leg corpus subquery and an arbitrary embeddings relation for
+    * the VECTOR leg — the reindexed-store oracle rewrites BOTH corpora
+    * (doubled text, negated embeddings), not just their WHERE filters.
+    */
+  private def hybridSearchSqlFrom(textCorpusSql: String,
+      vecFrom: String, candWhere: String): String =
+    s"""WITH ${TextOps.bm25CtesSqlFrom(textCorpusSql)},
        |ts AS (
        |  SELECT doc_id, round(${TextOps.bm25ScoreExprSql}, 4) AS score
        |  FROM d, st
@@ -1495,7 +1506,7 @@ object VectorOps {
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (
        |  SELECT vec_id AS doc_id, $duckCosine AS cos_sim
-       |  FROM embeddings, q WHERE vec_id <> 0 AND $candWhere),
+       |  FROM $vecFrom, q WHERE vec_id <> 0 AND $candWhere),
        |v AS (
        |  SELECT doc_id, CAST(row_number() OVER
        |    (ORDER BY cos_sim DESC, doc_id) AS INT) AS r_vec FROM vs)
@@ -1640,6 +1651,49 @@ object VectorOps {
   val hybridIndexedDeletedSql: String = hybridSearchSqlOn(
     s"NOT (${TextOps.delPredSql})",
     "NOT (vec_id >= 9 AND vec_id % 7 = 3)")
+
+  /** [[hybridIndexed]] over BOTH post-UPSERT stores — the last open
+    * lifecycle × serving-tier cell (r12 verdict #4): the text leg
+    * serves from [[TextOps.termIndexReindexedFor]] (delete every 7th
+    * doc, re-add the odd half and overwrite the %11 live slice with
+    * DOUBLED text), the vector leg from [[annIndexReindexedFor]] (its
+    * own delete/re-add/overwrite slices with NEGATED embeddings —
+    * each store carries its own upsert history), and the fusion must
+    * equal a from-scratch RRF over the two post-upsert corpora
+    * bit-for-bit: every superseded generation vanishes from BOTH legs
+    * (both gen-aware through their stores' watermark-gated tombstone
+    * subtraction) and every displaced rank's RRF contribution closes
+    * up exactly.
+    */
+  def hybridReindexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val tq = {
+      import spark.implicits._
+      Seq((0L, TextOps.bmTerms)).toDF("q_id", "terms")
+    }
+    val vq = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(lit(0L).as("q_id"), col("embedding").as("qe"))
+    hybridServeAll(spark, tq, vq,
+      TextOps.termIndexReindexedFor(spark, sfDir),
+      annIndexReindexedFor(spark, sfDir), legK = 100000, k = 20)
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** The post-upsert hybrid oracle: text corpus rewritten per
+    * [[TextOps.reindexedCorpusSql]], embeddings rewritten per the
+    * [[hammingReindexedSql]] predicates, candidates minus the
+    * still-deleted even half.
+    */
+  val hybridReindexedSql: String = hybridSearchSqlFrom(
+    TextOps.reindexedCorpusSql,
+    """(SELECT vec_id,
+      |   CASE WHEN (vec_id >= 9 AND vec_id % 7 = 3 AND vec_id % 2 = 1)
+      |          OR (vec_id >= 9 AND vec_id % 11 = 5 AND vec_id % 7 <> 3)
+      |        THEN list_transform(embedding, x -> -x)
+      |        ELSE embedding END AS embedding
+      | FROM embeddings) emb2""".stripMargin,
+    "NOT (vec_id >= 9 AND vec_id % 7 = 3 AND vec_id % 2 = 0)")
 
   /** BATCH hybrid serving: RRF-fuse BOTH index-served legs for a whole
     * frame of queries in one plan — the text leg is ONE
@@ -2163,7 +2217,10 @@ object VectorOps {
       sfDir: String): String =
     StoreUtil.cachedTempDir(annIndexReixcCache, sfDir,
       "graft-annindex-reixc") { dir =>
-      buildReindexedStore(spark, sfDir, dir)
+      // prefix-shared with the reindexed twin: copy the store, fold
+      // the copy (StoreUtil.copyRec doc) — the twins differ only in
+      // the final compact
+      StoreUtil.copyRec(annIndexReindexedFor(spark, sfDir), dir)
       AnnIndex.compact(spark, dir)
     }
 
@@ -2524,6 +2581,7 @@ object VectorOps {
     "docs_hybrid_search" -> hybridSearch,
     "docs_hybrid_indexed" -> hybridIndexed,
     "docs_hybrid_indexed_deleted" -> hybridIndexedDeleted,
+    "docs_hybrid_reindexed" -> hybridReindexed,
     "ann_hard_negatives" -> hardNegatives,
     "ann_label_outliers" -> labelOutliers,
     "ann_label_confusion" -> labelConfusion,
@@ -2560,6 +2618,7 @@ object VectorOps {
     // index-served twin must reproduce the batch fusion bit-for-bit
     "docs_hybrid_indexed" -> hybridSearchSql,
     "docs_hybrid_indexed_deleted" -> hybridIndexedDeletedSql,
+    "docs_hybrid_reindexed" -> hybridReindexedSql,
     "ann_hard_negatives" -> hardNegativesSql,
     "ann_label_outliers" -> labelOutliersSql,
     "ann_label_confusion" -> labelConfusionSql,

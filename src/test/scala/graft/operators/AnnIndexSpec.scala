@@ -558,6 +558,46 @@ class AnnIndexSpec extends SparkSpecBase {
       .count() == 0L)
   }
 
+  test("manifest membership probe is a native codegen Expression: no " +
+      "ScalaUDF in the filter plan, semantics match a reference set") {
+    import spark.implicits._
+    // two overlapping ranges with real blooms, plus a gap the range
+    // gate alone must reject
+    def bloomOf(ids: Seq[Long]): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(1000000L, 0.01)
+      ids.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val e1 = (1L, 100L, bloomOf(1L to 100L))
+    val e2 = (90L, 150L, bloomOf(90L to 150L))
+    val e3 = (500L, 600L, bloomOf(500L to 600L))
+    val bc = spark.sparkContext.broadcast(Array(e1, e2, e3))
+    val (memberCol, dropFn) = graft.functions.ManifestMember
+      .columnFor(spark, bc, "vec_id")
+    try {
+      // repartition keeps ConvertToLocalRelation from constant-
+      // folding the tiny local frame — the point is the CODEGEN plan
+      val batch = (Seq(50L, 95L, 120L, 200L, 550L, 700L))
+        .toDF("vec_id").repartition(2)
+      val flagged = batch.withColumn("__maybe", memberCol)
+      val got = flagged.collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      // inspect AFTER execution so AQE's final plan is what's
+      // asserted; in AQE plan strings a whole-stage-codegen span
+      // prints as the `*(n)` prefix on its operators
+      val plan = flagged.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), plan)
+      assert("""\*\(\d+\) Project \[[^\]]*manifestmember""".r
+        .findFirstIn(plan).isDefined,
+        s"membership projection not inside a codegen span:\n$plan")
+      assert(got == Map(50L -> true, 95L -> true, 120L -> true,
+        200L -> false, 550L -> true, 700L -> false))
+    } finally dropFn()
+  }
+
   test("upsert lifecycle: delete -> re-add -> live overwrite, every " +
       "serving tier matches a fresh store on the modified corpus with " +
       "NO compact; compact folds generations physically") {

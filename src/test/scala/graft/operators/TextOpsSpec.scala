@@ -22,11 +22,16 @@ class TextOpsSpec extends SparkSpecBase {
     // the scale form's positions must be invariant to partitioning:
     // per-partition offsets + monotonic local ids == one global
     // row_number — same rows, same keys, same positions
+    // the parity twin emits int row_number, the ranged form BIGINT
+    // (positions past 2^31 are its whole point) — compare as longs,
+    // as the driver hash does across integer widths
     val a = TextOps.trainOrder(spark, "/root/testdata/sf0.001")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
       .toSeq
     val b = TextOps.trainOrderRanged(spark, "/root/testdata/sf0.001")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSeq
     assert(a == b)
   }
@@ -38,11 +43,13 @@ class TextOpsSpec extends SparkSpecBase {
     // parity window on every row
     val a = TextOps.curriculumOrder(spark, "/root/testdata/sf0.001")
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3).toLong))
       .toSeq
     val b = TextOps.curriculumOrderRanged(spark, "/root/testdata/sf0.001")
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
       .toSeq
     assert(a == b)
   }
@@ -528,5 +535,32 @@ class TextOpsSpec extends SparkSpecBase {
       val x = r.getAs[Double]("repeat_excess")
       assert(math.abs(x - math.max(0.0, e - 1.0)) < 1e-9)
     }
+  }
+
+  test("rangedPositionsOn: BIGINT positions stay exact across the " +
+      "2^31 boundary (base-offset chaining, synthetic offsets)") {
+    import spark.implicits._
+    // zero-padded keys sort lexically in numeric order, so the
+    // expected rank of doc i is exactly i
+    val keyed = (1 to 100).map(i => (i.toLong, f"k$i%03d"))
+      .toDF("doc_id", "shuffle_key")
+    val base = Int.MaxValue.toLong - 50
+    val out = TextOps.rangedPositionsOn(spark, keyed, parts = 8,
+      keys = Seq("shuffle_key", "doc_id"), posCol = "pos", base = base)
+    assert(out.schema("pos").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = out.select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // positions continue from base+1 and cross 2^31 without wrapping:
+    // an int-typed position column would have gone negative here
+    assert(rows == (1 to 100).map(i => (i.toLong, base + i)))
+    assert(rows.count(_._2 > Int.MaxValue.toLong) == 50)
+    assert(rows.forall(_._2 > 0L))
+    // base = 0 (the default) matches the parity twin's row_number
+    val plain = TextOps.rangedPositionsOn(spark, keyed, parts = 8,
+      keys = Seq("shuffle_key", "doc_id"), posCol = "pos")
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(plain == (1 to 100).map(i => (i.toLong, i.toLong)))
   }
 }

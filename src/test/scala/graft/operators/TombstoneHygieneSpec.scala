@@ -106,6 +106,159 @@ class TombstoneHygieneSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.tombstone.broadcastBytes")
   }
 
+  // ------------------------------------------------------------------ //
+  // READER-ATOMIC upsert (r13): the writer's order is reserve → data  //
+  // at gen g → tombstone tagged writer g → commit watermark g. A      //
+  // reader interleaved between ANY two steps serves the OLD version   //
+  // exactly — never the doc absent, never both generations — and the  //
+  // one-file watermark append is the atomic flip.                     //
+  // ------------------------------------------------------------------ //
+
+  test("TermIndex upsert is reader-atomic: a reader between every " +
+      "pair of writer steps serves the OLD version; the watermark " +
+      "commit flips to the NEW version") {
+    val dir = Files.createTempDirectory("atomic_term").toString
+    val docsOld = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "beta beta")).toDF("doc_id", "text")
+    TermIndex.update(spark, dir, docsOld)
+    def served(d: String) = TermIndex.search(spark, d,
+      Seq("alpha", "beta", "delta"), 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    val before = served(dir)
+    val batch = Seq((1L, "delta delta")).toDF("doc_id", "text")
+    // replay upsert()'s exact internal order, reading between steps
+    GenMeta.initCommitted(spark, dir)
+    assert(served(dir) == before, "watermark init must not change serving")
+    val g = GenMeta.reserve(spark, dir)
+    assert(served(dir) == before, "reservation must not change serving")
+    TermIndex.writeRows(spark, dir, batch, gen = g)
+    assert(served(dir) == before,
+      "uncommitted data (gen above watermark) must stay invisible")
+    Tombstones.append(spark, dir, batch.select("doc_id"), "doc_id",
+      gen = g - 1, wgen = g)
+    assert(served(dir) == before,
+      "uncommitted tombstone (writer above watermark) must stay inactive")
+    GenMeta.commit(spark, dir, g)
+    val ref = Files.createTempDirectory("atomic_term_ref").toString
+    TermIndex.update(spark, ref, Seq((1L, "delta delta"),
+      (2L, "alpha gamma"), (3L, "beta beta")).toDF("doc_id", "text"))
+    assert(served(dir) == served(ref),
+      "the watermark commit must flip to a from-scratch post-upsert build")
+  }
+
+  test("a TORN upsert (no commit) stays invisible forever; recovery " +
+      "re-runs through upsert and lands cleanly") {
+    val dir = Files.createTempDirectory("atomic_torn").toString
+    val docsOld = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    TermIndex.update(spark, dir, docsOld)
+    def served(d: String) = TermIndex.search(spark, d,
+      Seq("alpha", "beta", "delta"), 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    val before = served(dir)
+    val batch = Seq((1L, "delta delta")).toDF("doc_id", "text")
+    // crash after data + tombstone, BEFORE the watermark commit
+    GenMeta.initCommitted(spark, dir)
+    val g = GenMeta.reserve(spark, dir)
+    TermIndex.writeRows(spark, dir, batch, gen = g)
+    Tombstones.append(spark, dir, batch.select("doc_id"), "doc_id",
+      gen = g - 1, wgen = g)
+    assert(served(dir) == before, "torn upsert must not serve")
+    // recovery contract: re-send the batch through upsert() — the
+    // re-run's own tombstone hides the torn rows when it commits
+    TermIndex.upsert(spark, dir, batch,
+      autoFoldAt = Double.PositiveInfinity)
+    val ref = Files.createTempDirectory("atomic_torn_ref").toString
+    TermIndex.update(spark, ref, Seq((1L, "delta delta"),
+      (2L, "alpha gamma")).toDF("doc_id", "text"))
+    assert(served(dir) == served(ref))
+    // and the fold physically garbage-collects the torn generation
+    TermIndex.compact(spark, dir)
+    assert(served(dir) == served(ref))
+  }
+
+  test("GenMeta.reserve enforces single-writer: a held generation " +
+      "marker fails fast instead of double-reserving") {
+    val dir = Files.createTempDirectory("atomic_lock").toString
+    TermIndex.update(spark, dir, tinyDocs(5))
+    val g = GenMeta.current(spark, dir) + 1
+    val p = new org.apache.hadoop.fs.Path(GenMeta.path(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    fs.create(new org.apache.hadoop.fs.Path(p, s".g$g.reserved"), false)
+      .close()
+    val e = intercept[IllegalArgumentException](
+      GenMeta.reserve(spark, dir))
+    assert(e.getMessage.contains("already reserved"))
+    // crashed-writer recovery: compact sweeps the stale marker (with
+    // the consolidated rows), after which the next reserve proceeds
+    TermIndex.compact(spark, dir)
+    TermIndex.upsert(spark, dir, Seq((99L, "omega omega"))
+      .toDF("doc_id", "text"), autoFoldAt = Double.PositiveInfinity)
+  }
+
+  test("AnnIndex upsert is reader-atomic: serving postings hold the " +
+      "old generation until the watermark commit") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = Files.createTempDirectory("atomic_ann").toString
+    AnnIndex.build(spark, dir, emb.filter(col("vec_id") > 0),
+      lloydRounds = 0)
+    def served(): Seq[(Long, Long)] =
+      AnnIndex.servingPostings(spark, dir).select("vec_id", "gen")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val before = served()
+    val batch = emb.filter(col("vec_id").isin(10L, 11L))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"),
+        col("label"))
+    GenMeta.initCommitted(spark, dir)
+    val g = GenMeta.reserve(spark, dir)
+    AnnIndex.ingest(spark, dir, batch, useManifest = true, gen = g,
+      overwrite = true)
+    assert(served() == before, "uncommitted cell postings must not serve")
+    Tombstones.append(spark, dir, batch.select("vec_id"), "vec_id",
+      gen = g - 1, wgen = g)
+    assert(served() == before, "uncommitted tombstone must not hide")
+    GenMeta.commit(spark, dir, g)
+    val after = served()
+    assert(after.filter(_._1 == 10L) == Seq((10L, g)))
+    assert(after.filter(_._1 == 11L) == Seq((11L, g)))
+    assert(after.filterNot(r => r._1 == 10L || r._1 == 11L) ==
+      before.filterNot(r => r._1 == 10L || r._1 == 11L))
+  }
+
+  test("NearDupIndex upsert is reader-atomic: a probe between the " +
+      "writes pairs against the OLD text only; after the commit, " +
+      "against the NEW text only") {
+    val dir = Files.createTempDirectory("atomic_ndi").toString
+    val oldText = "a b c d e f g h"
+    val newText = "q r s t u v w x"
+    NearDupIndex.update(spark, dir,
+      Seq((1L, oldText), (2L, "m n o p m n o p"))
+        .toDF("doc_id", "text"))
+    def probePairs(text: String): Set[(Long, Long)] =
+      NearDupIndex.probe(spark, dir,
+        Seq((100L, text)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probePairs(oldText) == Set((1L, 100L)))
+    assert(probePairs(newText) == Set.empty[(Long, Long)])
+    val batch = Seq((1L, newText)).toDF("doc_id", "text")
+    GenMeta.initCommitted(spark, dir)
+    val g = GenMeta.reserve(spark, dir)
+    NearDupIndex.run(spark, dir, batch, threshold = 0.3,
+      append = true, gen = g, overwrite = true)
+    assert(probePairs(oldText) == Set((1L, 100L)),
+      "old version must keep pairing until the commit")
+    assert(probePairs(newText) == Set.empty[(Long, Long)],
+      "new version must not pair before the commit")
+    Tombstones.append(spark, dir, batch.select("doc_id"), "doc_id",
+      gen = g - 1, wgen = g)
+    assert(probePairs(oldText) == Set((1L, 100L)))
+    GenMeta.commit(spark, dir, g)
+    assert(probePairs(oldText) == Set.empty[(Long, Long)])
+    assert(probePairs(newText) == Set((1L, 100L)))
+  }
+
   test("the generation counter survives compaction (a post-compact " +
       "delete must still out-threshold pre-compact upserts)") {
     val dir = Files.createTempDirectory("tomb_genmeta").toString
