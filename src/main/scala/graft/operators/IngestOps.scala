@@ -124,6 +124,17 @@ object IngestOps {
       .select("path", "entry_type", "size_bytes", "modified_time")
       .orderBy("path")
 
+  /** The distributed-frontier scale twin over the SAME fake API and the
+    * SAME oracle: identical rows, but the BFS frontier and seen-set
+    * never touch the driver (the parity walker mirrors the reference's
+    * single-process queue; this is what a 10M-dir tree runs).
+    */
+  def restWalkDistributed(spark: SparkSession, sfDir: String): DataFrame =
+    RestWalker.traverseDistributed(spark, FakeApi, "/",
+      skipPatterns = Seq("*.tmp"))
+      .select("path", "entry_type", "size_bytes", "modified_time")
+      .orderBy("path")
+
   val restWalkSql: String =
     """WITH e(path, entry_type) AS (
       |  SELECT '/d' || i, 'directory' FROM generate_series(0, 4) t(i)
@@ -149,12 +160,14 @@ object IngestOps {
     "fs_listing" -> listing,
     "fs_listing_dsv2" -> listingDsv2,
     "fs_list_dir" -> listDirCap,
-    "rest_walk" -> restWalk)
+    "rest_walk" -> restWalk,
+    "rest_walk_distributed" -> restWalkDistributed)
 
   def oracleSql: Map[String, String] = Map(
     "fs_find_ls_roundtrip" -> findLsRoundtripSql,
     "fs_listing" -> listingSql,
     "fs_listing_dsv2" -> listingSql,
     "fs_list_dir" -> listDirCapSql,
-    "rest_walk" -> restWalkSql)
+    "rest_walk" -> restWalkSql,
+    "rest_walk_distributed" -> restWalkSql)
 }

@@ -93,4 +93,75 @@ object RestWalker {
         timestamp_micros(expr("mtime_ns div 1000"))) // F10
       .drop("mtime_ns")
   }
+
+  /** The SCALE twin of [[traverse]]: identical semantics (level-
+    * synchronous BFS, seen-dedup, skip/hidden pruning before fetch),
+    * but the frontier AND the seen-set stay DISTRIBUTED — the driver
+    * holds only a per-level row count, never a path. [[traverse]]
+    * mirrors the reference's own single-process BFS queue
+    * (lucidlink_api.py:182-298) and collects each level's directory
+    * list; its driver-side `seen` set grows with the TOTAL directory
+    * count, so a 10M-dir tree would pressure the driver (r12 verdict
+    * note). Here the next frontier is `listed dirs ANTI-JOIN seen`,
+    * both eagerly localCheckpointed per level: driver memory is O(1),
+    * dedup is a distributed join bounded per level by the frontier's
+    * discovery volume, and the HTTP fetches stay in `mapPartitions`
+    * exactly as before. Per level this costs one count action and one
+    * anti-join shuffle — noise against the network-bound listings it
+    * schedules, and the price of never materializing the tree's
+    * directory names in one process.
+    */
+  def traverseDistributed(
+      spark: SparkSession,
+      fetch: Fetch,
+      root: String,
+      skipPatterns: Seq[String] = Nil,
+      maxDepth: Int = 64,
+      fanout: Int = 32): DataFrame = {
+    import spark.implicits._
+
+    // same exclusion semantics as traverse, expressed as Columns so the
+    // pruning runs where the frontier lives; like traverse, recursion
+    // pruning tests the root-stripped path, the final row filter the
+    // raw path
+    val hiddenCol = col("path").rlike("(^|/)\\.[^/]*$")
+    val skipRe = if (skipPatterns.isEmpty) None
+      else Some(Globs.skipRegex(skipPatterns))
+    val skipRecurseCol = skipRe.fold(lit(false))(re =>
+      regexp_replace(col("path"), "^/", "").rlike(re))
+    val skipRowCol = skipRe.fold(lit(false))(re => col("path").rlike(re))
+
+    var frontier = spark.createDataset(Seq(root)).toDF("path")
+      .localCheckpoint(true)
+    var seen = frontier // SO4 dedup, kept distributed
+    var frontierRows = 1L
+    var acc: Option[DataFrame] = None
+    var depth = 0
+    while (frontierRows > 0 && depth < maxDepth) {
+      val nPart = math.max(1, math.min(frontierRows, fanout.toLong)).toInt
+      val listed = frontier.repartition(nPart)
+        .as[String].mapPartitions(_.flatMap(fetch))
+        .toDF()
+        .localCheckpoint(true) // fetch runs ONCE, lineage truncated
+      acc = Some(acc.fold(listed)(_.unionByName(listed)))
+      val next = listed
+        .filter(col("entry_type") === "directory")
+        .select("path")
+        .filter(!skipRecurseCol && !hiddenCol)
+        .distinct()
+        .join(seen, Seq("path"), "left_anti")
+        .localCheckpoint(true)
+      seen = seen.unionByName(next).localCheckpoint(true)
+      frontier = next
+      frontierRows = next.count()
+      depth += 1
+    }
+    val out = acc.getOrElse(spark.emptyDataset[ApiEntry].toDF())
+    out
+      .filter(!skipRowCol)
+      .filter(!col("path").rlike("(^|/)\\.")) // P3 parity
+      .withColumn("modified_time",
+        timestamp_micros(expr("mtime_ns div 1000"))) // F10
+      .drop("mtime_ns")
+  }
 }

@@ -57,4 +57,64 @@ class RestWalkerSpec extends SparkSpecBase {
       r.getAs[java.sql.Timestamp]("modified_time")).toMap
     assert(m("/fs/top.txt").getTime == 1700000001500L)
   }
+
+  test("the distributed-frontier twin returns the identical row set " +
+      "with the identical fetch pruning — and no path ever rides a " +
+      "driver collect") {
+    FakeApi.calls.clear()
+    val dist = RestWalker.traverseDistributed(spark, FakeApi.fetch, "/fs",
+      skipPatterns = Seq("skipme"))
+    val distRows = dist.collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[String]("entry_type"),
+        r.getAs[Long]("size_bytes"),
+        r.getAs[java.sql.Timestamp]("modified_time"))).toSet
+    import scala.jdk.CollectionConverters._
+    val fetched = FakeApi.calls.asScala.toSet
+    assert(!fetched.contains("/fs/a/skipme"), "skip pruning must reach " +
+      "the distributed frontier before the fetch")
+    assert(!fetched.contains("/fs/.git"))
+    FakeApi.calls.clear()
+    val par = RestWalker.traverse(spark, FakeApi.fetch, "/fs",
+      skipPatterns = Seq("skipme"))
+    val parRows = par.collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[String]("entry_type"),
+        r.getAs[Long]("size_bytes"),
+        r.getAs[java.sql.Timestamp]("modified_time"))).toSet
+    assert(distRows == parRows)
+  }
+
+  test("the distributed twin dedups re-discovered directories (SO4): " +
+      "a diamond tree fetches each directory exactly once") {
+    DiamondApi.calls.clear()
+    val rows = RestWalker.traverseDistributed(spark, DiamondApi.fetch, "/r")
+      .collect().map(_.getAs[String]("path"))
+    import scala.jdk.CollectionConverters._
+    assert(DiamondApi.calls.asScala.count(_ == "/r/shared") == 1)
+    assert(rows.count(_ == "/r/shared/leaf.txt") == 1)
+  }
+}
+
+/** Two parents both list the same child directory. Call tracking lives
+  * on a top-level object (static access from deserialized task
+  * closures — a captured local queue would be a per-task COPY and
+  * record nothing).
+  */
+object DiamondApi {
+  import RestWalker.ApiEntry
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val fetch: RestWalker.Fetch = new RestWalker.Fetch {
+    def apply(d: String): Seq[ApiEntry] = {
+      calls.add(d)
+      d match {
+        case "/r" => Seq(
+          ApiEntry("/r/p1", "directory", 0L, 1700000000000000000L),
+          ApiEntry("/r/p2", "directory", 0L, 1700000000000000000L))
+        case "/r/p1" | "/r/p2" => Seq(
+          ApiEntry("/r/shared", "directory", 0L, 1700000000000000000L))
+        case "/r/shared" => Seq(
+          ApiEntry("/r/shared/leaf.txt", "file", 3L, 1700000000000000000L))
+        case _ => Nil
+      }
+    }
+  }
 }
