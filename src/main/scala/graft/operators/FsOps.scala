@@ -257,6 +257,128 @@ object FsOps {
       |WHERE d.type = 'directory'
       |ORDER BY directory_path""".stripMargin)
 
+  /** Ancestor explode of a SIGNED-DELTA change feed: one
+    * (directory_path, delta_size, delta_count) row per ancestor of every
+    * changed file. Same codegen'd sequence/substring_index core as
+    * [[ancestorSizePairs]], carrying the count delta alongside the size
+    * delta.
+    */
+  private def ancestorDeltaPairs(changes: DataFrame): DataFrame = {
+    val depth = length(col("filepath")) -
+      length(regexp_replace(col("filepath"), "/", ""))
+    changes
+      .select(col("filepath"), col("delta_size"), col("delta_count"),
+        depth.as("d"))
+      .select(explode(expr(
+        "CASE WHEN d >= 2 THEN sequence(2, d) ELSE cast(array() AS array<int>) END")).as("k"),
+        col("filepath"), col("delta_size"), col("delta_count"))
+      .select(expr("substring_index(filepath, '/', k)")
+        .as("directory_path"), col("delta_size"), col("delta_count"))
+  }
+
+  /** J3 INCREMENTAL maintenance: fold a signed-delta change feed into a
+    * previously materialized rollup snapshot instead of re-aggregating
+    * the corpus. The reference recomputes every directory size from
+    * scratch on each scan (directory_size.py:39-60 — a full-table
+    * prefix aggregation per run); at 100 TB a rescan that touches 0.1%
+    * of files must not pay the O(files × depth) explode again, so this
+    * is the operator a production deployment actually runs between full
+    * rebuilds.
+    *
+    * `prior` is the stored per-directory aggregate (directory_path, sz,
+    * fc) — in the pipeline, the last run's dirSizes output. `changes`
+    * carries one row per added/resized/deleted file: (filepath,
+    * delta_size, delta_count) with delta_count ∈ {+1, 0, −1} and
+    * delta_size the SIGNED byte change vs the prior snapshot (add:
+    * +size; delete: −old_size; resize: new−old). Work is
+    * O(|changes| × depth) — the delta explode — plus ONE equi-join per
+    * leg on directory_path; with the snapshot bucketed on
+    * directory_path the merge is shuffle-free, and restricting the
+    * output to deltaAgg's keys turns it into an upsert of only the
+    * touched directories. Additions never create directories here (the
+    * synthetic feed adds files into existing dirs); a feed that mints
+    * new paths would union its new dir rows into `dirs` first.
+    *
+    * This is the HIERARCHY-AWARE sibling of [[IncrementalView]]: that
+    * operator maintains flat GROUP BY aggregates from the snapshot
+    * store's change feed, but a file delta must credit every ancestor
+    * directory — the explode here is what a flat group-key fold cannot
+    * express.
+    */
+  def dirRollupApplyDelta(prior: DataFrame, dirs: DataFrame,
+      changes: DataFrame): DataFrame = {
+    val deltaAgg = ancestorDeltaPairs(changes)
+      .groupBy("directory_path")
+      .agg(sum("delta_size").as("dsz"), sum("delta_count").as("dfc"))
+    dirs
+      .join(prior, Seq("directory_path"), "left")
+      .join(deltaAgg, Seq("directory_path"), "left")
+      .select(col("directory_path"),
+        (coalesce(col("sz"), lit(0L)) + coalesce(col("dsz"), lit(0L)))
+          .cast("long").as("total_size"),
+        (coalesce(col("fc"), lit(0L)) + coalesce(col("dfc"), lit(0L)))
+          .cast("long").as("file_count"))
+  }
+
+  /** J3 incremental query form: the base corpus's rollup (standing in
+    * for the stored snapshot) patched with a deterministic change feed —
+    * orderkey%11 files deleted, surviving orderkey%7 files grown by
+    * 777 bytes, and every orderkey%13 file gaining a `.new` sibling of
+    * size+13. The ORACLE is a from-scratch re-aggregation of the
+    * post-change corpus, so a green row proves delta-merge ≡ recompute
+    * bit-for-bit (deletion wins over resize for %77 files on both
+    * sides: the delta is −old_size, the recompute never sees the row).
+    */
+  def dirRollupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = SyntheticFs.files(spark, sfDir)
+    val prior = ancestorSizePairs(f)
+      .groupBy("directory_path")
+      .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
+    val changes = f
+      .filter(col("l_orderkey") % 11 === 0 || col("l_orderkey") % 7 === 0)
+      .select(col("filepath"),
+        when(col("l_orderkey") % 11 === 0, -col("size_bytes"))
+          .otherwise(lit(777L)).as("delta_size"),
+        when(col("l_orderkey") % 11 === 0, lit(-1L)).otherwise(lit(0L))
+          .as("delta_count"))
+      .unionByName(f.filter(col("l_orderkey") % 13 === 0)
+        .select(concat(col("filepath"), lit(".new")).as("filepath"),
+          (col("size_bytes") + 13).cast("long").as("delta_size"),
+          lit(1L).as("delta_count")))
+    val dirs = SyntheticFs.entries(spark, sfDir)
+      .filter(col("type") === "directory")
+      .select(col("filepath").as("directory_path"))
+    dirRollupApplyDelta(prior, dirs, changes).orderBy("directory_path")
+  }
+
+  val dirRollupIncrementalSql: String = SyntheticFs.withCtes(
+    """, post AS (
+      |  SELECT relative_path,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN size_bytes + 777
+      |         ELSE size_bytes END AS size_bytes
+      |  FROM fs_files WHERE l_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT relative_path || '.new' AS relative_path,
+      |         size_bytes + 13 AS size_bytes
+      |  FROM fs_files WHERE l_orderkey % 13 = 0),
+      |anc AS (
+      |  SELECT unnest(list_transform(
+      |           generate_series(1, len(parts) - 1),
+      |           i -> '/' || array_to_string(parts[1:i], '/'))) AS directory_path,
+      |         size_bytes
+      |  FROM (SELECT string_split(relative_path, '/') AS parts, size_bytes
+      |        FROM post)),
+      |roll AS (
+      |  SELECT directory_path, CAST(sum(size_bytes) AS BIGINT) AS sz,
+      |         count(*) AS fc
+      |  FROM anc GROUP BY directory_path)
+      |SELECT d.filepath AS directory_path,
+      |       coalesce(r.sz, 0) AS total_size,
+      |       CAST(coalesce(r.fc, 0) AS BIGINT) AS file_count
+      |FROM fs_entries d LEFT JOIN roll r ON d.filepath = r.directory_path
+      |WHERE d.type = 'directory'
+      |ORDER BY directory_path""".stripMargin)
+
   /** J3 reference-shape form: LEFT theta-join on the path prefix with
     * conditional SUM, exactly elasticsearch_integration.py:128-151 — kept
     * faithful but restricted to depth-1 directories so the broadcast
@@ -891,6 +1013,7 @@ object FsOps {
     "fs_removed_last_cleanup" -> removedLastCleanup,
     "fs_distinct_unnest" -> distinctUnnest,
     "fs_dir_rollup_explode" -> dirRollupExplode,
+    "fs_dir_rollup_incremental" -> dirRollupIncremental,
     "fs_dir_rollup_theta" -> dirRollupTheta,
     "fs_merge_upsert" -> mergeUpsert,
     "fs_merge_replace" -> mergeReplace,
@@ -920,6 +1043,7 @@ object FsOps {
     "fs_removed_last_cleanup" -> removedLastCleanupSql,
     "fs_distinct_unnest" -> distinctUnnestSql,
     "fs_dir_rollup_explode" -> dirRollupExplodeSql,
+    "fs_dir_rollup_incremental" -> dirRollupIncrementalSql,
     "fs_dir_rollup_theta" -> dirRollupThetaSql,
     "fs_merge_upsert" -> mergeUpsertSql,
     "fs_merge_replace" -> mergeReplaceSql,
