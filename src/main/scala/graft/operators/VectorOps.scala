@@ -1680,6 +1680,29 @@ object VectorOps {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** [[hybridReindexed]] with BOTH stores COMPACTED — the final
+    * lifecycle × serving-tier cell: the fold rewrites each store
+    * without its superseded generations and clears the tombstones, and
+    * fused serving must not move a single rank or RRF contribution —
+    * the row shares [[hybridReindexedSql]] verbatim, so generation
+    * subtraction ≡ compaction fold bit-for-bit through the fusion too.
+    */
+  def hybridReindexCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val tq = {
+      import spark.implicits._
+      Seq((0L, TextOps.bmTerms)).toDF("q_id", "terms")
+    }
+    val vq = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(lit(0L).as("q_id"), col("embedding").as("qe"))
+    hybridServeAll(spark, tq, vq,
+      TextOps.termIndexReindexCompactedFor(spark, sfDir),
+      annIndexReindexCompactedFor(spark, sfDir), legK = 100000, k = 20)
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** The post-upsert hybrid oracle: text corpus rewritten per
     * [[TextOps.reindexedCorpusSql]], embeddings rewritten per the
     * [[hammingReindexedSql]] predicates, candidates minus the
@@ -2582,6 +2605,7 @@ object VectorOps {
     "docs_hybrid_indexed" -> hybridIndexed,
     "docs_hybrid_indexed_deleted" -> hybridIndexedDeleted,
     "docs_hybrid_reindexed" -> hybridReindexed,
+    "docs_hybrid_reindex_compacted" -> hybridReindexCompacted,
     "ann_hard_negatives" -> hardNegatives,
     "ann_label_outliers" -> labelOutliers,
     "ann_label_confusion" -> labelConfusion,
@@ -2619,6 +2643,8 @@ object VectorOps {
     "docs_hybrid_indexed" -> hybridSearchSql,
     "docs_hybrid_indexed_deleted" -> hybridIndexedDeletedSql,
     "docs_hybrid_reindexed" -> hybridReindexedSql,
+    // the compacted twin is lossless — identical fusion, same oracle
+    "docs_hybrid_reindex_compacted" -> hybridReindexedSql,
     "ann_hard_negatives" -> hardNegativesSql,
     "ann_label_outliers" -> labelOutliersSql,
     "ann_label_confusion" -> labelConfusionSql,
