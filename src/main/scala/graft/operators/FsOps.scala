@@ -306,18 +306,63 @@ object FsOps {
     * express.
     */
   def dirRollupApplyDelta(prior: DataFrame, dirs: DataFrame,
+      changes: DataFrame): DataFrame =
+    dirs
+      .join(dirRollupFoldDelta(prior, changes),
+        Seq("directory_path"), "left")
+      .select(col("directory_path"),
+        coalesce(col("sz"), lit(0L)).as("total_size"),
+        coalesce(col("fc"), lit(0L)).as("file_count"))
+
+  /** One delta fold in SNAPSHOT form: (directory_path, sz, fc) in,
+    * same schema out — prior keys without deltas pass through, delta
+    * keys without a prior row start from zero. Deltas are abelian, so
+    * folds compose across any batch split in any order: this is the
+    * per-micro-batch step of [[graft.operators.StreamOps]]'s streaming
+    * rollup maintenance as well as [[dirRollupApplyDelta]]'s core.
+    */
+  private[graft] def dirRollupFoldDelta(prev: DataFrame,
       changes: DataFrame): DataFrame = {
     val deltaAgg = ancestorDeltaPairs(changes)
       .groupBy("directory_path")
       .agg(sum("delta_size").as("dsz"), sum("delta_count").as("dfc"))
-    dirs
-      .join(prior, Seq("directory_path"), "left")
-      .join(deltaAgg, Seq("directory_path"), "left")
+    prev.join(deltaAgg, Seq("directory_path"), "full_outer")
       .select(col("directory_path"),
         (coalesce(col("sz"), lit(0L)) + coalesce(col("dsz"), lit(0L)))
-          .cast("long").as("total_size"),
+          .cast("long").as("sz"),
         (coalesce(col("fc"), lit(0L)) + coalesce(col("dfc"), lit(0L)))
-          .cast("long").as("file_count"))
+          .cast("long").as("fc"))
+  }
+
+  /** The base corpus's per-directory aggregate — the "stored snapshot"
+    * the incremental forms patch (in the pipeline: the last run's
+    * dirSizes output).
+    */
+  private[graft] def dirRollupPrior(spark: SparkSession,
+      sfDir: String): DataFrame =
+    ancestorSizePairs(SyntheticFs.files(spark, sfDir))
+      .groupBy("directory_path")
+      .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
+
+  /** The deterministic signed change feed both incremental rollup rows
+    * replay: orderkey%11 files deleted (delta −old_size/−1 — wins over
+    * resize for %77 files), surviving orderkey%7 files grown by 777
+    * (delta +777/0), every orderkey%13 file gaining a `.new` sibling
+    * (delta +size+13/+1).
+    */
+  private[graft] def rollupChangeFeed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val f = SyntheticFs.files(spark, sfDir)
+    f.filter(col("l_orderkey") % 11 === 0 || col("l_orderkey") % 7 === 0)
+      .select(col("filepath"),
+        when(col("l_orderkey") % 11 === 0, -col("size_bytes"))
+          .otherwise(lit(777L)).as("delta_size"),
+        when(col("l_orderkey") % 11 === 0, lit(-1L)).otherwise(lit(0L))
+          .as("delta_count"))
+      .unionByName(f.filter(col("l_orderkey") % 13 === 0)
+        .select(concat(col("filepath"), lit(".new")).as("filepath"),
+          (col("size_bytes") + 13).cast("long").as("delta_size"),
+          lit(1L).as("delta_count")))
   }
 
   /** J3 incremental query form: the base corpus's rollup (standing in
@@ -330,25 +375,11 @@ object FsOps {
     * sides: the delta is −old_size, the recompute never sees the row).
     */
   def dirRollupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = SyntheticFs.files(spark, sfDir)
-    val prior = ancestorSizePairs(f)
-      .groupBy("directory_path")
-      .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
-    val changes = f
-      .filter(col("l_orderkey") % 11 === 0 || col("l_orderkey") % 7 === 0)
-      .select(col("filepath"),
-        when(col("l_orderkey") % 11 === 0, -col("size_bytes"))
-          .otherwise(lit(777L)).as("delta_size"),
-        when(col("l_orderkey") % 11 === 0, lit(-1L)).otherwise(lit(0L))
-          .as("delta_count"))
-      .unionByName(f.filter(col("l_orderkey") % 13 === 0)
-        .select(concat(col("filepath"), lit(".new")).as("filepath"),
-          (col("size_bytes") + 13).cast("long").as("delta_size"),
-          lit(1L).as("delta_count")))
     val dirs = SyntheticFs.entries(spark, sfDir)
       .filter(col("type") === "directory")
       .select(col("filepath").as("directory_path"))
-    dirRollupApplyDelta(prior, dirs, changes).orderBy("directory_path")
+    dirRollupApplyDelta(dirRollupPrior(spark, sfDir), dirs,
+      rollupChangeFeed(spark, sfDir)).orderBy("directory_path")
   }
 
   val dirRollupIncrementalSql: String = SyntheticFs.withCtes(

@@ -606,6 +606,71 @@ object StreamOps {
     TermIndex.search(spark, s"$dir/store", TextOps.bmTerms, k = 20)
   }
 
+  // ------------------------------------------------------------------ //
+  // Streaming incremental rollup maintenance: the J3 snapshot kept     //
+  // current by folding the change feed per micro-batch.                //
+  // ------------------------------------------------------------------ //
+
+  private val rollupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** [[FsOps.dirRollupIncremental]]'s STREAMING twin: the signed change
+    * feed arrives as micro-batches and each one folds into the stored
+    * per-directory snapshot via [[FsOps.dirRollupFoldDelta]] — write
+    * cost per batch is O(|snapshot| + |batch| × depth), and the final
+    * state must equal the batch delta-merge AND the from-scratch
+    * recompute (the row shares `fs_dir_rollup_incremental`'s oracle
+    * verbatim). Deltas are abelian, so the result is independent of
+    * batch cut points and arrival order — the determinism contract
+    * every row in this file needs. Snapshots land copy-on-write as
+    * `snap-<n>` generations (readers of `snap-g` are never disturbed,
+    * the monotonic-generation discipline the ParquetIndex store uses);
+    * a deployment whose snapshot outgrows per-batch rewrite moves the
+    * fold to MOR cadence — append the delta aggregate, fold at
+    * checkpoint — exactly the `fs_stream_index` → `fs_stream_index_mor`
+    * economics step.
+    */
+  def streamRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(rollupCache, sfDir,
+      "graft-streamrollup") { root =>
+      FsOps.dirRollupPrior(spark, sfDir)
+        .write.parquet(s"$root/snap-0")
+      FsOps.rollupChangeFeed(spark, sfDir)
+        .repartition(4)
+        .write.parquet(s"$root/feed")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$root/feed").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/feed")
+      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = src.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val g = gen.get()
+          val prev = batch.sparkSession.read.parquet(s"$root/snap-$g")
+          FsOps.dirRollupFoldDelta(prev, batch)
+            .write.parquet(s"$root/snap-${g + 1}")
+          gen.incrementAndGet(): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val last = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toInt).max
+    SyntheticFs.entries(spark, sfDir)
+      .filter(col("type") === "directory")
+      .select(col("filepath").as("directory_path"))
+      .join(spark.read.parquet(s"$dir/snap-$last"),
+        Seq("directory_path"), "left")
+      .select(col("directory_path"),
+        coalesce(col("sz"), lit(0L)).as("total_size"),
+        coalesce(col("fc"), lit(0L)).as("file_count"))
+      .orderBy("directory_path")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_hourly" -> streamHourly,
     "events_stream_sessionize" -> streamSessionize,
@@ -616,7 +681,8 @@ object StreamOps {
     "fs_stream_index" -> streamIndex,
     "fs_stream_index_mor" -> streamIndexMor,
     "ann_stream_indexed" -> annStreamIndexed,
-    "docs_stream_indexed_deleted" -> streamIndexedDeleted)
+    "docs_stream_indexed_deleted" -> streamIndexedDeleted,
+    "fs_stream_rollup" -> streamRollup)
 
   def oracleSql: Map[String, String] = Map(
     "events_stream_hourly" -> EventsOps.hourlyWindowSql,
@@ -633,5 +699,7 @@ object StreamOps {
     // stream-fed vector store serves the batch binary top-k verbatim
     "ann_stream_indexed" -> VectorOps.binaryHammingSql,
     // stream-fed inserts + deletes fold to the batch post-delete BM25
-    "docs_stream_indexed_deleted" -> TextOps.bm25TopkDeletedSql)
+    "docs_stream_indexed_deleted" -> TextOps.bm25TopkDeletedSql,
+    // per-micro-batch delta folds reach the from-scratch recompute
+    "fs_stream_rollup" -> FsOps.dirRollupIncrementalSql)
 }
