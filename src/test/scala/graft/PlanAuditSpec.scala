@@ -45,6 +45,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental rollup: map-side delta combine, equi-joins only") {
+    val p = finalPlan(
+      SparkEntry.queries("fs_dir_rollup_incremental")(spark, sf))
+    // the delta aggregate partial-combines before its exchange
+    assert(p.contains("partial_sum"), p)
+    // prior-fold and dirs legs are equi-joins — never a nested loop
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rollup theta path: the deliberate bounded broadcast BNLJ shape") {
     val p = finalPlan(SparkEntry.queries("fs_dir_rollup_theta")(spark, sf))
     // this query IS the reference-parity nested loop — pinned so a
