@@ -1,41 +1,56 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The scale probe's exponents are only meaningful if the k-replica
-  * generator preserves workload SHAPE — the load-bearing property is
-  * that replicas reproduce sf's internal duplicate families without
-  * merging across copies (naive replication would merge every family
-  * k-ways and the banded join's per-family quadratic term would read
-  * as engine superlinearity). Pinned: row counts scale exactly k×,
-  * near-dup family COUNT scales k×, family SIZE does not.
+/** Pins that the cross-join replica builder emits EXACTLY the row
+  * multiset the original k-way-union form produced — the k=10/k=100
+  * decade history (PERF.md tables) stays comparable after the k=1000
+  * rewrite. The union form lives here as the reference shape.
   */
 class ScaleProbeSpec extends SparkSpecBase {
 
-  private val base = "/root/testdata/sf0.001"
+  private val src = "/root/testdata/sf0.001"
+  private val k = 3
 
-  test("2x replica: rows double, dup family count doubles, family " +
-    "size constant") {
-    val dir2 = ScaleProbe.scaled(spark, base, 2)
-    try {
-      for (t <- Seq("documents", "lineitem", "orders"))
-        assert(
-          spark.read.parquet(s"$dir2/$t.parquet").count() ==
-            2 * spark.read.parquet(s"$base/$t.parquet").count(), t)
+  private def unionCopies(df: DataFrame,
+      f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map(i => f(df, i)).reduce(_.unionAll(_))
 
-      def clusterStats(d: String): (Long, Long) = {
-        val r = operators.TextOps.neardupClusters(spark, d)
-          .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)), max("sz")).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      val (nBase, maxBase) = clusterStats(base)
-      val (nScaled, maxScaled) = clusterStats(dir2)
-      assert(nBase > 0, "fixture has no near-dup families")
-      assert(nScaled == 2 * nBase,
-        s"family count $nScaled != 2 x $nBase — copies merged or lost")
-      assert(maxScaled == maxBase,
-        s"max family size drifted: $maxScaled vs $maxBase")
-    } finally Bench.rm(java.nio.file.Paths.get(dir2))
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("cross-join replica == union replica for every scaled table") {
+    val dst = Files.createTempDirectory("scaleprobespec")
+    ScaleProbe.materialize(spark, src, k, dst)
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val shift = spark.read.parquet(s"$src/orders.parquet")
+      .agg(max("o_orderkey")).head().getLong(0) + 1
+    assert(sortedRows(spark.read.parquet(s"$dst/lineitem.parquet")) ==
+      sortedRows(unionCopies(li, (d, i) => d.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * shift)))))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docShift = docs.agg(max("doc_id")).head().getLong(0) + 1
+    assert(sortedRows(spark.read.parquet(s"$dst/documents.parquet")) ==
+      sortedRows(unionCopies(docs, (d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * docShift))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            t => concat(lit(s"c${i}_"), t)), " "))
+        .withColumn("n_chars", length(col("text"))))))
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evShift = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userShift = ev.agg(max("user_id")).head().getLong(0) + 1
+    assert(sortedRows(spark.read.parquet(s"$dst/events.parquet")) ==
+      sortedRows(unionCopies(ev, (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * evShift))
+        .withColumn("user_id", col("user_id") + lit(i * userShift)))))
+
+    Bench.rm(dst)
   }
 }
