@@ -60,22 +60,24 @@ object ScaleProbe {
     // ONE scan × a broadcast range(k), not a k-way union: at k=1000
     // the union form is a 1000-branch plan (minutes of planning, k
     // scans of the same file); the cross-join form emits the identical
-    // row multiset (ScaleProbeSpec pins it against the union shape)
-    // with one scan and a tiny broadcast side.
+    // row multiset (ScaleProbeSpec pins it against the union shape).
+    // The SOURCE repartitions to 32 BEFORE the fan-out — the sf0.1
+    // tables are single-file/single-split, so exploding first would
+    // serialize k× the corpus through one task (measured: a lone map
+    // task emitting a 26+ GB shuffle at k=1000) — and the write then
+    // inherits those 32 partitions with NO post-explode shuffle at all.
     def copies(df: DataFrame,
         f: (DataFrame, Column) => DataFrame): DataFrame = {
-      val tagged = df.crossJoin(
+      val tagged = df.repartition(32).crossJoin(
         broadcast(spark.range(k).select(col("id").as("copy_i"))))
       f(tagged, col("copy_i")).drop("copy_i")
     }
 
     copies(li, (d, i) => d.withColumn("l_orderkey",
         col("l_orderkey") + i * lit(shift)))
-      .repartition(32)
       .write.parquet(s"$dst/lineitem.parquet")
     copies(ord, (d, i) => d.withColumn("o_orderkey",
         col("o_orderkey") + i * lit(shift)))
-      .repartition(32)
       .write.parquet(s"$dst/orders.parquet")
     copies(docs, (d, i) => d
         .withColumn("doc_id", col("doc_id") + i * lit(docShift))
@@ -83,7 +85,6 @@ object ScaleProbe {
           transform(split(col("text"), " "),
             t => concat(lit("c"), i.cast("string"), lit("_"), t)), " "))
         .withColumn("n_chars", length(col("text"))))
-      .repartition(32)
       .write.parquet(s"$dst/documents.parquet")
     // events replicate with disjoint users AND event ids, so the
     // sessionize/window gate rows scale in session COUNT (the way real
@@ -94,7 +95,6 @@ object ScaleProbe {
     copies(ev, (d, i) => d
         .withColumn("event_id", col("event_id") + i * lit(evShift))
         .withColumn("user_id", col("user_id") + i * lit(userShift)))
-      .repartition(32)
       .write.parquet(s"$dst/events.parquet")
     val scaledTables = Set("lineitem", "orders", "documents", "events")
     val s = Files.list(Paths.get(src))

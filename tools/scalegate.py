@@ -147,6 +147,15 @@ def main():
         print(f"running graft.ScaleGate k={K} ...")
         run_dump()
     con = duckdb.connect()
+    # the digest comparator is constant-space, but the ORACLE queries
+    # themselves build hash joins/windows over the k-replica (33 GB
+    # observed at k=100 unbounded) — cap DuckDB so the k=1000 decade
+    # spills to disk instead of OOMing the box
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    tmp = ROOT / "duckdb-tmp"
+    tmp.mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         src = ROOT / "data" / f"{t}.parquet"
