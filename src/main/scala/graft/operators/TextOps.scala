@@ -619,8 +619,9 @@ object TextOps {
   private val neardupPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def neardupIndexed(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = StoreUtil.cachedTempDir(neardupPairsCache, sfDir,
+  private[graft] def neardupStoreFor(spark: SparkSession,
+      sfDir: String): String =
+    StoreUtil.cachedTempDir(neardupPairsCache, sfDir,
       "graft-ndserve") { d =>
       val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
       val store = s"$d/store"
@@ -630,8 +631,10 @@ object TextOps {
         docs.filter(col("doc_id") % 2 === 1))
       p1.unionByName(p2).write.parquet(s"$d/pairs")
     }
-    spark.read.parquet(s"$dir/pairs").orderBy("a_id", "b_id")
-  }
+
+  def neardupIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${neardupStoreFor(spark, sfDir)}/pairs")
+      .orderBy("a_id", "b_id")
 
   /** The ADMISSION check as a gated query: [[NearDupIndex.probe]] of
     * the odd half against an even-half store — read-only, nothing
@@ -683,10 +686,12 @@ object TextOps {
   def neardupReindexed(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = StoreUtil.cachedTempDir(neardupReixCache, sfDir,
       "graft-ndreix") { d =>
+      // prefix-shared with the serve fixture: its two-half update IS
+      // this store's verbatim history prefix (the probe pairs the
+      // updates returned are not needed here)
+      StoreUtil.copyRec(s"${neardupStoreFor(spark, sfDir)}/store", d)
       val docs = Tables(spark, sfDir, "documents")
         .select("doc_id", "text")
-      NearDupIndex.update(spark, d, docs.filter(col("doc_id") % 2 === 0))
-      NearDupIndex.update(spark, d, docs.filter(col("doc_id") % 2 === 1))
       NearDupIndex.delete(spark, d,
         docs.filter(delPred).select("doc_id"))
       NearDupIndex.upsert(spark, d, doubledText(docs.filter(reAddPred)))
@@ -1882,10 +1887,13 @@ object TextOps {
       sfDir: String): String =
     StoreUtil.cachedTempDir(termIndexDelCache, sfDir,
       "graft-termindex-del") { dir =>
+      // prefix-shared with the plain indexed fixture: its two-half
+      // build is this store's verbatim history prefix, so copy + the
+      // delete step (the compacted twins' copyRec discipline) — one
+      // build per JVM instead of one per lifecycle variant
+      StoreUtil.copyRec(termIndexFor(spark, sfDir), dir)
       val docs = Tables(spark, sfDir, "documents")
         .select("doc_id", "text")
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
       TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
     }
 
@@ -1962,11 +1970,12 @@ object TextOps {
       sfDir: String): String =
     StoreUtil.cachedTempDir(termIndexReixCache, sfDir,
       "graft-termindex-reix") { dir =>
+      // prefix-shared one level deeper: build + delete come verbatim
+      // from the deleted fixture; only the two upserts are this
+      // store's own history
+      StoreUtil.copyRec(termIndexDeletedFor(spark, sfDir), dir)
       val docs = Tables(spark, sfDir, "documents")
         .select("doc_id", "text")
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 0))
-      TermIndex.update(spark, dir, docs.filter(col("doc_id") % 2 === 1))
-      TermIndex.delete(spark, dir, docs.filter(delPred).select("doc_id"))
       TermIndex.upsert(spark, dir, doubledText(docs.filter(reAddPred)))
       TermIndex.upsert(spark, dir, doubledText(docs.filter(reUpdPred)))
     }

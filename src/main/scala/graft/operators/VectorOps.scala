@@ -2151,12 +2151,11 @@ object VectorOps {
       sfDir: String): String =
     StoreUtil.cachedTempDir(annIndexDelCache, sfDir,
       "graft-annindex-del") { dir =>
+      // prefix-shared with annIndexFor: its build + update are this
+      // store's verbatim history prefix (the compacted twins' copyRec
+      // discipline) — one cell build per JVM, not one per variant
+      StoreUtil.copyRec(annIndexFor(spark, sfDir), dir)
       val emb = Tables(spark, sfDir, "embeddings")
-      AnnIndex.build(spark, dir,
-        emb.filter(col("vec_id").between(1, 8) ||
-          (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
-      AnnIndex.update(spark, dir,
-        emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
       AnnIndex.delete(spark, dir,
         emb.filter(col("vec_id") >= 9 && col("vec_id") % 7 === 3)
           .select("vec_id"))
@@ -2209,13 +2208,11 @@ object VectorOps {
 
   private def buildReindexedStore(spark: SparkSession, sfDir: String,
       dir: String): Unit = {
+    // prefix-shared one level deeper: build + update + delete come
+    // verbatim from the deleted fixture (annDelPred IS its delete);
+    // only the two negated upserts are this store's own history
+    StoreUtil.copyRec(annIndexDeletedFor(spark, sfDir), dir)
     val emb = Tables(spark, sfDir, "embeddings")
-    AnnIndex.build(spark, dir,
-      emb.filter(col("vec_id").between(1, 8) ||
-        (col("vec_id") > 8 && col("vec_id") % 2 === 0)))
-    AnnIndex.update(spark, dir,
-      emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1))
-    AnnIndex.delete(spark, dir, emb.filter(annDelPred).select("vec_id"))
     AnnIndex.upsert(spark, dir, negatedEmb(emb.filter(annReAddPred)))
     AnnIndex.upsert(spark, dir, negatedEmb(emb.filter(annReUpdPred)))
   }
