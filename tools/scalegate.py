@@ -46,7 +46,9 @@ def run_dump():
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
     cmd += [
-        "-Xmx24g",
+        # dump-JVM heap: 24g covers every k<=100 dump; the k=1000
+        # sessionize window (200M events x 32 tasks) needs more
+        f"-Xmx{os.environ.get('SPARK_GRAFT_DUMP_XMX', '24g')}",
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp",
