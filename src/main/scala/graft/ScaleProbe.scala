@@ -79,11 +79,20 @@ object ScaleProbe {
     copies(ord, (d, i) => d.withColumn("o_orderkey",
         col("o_orderkey") + i * lit(shift)))
       .write.parquet(s"$dst/orders.parquet")
+    // copy 0 keeps the ORIGINAL text: prefixing every token kept the
+    // copies' shingle/anchor spaces pairwise disjoint (the dedup rows
+    // must not mint cross-copy pairs), but it also renamed every term,
+    // so a term-addressed serving row (docs_bm25_indexed's fixed query
+    // terms) matched nothing on the replica. An unprefixed copy 0 is
+    // still disjoint from every prefixed copy i>0, within-copy
+    // semantics are unchanged, and the BM25 gate row gets real hits
+    // whose df/n/avgdl run over the FULL replica corpus.
     copies(docs, (d, i) => d
         .withColumn("doc_id", col("doc_id") + i * lit(docShift))
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "),
-            t => concat(lit("c"), i.cast("string"), lit("_"), t)), " "))
+        .withColumn("text", when(i === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(lit("c"), i.cast("string"), lit("_"), t)), " ")))
         .withColumn("n_chars", length(col("text"))))
       .write.parquet(s"$dst/documents.parquet")
     // events replicate with disjoint users AND event ids, so the

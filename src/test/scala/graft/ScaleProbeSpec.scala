@@ -33,12 +33,21 @@ class ScaleProbeSpec extends SparkSpecBase {
       sortedRows(unionCopies(li, (d, i) => d.withColumn("l_orderkey",
         col("l_orderkey") + lit(i * shift)))))
 
+    // orders went through the same copies() rewrite as lineitem and
+    // shares its shift (disjoint o_orderkey ranges per copy)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    assert(sortedRows(spark.read.parquet(s"$dst/orders.parquet")) ==
+      sortedRows(unionCopies(ord, (d, i) => d.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * shift)))))
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docShift = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // copy 0 unprefixed (term-addressed serving rows need real hits);
+    // prefixed copies i>0 keep the shingle spaces pairwise disjoint
     assert(sortedRows(spark.read.parquet(s"$dst/documents.parquet")) ==
       sortedRows(unionCopies(docs, (d, i) => d
         .withColumn("doc_id", col("doc_id") + lit(i * docShift))
-        .withColumn("text", array_join(
+        .withColumn("text", if (i == 0) col("text") else array_join(
           transform(split(col("text"), " "),
             t => concat(lit(s"c${i}_"), t)), " "))
         .withColumn("n_chars", length(col("text"))))))

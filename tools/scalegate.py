@@ -20,6 +20,7 @@ Usage: python3 tools/scalegate.py [k] [--skip-dump]
 import json
 import os
 import resource
+import shutil
 import subprocess
 import sys
 import time
@@ -46,8 +47,9 @@ def run_dump():
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
     cmd += [
-        # dump-JVM heap: 24g covers every k<=100 dump; the k=1000
-        # sessionize window (200M events x 32 tasks) needs more
+        # dump-JVM heap: 24g covers every dump now that ScaleGate
+        # scales shuffle partitions with k (per-task window/sort state
+        # stays flat); SPARK_GRAFT_DUMP_XMX remains as an escape hatch
         f"-Xmx{os.environ.get('SPARK_GRAFT_DUMP_XMX', '24g')}",
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
@@ -111,7 +113,30 @@ def digest(con, from_sql, cols_types):
     return row
 
 
-def cmp_digest(con, name, spark_from, oracle_sql):
+def digest_bucketed(con, oracle_sql, cols_types, key, nb):
+    """The oracle digest computed bucket-by-bucket and combined —
+    digests are abelian (count/sum add, xor xors), so slicing the
+    oracle's OUTPUT rows on `hash(key) % nb` is exact for ANY column,
+    while a key that is the query's final window/group key lets DuckDB
+    push the slice through that operator and bound its state to ~1/nb
+    of the frame per pass (the r13 verdict's key-range-bucketed
+    compare: the 600-747M-row joins at k=1000 never materialize in one
+    hash table). Inputs are re-scanned nb times — scan bandwidth traded
+    for a fixed memory cap, on a once-per-round tool."""
+    tot_n, tot_sum, tot_xor = 0, 0, 0
+    for i in range(nb):
+        sliced = (f'SELECT * FROM ({oracle_sql}) '
+                  f'WHERE hash("{key}") % {nb} = {i}')
+        n, s, x = digest(con, f"({sliced})", cols_types)
+        tot_n += n
+        tot_sum += s or 0
+        tot_xor ^= x or 0
+    return (tot_n, tot_sum if tot_n else None,
+            tot_xor if tot_n else None)
+
+
+def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
+               n_buckets=1):
     """DuckDB-side streaming compare; returns None on match, else a
     message (FAIL unless it starts with OK)."""
     sc = con.execute(f"DESCRIBE SELECT * FROM {spark_from}").fetchall()
@@ -129,7 +154,13 @@ def cmp_digest(con, name, spark_from, oracle_sql):
             return (f"{n1}(DTYPE-DRIFT {t1} vs {t2} — pin the oracle "
                     "with CAST)")
     sd = digest(con, spark_from, s_cols)
-    od = digest(con, f"({oracle_sql})", o_cols)
+    # the SPARK side is a plain parquet glob — one streaming aggregate,
+    # constant space — so only the ORACLE (whose joins/windows carry
+    # the memory) is ever bucketed
+    od = digest_bucketed(con, oracle_sql, o_cols, bucket_key,
+                         n_buckets) \
+        if n_buckets > 1 and bucket_key \
+        else digest(con, f"({oracle_sql})", o_cols)
     if sd[0] != od[0]:
         return f"ROWS {sd[0]} vs {od[0]}"
     if sd == od:
@@ -156,6 +187,10 @@ def main():
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
     con.execute(f"SET memory_limit='{mem}'")
     tmp = ROOT / "duckdb-tmp"
+    # an aborted earlier run can leave tens of GB of spill here —
+    # start from an empty spill dir, and empty it again on exit
+    if tmp.exists():
+        shutil.rmtree(tmp)
     tmp.mkdir(parents=True, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
     for t in ["region", "nation", "customer", "supplier", "part",
@@ -166,11 +201,20 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
     oracles = json.loads((OUT / "oracle_sql.json").read_text())
     meta_p = OUT / "gate_meta.json"
+    bucket_keys = {}
     if meta_p.exists():
         meta = json.loads(meta_p.read_text())
         tag = "OVERRIDE subset" if meta.get("override") else "full gate"
         print(f"gate_meta: k={meta.get('k')} {tag}: "
               f"{', '.join(meta.get('gated', []))}")
+        bucket_keys = meta.get("bucket_keys", {})
+    # SPARK_GRAFT_ORACLE_BUCKETS=B (default 1 = single pass) slices
+    # each oracle's digest into B hash-range passes over its declared
+    # bucket key — the memory-capped mode for the k=1000 decade
+    n_buckets = int(os.environ.get("SPARK_GRAFT_ORACLE_BUCKETS", "1"))
+    if n_buckets > 1:
+        print(f"oracle digests bucketed x{n_buckets} on: "
+              f"{bucket_keys or '(no keys — single pass)'}")
     n_fail = 0
     for name in sorted(oracles):
         files = list((OUT / name).glob("*.parquet")) \
@@ -183,7 +227,9 @@ def main():
         try:
             r = cmp_digest(con, name,
                            f"read_parquet('{OUT / name}/*.parquet')",
-                           oracles[name])
+                           oracles[name],
+                           bucket_key=bucket_keys.get(name),
+                           n_buckets=n_buckets)
         except Exception as e:
             r = f"ORACLE/DIGEST ERROR: {str(e).splitlines()[0][:200]}"
         flag = "PASS" if r is None or r.startswith("OK") else "FAIL"
@@ -197,6 +243,9 @@ def main():
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"== scalegate k={K}: {len(oracles) - n_fail}/{len(oracles)} "
           f"clean == (comparator peak RSS {rss_gb:.1f} GB)")
+    con.close()
+    if tmp.exists():  # drop any leftover spill before exiting
+        shutil.rmtree(tmp, ignore_errors=True)
     sys.exit(1 if n_fail else 0)
 
 
