@@ -71,24 +71,27 @@ object RollupProbe {
           .write.mode("overwrite").parquet(s"$tmp/next")
       }
       val touched = timed {
-        val next = FsOps.dirRollupFoldDelta(
-          spark.read.parquet(s"$tmp/prior"), slice)
+        // changed-dirs upsert, modeled end-to-end (r13 ADVICE: the
+        // old shape folded the ENTIRE prior before the semi-join, so
+        // touched_sec included the whole-snapshot fold and couldn't
+        // isolate the write-∝-touched claim): derive the touched
+        // ancestor set from the delta, restrict the PRIOR to those
+        // keys first, and fold only that slice — the work a
+        // directory_path-partitioned snapshot store actually does.
         val touchedDirs = slice
           .select(col("filepath"))
           .distinct()
-        // changed-dirs upsert: only directories on a changed file's
-        // ancestor chain are rewritten
-        next.join(
-            touchedDirs
-              // same d >= 2 guard as ancestorSizePairs: sequence(2, 1)
-              // DESCENDS in Spark and would mint bogus ancestors
-              .filter(size(split(col("filepath"), "/")) - 1 >= 2)
-              .select(explode(expr(
-                "transform(sequence(2, size(split(filepath, '/')) - 1), " +
-                  "k -> substring_index(filepath, '/', k))"))
-                .as("directory_path"))
-              .distinct(),
-            Seq("directory_path"), "left_semi")
+          // same d >= 2 guard as ancestorSizePairs: sequence(2, 1)
+          // DESCENDS in Spark and would mint bogus ancestors
+          .filter(size(split(col("filepath"), "/")) - 1 >= 2)
+          .select(explode(expr(
+            "transform(sequence(2, size(split(filepath, '/')) - 1), " +
+              "k -> substring_index(filepath, '/', k))"))
+            .as("directory_path"))
+          .distinct()
+        val priorTouched = spark.read.parquet(s"$tmp/prior")
+          .join(touchedDirs, Seq("directory_path"), "left_semi")
+        FsOps.dirRollupFoldDelta(priorTouched, slice)
           .write.mode("overwrite").parquet(s"$tmp/touched")
       }
       val touchedRows = spark.read.parquet(s"$tmp/touched").count()

@@ -115,6 +115,15 @@ object ScaleGate {
     // and the SPARK_GRAFT_DUMP_XMX knob is retired to a plain default.
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(4096, 32 * math.max(1, k / 10)).toString)
+    // The k=1000 dumps are DISK-bound, not CPU-bound: the merge/
+    // publish shuffles move O(corpus) highly-repetitive path strings,
+    // and lz4 (the default) left r13's runs ENOSPC against the
+    // sandbox's ~75 GB free. zstd trades shuffle CPU for 2-4× tighter
+    // spill on exactly this data shape; session-scoped here so bench
+    // numbers (Bench.buildSession defaults) are untouched. These are
+    // cluster-level knobs on a real deployment — the plan itself is
+    // unchanged.
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
     val root = Paths.get(outRoot)
     Bench.rm(root) // NOFOLLOW-safe: symlinked source tables survive
     val data = root.resolve("data")
@@ -148,14 +157,18 @@ object ScaleGate {
       .getOrElse(gated)
     run.foreach { name =>
       val t1 = System.nanoTime()
+      val m0 = Bench.moves.snap
       // unordered, multi-file: the comparator digests are order-
       // insensitive and DuckDB glob-reads the partition files, so the
       // old `coalesce(1)` single-task funnel (which also collapsed the
       // preceding sort to ONE partition) is gone with the sort itself
       stripTopSort(qs(name)(spark, data.toString))
         .write.mode("overwrite").parquet(out.resolve(name).toString)
+      val m1 = Bench.moves.snap
       System.err.println(
-        f"[scalegate] $name dumped in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+        f"[scalegate] $name dumped in ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+          f"(shuffle write ${(m1._2 - m0._2) / 1e9}%.1f GB, " +
+          f"spill ${(m1._3 - m0._3) / 1e9}%.1f GB)")
     }
     def q(s: String): String =
       "\"" + graft.functions.JsonText.esc(s) + "\""

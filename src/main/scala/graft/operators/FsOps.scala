@@ -231,7 +231,9 @@ object FsOps {
       .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
     e.filter(col("type") === "directory")
       .select(col("filepath").as("directory_path"))
-      .join(perDir, Seq("directory_path"), "left")
+      // shuffle_hash: the rollup aggregate is the narrow build side;
+      // the dir frame streams unsorted (SMJ sorted both at k=1000)
+      .join(perDir.hint("shuffle_hash"), Seq("directory_path"), "left")
       .select(col("directory_path"),
         coalesce(col("sz"), lit(0L)).cast("long").as("total_size"),
         coalesce(col("fc"), lit(0L)).as("file_count"))
@@ -308,7 +310,9 @@ object FsOps {
   def dirRollupApplyDelta(prior: DataFrame, dirs: DataFrame,
       changes: DataFrame): DataFrame =
     dirs
-      .join(dirRollupFoldDelta(prior, changes),
+      // shuffle_hash: stream the dir universe, build on the folded
+      // per-dir aggregate — nothing on this path needs a sort
+      .join(dirRollupFoldDelta(prior, changes).hint("shuffle_hash"),
         Seq("directory_path"), "left")
       .select(col("directory_path"),
         coalesce(col("sz"), lit(0L)).as("total_size"),
@@ -322,17 +326,38 @@ object FsOps {
     * rollup maintenance as well as [[dirRollupApplyDelta]]'s core.
     */
   private[graft] def dirRollupFoldDelta(prev: DataFrame,
-      changes: DataFrame): DataFrame = {
-    val deltaAgg = ancestorDeltaPairs(changes)
+      changes: DataFrame): DataFrame =
+    dirRollupFoldAgg(prev, rollupDeltaAgg(changes))
+
+  /** A change feed reduced to its per-directory delta AGGREGATE —
+    * (directory_path, dsz, dfc), one row per touched ancestor. This is
+    * the tiny thing a MOR-cadence maintainer persists per batch
+    * ([[StreamOps]]'s rollup log): O(touched dirs) bytes, never the
+    * snapshot.
+    */
+  private[graft] def rollupDeltaAgg(changes: DataFrame): DataFrame =
+    ancestorDeltaPairs(changes)
       .groupBy("directory_path")
       .agg(sum("delta_size").as("dsz"), sum("delta_count").as("dfc"))
-    prev.join(deltaAgg, Seq("directory_path"), "full_outer")
+
+  /** Fold an already-aggregated delta frame into a snapshot — the
+    * shared core of the per-batch CoW fold and the MOR read/checkpoint
+    * paths. `deltaAgg` must be key-unique (one row per directory);
+    * callers combining multiple log batches sum them first (deltas are
+    * abelian, so any grouping order folds to the same snapshot).
+    */
+  private[graft] def dirRollupFoldAgg(prev: DataFrame,
+      deltaAgg: DataFrame): DataFrame =
+    // shuffle_hash build on the delta aggregate (∝ touched dirs —
+    // the small side by construction); full-outer SHJ streams the
+    // snapshot unsorted
+    prev.join(deltaAgg.hint("shuffle_hash"),
+        Seq("directory_path"), "full_outer")
       .select(col("directory_path"),
         (coalesce(col("sz"), lit(0L)) + coalesce(col("dsz"), lit(0L)))
           .cast("long").as("sz"),
         (coalesce(col("fc"), lit(0L)) + coalesce(col("dfc"), lit(0L)))
           .cast("long").as("fc"))
-  }
 
   /** The base corpus's per-directory aggregate — the "stored snapshot"
     * the incremental forms patch (in the pipeline: the last run's
@@ -340,9 +365,18 @@ object FsOps {
     */
   private[graft] def dirRollupPrior(spark: SparkSession,
       sfDir: String): DataFrame =
-    ancestorSizePairs(SyntheticFs.files(spark, sfDir))
+    rollupOf(SyntheticFs.files(spark, sfDir))
+
+  /** Full rollup recompute over a FILE frame (filepath, size_bytes) —
+    * the from-scratch form of the snapshot the incremental folds
+    * maintain. Shared by the synthetic fixtures and the pipeline's
+    * stored dirSizes ([[graft.pipeline.Indexer]]).
+    */
+  private[graft] def rollupOf(files: DataFrame): DataFrame =
+    ancestorSizePairs(files)
       .groupBy("directory_path")
-      .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
+      .agg(sum("size_bytes").cast("long").as("sz"),
+        count(lit(1)).as("fc"))
 
   /** The deterministic signed change feed both incremental rollup rows
     * replay: orderkey%11 files deleted (delta −old_size/−1 — wins over
@@ -782,8 +816,18 @@ object FsOps {
       .select(col("file_id"), col("direct_link").as("dl"))
     val sizes = dirRollupExplode(spark, sfDir)
       .select(col("directory_path"), col("total_size"))
-    e.join(links, col("id") === col("file_id"), "left")
-      .join(sizes, col("filepath") === col("directory_path"), "left")
+    // shuffle_hash on the BUILD sides: both enrichment joins planned
+    // SortMergeJoin by default, which sorts the corpus-sized probe
+    // side TWICE on the publish path (the r14 k=1000 dumps spill
+    // exactly there). The build sides are narrow — links (file_id,
+    // dl) and the per-directory rollup — so a per-task hash table is
+    // tens of MB at gate partitioning while the probe side streams
+    // unsorted. At 100 TB the same join keys are the store's bucket
+    // columns and the exchanges drop out entirely.
+    e.join(links.hint("shuffle_hash"),
+        col("id") === col("file_id"), "left")
+      .join(sizes.hint("shuffle_hash"),
+        col("filepath") === col("directory_path"), "left")
       .select(
         col("relative_path"),
         col("name"),

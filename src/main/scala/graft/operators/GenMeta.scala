@@ -109,30 +109,57 @@ private[operators] object GenMeta {
   }
 
   /** Reserve and persist the next generation. Crash-safe (the row
-    * lands before the caller writes any data — see the header) and now
+    * lands before the caller writes any data — see the header) and
     * CONCURRENCY-CHECKED: a zero-byte marker `.g<g>.reserved` is
     * atomically created (create-fails-if-exists) before the row
     * commits, so two racing writers that both read max=g-1 cannot both
-    * proceed at g — the loser fails fast here instead of both
-    * half-writing the same generation. Markers are dot-prefixed, so
-    * parquet readers of the table never see them; [[consolidate]]
-    * sweeps them with the folded row files.
+    * proceed at g — the loser fails fast instead of both half-writing
+    * the same generation. Markers are dot-prefixed, so parquet readers
+    * of the table never see them; [[consolidate]] sweeps them with the
+    * folded row files.
+    *
+    * CRASH AUTO-HEAL (r13 verdict #6): a marker whose generation has
+    * no genmeta row is torn — the writer died between the two steps —
+    * and previously blocked that generation until manual surgery.
+    * Healing never REUSES the generation (deleting the marker races a
+    * writer that is merely slow between its two metadata writes, and
+    * two writers sharing one generation is the unrecoverable state);
+    * instead the torn generation is BURNED and the reservation takes
+    * the next one — over-reserving is always safe (header contract).
+    * Liveness is judged by marker age: a real writer's marker→row
+    * window is milliseconds, so a rowless marker older than
+    * `staleMarkerMs` is declared dead; a FRESH rowless marker still
+    * fails fast (mid-reserve writer — the single-writer discipline,
+    * and the shape the TombstoneHygieneSpec lock test pins).
     */
-  def reserve(spark: SparkSession, dir: String): Long = {
-    val g = current(spark, dir) + 1
+  def reserve(spark: SparkSession, dir: String,
+      staleMarkerMs: Long = 30000L): Long = {
     val p = new HPath(path(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
-    val marker = new HPath(p, s".g$g.reserved")
-    val created =
-      try { fs.create(marker, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    require(created,
-      s"reserve: generation $g already reserved at $marker — a " +
-        "concurrent writer holds it (the stores are single-writer); " +
-        "re-run after it finishes, or remove the marker if it crashed")
-    writeRow(spark, path(dir), g)
-    g
+    var g = current(spark, dir) + 1
+    // bounded: each pass either returns or burns one torn generation;
+    // >64 consecutive torn markers means something else is wrong
+    (0 until 64).foreach { _ =>
+      val marker = new HPath(p, s".g$g.reserved")
+      val created =
+        try { fs.create(marker, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (created) {
+        writeRow(spark, path(dir), g)
+        return g
+      }
+      val rowLanded = current(spark, dir) >= g
+      val ageMs = System.currentTimeMillis() -
+        fs.getFileStatus(marker).getModificationTime
+      require(!rowLanded && ageMs >= staleMarkerMs,
+        s"reserve: generation $g already reserved at $marker — a " +
+          "concurrent writer holds it (the stores are single-writer); " +
+          "re-run after it finishes")
+      g += 1 // torn reservation: burn g, take the next generation
+    }
+    throw new IllegalStateException(
+      s"reserve: 64 consecutive torn generation markers under $p")
   }
 
   /** Fold the per-reservation and per-commit rows to a single max row

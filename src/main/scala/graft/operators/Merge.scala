@@ -30,9 +30,11 @@ object Merge {
       keyCol: String,
       tsCol: String,
       batchWinsTies: Boolean,
-      evolveSchema: Boolean = false): DataFrame =
+      evolveSchema: Boolean = false,
+      dedupSides: Boolean = false): DataFrame =
     winners(existing, batch, keyCol, tsCol, batchWinsTies,
-      restrictToBatch = false, evolveSchema = evolveSchema)
+      restrictToBatch = false, evolveSchema = evolveSchema,
+      dedupSides = dedupSides)
 
   /** ADDITIVE schema evolution (the Delta `mergeSchema` contract, made
     * explicit): the batch may carry NEW columns beyond `existing`'s —
@@ -77,10 +79,46 @@ object Merge {
       keyCol: String,
       tsCol: String,
       batchWinsTies: Boolean = false,
-      evolveSchema: Boolean = false): DataFrame =
+      evolveSchema: Boolean = false,
+      dedupSides: Boolean = false): DataFrame =
     winners(existing, batch, keyCol, tsCol, batchWinsTies,
-      restrictToBatch = true, evolveSchema = evolveSchema)
+      restrictToBatch = true, evolveSchema = evolveSchema,
+      dedupSides = dedupSides)
 
+  /** The merge core: ONE shuffled-hash OUTER join of the two key-unique
+    * sides with a per-row winner pick — the direct relational form of
+    * the reference's `ON CONFLICT DO UPDATE ... WHERE excluded.ts >
+    * files.ts` (scanner.py:232-244).
+    *
+    * WHY a join and not an aggregate: the r13 shape (`union` +
+    * `max_by(struct, struct)`) read as a hash aggregate but PLANNED as
+    * SortAggregate — a struct-typed agg buffer is not fixed-width, so
+    * Spark sorted the full 2×corpus union on BOTH sides of the
+    * exchange (plan audit r14; the k=1000 gate dump spilled ~150 GB in
+    * exactly those sorts). The join form shuffles each side once,
+    * builds a per-task hash table (`shuffle_hash` hint — at 3200
+    * gate partitions the build is tens of MB), sorts nothing, and at
+    * 100 TB disappears entirely when both sides are bucketed on the
+    * key. `restrictToBatch` (reconcile) is just the join type:
+    * right-outer keeps exactly the scanned keys, full-outer keeps the
+    * union of keys.
+    *
+    * CONTRACT: each side is key-unique — snapshots by store
+    * invariant, scan batches because a filesystem listing can't
+    * repeat a path (every internal caller satisfies it). A caller
+    * whose side MAY carry several generations of a key opts into
+    * `dedupSides = true`: each side is first collapsed to its own
+    * per-key winner (the ordering-aggregate form — the one place the
+    * sort cost is still paid, because the caller asked for multiset
+    * semantics), then joined. MergePropertySpec checks both modes
+    * against the same per-key max-ts model.
+    *
+    * Winner rule (identical to the old ordering-struct semantics):
+    * newest `tsCol` wins; a non-null ts beats null; exact ties (incl.
+    * both-null) go to the batch iff `batchWinsTies`; within-side ties
+    * on (key, ts) cannot occur under the contract (and collapse
+    * arbitrarily under `dedupSides`, as before).
+    */
   private def winners(
       existing0: DataFrame,
       batch0: DataFrame,
@@ -88,29 +126,47 @@ object Merge {
       tsCol: String,
       batchWinsTies: Boolean,
       restrictToBatch: Boolean,
-      evolveSchema: Boolean = false): DataFrame = {
-    val (existing, batch) =
+      evolveSchema: Boolean = false,
+      dedupSides: Boolean = false): DataFrame = {
+    val (existing1, batch1) =
       if (evolveSchema) alignEvolved(existing0, batch0)
       else (existing0, batch0)
+    val (existing, batch) =
+      if (dedupSides)
+        (sideWinner(existing1, keyCol, tsCol),
+          sideWinner(batch1, keyCol, tsCol))
+      else (existing1, batch1)
     val cols = existing.columns.toSeq
     require(batch.columns.toSet == cols.toSet,
       s"schema mismatch: ${cols.sorted} vs ${batch.columns.toSeq.sorted}")
-    val tagged = existing.withColumn("__tag", lit(0))
-      .unionByName(batch.select(cols.map(col): _*).withColumn("__tag", lit(1)))
-    // winner = lexicographic max of (ts, tie-breaker): newest wins, and
-    // on an exact-ts tie the batch row wins iff batchWinsTies (J2) —
-    // identical to the previous row_number-window semantics (and equally
-    // deterministic: per key the (ts, tag) pair is unique for one
-    // existing + one batch row; duplicate keys WITHIN one side tie in
-    // both formulations)
-    val tieOrd = if (batchWinsTies) col("__tag") else -col("__tag")
-    val agg = tagged.groupBy(col(keyCol).as("__k"))
-      .agg(max_by(struct(cols.map(col): _*),
-        struct(col(tsCol), tieOrd)).as("__w"),
-        max(col("__tag")).as("__scanned"))
-    val kept =
-      if (restrictToBatch) agg.filter(col("__scanned") === 1)
-      else agg
-    kept.select(cols.map(c => col(s"__w.$c").as(c)): _*)
+    val e = existing.select(cols.map(c => col(c).as(s"__e_$c")): _*)
+    val b = batch.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+    val eKey = col(s"__e_$keyCol"); val bKey = col(s"__b_$keyCol")
+    val eTs = col(s"__e_$tsCol"); val bTs = col(s"__b_$tsCol")
+    val tie = lit(batchWinsTies)
+    val batchWins = bKey.isNotNull && (eKey.isNull ||
+      (bTs.isNotNull && eTs.isNull) ||
+      (bTs > eTs) ||
+      (bTs === eTs && tie) ||
+      (bTs.isNull && eTs.isNull && tie))
+    // build side = left (existing): SHJ admits BuildLeft for both
+    // right-outer and full-outer, so the hint holds for both modes
+    e.hint("shuffle_hash")
+      .join(b, eKey === bKey,
+        if (restrictToBatch) "right_outer" else "full_outer")
+      .select(cols.map(c =>
+        when(batchWins, col(s"__b_$c"))
+          .otherwise(col(s"__e_$c")).as(c)): _*)
+  }
+
+  /** Collapse one side to its per-key newest row (ties arbitrary, as
+    * multiset semantics always were) — the `dedupSides` pre-pass.
+    */
+  private def sideWinner(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(col(keyCol).as("__k"))
+      .agg(max_by(struct(cols.map(col): _*), col(tsCol)).as("__w"))
+      .select(cols.map(c => col(s"__w.$c").as(c)): _*)
   }
 }

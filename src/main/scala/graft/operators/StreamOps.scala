@@ -642,16 +642,11 @@ object StreamOps {
         .schema(spark.read.parquet(s"$root/feed").schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/feed")
-      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = src.writeStream
         .option("checkpointLocation", s"$root/ckpt")
         .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val g = gen.get()
-          val prev = batch.sparkSession.read.parquet(s"$root/snap-$g")
-          FsOps.dirRollupFoldDelta(prev, batch)
-            .write.parquet(s"$root/snap-${g + 1}")
-          gen.incrementAndGet(): Unit
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          rollupCowStep(root, batch, bid)
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -671,6 +666,152 @@ object StreamOps {
       .orderBy("directory_path")
   }
 
+  /** One copy-on-write fold step, IDEMPOTENT under Structured
+    * Streaming's retry contract: the generation IS the engine's
+    * batchId (snap-`b` = state before batch `b`), so a retried batch
+    * re-reads the same prior and `mode("overwrite")` clobbers whatever
+    * a failed attempt half-wrote to snap-`b+1` — the r13 shape (driver
+    * AtomicInteger + default ErrorIfExists) made any retry fail
+    * permanently on its own debris, and a checkpoint RESTART re-ran
+    * batch 0 against the wrong generation. Deriving the name from the
+    * batchId fixes both with no driver state at all.
+    */
+  private[graft] def rollupCowStep(root: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val prev = batch.sparkSession.read.parquet(s"$root/snap-$batchId")
+    FsOps.dirRollupFoldDelta(prev, batch)
+      .write.mode("overwrite").parquet(s"$root/snap-${batchId + 1}")
+  }
+
+  // ------------------------------------------------------------------ //
+  // MOR-cadence streaming rollup: per-batch writes ∝ the DELTA, the    //
+  // snapshot folds only at checkpoint.                                 //
+  // ------------------------------------------------------------------ //
+
+  private val rollupMorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** One merge-on-read log step: persist the batch's per-directory
+    * delta AGGREGATE — O(touched dirs) bytes — and leave the snapshot
+    * alone. Keyed by batchId with overwrite, so a retry is idempotent
+    * (same discipline as [[rollupCowStep]]).
+    */
+  private[graft] def rollupMorStep(root: String, batch: DataFrame,
+      batchId: Long): Unit =
+    FsOps.rollupDeltaAgg(batch)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/log/batch-$batchId")
+
+  /** Highest folded-through snapshot generation: `snap-b<N>` = state
+    * with log batches [0, N) folded in. -1 if none (never happens —
+    * the fixture seeds snap-b0).
+    */
+  private def morFoldedThrough(root: String): Long =
+    Option(new java.io.File(root).listFiles).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("snap-b"))
+      .map(_.stripPrefix("snap-b").toLong)
+      .foldLeft(-1L)(math.max)
+
+  private def morLogBatches(root: String, after: Long): Seq[String] =
+    Option(new java.io.File(s"$root/log").listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith("batch-") &&
+        f.getName.stripPrefix("batch-").toLong >= after)
+      .sortBy(_.getName.stripPrefix("batch-").toLong)
+      .map(_.toString)
+
+  /** MOR serving read: snapshot ⊕ fold(unfolded log). Log batches
+    * below the snapshot's folded-through watermark are IGNORED, which
+    * is what makes [[rollupMorCheckpoint]] crash-safe: the new
+    * snapshot lands first, and a crash before the log trim leaves
+    * batches the read no longer applies (never a double fold).
+    */
+  private[graft] def rollupMorRead(spark: SparkSession,
+      root: String): DataFrame = {
+    val n = morFoldedThrough(root)
+    val snap = spark.read.parquet(s"$root/snap-b$n")
+    val tail = morLogBatches(root, after = n)
+    if (tail.isEmpty) snap
+    else FsOps.dirRollupFoldAgg(snap,
+      spark.read.parquet(tail: _*)
+        .groupBy("directory_path")
+        .agg(sum("dsz").as("dsz"), sum("dfc").as("dfc")))
+  }
+
+  /** Checkpoint fold: materialize snapshot ⊕ log as the next
+    * `snap-b<N>` generation, then trim the folded batches. Write
+    * ORDER is the safety argument — new snapshot first (readers cut
+    * over atomically on the max-generation rule), folded log dirs
+    * dropped after (a crash in between leaves ignored debris, cleaned
+    * on the next checkpoint). Cost is O(|snapshot|) ONCE per cadence
+    * instead of per batch — the `fs_stream_index` →
+    * `fs_stream_index_mor` economics applied to J3.
+    */
+  private[graft] def rollupMorCheckpoint(spark: SparkSession,
+      root: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    val n = morFoldedThrough(root)
+    // below-watermark debris (a crashed trim, or a batch retried after
+    // its fold landed) is invisible to the read — sweep it here
+    (morLogBatches(root, after = 0) diff morLogBatches(root, after = n))
+      .foreach(p => rm(new java.io.File(p)))
+    val tail = morLogBatches(root, after = n)
+    if (tail.isEmpty) return
+    val through = tail.map(p =>
+      p.split('/').last.stripPrefix("batch-").toLong).max + 1
+    rollupMorRead(spark, root)
+      .write.mode("overwrite").parquet(s"$root/snap-b$through")
+    tail.foreach(p => rm(new java.io.File(p)))
+  }
+
+  /** [[streamRollup]]'s MERGE-ON-READ twin — the shape whose per-batch
+    * write cost is O(|Δ| × depth) instead of O(|snapshot|): each
+    * micro-batch appends its delta aggregate to the rollup log
+    * ([[rollupMorStep]]); the snapshot folds forward only at
+    * CHECKPOINT cadence ([[rollupMorCheckpoint]] — here after the
+    * first half of the batches, so the serving read below exercises
+    * snapshot ⊕ checkpoint ⊕ live log tail all at once). Shares
+    * `fs_dir_rollup_incremental`'s oracle verbatim: fold points are
+    * invisible in the result because deltas are abelian.
+    */
+  def streamRollupMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = StoreUtil.cachedTempDir(rollupMorCache, sfDir,
+      "graft-streamrollupmor") { root =>
+      FsOps.dirRollupPrior(spark, sfDir)
+        .write.parquet(s"$root/snap-b0")
+      FsOps.rollupChangeFeed(spark, sfDir)
+        .repartition(4)
+        .write.parquet(s"$root/feed")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$root/feed").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/feed")
+      val q = src.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          rollupMorStep(root, batch, bid)
+          // cadence: fold the log into a real snapshot generation
+          // after batch 1 (half the feed) — batches 2-3 stay in the
+          // log for the read path to fold on the fly
+          if (bid == 1L) rollupMorCheckpoint(spark, root)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    SyntheticFs.entries(spark, sfDir)
+      .filter(col("type") === "directory")
+      .select(col("filepath").as("directory_path"))
+      .join(rollupMorRead(spark, dir), Seq("directory_path"), "left")
+      .select(col("directory_path"),
+        coalesce(col("sz"), lit(0L)).as("total_size"),
+        coalesce(col("fc"), lit(0L)).as("file_count"))
+      .orderBy("directory_path")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_hourly" -> streamHourly,
     "events_stream_sessionize" -> streamSessionize,
@@ -682,7 +823,8 @@ object StreamOps {
     "fs_stream_index_mor" -> streamIndexMor,
     "ann_stream_indexed" -> annStreamIndexed,
     "docs_stream_indexed_deleted" -> streamIndexedDeleted,
-    "fs_stream_rollup" -> streamRollup)
+    "fs_stream_rollup" -> streamRollup,
+    "fs_stream_rollup_mor" -> streamRollupMor)
 
   def oracleSql: Map[String, String] = Map(
     "events_stream_hourly" -> EventsOps.hourlyWindowSql,
@@ -701,5 +843,8 @@ object StreamOps {
     // stream-fed inserts + deletes fold to the batch post-delete BM25
     "docs_stream_indexed_deleted" -> TextOps.bm25TopkDeletedSql,
     // per-micro-batch delta folds reach the from-scratch recompute
-    "fs_stream_rollup" -> FsOps.dirRollupIncrementalSql)
+    "fs_stream_rollup" -> FsOps.dirRollupIncrementalSql,
+    // MOR cadence: log-append per batch, fold at checkpoint — fold
+    // points are invisible (abelian deltas), so the SAME oracle
+    "fs_stream_rollup_mor" -> FsOps.dirRollupIncrementalSql)
 }

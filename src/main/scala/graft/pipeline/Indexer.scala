@@ -171,6 +171,106 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       .groupBy(col("directory_path").as("filepath"))
       .agg(sum("size_bytes").as("total_size"))
 
+  // ------------------------------------------------------------------ //
+  // Stored dirSizes rollup (r13 verdict #2): the publish no longer     //
+  // re-runs the O(files × depth) ancestor explode every run — a        //
+  // snapshot of (directory_path, sz, fc) lives beside the index and    //
+  // is PATCHED with the signed change feed the merge already knows     //
+  // (FsOps.dirRollupFoldAgg), recomputed from scratch only when its    //
+  // corpus token says it no longer matches the files store.            //
+  // ------------------------------------------------------------------ //
+
+  private def rollupStore(): ParquetIndex =
+    new ParquetIndex(s"${cfg.indexRoot}/dirsizes")
+
+  private def rollupTokenPath =
+    java.nio.file.Paths.get(cfg.indexRoot, "dirsizes", "_corpus_token")
+
+  private def readRollupToken(): Option[String] =
+    if (java.nio.file.Files.exists(rollupTokenPath))
+      Some(java.nio.file.Files.readString(rollupTokenPath).trim)
+    else None
+
+  /** Stamp the rollup as valid for the files store's CURRENT corpus.
+    * Written AFTER the rollup snapshot (crash between the two leaves a
+    * stale token → the next publish recomputes; never a silent drift).
+    */
+  private def writeRollupToken(t: String): Unit = {
+    java.nio.file.Files.createDirectories(rollupTokenPath.getParent)
+    val tmp = rollupTokenPath.resolveSibling("_corpus_token.tmp")
+    java.nio.file.Files.writeString(tmp, t)
+    java.nio.file.Files.move(tmp, rollupTokenPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Maintain the stored rollup across a corpus transition
+    * `previous → current` and return the (directory_path, sz, fc)
+    * frame for `current`. Incremental when the stored rollup's token
+    * matches the pre-transition corpus: ONE explode-free full-outer
+    * diff (the merge's reconcile legs — added/removed/resized file
+    * rows) + the O(|Δ| × depth) delta fold; from-scratch otherwise
+    * (first run, index-only interludes, or any crash that left the
+    * token stale). Zero rows (a directory whose files all vanished)
+    * are pruned — absence ≡ zero on every read path.
+    */
+  private def dirSizesMaintained(spark: SparkSession, idx: ParquetIndex,
+      previous: Option[DataFrame], current: DataFrame,
+      prevToken: String): DataFrame = {
+    val rs = rollupStore()
+    val next = previous match {
+      case Some(prev) if rs.currentId.isDefined &&
+          readRollupToken().contains(prevToken) =>
+        graft.operators.FsOps.dirRollupFoldAgg(rs.read(spark).get,
+          graft.operators.FsOps.rollupDeltaAgg(
+            Indexer.signedFileChanges(prev, current)))
+          .filter(col("sz") =!= 0L || col("fc") =!= 0L)
+      case _ =>
+        graft.operators.FsOps.rollupOf(
+          current.filter(col("type") === "file")
+            .select(col("filepath"), col("size_bytes")))
+    }
+    rs.write(next)
+    writeRollupToken(Indexer.corpusToken(idx))
+    rs.read(spark).get
+  }
+
+  /** The full document field surface of the reference's bulk payload
+    * (elasticsearch_integration.py:98-112 + the mapping's fields) —
+    * shared by the full publish and [[publishScoped]] so the two can
+    * never drift. `sizes` is (dp, total_size); `links` the aligned
+    * link columns keyed file_id.
+    */
+  private def buildDocs(current: DataFrame, sizes: DataFrame,
+      links: DataFrame): DataFrame = {
+    val iso = "yyyy-MM-dd'T'HH:mm:ss"
+    current
+      // shuffle_hash build on the narrow sides (rollup totals, link
+      // columns): the corpus-sized doc stream must never be sorted on
+      // the publish path — same plan discipline as FsOps.esDocs
+      .join(sizes.hint("shuffle_hash"),
+        col("filepath") === col("dp"), "left")
+      .join(links.hint("shuffle_hash"),
+        col("id") === col("file_id"), "left") // J8
+      .select(
+        col("id"), col("relative_path"), col("filepath"), col("name"),
+        col("type"), col("extension"), col("checksum"),
+        when(col("type") === "directory",
+          coalesce(col("total_size"), lit(0L)))
+          .otherwise(col("size_bytes")).as("size_bytes"),
+        date_format(col("modified_time"), iso).as("modified_time"),
+        date_format(col("creation_time"), iso).as("creation_time"),
+        date_format(col("last_seen"), iso).as("last_seen"),
+        coalesce(col("dl"), lit("")).as("direct_link"),
+        coalesce(col("fse"), lit("")).as("fsentry_id"),
+        // mapping-declared API timestamps (EsAdmin mirror of
+        // elasticsearch_integration.py:84-87): emitted when the
+        // fetch returned them; null → to_json omits the field
+        date_format(col("act"), iso).as("api_creation_time"),
+        date_format(col("amt"), iso).as("api_modified_time"))
+      .withColumn("size", SizeFormat.format_size(col("size_bytes")))
+  }
+
   private def store(): ParquetIndex =
     if (cfg.zorderSnapshot)
       // 2-D layout: path-bucket × modification time. A path point/
@@ -197,10 +297,14 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     * Scan cost ∝ the changed subtrees, write cost ∝ their entries
     * ([[ParquetIndex.refreshScopeMor]]); every other key is untouched.
     * A vanished subtree resolves to an empty rescan = scope-wide
-    * deletion (the dir's OWN entry is its parent's child — a parent
-    * event covers it). Returns the number of entries refreshed. Fold
-    * the log with [[checkpointScoped]]; any later full [[run]]
-    * supersedes the log by scan-is-truth.
+    * deletion, INCLUDING the dir's own row. The scope dir itself is
+    * re-statted (one lstat) and refreshed with its children: child
+    * churn bumps the dir's mtime, and full-rescan parity requires
+    * that row to move too. Also patches the stored dirSizes rollup
+    * with the scope's signed change feed when its corpus token is
+    * current. Returns the number of entries refreshed. Fold the log
+    * with [[checkpointScoped]]; any later full [[run]] supersedes the
+    * log by scan-is-truth.
     */
   def runScoped(spark: SparkSession, changedDirs: Seq[String]): Long = {
     val idx = store()
@@ -232,9 +336,9 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
           java.nio.file.Files.isSymbolicLink(
             java.nio.file.Paths.get(abs))
       val entries =
-        (if (!prunedByFullScan && new java.io.File(abs).isDirectory)
-           normalize(FsListing.list(spark, abs, cfg.skipPatterns,
-             cfg.includeHidden,
+        (if (!prunedByFullScan && new java.io.File(abs).isDirectory) {
+           val walked = normalize(FsListing.list(spark, abs,
+             cfg.skipPatterns, cfg.includeHidden,
              // skip patterns are ROOT-relative: anchor the subtree
              // walk's matching at the subtree's own prefix
              matchPrefix = d + "/")
@@ -243,13 +347,153 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
              .withColumn("filepath",
                concat(lit("/" + d), col("filepath"))))
              .select(baseCols.map(col): _*)
-         else idx.read(spark).get.limit(0))
+           // re-stat the scope dir's OWN entry (one lstat): an event
+           // for d means d's children changed, which also bumped d's
+           // mtime — a full rescan would republish that row, so the
+           // scoped refresh must too (IndexerSpec pins the parity).
+           // A vanished/pruned d falls to the empty branch and the
+           // widened scope predicate below deletes its row with the
+           // subtree's.
+           import spark.implicits._
+           val f = new java.io.File(abs)
+           val self = normalize(spark.createDataset(Seq(
+             FsListing.Listed("/" + d, f.getName, 0L,
+               new java.sql.Timestamp(f.lastModified()), "directory",
+               ("/" + d).count(_ == '/')))).toDF())
+             .select(baseCols.map(col): _*)
+           walked.unionByName(self)
+         } else idx.read(spark).get.limit(0))
           .localCheckpoint(true) // walk the subtree once, not per write
+      // rollup maintenance anchor: corpus token + prior scope rows
+      // BEFORE the refresh (both O(scope): the MOR resolve prunes on
+      // the scope's key prefix)
+      val prevToken = Indexer.corpusToken(idx)
+      val foldable = rollupStore().currentId.isDefined &&
+        readRollupToken().contains(prevToken)
+      val prevScope =
+        if (foldable)
+          Some(idx.readMor(spark, "relative_path", "modified_time").get
+            .filter(col("relative_path").startsWith(d + "/"))
+            .localCheckpoint(true))
+        else None
       idx.refreshScopeMor(spark, entries,
-        col("relative_path").startsWith(d + "/"),
+        // the scope covers the dir's OWN row too (re-statted above):
+        // its mtime moves with child churn, and a vanished subtree
+        // deletes the dir row with its contents
+        col("relative_path").startsWith(d + "/") ||
+          col("relative_path") === d,
         "relative_path", "modified_time")
+      // patch the stored dirSizes with the scope's signed change feed
+      // — O(|scope| × depth); a stale/absent rollup stays stale (the
+      // next publish recomputes it) rather than paying a full corpus
+      // rescan inside the event-driven path
+      prevScope.foreach { prev =>
+        val rs = rollupStore()
+        rs.write(graft.operators.FsOps.dirRollupFoldAgg(
+            rs.read(spark).get,
+            graft.operators.FsOps.rollupDeltaAgg(
+              Indexer.signedFileChanges(prev, entries)))
+          .filter(col("sz") =!= 0L || col("fc") =!= 0L))
+        writeRollupToken(Indexer.corpusToken(idx))
+      }
       entries.count()
     }.sum
+  }
+
+  /** INCREMENTAL ES publish — the run mode a 100 TB deployment uses
+    * between full republishes: refresh only the changed subtrees
+    * through the store's MOR log ([[runScoped]]), patch the stored
+    * dirSizes rollup with the scope's signed change feed, then send
+    * ONLY the delta to Elasticsearch — the scope's current entries,
+    * every directory (inside the scope or above it) whose rolled
+    * total changed, and deletes for vanished scope keys. Publish cost
+    * is ∝ |scope| + |touched ancestors|, never the corpus; the
+    * resulting ES state is bit-identical (mod `last_seen`, scan-time
+    * by contract) to a full republish — IndexerSpec pins it over a
+    * delete+resize+add scenario.
+    */
+  def publishScoped(spark: SparkSession,
+      changedDirs: Seq[String]): RunReport = {
+    val t0 = System.nanoTime()
+    require(cfg.mode == "elasticsearch" && transport.isDefined,
+      "publishScoped: elasticsearch mode with a transport required")
+    val idx = store()
+    require(idx.currentId.isDefined,
+      "publishScoped: no base snapshot — run a full scan first")
+    val dirs = changedDirs.map(_.stripPrefix("/").stripSuffix("/"))
+    val scopePred = dirs.map(d =>
+      col("relative_path").startsWith(d + "/") ||
+        col("relative_path") === d).reduce(_ || _)
+    val resolvedBefore =
+      idx.readMor(spark, "relative_path", "modified_time").get
+    val prevScope =
+      resolvedBefore.filter(scopePred).localCheckpoint(true)
+    runScoped(spark, changedDirs) // store + rollup refreshed
+    val after = idx.readMor(spark, "relative_path", "modified_time").get
+      .localCheckpoint(true)
+    val curScope = after.filter(scopePred).localCheckpoint(true)
+    // the rollup may have been stale before this run (e.g. index-only
+    // interludes) — reconcile it now so the publish reads real totals
+    val sizesAll = {
+      val rs = rollupStore()
+      if (readRollupToken().contains(Indexer.corpusToken(idx)) &&
+          rs.currentId.isDefined) rs.read(spark).get
+      else {
+        rs.write(graft.operators.FsOps.rollupOf(
+          after.filter(col("type") === "file")
+            .select(col("filepath"), col("size_bytes"))))
+        writeRollupToken(Indexer.corpusToken(idx))
+        rs.read(spark).get
+      }
+    }
+    // directories whose totals moved: the ancestors of the signed
+    // change feed — inside OR above the scope
+    val touched = graft.operators.FsOps.rollupDeltaAgg(
+        Indexer.signedFileChanges(prevScope, curScope))
+      .select(col("directory_path").as("filepath"))
+    val dirRows = after.filter(col("type") === "directory")
+      .join(touched, Seq("filepath"), "left_semi")
+    // the observed counters ride the publish delta itself (A8 — one
+    // pass, collected when the bulk sink consumes the docs)
+    val (toPublish, obs) = RunStats.observed(
+      curScope.unionByName(dirRows)
+        .dropDuplicates("relative_path").localCheckpoint(true),
+      typeCol = "type")
+
+    admin.foreach(a => EsAdmin.ensureIndex(a, cfg.esIndex))
+    val sink = new EsSink(transport.get, cfg.esBatchSize)
+    val linksIdx = new ParquetIndex(s"${cfg.indexRoot}/links",
+      writeFiles = cfg.snapshotFiles)
+    val nLinks = (cfg.getDirectLinks, linkFetch) match {
+      case (true, Some(fetch)) =>
+        LinkRefresh.refreshIndexMor(spark,
+          toPublish.filter(col("type") === "file"), linksIdx, fetch,
+          skipPatterns = cfg.skipPatterns)
+      case _ => 0L
+    }
+    val links = LinkRefresh.align(
+      LinkRefresh.readLinksMor(spark, linksIdx).getOrElse(
+        LinkRefresh.emptyLinks(spark)))
+      .select(col("file_id"), col("direct_link").as("dl"),
+        col("fsentry_id").as("fse"),
+        col("api_creation_time").as("act"),
+        col("api_modified_time").as("amt"))
+    val sizes = sizesAll.select(col("directory_path").as("dp"),
+      col("sz").as("total_size"))
+    val s = sink.bulkIndex(buildDocs(toPublish, sizes, links),
+      cfg.esIndex, "id")
+    val removedIds = prevScope
+      .join(curScope, Seq("relative_path"), "left_anti").select("id")
+      .localCheckpoint(true)
+    val removedCount = removedIds.count()
+    val delFailed =
+      if (removedCount > 0)
+        sink.bulkDelete(removedIds, cfg.esIndex, "id").failed
+      else 0L
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    RunReport(RunStats.collect(obs, elapsed), s.indexed,
+      s.failed + delFailed, removedCount,
+      idx.currentId.getOrElse(""), nLinks)
   }
 
   /** Fold the scoped-run MOR log into a real snapshot (periodic, or
@@ -283,6 +527,10 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // full-index write instead of merge-write → read-back → semi-join
     // write (at 100 TB that write is the dominant cost; this halves it).
     val idx = store()
+    // rollup validity anchor: the corpus identity BEFORE this run's
+    // write — the stored dirSizes snapshot is incremental-foldable
+    // only if it was computed against exactly this state
+    val prevCorpusToken = Indexer.corpusToken(idx)
     // Upgrade path: a snapshot written before path-partitioning lacks
     // the p0 column — derive it so the merge schemas line up and the
     // NEXT write migrates the store to the partitioned layout.
@@ -352,31 +600,14 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
             col("fsentry_id").as("fse"),
             col("api_creation_time").as("act"),
             col("api_modified_time").as("amt"))
-        val sizes = dirSizes(current)
-          .withColumnRenamed("filepath", "dp")
-        val iso = "yyyy-MM-dd'T'HH:mm:ss"
-        // the full document field surface of the reference's bulk payload
-        // (elasticsearch_integration.py:98-112 + the mapping's fields)
-        val docs = current
-          .join(sizes, col("filepath") === col("dp"), "left")
-          .join(links, col("id") === col("file_id"), "left") // J8
-          .select(
-            col("id"), col("relative_path"), col("filepath"), col("name"),
-            col("type"), col("extension"), col("checksum"),
-            when(col("type") === "directory",
-              coalesce(col("total_size"), lit(0L)))
-              .otherwise(col("size_bytes")).as("size_bytes"),
-            date_format(col("modified_time"), iso).as("modified_time"),
-            date_format(col("creation_time"), iso).as("creation_time"),
-            date_format(col("last_seen"), iso).as("last_seen"),
-            coalesce(col("dl"), lit("")).as("direct_link"),
-            coalesce(col("fse"), lit("")).as("fsentry_id"),
-            // mapping-declared API timestamps (EsAdmin mirror of
-            // elasticsearch_integration.py:84-87): emitted when the
-            // fetch returned them; null → to_json omits the field
-            date_format(col("act"), iso).as("api_creation_time"),
-            date_format(col("amt"), iso).as("api_modified_time"))
-          .withColumn("size", SizeFormat.format_size(col("size_bytes")))
+        // sizes from the MAINTAINED rollup snapshot: incremental fold
+        // of the merge's own change feed when valid, recompute
+        // otherwise — never the per-run ancestor explode by default
+        val sizes = dirSizesMaintained(spark, idx, previous, current,
+            prevCorpusToken)
+          .select(col("directory_path").as("dp"),
+            col("sz").as("total_size"))
+        val docs = buildDocs(current, sizes, links)
         val s = sink.bulkIndex(docs, cfg.esIndex, "id")
         // delete failures count toward esFailed — a rejected deletion
         // leaves a stale searchable document the next run's anti-join
@@ -397,6 +628,43 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
 }
 
 object Indexer {
+
+  /** Identity of the files store's resolved corpus: base snapshot id +
+    * merge-on-read log length. The stored dirSizes rollup records the
+    * token it was computed against; any transition the maintainer did
+    * not witness (manual store surgery, a crash between the files
+    * write and the rollup fold) shows up as a mismatch and forces a
+    * from-scratch recompute instead of a silent wrong fold.
+    */
+  private[pipeline] def corpusToken(idx: ParquetIndex): String =
+    idx.currentId
+      .map(id => s"$id+${idx.morEntries(id).length}")
+      .getOrElse("empty")
+
+  /** The signed per-file change feed of a corpus transition — exactly
+    * the merge's reconcile legs, derived with ONE explode-free
+    * full-outer join: removed files (−size, −1), added files (+size,
+    * +1), resized files (new−old, 0). Feeding this through
+    * [[graft.operators.FsOps.rollupDeltaAgg]] patches a stored rollup
+    * in O(|Δ| × depth) instead of re-exploding the corpus.
+    */
+  private[pipeline] def signedFileChanges(prev: DataFrame,
+      cur: DataFrame): DataFrame = {
+    val p = prev.filter(col("type") === "file")
+      .select(col("filepath"), col("size_bytes").as("p_size"))
+    val c = cur.filter(col("type") === "file")
+      .select(col("filepath"), col("size_bytes").as("c_size"))
+    p.join(c, Seq("filepath"), "full_outer")
+      .select(col("filepath"),
+        when(col("c_size").isNull, -col("p_size"))
+          .when(col("p_size").isNull, col("c_size"))
+          .otherwise(col("c_size") - col("p_size"))
+          .cast("long").as("delta_size"),
+        when(col("c_size").isNull, lit(-1L))
+          .when(col("p_size").isNull, lit(1L))
+          .otherwise(lit(0L)).as("delta_count"))
+      .filter(col("delta_size") =!= 0L || col("delta_count") =!= 0L)
+  }
 
   /** The z-ordered snapshot's two layout dimensions: a 64-way crc32
     * bucket of the relative path (a path point/prefix predicate maps

@@ -133,7 +133,14 @@ object RestWalker {
 
     var frontier = spark.createDataset(Seq(root)).toDF("path")
       .localCheckpoint(true)
-    var seen = frontier // SO4 dedup, kept distributed
+    // SO4 dedup, kept distributed as PER-LEVEL checkpointed frames:
+    // each level materializes ONLY its own frontier (the r13 shape
+    // re-checkpointed the cumulative union every level — O(depth ×
+    // total_dirs) checkpoint I/O); the anti-join reads the frames
+    // through a lazy union, which scans the already-materialized
+    // blocks without ever rewriting them (RestWalkerSpec pins the
+    // per-level materialization count).
+    var seenFrames = Vector(frontier)
     var frontierRows = 1L
     var acc: Option[DataFrame] = None
     var depth = 0
@@ -149,9 +156,10 @@ object RestWalker {
         .select("path")
         .filter(!skipRecurseCol && !hiddenCol)
         .distinct()
-        .join(seen, Seq("path"), "left_anti")
+        .join(seenFrames.reduce(_.unionByName(_)), Seq("path"),
+          "left_anti")
         .localCheckpoint(true)
-      seen = seen.unionByName(next).localCheckpoint(true)
+      seenFrames :+= next
       frontier = next
       frontierRows = next.count()
       depth += 1

@@ -63,16 +63,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("merge upsert: one logical hash shuffle on the merge key") {
+  test("merge upsert: sort-free outer hash join, exchanges only on " +
+      "the merge key") {
     val p = finalPlan(SparkEntry.queries("fs_merge_upsert")(spark, sf))
-    // AQE materializes the union's two branches as separate query stages,
-    // so ONE logical repartitioning shows as (up to) two Exchange writer
-    // nodes — but every one of them must partition on the merge key, and
-    // nothing may shuffle on any other key.
-    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+    // r14 shape: each side exchanges ONCE on the merge key (prefixed
+    // __e_/__b_ inside the join) and meets in a ShuffledHashJoin — no
+    // aggregate, no sort anywhere. The old union+max_by form planned
+    // SortAggregate and sorted the 2×corpus union twice.
+    val hashEx = "Exchange hashpartitioning\\((?:__[eb]_)?([a-z_]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(hashEx.nonEmpty && hashEx.forall(_ == "relative_path"),
       s"exchanges on: $hashEx\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortAggregate") && !p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -120,17 +123,21 @@ class PlanAuditSpec extends SparkSpecBase {
       (col("id") + 1).as("modified_time"))
     val q = operators.Merge.mergeReconcile(a, b, "relative_path",
       "modified_time")
+    // final AQE section only — the appended "Initial Plan" echo would
+    // double-count every exchange
     val p = { q.collect(); q.queryExecution.executedPlan.toString }
-    // the row_number (merge winner) and max-tag (scanned?) windows must
-    // ride the SAME hashpartitioning — a second exchange would double
-    // the pipeline's dominant shuffle at 100 TB
-    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .split("== Initial Plan ==")(0)
+    // r14 join form: winner pick and key restriction ride ONE
+    // right-outer hash join — each side exchanges once on the merge
+    // key (prefixed __e_/__b_), nothing shuffles on any other key,
+    // and nothing sorts
+    val hashEx = "Exchange hashpartitioning\\((?:__[eb]_)?([a-z_]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(hashEx.nonEmpty && hashEx.forall(_ == "relative_path"),
       s"exchanges on: $hashEx\n$p")
-    // AQE stages may re-show the union's branches, but dedup the stage
-    // boundary: no more than one exchange per union branch
     assert(hashEx.size <= 2, s"${hashEx.size} exchanges\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortAggregate") && !p.contains("SortMergeJoin"), p)
     assert(q.count() == 1000)
   }
 

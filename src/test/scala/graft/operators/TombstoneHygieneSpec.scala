@@ -197,6 +197,38 @@ class TombstoneHygieneSpec extends SparkSpecBase {
       .toDF("doc_id", "text"), autoFoldAt = Double.PositiveInfinity)
   }
 
+  test("GenMeta.reserve auto-heals a crashed reservation: a STALE " +
+      "rowless marker burns its generation and the next reserve " +
+      "proceeds unaided") {
+    val dir = Files.createTempDirectory("atomic_heal").toString
+    TermIndex.update(spark, dir, tinyDocs(5))
+    // kill a writer between its two steps: the marker landed, the
+    // genmeta row did not
+    val g = GenMeta.current(spark, dir) + 1
+    val p = new org.apache.hadoop.fs.Path(GenMeta.path(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val marker = new org.apache.hadoop.fs.Path(p, s".g$g.reserved")
+    fs.create(marker, false).close()
+    // while the marker is FRESH it could be a live writer mid-reserve:
+    // still fail fast (the test above pins the same shape)
+    assert(intercept[IllegalArgumentException](
+      GenMeta.reserve(spark, dir))
+      .getMessage.contains("already reserved"))
+    // age it past the liveness grace — now definitionally torn
+    fs.setTimes(marker, System.currentTimeMillis() - 120000L, -1)
+    val healed = GenMeta.reserve(spark, dir)
+    // the torn generation is BURNED, never reused (a slow writer might
+    // still hold it); the reservation lands one past it
+    assert(healed == g + 1)
+    assert(GenMeta.current(spark, dir) == g + 1)
+    // and the store is fully operational without any manual surgery
+    TermIndex.upsert(spark, dir, Seq((77L, "omega omega"))
+      .toDF("doc_id", "text"), autoFoldAt = Double.PositiveInfinity)
+    assert(TermIndex.search(spark, dir, Seq("omega"), 10)
+      .collect().map(_.getLong(0)).contains(77L))
+  }
+
   test("AnnIndex upsert is reader-atomic: serving postings hold the " +
       "old generation until the watermark commit") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")

@@ -66,6 +66,105 @@ class IndexerSpec extends SparkSpecBase {
     assert(sent.contains("\"size\":"))
   }
 
+  /** Replay captured bulk NDJSON into the ES state it produces:
+    * id → doc JSON (index overwrites, delete removes) — the reference
+    * cluster's end state without a cluster. `last_seen` is scan-time
+    * by CONTRACT (the reference restamps it on every reconciliation),
+    * so it is stripped before comparison.
+    */
+  private def esState(calls: Seq[Seq[String]]): Map[String, String] = {
+    var st = Map.empty[String, String]
+    calls.flatten.foldLeft(Option.empty[String]) {
+      (pendingId, line) =>
+        if (line.startsWith("{\"index\":")) {
+          Some(line.split("\"_id\":\"")(1).takeWhile(_ != '"'))
+        } else if (line.startsWith("{\"delete\":")) {
+          st -= line.split("\"_id\":\"")(1).takeWhile(_ != '"')
+          None
+        } else {
+          pendingId.foreach(id => st += id ->
+            line.replaceAll("\"last_seen\":\"[^\"]*\"", ""))
+          None
+        }
+    }
+    st
+  }
+
+  test("incremental scoped publish ≡ full republish (delete+resize+" +
+      "add), and it sends only the delta") {
+    import scala.jdk.CollectionConverters._
+    val root = mkTree()
+    Files.writeString(root.resolve("proj/sub/r.txt"), "rrr")
+    val idxRoot = Files.createTempDirectory("idxinc").toString
+    val cfg = IndexerConfig(root.toString, idxRoot,
+      getDirectLinks = false)
+    val indexer = new Indexer(cfg, Some(TransportProbe.transport))
+    TransportProbe.reset()
+    indexer.run(spark)
+    val base = esState(TransportProbe.calls.asScala.toSeq)
+    val fullCount = base.size
+
+    // the scenario the verdict names: delete + resize + add, all under
+    // proj/sub — proj's rolled total changes too, and proj is OUTSIDE
+    // the scope
+    Files.delete(root.resolve("proj/sub/b.log"))
+    Files.writeString(root.resolve("proj/sub/r.txt"), "rrrrrrrr")
+    Files.writeString(root.resolve("proj/sub/n.txt"), "nn")
+
+    TransportProbe.reset()
+    val rep = indexer.publishScoped(spark, Seq("proj/sub"))
+    val incCalls = TransportProbe.calls.asScala.toSeq
+    val incState = base -- incCalls.flatten
+      .filter(_.startsWith("{\"delete\":"))
+      .map(_.split("\"_id\":\"")(1).takeWhile(_ != '"')) ++
+      esState(incCalls)
+    assert(rep.removed == 1)
+
+    // bit-for-bit reference: a fresh pipeline + full publish over the
+    // mutated tree from scratch
+    TransportProbe.reset()
+    val refRoot = Files.createTempDirectory("idxref").toString
+    new Indexer(IndexerConfig(root.toString, refRoot,
+      getDirectLinks = false), Some(TransportProbe.transport)).run(spark)
+    val full = esState(TransportProbe.calls.asScala.toSeq)
+
+    assert(incState == full,
+      "incremental ES state diverged from the full republish")
+    // delta economics: the scoped publish indexed scope entries +
+    // touched ancestors only — strictly fewer docs than the corpus
+    val incIndexed = incCalls.flatten
+      .count(_.startsWith("{\"index\":"))
+    assert(incIndexed < fullCount,
+      s"scoped publish sent $incIndexed docs, full corpus is $fullCount")
+    // and proj (outside the scope, totals moved) WAS republished
+    val projDoc = incState.values.find(_.contains("\"filepath\":\"/proj\""))
+    assert(projDoc.isDefined, "ancestor outside the scope not republished")
+  }
+
+  test("rollup fold across full runs: second run's dir sizes come from " +
+      "the PATCHED snapshot and match a from-scratch pipeline") {
+    import scala.jdk.CollectionConverters._
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxfold").toString
+    val cfg = IndexerConfig(root.toString, idxRoot,
+      getDirectLinks = false)
+    val indexer = new Indexer(cfg, Some(TransportProbe.transport))
+    TransportProbe.reset()
+    indexer.run(spark)
+    // mutate, full re-run: the maintainer folds prev→current instead
+    // of re-exploding (same token discipline the scoped path uses)
+    Files.delete(root.resolve("proj/sub/b.log"))
+    Files.writeString(root.resolve("proj/a.txt"), "aaaaaaaaaaaa")
+    TransportProbe.reset()
+    indexer.run(spark)
+    val folded = esState(TransportProbe.calls.asScala.toSeq)
+    TransportProbe.reset()
+    val refRoot = Files.createTempDirectory("idxfoldref").toString
+    new Indexer(IndexerConfig(root.toString, refRoot,
+      getDirectLinks = false), Some(TransportProbe.transport)).run(spark)
+    assert(folded == esState(TransportProbe.calls.asScala.toSeq))
+  }
+
   test("elasticsearch mode ensures the index exists BEFORE bulk calls") {
     val root = mkTree()
     val idxRoot = Files.createTempDirectory("idxstore3").toString

@@ -83,6 +83,25 @@ class RestWalkerSpec extends SparkSpecBase {
     assert(distRows == parRows)
   }
 
+  test("per-level checkpoint volume ∝ frontier: a traversal " +
+      "materializes root + (listing, frontier) per level and NEVER " +
+      "the cumulative seen union") {
+    // r13 shape re-checkpointed seen = union(all levels) every level —
+    // one extra persistent RDD per level whose SIZE grows with the
+    // whole tree (O(depth × total_dirs) checkpoint I/O). The fixture
+    // walks 2 levels (root-frontier, then {a,b}, then empty), so the
+    // per-level discipline admits at most 1 + 2×2 = 5 new persisted
+    // RDDs; the cumulative-union shape would add 2 more.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    RestWalker.traverseDistributed(spark, FakeApi.fetch, "/fs",
+      skipPatterns = Seq("skipme")).collect()
+    val created =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(before).size
+    assert(created <= 5,
+      s"$created persistent RDDs created — the seen union is being " +
+        "re-materialized per level")
+  }
+
   test("the distributed twin dedups re-discovered directories (SO4): " +
       "a diamond tree fetches each directory exactly once") {
     DiamondApi.calls.clear()

@@ -53,6 +53,13 @@ def run_dump():
         f"-Xmx{os.environ.get('SPARK_GRAFT_DUMP_XMX', '24g')}",
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
+        # shuffle/spill compression: the k>=100 dumps are disk-bound on
+        # repetitive path strings — zstd packs them 2-4x tighter than
+        # lz4, which is the difference between fitting the sandbox disk
+        # and r13's ENOSPC (core conf: must be set at context creation)
+        "-Dspark.io.compression.codec=zstd",
+        "-Dspark.io.compression.zstd.level=6",
+        "-Dspark.shuffle.mapStatus.compression.codec=zstd",
         "-cp",
         f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
         "graft.ScaleGate", K, SFDIR, str(ROOT),
