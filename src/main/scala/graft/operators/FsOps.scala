@@ -811,7 +811,17 @@ object FsOps {
 
   def esDocs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // NARROW the probe side before it moves: relative_path and name
+    // are pure functions of filepath (strip the slash; last segment),
+    // and the F1 id contract (id = sha256 of the '/'-prefixed path,
+    // scanner.py:176-186) makes even the links JOIN KEY derivable —
+    // so the corpus-sized exchanges carry the ~40-byte path instead
+    // of path + 64-hex id + two derived strings (~190 B/row → ~80;
+    // tens of GB of exchange at the k=1000 gate). The derived columns
+    // come back in the post-join projection, bit-identical.
     val e = SyntheticFs.entries(spark, sfDir)
+      .select(col("filepath"), col("type"), col("size_bytes"),
+        col("modified_time"))
     val links = SyntheticFs.directLinks(spark, sfDir)
       .select(col("file_id"), col("direct_link").as("dl"))
     val sizes = dirRollupExplode(spark, sfDir)
@@ -825,12 +835,12 @@ object FsOps {
     // unsorted. At 100 TB the same join keys are the store's bucket
     // columns and the exchanges drop out entirely.
     e.join(links.hint("shuffle_hash"),
-        col("id") === col("file_id"), "left")
+        sha2(col("filepath"), 256) === col("file_id"), "left")
       .join(sizes.hint("shuffle_hash"),
         col("filepath") === col("directory_path"), "left")
       .select(
-        col("relative_path"),
-        col("name"),
+        expr("substring(filepath, 2)").as("relative_path"),
+        expr("substring_index(filepath, '/', -1)").as("name"),
         col("type"),
         when(col("type") === "directory", coalesce(col("total_size"), lit(0L)))
           .otherwise(col("size_bytes")).as("size_final"),
