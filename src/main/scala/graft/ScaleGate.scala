@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
 import org.apache.spark.sql.graft.PlanBridge
 
@@ -75,6 +75,24 @@ object ScaleGate {
     "docs_curriculum_order_ranged" -> "doc_id",
     "events_sessionize" -> "user_id")
 
+  /** Key-bucket SHARDED dump forms (r14): the comparator digests are
+    * abelian, so a query whose result can be sliced into exact
+    * per-key buckets may be dumped in `SPARK_GRAFT_SHARDS` separate
+    * passes — each pass shuffles 1/n of the corpus, which is what
+    * fits the heavy fs legs' 2×corpus exchanges under the sandbox's
+    * hard ~80 GB disk reservation at k=1000. Each pass runs in its
+    * OWN JVM (tools/scalegate.py drives them) so shuffle files free
+    * deterministically between passes. Exactness is argued at each
+    * form's definition ([[graft.operators.FsOps.mergeUpsertShard]],
+    * [[graft.operators.FsOps.esDocsShard]]): the bucket predicate
+    * rides every join input, and DuckDB digests the union of the
+    * shard files.
+    */
+  val shardedForms
+      : Map[String, (SparkSession, String, Int, Int) => DataFrame] = Map(
+    "fs_merge_upsert" -> (graft.operators.FsOps.mergeUpsertShard _),
+    "fs_es_docs" -> (graft.operators.FsOps.esDocsShard _))
+
   /** Strip a TRAILING global Sort from a query's plan before the dump:
     * every gated query ends in `.orderBy(...)` for the driver's sf0.01
     * verify, but the k-replica comparator is an order-insensitive
@@ -124,14 +142,23 @@ object ScaleGate {
     // cluster-level knobs on a real deployment — the plan itself is
     // unchanged.
     spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    // sharded-dump pass coordinates (see shardedForms): pass 0 owns
+    // the wipe/replica/meta; later passes reuse them
+    val shards = sys.env.get("SPARK_GRAFT_SHARDS").map(_.toInt)
+      .getOrElse(1)
+    val shard = sys.env.get("SPARK_GRAFT_SHARD").map(_.toInt)
+    val firstPass = shard.forall(_ == 0)
     val root = Paths.get(outRoot)
-    Bench.rm(root) // NOFOLLOW-safe: symlinked source tables survive
+    if (firstPass)
+      Bench.rm(root) // NOFOLLOW-safe: symlinked source tables survive
     val data = root.resolve("data")
     Files.createDirectories(data)
-    val t0 = System.nanoTime()
-    ScaleProbe.materialize(spark, src, k, data)
-    System.err.println(
-      f"[scalegate] k=$k replica of $src in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (firstPass) {
+      val t0 = System.nanoTime()
+      ScaleProbe.materialize(spark, src, k, data)
+      System.err.println(
+        f"[scalegate] k=$k replica of $src in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val out = root.resolve("verify")
     Files.createDirectories(out)
     val qs = SparkEntry.queries
@@ -162,14 +189,33 @@ object ScaleGate {
       // insensitive and DuckDB glob-reads the partition files, so the
       // old `coalesce(1)` single-task funnel (which also collapsed the
       // preceding sort to ONE partition) is gone with the sort itself
-      stripTopSort(qs(name)(spark, data.toString))
-        .write.mode("overwrite").parquet(out.resolve(name).toString)
+      val dumped = (shard, shardedForms.get(name)) match {
+        case (Some(i), Some(form)) =>
+          // sharded pass: this JVM dumps ONLY bucket i of n
+          form(spark, data.toString, i, shards)
+            .write.mode("overwrite")
+            .parquet(out.resolve(name).resolve(s"shard-$i").toString)
+          true
+        case (Some(i), None) =>
+          // unsharded query under a sharded run: pass 0 dumps it whole
+          if (i == 0)
+            stripTopSort(qs(name)(spark, data.toString))
+              .write.mode("overwrite")
+              .parquet(out.resolve(name).toString)
+          i == 0
+        case _ =>
+          stripTopSort(qs(name)(spark, data.toString))
+            .write.mode("overwrite").parquet(out.resolve(name).toString)
+          true
+      }
       val m1 = Bench.moves.snap
-      System.err.println(
-        f"[scalegate] $name dumped in ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      if (dumped) System.err.println(
+        f"[scalegate] $name${shard.fold("")(i => s" shard $i/$shards")} " +
+          f"dumped in ${(System.nanoTime() - t1) / 1e9}%.1f s " +
           f"(shuffle write ${(m1._2 - m0._2) / 1e9}%.1f GB, " +
           f"spill ${(m1._3 - m0._3) / 1e9}%.1f GB)")
     }
+    if (!firstPass) { spark.stop(); return }
     def q(s: String): String =
       "\"" + graft.functions.JsonText.esc(s) + "\""
     val json = SparkEntry.oracleSql

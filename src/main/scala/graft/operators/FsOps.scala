@@ -519,6 +519,69 @@ object FsOps {
       .orderBy("relative_path")
   }
 
+  /** Key-bucket SLICE of [[mergeUpsert]] — shard `i` of `n` by
+    * `crc32(relative_path) mod n`, EXACT by key-locality: the merge
+    * winner for a path depends only on that path's rows, and both
+    * sides carry the identical bucket predicate, so the union of the
+    * n slices is the full result row-for-row (the scale gate's
+    * sharded-dump form: each pass shuffles 1/n of the corpus, which
+    * is what fits a 2×corpus shuffle under the sandbox's hard disk
+    * cap at k=1000 — and ALSO the plan a bucketed 100 TB store runs
+    * per bucket with no exchange at all).
+    */
+  private[graft] def mergeUpsertShard(spark: SparkSession, sfDir: String,
+      shard: Int, shards: Int): DataFrame = {
+    val bucket = pmod(crc32(col("relative_path")), lit(shards)) === shard
+    val existing = SyntheticFs.files(spark, sfDir)
+      .select("relative_path", "size_bytes", "modified_time")
+      .filter(bucket)
+    val batch = rescanBatch(spark, sfDir).filter(bucket)
+    Merge.merge(existing, batch, "relative_path", "modified_time",
+      batchWinsTies = false)
+  }
+
+  /** Key-bucket SLICE of [[esDocs]] — shard `i` of `n` on
+    * `crc32(id) mod n` where id = sha256(filepath) (the F1 contract),
+    * the one bucket function computable on EVERY join input: the
+    * entry side and the rollup side derive it from their path, the
+    * links side carries it as `file_id`. Per-key exact: an entry's
+    * output row reads only its own links row (file_id = sha256 of its
+    * path) and its own rollup row (directory_path = its path), both
+    * in its bucket; the rollup AGGREGATE runs over all files in every
+    * pass (a dir's total needs them all) — only its bucketed result
+    * rows survive to the join.
+    */
+  private[graft] def esDocsShard(spark: SparkSession, sfDir: String,
+      shard: Int, shards: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(crc32(c), lit(shards)) === shard
+    val e = SyntheticFs.entries(spark, sfDir)
+      .select(col("filepath"), col("type"), col("size_bytes"),
+        col("modified_time"))
+      .filter(bucketOf(sha2(col("filepath"), 256)))
+    val links = SyntheticFs.directLinks(spark, sfDir)
+      .select(col("file_id"), col("direct_link").as("dl"))
+      .filter(bucketOf(col("file_id")))
+    val sizes = dirRollupExplode(spark, sfDir)
+      .select(col("directory_path"), col("total_size"))
+      .filter(bucketOf(sha2(col("directory_path"), 256)))
+    e.join(links.hint("shuffle_hash"),
+        sha2(col("filepath"), 256) === col("file_id"), "left")
+      .join(sizes.hint("shuffle_hash"),
+        col("filepath") === col("directory_path"), "left")
+      .select(
+        expr("substring(filepath, 2)").as("relative_path"),
+        expr("substring_index(filepath, '/', -1)").as("name"),
+        col("type"),
+        when(col("type") === "directory", coalesce(col("total_size"), lit(0L)))
+          .otherwise(col("size_bytes")).as("size_final"),
+        coalesce(col("dl"), lit("")).as("direct_link"),
+        date_format(col("modified_time"), "yyyy-MM-dd'T'HH:mm:ss")
+          .as("modified_iso"))
+      .withColumn("size_h", expr("format_size(size_final)"))
+  }
+
   /** J1: conditional merge — existing row survives mtime ties. */
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame =
     mergeWith(spark, sfDir, batchWinsTies = false)

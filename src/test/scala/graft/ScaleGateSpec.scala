@@ -62,6 +62,20 @@ class ScaleGateSpec extends SparkSpecBase {
     assert(ScaleGate.stripTopSort(q) eq q)
   }
 
+  test("sharded dump forms: the union of all shards equals the full " +
+      "query row-for-row") {
+    val sf = "/root/testdata/sf0.001"
+    val n = 3
+    ScaleGate.shardedForms.foreach { case (name, form) =>
+      val full = SparkEntry.queries(name)(spark, sf)
+      val shardUnion = (0 until n).map(i => form(spark, sf, i, n))
+        .reduce(_.unionByName(_))
+      assert(shardUnion.columns.toSeq == full.columns.toSeq, name)
+      assert(rows(shardUnion) == rows(full),
+        s"$name: shard union != full result")
+    }
+  }
+
   test("every gated query has an oracle; bucket keys name gate rows") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql

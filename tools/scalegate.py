@@ -43,6 +43,22 @@ FALLBACK_ROWS = 5_000_000
 
 
 def run_dump():
+    # SPARK_GRAFT_SHARDS=S (>1) drives S sequential CHILD JVM passes:
+    # pass i dumps bucket i of each sharded query (ScaleGate
+    # .shardedForms — exact per-key slices; digests are abelian so the
+    # union of shard files compares like one dump). One JVM per pass
+    # guarantees each pass's shuffle files are gone before the next —
+    # the in-JVM alternative leaks them until GC and re-hits the disk
+    # reservation the sharding exists to fit under.
+    n = int(os.environ.get("SPARK_GRAFT_SHARDS", "1"))
+    if n > 1:
+        for i in range(n):
+            run_dump_pass(shard=(i, n))
+    else:
+        run_dump_pass(shard=None)
+
+
+def run_dump_pass(shard=None):
     cmd = ["java"]
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
@@ -70,6 +86,9 @@ def run_dump():
     # k=100 decade runs only the heaviest rows)
     if os.environ.get("SPARK_GRAFT_GATED"):
         env["SPARK_GRAFT_GATED"] = os.environ["SPARK_GRAFT_GATED"]
+    if shard is not None:
+        env["SPARK_GRAFT_SHARD"] = str(shard[0])
+        env["SPARK_GRAFT_SHARDS"] = str(shard[1])
     r = subprocess.run(cmd, env=env)
     if r.returncode != 0:
         sys.exit(f"scalegate dump exited {r.returncode}")
@@ -224,17 +243,19 @@ def main():
               f"{bucket_keys or '(no keys — single pass)'}")
     n_fail = 0
     for name in sorted(oracles):
-        files = list((OUT / name).glob("*.parquet")) \
+        # rglob: sharded dumps nest shard-i/ dirs under the query dir
+        files = list((OUT / name).rglob("*.parquet")) \
             if (OUT / name).is_dir() else []
         if not files:
             print(f"FAIL {name}: NO SPARK OUTPUT")
             n_fail += 1
             continue
+        glob_sql = f"read_parquet('{OUT / name}/**/*.parquet')" \
+            if any(f.parent != OUT / name for f in files) \
+            else f"read_parquet('{OUT / name}/*.parquet')"
         t0 = time.time()
         try:
-            r = cmp_digest(con, name,
-                           f"read_parquet('{OUT / name}/*.parquet')",
-                           oracles[name],
+            r = cmp_digest(con, name, glob_sql, oracles[name],
                            bucket_key=bucket_keys.get(name),
                            n_buckets=n_buckets)
         except Exception as e:
@@ -243,8 +264,7 @@ def main():
         if flag == "FAIL":
             n_fail += 1
         nrows = con.execute(
-            f"SELECT count(*) FROM "
-            f"read_parquet('{OUT / name}/*.parquet')").fetchone()[0]
+            f"SELECT count(*) FROM {glob_sql}").fetchone()[0]
         print(f"{flag} {name}: {r or f'OK ({nrows} rows, digest)'} "
               f"[compare {time.time() - t0:.1f} s]")
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
