@@ -42,7 +42,17 @@ object SyntheticFs {
     cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     cache.getOrElseUpdate((spark, key), {
       val df = build
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // SPARK_GRAFT_NO_CACHE: the persist is a WIN for bench/verify
+      // JVMs that touch the same frame dozens of times at sf≤0.1, and
+      // FATAL for the k=1000 scale-gate passes — the cached files/
+      // entries frame is O(corpus) uncompressed columnar whose
+      // MEMORY_AND_DISK overflow alone (~100 GB at k=1000) blows the
+      // sandbox's disk reservation before any query shuffle does
+      // (this, not the shuffles, was the r13 "disk-bound fs legs"
+      // root cause). A gate JVM runs one query once, so it sets the
+      // env and streams the derivation instead.
+      if (!sys.env.contains("SPARK_GRAFT_NO_CACHE"))
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
     })
   }

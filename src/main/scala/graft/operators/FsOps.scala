@@ -547,27 +547,35 @@ object FsOps {
     * links side carries it as `file_id`. Per-key exact: an entry's
     * output row reads only its own links row (file_id = sha256 of its
     * path) and its own rollup row (directory_path = its path), both
-    * in its bucket; the rollup AGGREGATE runs over all files in every
-    * pass (a dir's total needs them all) — only its bucketed result
-    * rows survive to the join.
+    * in its bucket.
+    *
+    * STAGED: the three join inputs are materialized ONCE as
+    * bucket-partitioned zstd parquet (the first shard call builds
+    * them; later calls — including later pass JVMs — prune straight
+    * to their bucket's files). Without staging, every pass re-paid
+    * the full O(files × depth) rollup explode and the fixture
+    * derivation joins (~45 min/pass at k=1000) just to keep 1/n of
+    * the result; the staging barrier trades one extra corpus write
+    * for n−1 re-derivations. On a real cluster the UN-staged single
+    * plan (see [[esDocs]]) is the production shape — the slicing
+    * exists only to fit a 2×corpus shuffle under the sandbox's hard
+    * disk reservation, and [[graft.ScaleGateSpec]] pins slice-union ≡
+    * full query row-for-row.
     */
   private[graft] def esDocsShard(spark: SparkSession, sfDir: String,
       shard: Int, shards: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      pmod(crc32(c), lit(shards)) === shard
-    val e = SyntheticFs.entries(spark, sfDir)
-      .select(col("filepath"), col("type"), col("size_bytes"),
-        col("modified_time"))
-      .filter(bucketOf(sha2(col("filepath"), 256)))
-    val links = SyntheticFs.directLinks(spark, sfDir)
-      .select(col("file_id"), col("direct_link").as("dl"))
-      .filter(bucketOf(col("file_id")))
-    val sizes = dirRollupExplode(spark, sfDir)
+    val stage = esDocsStage(spark, sfDir, shards)
+    val e = spark.read.parquet(s"$stage/entries")
+      .filter(col("bucket") === shard)
+    val links = spark.read.parquet(s"$stage/links")
+      .filter(col("bucket") === shard)
+      .select(col("file_id"), col("dl"))
+    val sizes = spark.read.parquet(s"$stage/sizes")
+      .filter(col("bucket") === shard)
       .select(col("directory_path"), col("total_size"))
-      .filter(bucketOf(sha2(col("directory_path"), 256)))
     e.join(links.hint("shuffle_hash"),
-        sha2(col("filepath"), 256) === col("file_id"), "left")
+        col("id64") === col("file_id"), "left")
       .join(sizes.hint("shuffle_hash"),
         col("filepath") === col("directory_path"), "left")
       .select(
@@ -580,6 +588,59 @@ object FsOps {
         date_format(col("modified_time"), "yyyy-MM-dd'T'HH:mm:ss")
           .as("modified_iso"))
       .withColumn("size_h", expr("format_size(size_final)"))
+  }
+
+  /** Build (once) and return the bucket-partitioned staging dir for
+    * [[esDocsShard]]: `<sfDir>/_stage_esdocs_<n>` when the replica dir
+    * is writable (gate runs — wiped with the replica), else a
+    * process-lifetime temp dir (specs over read-only testdata).
+    * `_SUCCESS` gates reuse across the gate's per-pass JVMs; the
+    * build is sequential-by-construction (pass 0 completes before
+    * pass 1 launches).
+    */
+  private val esDocsStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def esDocsStage(spark: SparkSession, sfDir: String,
+      shards: Int): String = {
+    val inPlace = java.nio.file.Paths.get(sfDir, s"_stage_esdocs_$shards")
+    val root =
+      if (java.nio.file.Files.isWritable(
+          java.nio.file.Paths.get(sfDir))) inPlace.toString
+      else StoreUtil.cachedTempDir(esDocsStageCache,
+        s"$sfDir#$shards", "graft-esdocs-stage")(_ => ())
+    val done = java.nio.file.Paths.get(root, "_SUCCESS")
+    if (!java.nio.file.Files.exists(done)) {
+      def bucketed(df: DataFrame, keyed: org.apache.spark.sql.Column) =
+        df.withColumn("bucket", pmod(crc32(keyed), lit(shards)))
+      bucketed(SyntheticFs.entries(spark, sfDir)
+          .select(col("filepath"), col("type"), col("size_bytes"),
+            col("modified_time"),
+            sha2(col("filepath"), 256).as("id64")), col("id64"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/entries")
+      bucketed(SyntheticFs.directLinks(spark, sfDir)
+          .select(col("file_id"), col("direct_link").as("dl")),
+          col("file_id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/links")
+      // dirRollupExplode minus its trailing global sort (the digest
+      // comparator never needed it, and sorting 162M dir rows at
+      // k=1000 is pure staging overhead)
+      val perDir = rollupOf(SyntheticFs.files(spark, sfDir)
+        .select(col("filepath"), col("size_bytes")))
+      val sizesDf = SyntheticFs.entries(spark, sfDir)
+        .filter(col("type") === "directory")
+        .select(col("filepath").as("directory_path"))
+        .join(perDir.hint("shuffle_hash"), Seq("directory_path"), "left")
+        .select(col("directory_path"),
+          coalesce(col("sz"), lit(0L)).cast("long").as("total_size"))
+      bucketed(sizesDf, sha2(col("directory_path"), 256))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/sizes")
+      java.nio.file.Files.createFile(done): Unit
+    }
+    root
   }
 
   /** J1: conditional merge — existing row survives mtime ties. */

@@ -81,7 +81,12 @@ def run_dump_pass(shard=None):
         "graft.ScaleGate", K, SFDIR, str(ROOT),
     ]
     env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
-           "SPARK_GRAFT_CPUS": "32"}
+           "SPARK_GRAFT_CPUS": "32",
+           # a gate JVM touches each fixture frame once: the bench-side
+           # MEMORY_AND_DISK persist of files/entries is pure downside
+           # here (its overflow alone is ~100 GB of disk at k=1000 —
+           # the r13 "disk-bound" root cause)
+           "SPARK_GRAFT_NO_CACHE": "1"}
     # pass the gate-subset override through the scrubbed env (the
     # k=100 decade runs only the heaviest rows)
     if os.environ.get("SPARK_GRAFT_GATED"):
