@@ -566,8 +566,13 @@ object FsOps {
       shard: Int, shards: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val stage = esDocsStage(spark, sfDir, shards)
+    // id64 is RECOMPUTED here, not stored: 64 hex chars of sha256 are
+    // ~32 incompressible bytes/row — persisting them cost ~30 GB at
+    // k=1000, more than the staging saved. The stored bucket column
+    // (derived from the same hash at stage time) still prunes the read.
     val e = spark.read.parquet(s"$stage/entries")
       .filter(col("bucket") === shard)
+      .withColumn("id64", sha2(col("filepath"), 256))
     val links = spark.read.parquet(s"$stage/links")
       .filter(col("bucket") === shard)
       .select(col("file_id"), col("dl"))
@@ -615,8 +620,7 @@ object FsOps {
         df.withColumn("bucket", pmod(crc32(keyed), lit(shards)))
       bucketed(SyntheticFs.entries(spark, sfDir)
           .select(col("filepath"), col("type"), col("size_bytes"),
-            col("modified_time"),
-            sha2(col("filepath"), 256).as("id64")), col("id64"))
+            col("modified_time")), sha2(col("filepath"), 256))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/entries")
       bucketed(SyntheticFs.directLinks(spark, sfDir)
@@ -625,11 +629,13 @@ object FsOps {
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/links")
       // dirRollupExplode minus its trailing global sort (the digest
-      // comparator never needed it, and sorting 162M dir rows at
-      // k=1000 is pure staging overhead)
-      val perDir = rollupOf(SyntheticFs.files(spark, sfDir)
+      // comparator never needed it), computed FROM THE STAGED entries
+      // table — re-deriving the fixture for the rollup would re-pay
+      // the corpus join whose shuffle the staging exists to amortize
+      val staged = spark.read.parquet(s"$root/entries")
+      val perDir = rollupOf(staged.filter(col("type") === "file")
         .select(col("filepath"), col("size_bytes")))
-      val sizesDf = SyntheticFs.entries(spark, sfDir)
+      val sizesDf = staged
         .filter(col("type") === "directory")
         .select(col("filepath").as("directory_path"))
         .join(perDir.hint("shuffle_hash"), Seq("directory_path"), "left")

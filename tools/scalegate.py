@@ -58,7 +58,7 @@ def run_dump():
         run_dump_pass(shard=None)
 
 
-def run_dump_pass(shard=None):
+def run_dump_pass(shard=None, attempt=0):
     cmd = ["java"]
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
@@ -96,6 +96,13 @@ def run_dump_pass(shard=None):
         env["SPARK_GRAFT_SHARDS"] = str(shard[1])
     r = subprocess.run(cmd, env=env)
     if r.returncode != 0:
+        # one retry per pass: every pass is idempotent (overwrite-mode
+        # dumps; staging gated on _SUCCESS so a torn build restarts
+        # from scratch) and the one observed transient is Spark's
+        # async shuffle-GC racing a still-running AQE write job
+        if attempt == 0:
+            print(f"pass {shard} exited {r.returncode} — retrying once")
+            return run_dump_pass(shard=shard, attempt=1)
         sys.exit(f"scalegate dump exited {r.returncode}")
 
 
