@@ -414,7 +414,26 @@ object Bench {
     // sample the co-tenant load BEFORE the session spins up and the
     // 32-thread reshard staging runs — sampled any later, the bench's
     // OWN startup burst pushes the 1-min loadavg past the noisy gate
-    // and an idle machine gets flagged as contended
+    // and an idle machine gets flagged as contended.
+    //
+    // QUIET-WINDOW WAIT (r14 verdict: four driver captures in a row
+    // landed with loadavg 4-8.6 and every "regression" they reported
+    // was machine drift): rather than refusing the capture — the
+    // driver still needs a BENCH json — wait out a co-tenant burst,
+    // bounded. Re-sample every 15 s until the 1-min load drops under
+    // the noisy gate or the budget (default 300 s, tunable/disable-able
+    // via SPARK_GRAFT_QUIET_WAIT_S=0) runs out; whatever load remains
+    // is recorded as loadavg_start and min-of-3 still applies.
+    val quietGate = Runtime.getRuntime.availableProcessors / 4.0
+    val waitBudgetS =
+      sys.env.get("SPARK_GRAFT_QUIET_WAIT_S").map(_.toInt).getOrElse(300)
+    val waitDeadline = System.nanoTime() + waitBudgetS * 1000000000L
+    while (loadavg1m > quietGate && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        f"[bench] loadavg ${loadavg1m}%.2f > $quietGate%.1f — waiting " +
+          "for a quiet window (SPARK_GRAFT_QUIET_WAIT_S=0 disables)")
+      Thread.sleep(15000)
+    }
     val startLoad = loadavg1m
     val spark = buildSession(cpus)
 

@@ -64,6 +64,13 @@ object ScaleGate {
     * through those operators so the memory bound is real, not just
     * the digest's. Emitted in gate_meta.json for the python side.
     */
+  // docs_bm25_indexed is deliberately ABSENT: its output is the
+  // top-20 (doc_id, score) rows, so a bucket predicate sits ABOVE the
+  // ORDER BY score LIMIT (it cannot push through a top-k without
+  // changing it) and each extra pass would re-run the oracle's full
+  // corpus-wide BM25 recompute for a 20-row digest slice — the
+  // unbucketed single pass is both exact and strictly cheaper at
+  // every k. q21 is absent for the same reason (2-row output).
   val bucketKeys: Map[String, String] = Map(
     "fs_es_docs" -> "relative_path",
     "fs_merge_upsert" -> "relative_path",

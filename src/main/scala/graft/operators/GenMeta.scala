@@ -126,14 +126,28 @@ private[operators] object GenMeta {
     * two writers sharing one generation is the unrecoverable state);
     * instead the torn generation is BURNED and the reservation takes
     * the next one — over-reserving is always safe (header contract).
-    * Liveness is judged by marker age: a real writer's marker→row
-    * window is milliseconds, so a rowless marker older than
+    * Liveness is judged by marker age: a rowless marker older than
     * `staleMarkerMs` is declared dead; a FRESH rowless marker still
     * fails fast (mid-reserve writer — the single-writer discipline,
     * and the shape the TombstoneHygieneSpec lock test pins).
+    *
+    * The grace is deliberately GENEROUS (10 min): the marker→row
+    * window is a distributed parquet write, not milliseconds — a
+    * writer stalled on a GC pause or a busy cluster, or a shared
+    * filesystem with clock skew, must not get its generation burned
+    * while alive (burning never reuses the generation, but it does put
+    * a second data writer next to a live one, which the store's
+    * single-writer arguments assume away). Before burning, the healer
+    * additionally sleeps a beat and RE-CHECKS that the row still has
+    * not landed and the marker still exists un-refreshed — a writer
+    * that completes or re-touches during the beat wins — and leaves a
+    * `.g<g>.burned` record (healer host + time) beside the marker for
+    * post-mortem diagnosis. Healing is a rare recovery path; the
+    * extra seconds are free.
     */
   def reserve(spark: SparkSession, dir: String,
-      staleMarkerMs: Long = 30000L): Long = {
+      staleMarkerMs: Long = 600000L,
+      healRecheckMs: Long = 2000L): Long = {
     val p = new HPath(path(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
@@ -149,13 +163,33 @@ private[operators] object GenMeta {
         writeRow(spark, path(dir), g)
         return g
       }
-      val rowLanded = current(spark, dir) >= g
-      val ageMs = System.currentTimeMillis() -
-        fs.getFileStatus(marker).getModificationTime
-      require(!rowLanded && ageMs >= staleMarkerMs,
+      def torn: Boolean =
+        try {
+          current(spark, dir) < g &&
+            System.currentTimeMillis() -
+              fs.getFileStatus(marker).getModificationTime >= staleMarkerMs
+        } catch {
+          // marker vanished (a compact swept it, or the writer cleaned
+          // up): not torn — the fail-fast below names the live race
+          case _: java.io.FileNotFoundException => false
+        }
+      require(torn,
         s"reserve: generation $g already reserved at $marker — a " +
           "concurrent writer holds it (the stores are single-writer); " +
           "re-run after it finishes")
+      // confirmation beat: declare the writer dead only if nothing
+      // about the reservation moved across the sleep
+      Thread.sleep(healRecheckMs)
+      require(torn,
+        s"reserve: generation $g's writer progressed during the heal " +
+          "re-check — it is alive; re-run after it finishes")
+      val burnRecord = new HPath(p, s".g$g.burned")
+      try {
+        val os = fs.create(burnRecord, true)
+        os.write((s"burned by ${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"at ${java.time.Instant.now()}\n").getBytes("UTF-8"))
+        os.close()
+      } catch { case _: java.io.IOException => () } // diagnostic only
       g += 1 // torn reservation: burn g, take the next generation
     }
     throw new IllegalStateException(

@@ -111,7 +111,24 @@ object Merge {
     * per-key winner (the ordering-aggregate form — the one place the
     * sort cost is still paid, because the caller asked for multiset
     * semantics), then joined. MergePropertySpec checks both modes
-    * against the same per-key max-ts model.
+    * against the same per-key max-ts model. The contract is
+    * ENFORCEABLE, not just documented: setting the session conf
+    * `spark.graft.merge.validateUnique=true` adds a per-side
+    * distinct-vs-total count assertion (one extra aggregate per side —
+    * a debug/CI knob, off by default so the production path stays one
+    * exchange). Violating the contract without the flag yields the
+    * outer join's M×N row multiplication — corrupting the snapshot
+    * key-uniqueness every later merge relies on — which is why
+    * [[graft.sinks.ParquetIndex]] re-states the contract at its
+    * public upsert/upsertReconcile/appendDelta surface.
+    *
+    * NULL KEYS are first-class: the join is null-safe (`<=>`), so the
+    * (at most one, under the contract) null-key row on each side meets
+    * its counterpart and the winner rule applies — the same semantics
+    * the old aggregate form had (groupBy treats null keys as one
+    * group). Row presence on each side is tracked by an explicit
+    * marker column rather than key nullability, so an unmatched
+    * null-key batch row emits ITSELF, not an all-null projection.
     *
     * Winner rule (identical to the old ordering-struct semantics):
     * newest `tsCol` wins; a non-null ts beats null; exact ties (incl.
@@ -139,24 +156,64 @@ object Merge {
     val cols = existing.columns.toSeq
     require(batch.columns.toSet == cols.toSet,
       s"schema mismatch: ${cols.sorted} vs ${batch.columns.toSeq.sorted}")
-    val e = existing.select(cols.map(c => col(c).as(s"__e_$c")): _*)
-    val b = batch.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+    if (!dedupSides) { // dedupSides' pre-pass makes the sides unique
+      assertKeyUnique(existing, keyCol, "existing")
+      assertKeyUnique(batch, keyCol, "batch")
+    }
+    // presence markers: `lit(true)` survives the outer join as
+    // null-on-the-absent-side, so "which sides contributed" never
+    // leans on key nullability (a null merge key is a legal value)
+    val e = existing.select(
+      cols.map(c => col(c).as(s"__e_$c")) :+ lit(true).as("__e_has"): _*)
+    val b = batch.select(
+      cols.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__b_has"): _*)
     val eKey = col(s"__e_$keyCol"); val bKey = col(s"__b_$keyCol")
     val eTs = col(s"__e_$tsCol"); val bTs = col(s"__b_$tsCol")
+    val eHas = col("__e_has"); val bHas = col("__b_has")
     val tie = lit(batchWinsTies)
-    val batchWins = bKey.isNotNull && (eKey.isNull ||
+    // batch wins iff it is the only side present, or both sides are
+    // present and the ts rule says so; an unmatched existing row keeps
+    // itself (bHas guard — without it a null-ts existing row under
+    // batchWinsTies would "lose" to the absent side's all-null columns)
+    val batchWins = eHas.isNull || (bHas.isNotNull && (
       (bTs.isNotNull && eTs.isNull) ||
       (bTs > eTs) ||
       (bTs === eTs && tie) ||
-      (bTs.isNull && eTs.isNull && tie))
+      (bTs.isNull && eTs.isNull && tie)))
     // build side = left (existing): SHJ admits BuildLeft for both
-    // right-outer and full-outer, so the hint holds for both modes
+    // right-outer and full-outer, so the hint holds for both modes.
+    // `<=>` (null-safe) is still an extractable equi-join key, so the
+    // plan stays a single shuffled-hash join.
     e.hint("shuffle_hash")
-      .join(b, eKey === bKey,
+      .join(b, eKey <=> bKey,
         if (restrictToBatch) "right_outer" else "full_outer")
       .select(cols.map(c =>
         when(batchWins, col(s"__b_$c"))
           .otherwise(col(s"__e_$c")).as(c)): _*)
+  }
+
+  /** Opt-in runtime enforcement of the key-unique contract (session
+    * conf `spark.graft.merge.validateUnique=true`): one extra
+    * count/count-distinct aggregate per side — debug/CI only; the
+    * default path pays nothing. Counts null keys as one key (the same
+    * equivalence the null-safe join uses).
+    */
+  private def assertKeyUnique(df: DataFrame, keyCol: String,
+      side: String): Unit = {
+    val on = df.sparkSession.conf
+      .getOption("spark.graft.merge.validateUnique").contains("true")
+    if (on) {
+      val r = df.agg(count(lit(1)).as("n"),
+        count_distinct(col(keyCol)).as("d"),
+        coalesce(max(when(col(keyCol).isNull, 1L).otherwise(0L)),
+          lit(0L)).as("hasNull")).head()
+      val n = r.getLong(0)
+      val d = r.getLong(1) + r.getLong(2) // null keys count as ONE key
+      require(n == d,
+        s"Merge contract violation: $side side carries $n rows over " +
+          s"$d distinct '$keyCol' keys — pass dedupSides=true (or " +
+          s"collapse the side yourself) before merging")
+    }
   }
 
   /** Collapse one side to its per-key newest row (ties arbitrary, as

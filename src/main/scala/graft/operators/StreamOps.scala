@@ -2,6 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.hadoop.fs.{FileSystem => HFileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
@@ -652,9 +653,11 @@ object StreamOps {
         .start()
       q.awaitTermination()
     }
-    val last = new java.io.File(dir).listFiles.map(_.getName)
-      .filter(_.startsWith("snap-"))
-      .map(_.stripPrefix("snap-").toInt).max
+    // committed generations only — same torn-write discipline as the
+    // MOR twin's discovery (and the same Hadoop-FS path: this store
+    // lives on HDFS/S3 in production)
+    val last = numberedDirs(spark, dir, "snap-", committedOnly = true)
+      .map(_._1).max
     SyntheticFs.entries(spark, sfDir)
       .filter(col("type") === "directory")
       .select(col("filepath").as("directory_path"))
@@ -702,22 +705,55 @@ object StreamOps {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/log/batch-$batchId")
 
+  /** Store-path access goes through the Hadoop [[HFileSystem]] API —
+    * the operator's production shape is a rollup store on HDFS/S3,
+    * where `java.io.File` cannot resolve at all; a `file:` URI (the
+    * tests, local mode) rides the same code path via LocalFileSystem.
+    */
+  private def hfs(spark: SparkSession, path: String)
+      : (HFileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Generation/batch directories under `path` matching `prefix`,
+    * optionally gated on the committer's `_SUCCESS` marker: a Spark
+    * parquet DIRECTORY becomes visible before its write completes, so
+    * a crash mid-write leaves a torn dir that max-generation discovery
+    * would otherwise select — silently losing folded state. With the
+    * gate, a torn snapshot is invisible and the previous generation +
+    * untrimmed log still serve (the r14 advice's crash hole).
+    */
+  private def numberedDirs(spark: SparkSession, path: String,
+      prefix: String, committedOnly: Boolean): Seq[(Long, String)] = {
+    val (fs, p) = hfs(spark, path)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(s => !committedOnly ||
+        fs.exists(new HPath(s.getPath, "_SUCCESS")))
+      .map(s => (s.getPath.getName.stripPrefix(prefix).toLong,
+        s.getPath.toString))
+      .sortBy(_._1)
+  }
+
   /** Highest folded-through snapshot generation: `snap-b<N>` = state
     * with log batches [0, N) folded in. -1 if none (never happens —
-    * the fixture seeds snap-b0).
+    * the fixture seeds snap-b0). Only `_SUCCESS`-committed snapshots
+    * count.
     */
-  private def morFoldedThrough(root: String): Long =
-    Option(new java.io.File(root).listFiles).toSeq.flatten
-      .map(_.getName).filter(_.startsWith("snap-b"))
-      .map(_.stripPrefix("snap-b").toLong)
-      .foldLeft(-1L)(math.max)
+  private def morFoldedThrough(spark: SparkSession, root: String): Long =
+    numberedDirs(spark, root, "snap-b", committedOnly = true)
+      .map(_._1).foldLeft(-1L)(math.max)
 
-  private def morLogBatches(root: String, after: Long): Seq[String] =
-    Option(new java.io.File(s"$root/log").listFiles).toSeq.flatten
-      .filter(f => f.getName.startsWith("batch-") &&
-        f.getName.stripPrefix("batch-").toLong >= after)
-      .sortBy(_.getName.stripPrefix("batch-").toLong)
-      .map(_.toString)
+  /** Committed log batches ≥ `after`, fold order. A torn (un-committed)
+    * batch dir is invisible to readers — streaming's retry overwrites
+    * it idempotently; until then the read serves without it.
+    */
+  private def morLogBatches(spark: SparkSession, root: String,
+      after: Long): Seq[String] =
+    numberedDirs(spark, s"$root/log", "batch-", committedOnly = true)
+      .filter(_._1 >= after).map(_._2)
 
   /** MOR serving read: snapshot ⊕ fold(unfolded log). Log batches
     * below the snapshot's folded-through watermark are IGNORED, which
@@ -727,9 +763,9 @@ object StreamOps {
     */
   private[graft] def rollupMorRead(spark: SparkSession,
       root: String): DataFrame = {
-    val n = morFoldedThrough(root)
+    val n = morFoldedThrough(spark, root)
     val snap = spark.read.parquet(s"$root/snap-b$n")
-    val tail = morLogBatches(root, after = n)
+    val tail = morLogBatches(spark, root, after = n)
     if (tail.isEmpty) snap
     else FsOps.dirRollupFoldAgg(snap,
       spark.read.parquet(tail: _*)
@@ -748,22 +784,22 @@ object StreamOps {
     */
   private[graft] def rollupMorCheckpoint(spark: SparkSession,
       root: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
-    val n = morFoldedThrough(root)
-    // below-watermark debris (a crashed trim, or a batch retried after
-    // its fold landed) is invisible to the read — sweep it here
-    (morLogBatches(root, after = 0) diff morLogBatches(root, after = n))
-      .foreach(p => rm(new java.io.File(p)))
-    val tail = morLogBatches(root, after = n)
+    val (fs, _) = hfs(spark, root)
+    def rm(p: String): Unit = fs.delete(new HPath(p), true): Unit
+    val n = morFoldedThrough(spark, root)
+    // below-watermark debris (a crashed trim, a batch retried after
+    // its fold landed, or a TORN batch dir with no _SUCCESS) is
+    // invisible to the read — sweep it here. The raw (ungated) listing
+    // is used so torn dirs below the watermark are collected too.
+    numberedDirs(spark, s"$root/log", "batch-", committedOnly = false)
+      .filter(_._1 < n).map(_._2).foreach(rm)
+    val tail = morLogBatches(spark, root, after = n)
     if (tail.isEmpty) return
     val through = tail.map(p =>
       p.split('/').last.stripPrefix("batch-").toLong).max + 1
     rollupMorRead(spark, root)
       .write.mode("overwrite").parquet(s"$root/snap-b$through")
-    tail.foreach(p => rm(new java.io.File(p)))
+    tail.foreach(rm)
   }
 
   /** [[streamRollup]]'s MERGE-ON-READ twin — the shape whose per-batch

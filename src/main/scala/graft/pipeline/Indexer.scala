@@ -183,25 +183,46 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
   private def rollupStore(): ParquetIndex =
     new ParquetIndex(s"${cfg.indexRoot}/dirsizes")
 
+  // token I/O rides the Hadoop FileSystem API like the rest of the
+  // store layer (GenMeta/ParquetIndex): the production index root is
+  // HDFS/S3, where java.nio cannot resolve; a local path takes the
+  // same code through LocalFileSystem
   private def rollupTokenPath =
-    java.nio.file.Paths.get(cfg.indexRoot, "dirsizes", "_corpus_token")
+    new org.apache.hadoop.fs.Path(
+      s"${cfg.indexRoot}/dirsizes/_corpus_token")
 
-  private def readRollupToken(): Option[String] =
-    if (java.nio.file.Files.exists(rollupTokenPath))
-      Some(java.nio.file.Files.readString(rollupTokenPath).trim)
-    else None
+  private def tokenFs(spark: SparkSession) =
+    rollupTokenPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readRollupToken(spark: SparkSession): Option[String] = {
+    val fs = tokenFs(spark)
+    if (!fs.exists(rollupTokenPath)) None
+    else {
+      val in = fs.open(rollupTokenPath)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
 
   /** Stamp the rollup as valid for the files store's CURRENT corpus.
-    * Written AFTER the rollup snapshot (crash between the two leaves a
-    * stale token → the next publish recomputes; never a silent drift).
+    * Written AFTER the rollup snapshot, and made visible by a RENAME
+    * of a fully-written temp file — a crash at any point leaves either
+    * the old token (stale → next publish recomputes) or no token
+    * (same), never a torn one; silent drift is impossible.
     */
-  private def writeRollupToken(t: String): Unit = {
-    java.nio.file.Files.createDirectories(rollupTokenPath.getParent)
-    val tmp = rollupTokenPath.resolveSibling("_corpus_token.tmp")
-    java.nio.file.Files.writeString(tmp, t)
-    java.nio.file.Files.move(tmp, rollupTokenPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def writeRollupToken(spark: SparkSession, t: String): Unit = {
+    val fs = tokenFs(spark)
+    fs.mkdirs(rollupTokenPath.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      rollupTokenPath.getParent, "_corpus_token.tmp")
+    val os = fs.create(tmp, true)
+    os.write(t.getBytes("UTF-8"))
+    os.close()
+    // delete-then-rename (Hadoop rename refuses an existing dst): a
+    // crash in the window leaves NO token, which reads as stale
+    fs.delete(rollupTokenPath, false)
+    require(fs.rename(tmp, rollupTokenPath),
+      s"rollup token rename failed: $tmp -> $rollupTokenPath")
   }
 
   /** Maintain the stored rollup across a corpus transition
@@ -220,7 +241,7 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     val rs = rollupStore()
     val next = previous match {
       case Some(prev) if rs.currentId.isDefined &&
-          readRollupToken().contains(prevToken) =>
+          readRollupToken(spark).contains(prevToken) =>
         graft.operators.FsOps.dirRollupFoldAgg(rs.read(spark).get,
           graft.operators.FsOps.rollupDeltaAgg(
             Indexer.signedFileChanges(prev, current)))
@@ -231,7 +252,7 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
             .select(col("filepath"), col("size_bytes")))
     }
     rs.write(next)
-    writeRollupToken(Indexer.corpusToken(idx))
+    writeRollupToken(spark, Indexer.corpusToken(idx))
     rs.read(spark).get
   }
 
@@ -306,7 +327,17 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     * with [[checkpointScoped]]; any later full [[run]] supersedes the
     * log by scan-is-truth.
     */
-  def runScoped(spark: SparkSession, changedDirs: Seq[String]): Long = {
+  def runScoped(spark: SparkSession, changedDirs: Seq[String]): Long =
+    runScoped(spark, changedDirs, preScoped = None)
+
+  /** [[runScoped]] core. `preScoped` (the publish path hands it in) is
+    * the PRE-refresh MOR-resolved rows of the union scope, already
+    * materialized — with it this method performs ZERO corpus-wide
+    * resolves of its own; without it, exactly ONE (shared by every
+    * changed dir), never one per dir as before r15.
+    */
+  private[pipeline] def runScoped(spark: SparkSession,
+      changedDirs: Seq[String], preScoped: Option[DataFrame]): Long = {
     val idx = store()
     require(idx.currentId.isDefined,
       "runScoped: no base snapshot — run a full scan first")
@@ -314,10 +345,31 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     val skipRe =
       if (cfg.skipPatterns.isEmpty) None
       else Some(graft.functions.Globs.skipRegex(cfg.skipPatterns).r)
-    changedDirs.map { d0 =>
-      val d = d0.stripPrefix("/").stripSuffix("/")
-      require(d.nonEmpty,
-        "runScoped: a root-wide event is a full rescan — use run()")
+    val dirs0 = changedDirs.map(_.stripPrefix("/").stripSuffix("/"))
+    dirs0.foreach(d => require(d.nonEmpty,
+      "runScoped: a root-wide event is a full rescan — use run()"))
+    // subsume nested scopes: refreshing `a` walks the whole subtree,
+    // so a second event for `a/b` is covered (and processing it
+    // separately would double-count its rollup delta against the
+    // shared pre-state below). Outermost distinct dirs only.
+    val dirs = dirs0.distinct.filterNot(d =>
+      dirs0.exists(o => o != d && d.startsWith(o + "/")))
+    // ONE shared pre-state for the whole call: the surviving dirs are
+    // pairwise key-disjoint, so refreshing one never moves another's
+    // pre-rows — each iteration just filters its slice out of this
+    // frame. Only needed when the rollup can be patched incrementally
+    // (`foldable` is loop-invariant: an incremental patch re-stamps
+    // the token current, a skipped patch leaves it stale).
+    val foldable = rollupStore().currentId.isDefined &&
+      readRollupToken(spark).contains(Indexer.corpusToken(idx))
+    val preAll: Option[DataFrame] =
+      if (!foldable) None
+      else preScoped.orElse(Some(
+        idx.readMor(spark, "relative_path", "modified_time").get
+          .filter(dirs.map(d => col("relative_path")
+            .startsWith(d + "/")).reduce(_ || _))
+          .localCheckpoint(true)))
+    dirs.map { d =>
       val abs = cfg.rootPath.stripSuffix("/") + "/" + d
       // full-scan parity for the scope dir ITSELF: a full run prunes a
       // skip-matched or hidden directory before recursing, so an event
@@ -364,18 +416,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
            walked.unionByName(self)
          } else idx.read(spark).get.limit(0))
           .localCheckpoint(true) // walk the subtree once, not per write
-      // rollup maintenance anchor: corpus token + prior scope rows
-      // BEFORE the refresh (both O(scope): the MOR resolve prunes on
-      // the scope's key prefix)
-      val prevToken = Indexer.corpusToken(idx)
-      val foldable = rollupStore().currentId.isDefined &&
-        readRollupToken().contains(prevToken)
-      val prevScope =
-        if (foldable)
-          Some(idx.readMor(spark, "relative_path", "modified_time").get
-            .filter(col("relative_path").startsWith(d + "/"))
-            .localCheckpoint(true))
-        else None
+      // rollup maintenance anchor: this dir's slice of the SHARED
+      // pre-refresh scope frame (one resolve per call, not per dir —
+      // valid because surviving dirs are key-disjoint)
+      val prevScope = preAll.map(
+        _.filter(col("relative_path").startsWith(d + "/")))
       idx.refreshScopeMor(spark, entries,
         // the scope covers the dir's OWN row too (re-statted above):
         // its mtime moves with child churn, and a vanished subtree
@@ -394,7 +439,7 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
             graft.operators.FsOps.rollupDeltaAgg(
               Indexer.signedFileChanges(prev, entries)))
           .filter(col("sz") =!= 0L || col("fc") =!= 0L))
-        writeRollupToken(Indexer.corpusToken(idx))
+        writeRollupToken(spark, Indexer.corpusToken(idx))
       }
       entries.count()
     }.sum
@@ -411,6 +456,25 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     * resulting ES state is bit-identical (mod `last_seen`, scan-time
     * by contract) to a full republish — IndexerSpec pins it over a
     * delete+resize+add scenario.
+    *
+    * USAGE CONTRACT (the equality's fine print): "≡ full republish"
+    * holds when every store mutation since the last publish was
+    * itself published — i.e. refreshes flow through THIS method (or a
+    * full [[run]]), not through bare [[runScoped]] calls. A
+    * runScoped-only interlude mutates the store and the rollup, but
+    * its scope docs and touched-ancestor totals are never sent, and a
+    * later publishScoped sends only ITS OWN transition's delta — ES
+    * stays stale for the interlude's scopes until the next full run.
+    * Deployments that index without publishing must either publish
+    * the same scopes afterwards or schedule a periodic full
+    * [[run]]/republish (the reference's own cron-driven full-rescan
+    * posture). Cost of doing it right is unchanged: publishScoped's
+    * delta is ∝ its scope either way.
+    *
+    * Plan note: TWO corpus-wide MOR resolves per call (the pre-state
+    * below, handed into [[runScoped]] so it resolves nothing itself,
+    * and the post-state `after`) — the minimum for a before/after
+    * diff.
     */
   def publishScoped(spark: SparkSession,
       changedDirs: Seq[String]): RunReport = {
@@ -424,11 +488,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     val scopePred = dirs.map(d =>
       col("relative_path").startsWith(d + "/") ||
         col("relative_path") === d).reduce(_ || _)
-    val resolvedBefore =
-      idx.readMor(spark, "relative_path", "modified_time").get
-    val prevScope =
-      resolvedBefore.filter(scopePred).localCheckpoint(true)
-    runScoped(spark, changedDirs) // store + rollup refreshed
+    val prevScope = idx.readMor(spark, "relative_path", "modified_time")
+      .get.filter(scopePred).localCheckpoint(true)
+    // store + rollup refreshed; the materialized pre-state rides along
+    // so runScoped performs no corpus-wide resolve of its own
+    runScoped(spark, changedDirs, preScoped = Some(prevScope))
     val after = idx.readMor(spark, "relative_path", "modified_time").get
       .localCheckpoint(true)
     val curScope = after.filter(scopePred).localCheckpoint(true)
@@ -436,13 +500,13 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // interludes) — reconcile it now so the publish reads real totals
     val sizesAll = {
       val rs = rollupStore()
-      if (readRollupToken().contains(Indexer.corpusToken(idx)) &&
+      if (readRollupToken(spark).contains(Indexer.corpusToken(idx)) &&
           rs.currentId.isDefined) rs.read(spark).get
       else {
         rs.write(graft.operators.FsOps.rollupOf(
           after.filter(col("type") === "file")
             .select(col("filepath"), col("size_bytes"))))
-        writeRollupToken(Indexer.corpusToken(idx))
+        writeRollupToken(spark, Indexer.corpusToken(idx))
         rs.read(spark).get
       }
     }

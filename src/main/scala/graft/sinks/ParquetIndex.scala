@@ -618,6 +618,15 @@ final class ParquetIndex(root: String, keep: Int = 2,
   /** J1/J2: merge a scan batch into the current snapshot. A pending
     * MOR log is resolved INTO the merge (same key/ts/tie rule), then
     * consumed by the write — mixing the two write paths loses nothing.
+    *
+    * BATCH CONTRACT (here, [[upsertReconcile]], [[appendDelta]]): the
+    * batch must be key-unique on `keyCol` — a filesystem scan cannot
+    * repeat a path, so every pipeline caller satisfies it for free. A
+    * batch that may carry several versions of a key must be collapsed
+    * first (see [[graft.operators.Merge]]'s `dedupSides` and the
+    * `spark.graft.merge.validateUnique=true` debug guard); a duplicate
+    * key slipped past the contract multiplies rows through the merge
+    * join and corrupts the snapshot's key-uniqueness invariant.
     */
   def upsert(spark: SparkSession, batch: DataFrame, keyCol: String,
       tsCol: String, batchWinsTies: Boolean = false,

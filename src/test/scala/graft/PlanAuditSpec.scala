@@ -67,10 +67,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "the merge key") {
     val p = finalPlan(SparkEntry.queries("fs_merge_upsert")(spark, sf))
     // r14 shape: each side exchanges ONCE on the merge key (prefixed
-    // __e_/__b_ inside the join) and meets in a ShuffledHashJoin — no
-    // aggregate, no sort anywhere. The old union+max_by form planned
-    // SortAggregate and sorted the 2×corpus union twice.
-    val hashEx = "Exchange hashpartitioning\\((?:__[eb]_)?([a-z_]+)".r
+    // __e_/__b_ inside the join; r15's null-safe join wraps it in
+    // coalesce(key,'')+isnull(key) — same distribution) and meets in a
+    // ShuffledHashJoin — no aggregate, no sort anywhere. The old
+    // union+max_by form planned SortAggregate and sorted the 2×corpus
+    // union twice.
+    val hashEx =
+      "Exchange hashpartitioning\\((?:coalesce\\()?(?:__[eb]_)?([a-z_]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(hashEx.nonEmpty && hashEx.forall(_ == "relative_path"),
       s"exchanges on: $hashEx\n$p")
@@ -129,9 +132,10 @@ class PlanAuditSpec extends SparkSpecBase {
       .split("== Initial Plan ==")(0)
     // r14 join form: winner pick and key restriction ride ONE
     // right-outer hash join — each side exchanges once on the merge
-    // key (prefixed __e_/__b_), nothing shuffles on any other key,
-    // and nothing sorts
-    val hashEx = "Exchange hashpartitioning\\((?:__[eb]_)?([a-z_]+)".r
+    // key (prefixed __e_/__b_; null-safe coalesce/isnull wrapper since
+    // r15), nothing shuffles on any other key, and nothing sorts
+    val hashEx =
+      "Exchange hashpartitioning\\((?:coalesce\\()?(?:__[eb]_)?([a-z_]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(hashEx.nonEmpty && hashEx.forall(_ == "relative_path"),
       s"exchanges on: $hashEx\n$p")

@@ -76,4 +76,52 @@ class MergeSpec extends SparkSpecBase {
       Merge.merge(existing, bad, "key", "mtime", false)
     }
   }
+
+  test("a null merge key is a value, not a black hole") {
+    // an unmatched null-key batch row must emit ITSELF (the join-form
+    // regression the r14 advice caught: key equality never matches a
+    // null, and the old winner pick then projected the all-null
+    // existing side)
+    val b = df((null, 7L, ts("2023-01-01 00:00:00")))
+    val out = rows(Merge.merge(existing, b, "key", "mtime", false))
+    assert(out == Set(
+      ("k1", 10L, ts("2020-01-01 00:00:00")),
+      ("k2", 20L, ts("2020-01-02 00:00:00")),
+      (null, 7L, ts("2023-01-01 00:00:00"))))
+    // null keys on BOTH sides meet (null-safe join) and the ts rule
+    // picks one winner — the old aggregate form's groupBy semantics
+    val e2 = df((null, 1L, ts("2020-01-01 00:00:00")))
+    val newer = rows(Merge.merge(e2, b, "key", "mtime", false))
+    assert(newer == Set((null, 7L, ts("2023-01-01 00:00:00"))))
+    val older = df((null, 9L, ts("2019-01-01 00:00:00")))
+    assert(rows(Merge.merge(e2, older, "key", "mtime", false)) ==
+      Set((null, 1L, ts("2020-01-01 00:00:00"))))
+    // and reconcile keeps exactly the scanned (null) key
+    assert(rows(Merge.mergeReconcile(existing, b, "key", "mtime")) ==
+      Set((null, 7L, ts("2023-01-01 00:00:00"))))
+  }
+
+  test("validateUnique guard rejects a duplicate-key side") {
+    val dup = df(
+      ("k1", 1L, ts("2020-01-01 00:00:00")),
+      ("k1", 2L, ts("2020-01-02 00:00:00")))
+    spark.conf.set("spark.graft.merge.validateUnique", "true")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Merge.merge(existing, dup, "key", "mtime", false).collect()
+      }
+      assert(ex.getMessage.contains("dedupSides"))
+      // duplicate NULL keys violate it too (null counts as one key)
+      val dupNull = df(
+        (null, 1L, ts("2020-01-01 00:00:00")),
+        (null, 2L, ts("2020-01-02 00:00:00")))
+      assertThrows[IllegalArgumentException] {
+        Merge.merge(existing, dupNull, "key", "mtime", false).collect()
+      }
+      // dedupSides opts out of the guard by collapsing first
+      val ok = rows(Merge.merge(existing, dup, "key", "mtime",
+        batchWinsTies = false, dedupSides = true))
+      assert(ok(("k1", 2L, ts("2020-01-02 00:00:00"))))
+    } finally spark.conf.unset("spark.graft.merge.validateUnique")
+  }
 }

@@ -215,9 +215,13 @@ class TombstoneHygieneSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       GenMeta.reserve(spark, dir))
       .getMessage.contains("already reserved"))
-    // age it past the liveness grace — now definitionally torn
-    fs.setTimes(marker, System.currentTimeMillis() - 120000L, -1)
-    val healed = GenMeta.reserve(spark, dir)
+    // age it past the liveness grace (10 min default since r15 — a
+    // distributed writer's marker→row window is NOT milliseconds) —
+    // now definitionally torn; the heal also sleeps a re-check beat
+    fs.setTimes(marker, System.currentTimeMillis() - 1200000L, -1)
+    val healed = GenMeta.reserve(spark, dir, healRecheckMs = 50L)
+    // the burn is recorded for post-mortem diagnosis
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p, s".g$g.burned")))
     // the torn generation is BURNED, never reused (a slow writer might
     // still hold it); the reservation lands one past it
     assert(healed == g + 1)

@@ -100,4 +100,31 @@ class RollupMorStreamSpec extends SparkSpecBase {
     StreamOps.rollupMorCheckpoint(spark, root)
     assert(rows(StreamOps.rollupMorRead(spark, root)) == served)
   }
+
+  test("a torn snapshot (no _SUCCESS) is invisible: the previous " +
+    "generation + untrimmed log still serve, via the Hadoop FS API " +
+    "on an explicit file: URI") {
+    // the r15 port: discovery runs through Hadoop FileSystem (the
+    // production store is HDFS/S3) — exercise it with a scheme'd URI
+    val root = "file:" + Files.createTempDirectory("rollupmor_uri")
+    FsOps.dirRollupPrior(spark, sf).write.parquet(s"$root/snap-b0")
+    val slices = feedSlices()
+    StreamOps.rollupMorStep(root, slices(0), 0L)
+    StreamOps.rollupMorStep(root, slices(1), 1L)
+    val served = rows(StreamOps.rollupMorRead(spark, root))
+    // crash mid-snapshot-write: a snap-b2 directory exists, partially
+    // written, with NO _SUCCESS marker — max-generation discovery must
+    // not select it (it would silently drop the unfolded log tail)
+    val torn = new java.io.File(
+      root.stripPrefix("file:") + "/snap-b2")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // garbage — unreadable if ever selected
+    assert(rows(StreamOps.rollupMorRead(spark, root)) == served)
+    // a real checkpoint then lands OVER the torn dir (overwrite mode)
+    // and the store moves on
+    StreamOps.rollupMorCheckpoint(spark, root)
+    assert(rows(StreamOps.rollupMorRead(spark, root)) == served)
+    assert(new java.io.File(torn, "_SUCCESS").exists())
+  }
 }
