@@ -186,44 +186,70 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
   // token I/O rides the Hadoop FileSystem API like the rest of the
   // store layer (GenMeta/ParquetIndex): the production index root is
   // HDFS/S3, where java.nio cannot resolve; a local path takes the
-  // same code through LocalFileSystem
-  private def rollupTokenPath =
-    new org.apache.hadoop.fs.Path(
-      s"${cfg.indexRoot}/dirsizes/_corpus_token")
-
-  private def tokenFs(spark: SparkSession) =
-    rollupTokenPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def readRollupToken(spark: SparkSession): Option[String] = {
-    val fs = tokenFs(spark)
-    if (!fs.exists(rollupTokenPath)) None
+  // same code through LocalFileSystem. Tokens are made visible by a
+  // RENAME of a fully-written temp file — a crash at any point leaves
+  // either the old token (stale → recompute/catch-up) or none (same),
+  // never a torn one; silent drift is impossible.
+  private def readToken(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
     else {
-      val in = fs.open(rollupTokenPath)
+      val in = fs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8").trim)
       finally in.close()
     }
   }
 
-  /** Stamp the rollup as valid for the files store's CURRENT corpus.
-    * Written AFTER the rollup snapshot, and made visible by a RENAME
-    * of a fully-written temp file — a crash at any point leaves either
-    * the old token (stale → next publish recomputes) or no token
-    * (same), never a torn one; silent drift is impossible.
-    */
-  private def writeRollupToken(spark: SparkSession, t: String): Unit = {
-    val fs = tokenFs(spark)
-    fs.mkdirs(rollupTokenPath.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(
-      rollupTokenPath.getParent, "_corpus_token.tmp")
+  private def writeToken(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path, t: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + ".tmp")
     val os = fs.create(tmp, true)
     os.write(t.getBytes("UTF-8"))
     os.close()
     // delete-then-rename (Hadoop rename refuses an existing dst): a
     // crash in the window leaves NO token, which reads as stale
-    fs.delete(rollupTokenPath, false)
-    require(fs.rename(tmp, rollupTokenPath),
-      s"rollup token rename failed: $tmp -> $rollupTokenPath")
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"token rename failed: $tmp -> $p")
   }
+
+  private def rollupTokenPath =
+    new org.apache.hadoop.fs.Path(
+      s"${cfg.indexRoot}/dirsizes/_corpus_token")
+
+  private def readRollupToken(spark: SparkSession): Option[String] =
+    readToken(spark, rollupTokenPath)
+
+  /** Stamp the rollup as valid for the files store's CURRENT corpus.
+    * Written AFTER the rollup snapshot (crash between the two leaves a
+    * stale token → the next publish recomputes; never a silent drift).
+    */
+  private def writeRollupToken(spark: SparkSession, t: String): Unit =
+    writeToken(spark, rollupTokenPath, t)
+
+  /** ES-PUBLISHED WATERMARK: the corpus token whose resolved view
+    * Elasticsearch last received in full (a clean full [[run]] publish
+    * or a clean [[publishScoped]]/[[publishCatchUp]]). [[publishScoped]]
+    * refuses to run while the store is ahead of it — a bare
+    * [[runScoped]] interlude, a crashed publish, or a store that was
+    * never published would otherwise leave ES silently missing those
+    * transitions forever (the r14 advice's drift hole);
+    * [[publishCatchUp]] closes the gap with delta-sized traffic.
+    * Advanced only on ZERO-failure sends, so a rejected batch keeps
+    * the watermark behind and the catch-up re-sends it (ES upserts
+    * and deletes are idempotent by id).
+    */
+  private def esWatermarkPath =
+    new org.apache.hadoop.fs.Path(s"${cfg.indexRoot}/_es_published")
+
+  private def readEsWatermark(spark: SparkSession): Option[String] =
+    readToken(spark, esWatermarkPath)
+
+  private def writeEsWatermark(spark: SparkSession, t: String): Unit =
+    writeToken(spark, esWatermarkPath, t)
 
   /** Maintain the stored rollup across a corpus transition
     * `previous → current` and return the (directory_path, sz, fc)
@@ -457,19 +483,17 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     * by contract) to a full republish — IndexerSpec pins it over a
     * delete+resize+add scenario.
     *
-    * USAGE CONTRACT (the equality's fine print): "≡ full republish"
-    * holds when every store mutation since the last publish was
-    * itself published — i.e. refreshes flow through THIS method (or a
-    * full [[run]]), not through bare [[runScoped]] calls. A
-    * runScoped-only interlude mutates the store and the rollup, but
-    * its scope docs and touched-ancestor totals are never sent, and a
-    * later publishScoped sends only ITS OWN transition's delta — ES
-    * stays stale for the interlude's scopes until the next full run.
-    * Deployments that index without publishing must either publish
-    * the same scopes afterwards or schedule a periodic full
-    * [[run]]/republish (the reference's own cron-driven full-rescan
-    * posture). Cost of doing it right is unchanged: publishScoped's
-    * delta is ∝ its scope either way.
+    * USAGE CONTRACT, ENFORCED (the equality's fine print): "≡ full
+    * republish" holds only from a store state ES has already seen in
+    * full — a bare [[runScoped]] interlude mutates the store without
+    * sending its scope docs or touched-ancestor totals, and a scoped
+    * publish on top would leave ES silently stale for those scopes
+    * forever. The ES-published WATERMARK ([[esWatermarkPath]]) makes
+    * that drift impossible to miss: this method REFUSES when the store
+    * is ahead of the watermark, and [[publishCatchUp]] repairs the gap
+    * with traffic ∝ the unpublished churn (replayed from the MOR log
+    * suffix). Cost when used correctly is unchanged: the delta is ∝
+    * the scope either way.
     *
     * Plan note: TWO corpus-wide MOR resolves per call (the pre-state
     * below, handed into [[runScoped]] so it resolves nothing itself,
@@ -484,6 +508,17 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     val idx = store()
     require(idx.currentId.isDefined,
       "publishScoped: no base snapshot — run a full scan first")
+    // watermark gate (see [[esWatermarkPath]]): a scoped publish only
+    // sends ITS transition's delta, so it is correct only from a store
+    // state ES has already seen in full — refuse otherwise, pointing
+    // at the repair, instead of leaving ES silently stale forever
+    val pre = Indexer.corpusToken(idx)
+    val wm = readEsWatermark(spark)
+    require(wm.contains(pre),
+      s"publishScoped: ES watermark ${wm.getOrElse("(none)")} != " +
+        s"store state $pre — the store moved without a publish (bare " +
+        "runScoped interlude, a failed publish, or ES never saw a " +
+        "full publish); run publishCatchUp() (or a full run()) first")
     val dirs = changedDirs.map(_.stripPrefix("/").stripSuffix("/"))
     val scopePred = dirs.map(d =>
       col("relative_path").startsWith(d + "/") ||
@@ -493,9 +528,77 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // store + rollup refreshed; the materialized pre-state rides along
     // so runScoped performs no corpus-wide resolve of its own
     runScoped(spark, changedDirs, preScoped = Some(prevScope))
+    publishDelta(spark, idx, prevScope, _.filter(scopePred), t0)
+  }
+
+  /** Re-sync ES with the store after transitions that were never
+    * published — the repair for the drift [[publishScoped]]'s
+    * watermark gate refuses to paper over: bare [[runScoped]]
+    * interludes (index-without-publish) and crashed/rejected publishes.
+    * Works from the MOR log itself: the entries appended since the
+    * watermark name exactly the touched keys, so traffic is ∝ the
+    * unpublished churn (docs for keys that changed, deletes for keys
+    * that vanished, re-publishes for ancestors whose totals moved) —
+    * never the corpus. No-op (zero ES traffic) when the watermark is
+    * already current.
+    *
+    * Requires the watermarked state to live in the CURRENT base's log
+    * prefix (token = baseId + log length). A fold between publishes is
+    * fine — [[checkpointScoped]] migrates a matching watermark across
+    * it — but a store whose base was rewritten without a publish (a
+    * full index-only [[run]], manual surgery, or ES never published)
+    * has no per-key churn record to replay; that needs one full
+    * publish ([[run]] in elasticsearch mode).
+    */
+  def publishCatchUp(spark: SparkSession): RunReport = {
+    val t0 = System.nanoTime()
+    require(cfg.mode == "elasticsearch" && transport.isDefined,
+      "publishCatchUp: elasticsearch mode with a transport required")
+    val idx = store()
+    require(idx.currentId.isDefined,
+      "publishCatchUp: no base snapshot — run a full scan first")
+    val cur = Indexer.corpusToken(idx)
+    val wm = readEsWatermark(spark)
+    if (wm.contains(cur))
+      return RunReport(RunStats.Stats(0L, 0L, 0L,
+        (System.nanoTime() - t0) / 1e9), 0L, 0L, 0L,
+        idx.currentId.getOrElse(""), 0L)
+    val baseId = idx.currentId.get
+    val publishedLen = wm match {
+      case Some(w) if w.startsWith(s"$baseId+") =>
+        w.substring(baseId.length + 1).toIntOption.getOrElse(
+          sys.error(s"publishCatchUp: unparseable watermark $w"))
+      case other =>
+        sys.error("publishCatchUp: the store base was rewritten since " +
+          s"the last publish (watermark ${other.getOrElse("(none)")}, " +
+          s"store $cur) — no per-key churn record to replay; run a " +
+          "full elasticsearch-mode run() to re-sync")
+    }
+    // keys the unpublished log suffix touched, and their rows at the
+    // watermarked state (base + log prefix) — both ∝ the churn
+    val touched = idx.morTouchedKeys(spark, "relative_path",
+      from = publishedLen).get.localCheckpoint(true)
+    val prevRows = idx.readMorPrefix(spark, "relative_path",
+      "modified_time", batchWinsTies = false, upTo = publishedLen).get
+      .join(touched, Seq("relative_path"), "left_semi")
+      .localCheckpoint(true)
+    publishDelta(spark, idx, prevRows,
+      _.join(touched, Seq("relative_path"), "left_semi"), t0)
+  }
+
+  /** Shared delta-publish tail of [[publishScoped]] and
+    * [[publishCatchUp]]: given the pre-transition rows of the affected
+    * key set and a selector pulling the same key set out of the
+    * post-transition resolve, send docs + touched-ancestor directory
+    * rows, delete vanished keys, and advance the ES watermark iff
+    * every send succeeded.
+    */
+  private def publishDelta(spark: SparkSession, idx: ParquetIndex,
+      prevScope: DataFrame, selectCur: DataFrame => DataFrame,
+      t0: Long): RunReport = {
     val after = idx.readMor(spark, "relative_path", "modified_time").get
       .localCheckpoint(true)
-    val curScope = after.filter(scopePred).localCheckpoint(true)
+    val curScope = selectCur(after).localCheckpoint(true)
     // the rollup may have been stale before this run (e.g. index-only
     // interludes) — reconcile it now so the publish reads real totals
     val sizesAll = {
@@ -554,6 +657,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       if (removedCount > 0)
         sink.bulkDelete(removedIds, cfg.esIndex, "id").failed
       else 0L
+    // ES now reflects the post-transition resolved state — advance the
+    // watermark, but only on a zero-failure send: a rejected batch
+    // keeps it behind so publishCatchUp re-sends (idempotent by id)
+    if (s.failed + delFailed == 0L)
+      writeEsWatermark(spark, Indexer.corpusToken(idx))
     val elapsed = (System.nanoTime() - t0) / 1e9
     RunReport(RunStats.collect(obs, elapsed), s.indexed,
       s.failed + delFailed, removedCount,
@@ -562,9 +670,14 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
 
   /** Fold the scoped-run MOR log into a real snapshot (periodic, or
     * when read amplification accumulates). None = nothing to fold.
+    * A fold changes the corpus token WITHOUT changing the resolved
+    * view, so a current ES watermark is migrated across it — otherwise
+    * the next publishScoped would demand a pointless catch-up.
     */
   def checkpointScoped(spark: SparkSession): Option[String] =
-    store().checkpointMor(spark, "relative_path", "modified_time")
+    migrateWatermark(spark) {
+      store().checkpointMor(spark, "relative_path", "modified_time")
+    }
 
   /** Ratio-triggered fold: compact the scoped-run MOR log only once
     * its bytes exceed `maxLogRatio` of the base snapshot's — bounded
@@ -573,8 +686,24 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     */
   def checkpointScopedIfNeeded(spark: SparkSession,
       maxLogRatio: Double = 0.3): Option[String] =
-    store().checkpointMorIfNeeded(spark, "relative_path",
-      "modified_time", maxLogRatio = maxLogRatio)
+    migrateWatermark(spark) {
+      store().checkpointMorIfNeeded(spark, "relative_path",
+        "modified_time", maxLogRatio = maxLogRatio)
+    }
+
+  /** Run `fold` (a resolved-view-preserving store rewrite) and, if the
+    * ES watermark matched the pre-fold token, re-stamp it with the
+    * post-fold token — the two tokens name the SAME published state.
+    */
+  private def migrateWatermark(spark: SparkSession)(
+      fold: => Option[String]): Option[String] = {
+    val preTok = Indexer.corpusToken(store())
+    val matched = readEsWatermark(spark).contains(preTok)
+    val r = fold
+    if (r.isDefined && matched)
+      writeEsWatermark(spark, Indexer.corpusToken(store()))
+    r
+  }
 
   def run(spark: SparkSession): RunReport = {
     val t0 = System.nanoTime()
@@ -681,6 +810,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
             removedIds.map(sink.bulkDelete(_, cfg.esIndex, "id").failed)
               .getOrElse(0L)
           else 0L
+        // the full publish IS the watermark's definition — ES saw the
+        // whole resolved corpus; advance only on a clean send so a
+        // failed batch keeps catch-up/scoped publishes honest
+        if (s.failed + delFailed == 0L)
+          writeEsWatermark(spark, Indexer.corpusToken(idx))
         (s.indexed, s.failed + delFailed, nLinks)
       case _ => (0L, 0L, 0L) // index-only
     }

@@ -829,10 +829,21 @@ final class ParquetIndex(root: String, keep: Int = 2,
     */
   def readMor(spark: SparkSession, keyCol: String, tsCol: String,
       batchWinsTies: Boolean = false): Option[DataFrame] =
+    readMorPrefix(spark, keyCol, tsCol, batchWinsTies, Int.MaxValue)
+
+  /** Resolve the base + only the FIRST `upTo` log entries — the store's
+    * resolved state as of an earlier corpus token over the SAME base
+    * (token = baseId + log length, so a shorter log IS an earlier
+    * state). The ES catch-up publish diffs this against the full
+    * resolve to recover exactly the churn a skipped publish never
+    * sent. Same plan shape as [[readMor]] (one winner aggregate).
+    */
+  def readMorPrefix(spark: SparkSession, keyCol: String, tsCol: String,
+      batchWinsTies: Boolean, upTo: Int): Option[DataFrame] =
     currentId.map { cid =>
       import org.apache.spark.sql.functions._
       val base = readSnapshot(spark, cid)
-      val entries = morEntries(cid)
+      val entries = morEntries(cid).take(upTo)
       if (entries.isEmpty) base
       else {
         val gens = entries.zipWithIndex
@@ -883,6 +894,25 @@ final class ParquetIndex(root: String, keep: Int = 2,
             (if (c == keyCol) col("__k") else col(s"__w.$c"))
               .as(c)): _*)
       }
+    }
+
+  /** Distinct keys touched by log entries `[from, length)` — the
+    * suffix a consumer (the ES catch-up publish) has not yet seen.
+    * Upserts contribute their keys, delete sidecars theirs; cost ∝
+    * the suffix, never the corpus. None with no base; an empty frame
+    * (with the key column) when the suffix is empty.
+    */
+  def morTouchedKeys(spark: SparkSession, keyCol: String,
+      from: Int): Option[DataFrame] =
+    currentId.map { cid =>
+      import org.apache.spark.sql.functions.col
+      morEntries(cid).drop(math.max(0, from))
+        .map { case (_, name) =>
+          readMorDir(spark, cid, name).select(col(keyCol))
+        }
+        .reduceOption(_ unionByName _)
+        .map(_.distinct())
+        .getOrElse(readSnapshot(spark, cid).select(col(keyCol)).limit(0))
     }
 
   /** Partial-scope MOR reconcile — the event-driven incremental

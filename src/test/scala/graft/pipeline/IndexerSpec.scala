@@ -165,6 +165,92 @@ class IndexerSpec extends SparkSpecBase {
     assert(folded == esState(TransportProbe.calls.asScala.toSeq))
   }
 
+  test("watermark gate: a bare runScoped interlude makes publishScoped " +
+      "refuse, and publishCatchUp repairs ES to full-republish parity " +
+      "with delta-sized traffic") {
+    import scala.jdk.CollectionConverters._
+    val root = mkTree()
+    Files.writeString(root.resolve("proj/sub/r.txt"), "rrr")
+    val idxRoot = Files.createTempDirectory("idxwm").toString
+    val cfg = IndexerConfig(root.toString, idxRoot,
+      getDirectLinks = false)
+    val indexer = new Indexer(cfg, Some(TransportProbe.transport))
+    TransportProbe.reset()
+    indexer.run(spark)
+    val base = esState(TransportProbe.calls.asScala.toSeq)
+    val fullCount = base.size
+
+    // the drift hole (r14 advice): index WITHOUT publishing
+    Files.delete(root.resolve("proj/sub/b.log"))
+    Files.writeString(root.resolve("proj/sub/n.txt"), "nn")
+    indexer.runScoped(spark, Seq("proj/sub")) // store moves, ES doesn't
+
+    // a later scoped publish of a DIFFERENT scope must refuse — it
+    // would silently leave proj/sub stale in ES forever
+    Files.writeString(root.resolve("proj/a.txt"), "aaaaaaaa")
+    val ex = intercept[IllegalArgumentException] {
+      indexer.publishScoped(spark, Seq("proj"))
+    }
+    assert(ex.getMessage.contains("publishCatchUp"))
+
+    // catch-up: replays the MOR log suffix — ES converges to exactly
+    // the full-republish state of the store's CURRENT resolve
+    TransportProbe.reset()
+    val rep = indexer.publishCatchUp(spark)
+    assert(rep.removed == 1) // b.log
+    val cuCalls = TransportProbe.calls.asScala.toSeq
+    val cuState = base -- cuCalls.flatten
+      .filter(_.startsWith("{\"delete\":"))
+      .map(_.split("\"_id\":\"")(1).takeWhile(_ != '"')) ++
+      esState(cuCalls)
+    // note proj/a.txt's resize has NOT been indexed yet (the refused
+    // publishScoped never ran) — parity is vs a store-state republish,
+    // so rescan it first via the now-unblocked scoped publish
+    TransportProbe.reset()
+    indexer.publishScoped(spark, Seq("proj"))
+    val finalState = cuState -- TransportProbe.calls.asScala.toSeq
+      .flatten.filter(_.startsWith("{\"delete\":"))
+      .map(_.split("\"_id\":\"")(1).takeWhile(_ != '"')) ++
+      esState(TransportProbe.calls.asScala.toSeq)
+
+    TransportProbe.reset()
+    val refRoot = Files.createTempDirectory("idxwmref").toString
+    new Indexer(IndexerConfig(root.toString, refRoot,
+      getDirectLinks = false), Some(TransportProbe.transport)).run(spark)
+    val full = esState(TransportProbe.calls.asScala.toSeq)
+    assert(finalState == full,
+      "catch-up + scoped publish diverged from the full republish")
+    // delta economics: the catch-up sent the churn, not the corpus
+    val cuIndexed = cuCalls.flatten.count(_.startsWith("{\"index\":"))
+    assert(cuIndexed < fullCount,
+      s"catch-up sent $cuIndexed docs, full corpus is $fullCount")
+    // idempotent no-op when current: zero traffic
+    TransportProbe.reset()
+    val noop = indexer.publishCatchUp(spark)
+    assert(noop.indexed == 0 && noop.removed == 0)
+    assert(TransportProbe.calls.asScala.flatten.isEmpty)
+  }
+
+  test("watermark survives a MOR fold: checkpointScoped migrates it, " +
+      "publishScoped still runs") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxwmfold").toString
+    val cfg = IndexerConfig(root.toString, idxRoot,
+      getDirectLinks = false)
+    val indexer = new Indexer(cfg, Some(TransportProbe.transport))
+    TransportProbe.reset()
+    indexer.run(spark)
+    // published scoped transition, then a fold (token changes, the
+    // resolved view — and what ES saw — does not)
+    Files.writeString(root.resolve("proj/sub/x.txt"), "xx")
+    indexer.publishScoped(spark, Seq("proj/sub"))
+    assert(indexer.checkpointScoped(spark).isDefined)
+    // without migration this would refuse with a stale watermark
+    Files.writeString(root.resolve("proj/sub/x.txt"), "xxxx")
+    val rep = indexer.publishScoped(spark, Seq("proj/sub"))
+    assert(rep.esFailed == 0 && rep.indexed > 0)
+  }
+
   test("elasticsearch mode ensures the index exists BEFORE bulk calls") {
     val root = mkTree()
     val idxRoot = Files.createTempDirectory("idxstore3").toString
