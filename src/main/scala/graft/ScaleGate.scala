@@ -156,11 +156,23 @@ object ScaleGate {
     val shard = sys.env.get("SPARK_GRAFT_SHARD").map(_.toInt)
     val firstPass = shard.forall(_ == 0)
     val root = Paths.get(outRoot)
-    if (firstPass)
-      Bench.rm(root) // NOFOLLOW-safe: symlinked source tables survive
     val data = root.resolve("data")
+    // SPARK_GRAFT_REUSE_REPLICA=1: keep an existing outRoot (replica,
+    // staged inputs, other queries' dumps) instead of wipe+rebuild —
+    // the disk-constrained recovery path: at k=1000 the sandbox cannot
+    // hold BOTH heavy fs dumps beside the oracle's spill, so one query
+    // is dumped+compared+dropped at a time against the replica a
+    // previous pass already materialized (a fresh wipe would delete
+    // the sibling's not-yet-compared dump with it). The k sanity-check
+    // is on the caller: reuse with a different k silently compares
+    // against the old replica.
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE_REPLICA").contains("1") &&
+      (Files.exists(data.resolve("lineitem.parquet")) ||
+        Files.isSymbolicLink(data.resolve("lineitem.parquet")))
+    if (firstPass && !reuse)
+      Bench.rm(root) // NOFOLLOW-safe: symlinked source tables survive
     Files.createDirectories(data)
-    if (firstPass) {
+    if (firstPass && !reuse) {
       val t0 = System.nanoTime()
       ScaleProbe.materialize(spark, src, k, data)
       System.err.println(

@@ -21,6 +21,23 @@ import graft.operators.Merge
   * Scale notes: a snapshot write is a normal distributed Parquet write
   * (partitionable by e.g. first path segment); the merge is [[Merge]]'s
   * single key shuffle; nothing is collected to the driver.
+  *
+  * DEPLOYMENT POSTURE, stated honestly: snapshot DATA I/O is all
+  * Spark (any Hadoop filesystem), but this store's METADATA
+  * transaction layer — the `CURRENT` pointer rename, `MANIFEST`,
+  * MOR-log manifests, the `.COMMIT_LOCK` file lock, and hard-link
+  * compaction — deliberately assumes a POSIX filesystem (java.nio
+  * atomic move, `FileChannel.lock`, `createLink`). That is the
+  * single-writer-metadata-host pattern (the lakehouse equivalent of
+  * Delta's pre-S3-commit-service days): the driver/orchestrator owns
+  * a small shared-POSIX (or NFS) metadata root while executors read
+  * and write bulk data anywhere. A pure-HDFS/S3 port would swap the
+  * rename for a conditional put / Hadoop `rename`, the `FileChannel`
+  * lock for the [[graft.operators.GenMeta]] reservation-marker
+  * protocol (already Hadoop-API, already OCC), and hard-link
+  * compaction for copies — mechanical, but a semantic downgrade on
+  * stores without atomic rename, which is why it is not silently
+  * half-done here.
   */
 /** @param partitionBy optional partition columns for each snapshot —
   *   the Spark replacement for the reference's ART indexes

@@ -91,6 +91,11 @@ def run_dump_pass(shard=None, attempt=0):
     # k=100 decade runs only the heaviest rows)
     if os.environ.get("SPARK_GRAFT_GATED"):
         env["SPARK_GRAFT_GATED"] = os.environ["SPARK_GRAFT_GATED"]
+    # replica-reuse recovery path (see ScaleGate.scala): dump against
+    # the replica an earlier invocation materialized, no wipe
+    if os.environ.get("SPARK_GRAFT_REUSE_REPLICA"):
+        env["SPARK_GRAFT_REUSE_REPLICA"] = \
+            os.environ["SPARK_GRAFT_REUSE_REPLICA"]
     if shard is not None:
         env["SPARK_GRAFT_SHARD"] = str(shard[0])
         env["SPARK_GRAFT_SHARDS"] = str(shard[1])
@@ -278,7 +283,14 @@ def main():
         nrows = con.execute(
             f"SELECT count(*) FROM {glob_sql}").fetchone()[0]
         print(f"{flag} {name}: {r or f'OK ({nrows} rows, digest)'} "
-              f"[compare {time.time() - t0:.1f} s]")
+              f"[compare {time.time() - t0:.1f} s]", flush=True)
+        # SPARK_GRAFT_DROP_AFTER_COMPARE=1: free each query's dump the
+        # moment its digest lands — at k=1000 the two fs dumps are
+        # ~34 GB that would otherwise sit under the NEXT query's oracle
+        # spill (the r15 run lost both compares to exactly that ENOSPC)
+        if os.environ.get("SPARK_GRAFT_DROP_AFTER_COMPARE") == "1" \
+                and flag == "PASS" and (OUT / name).is_dir():
+            shutil.rmtree(OUT / name, ignore_errors=True)
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"== scalegate k={K}: {len(oracles) - n_fail}/{len(oracles)} "
           f"clean == (comparator peak RSS {rss_gb:.1f} GB)")
