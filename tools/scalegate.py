@@ -178,10 +178,96 @@ def digest_bucketed(con, oracle_sql, cols_types, key, nb):
             tot_xor if tot_n else None)
 
 
+def split_ctes(sql):
+    """Split `WITH a AS (...), b AS (...) SELECT ...` into
+    ([(name, body), ...], final_select). Paren-depth scan, aware of
+    single-quoted strings ('' escape). Returns ([], sql) for anything
+    it cannot handle exactly (not a WITH query, WITH RECURSIVE, parse
+    surprise) — the caller then runs the oracle untransformed."""
+    import re as _re
+    s = sql.strip()
+    m0 = _re.match(r"(?is)^\s*WITH\s+", s)
+    if not m0 or _re.match(r"(?is)^\s*WITH\s+RECURSIVE\b", s):
+        return [], sql
+    i, n, ctes = m0.end(), len(s), []
+    while True:
+        m = _re.match(r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(",
+                      s[i:])
+        if not m:
+            return [], sql
+        body_start = i + m.end()
+        j, depth, inq = body_start, 1, False
+        while j < n and depth:
+            c = s[j]
+            if inq:
+                if c == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 1
+                    else:
+                        inq = False
+            elif c == "'":
+                inq = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return [], sql
+        ctes.append((m.group(1), s[body_start:j - 1]))
+        k = j
+        while k < n and s[k] in " \t\r\n":
+            k += 1
+        if k < n and s[k] == ",":
+            i = k + 1
+        else:
+            return ctes, s[k:]
+
+
+def materialize_ctes(con, name, oracle_sql):
+    """Materialize a WITH chain into temp tables, dependency-aware:
+    each CTE becomes a TEMP TABLE (later bodies resolve to it by name),
+    and a table is dropped the moment no remaining body or the final
+    SELECT references it — so peak disk is the live working set, not
+    the whole chain. Returns (final_select, created_tables).
+
+    WHY: at k=1000 the heavy oracles' corpus-synthesis joins spill
+    BOTH sides (~60 GB+) and the digest's output-bucket predicate
+    cannot push below them, so every bucket pass re-paid the full
+    spill (three ENOSPC'd r15 runs). Materialized once, the bucket
+    passes are cheap scans of the final table. Exactness: CREATE TABLE
+    AS evaluates the identical CTE body; digests are unaffected."""
+    import re as _re
+    ctes, final = split_ctes(oracle_sql)
+    if not ctes:
+        return oracle_sql, []
+    created = []
+    for idx, (nm, body) in enumerate(ctes):
+        t0 = time.time()
+        con.execute(
+            f'CREATE OR REPLACE TEMPORARY TABLE "{nm}" AS {body}')
+        created.append(nm)
+        later = " ".join(b for _, b in ctes[idx + 1:]) + " " + final
+        for t in list(created):
+            if not _re.search(rf"\b{_re.escape(t)}\b", later):
+                con.execute(f'DROP TABLE IF EXISTS "{t}"')
+                created.remove(t)
+        print(f"  [{name}] cte {nm} materialized in "
+              f"{time.time() - t0:.1f} s (live: {created})", flush=True)
+    return final, created
+
+
 def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
-               n_buckets=1):
+               n_buckets=1, drop_dump=None):
     """DuckDB-side streaming compare; returns None on match, else a
-    message (FAIL unless it starts with OK)."""
+    message (FAIL unless it starts with OK).
+
+    `drop_dump`: a directory to delete the moment the SPARK side's
+    digest is captured, BEFORE the oracle runs — the oracle's
+    corpus-scale spill (rollup rebuild + join builds, NOT sliceable by
+    the output-bucket predicate) and the dump cannot coexist under the
+    k=1000 disk ceiling. Only taken for frames too large for the
+    pandas fallback anyway (the fallback re-reads the dump)."""
     sc = con.execute(f"DESCRIBE SELECT * FROM {spark_from}").fetchall()
     oc = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
     s_cols = sorted((r[0], r[1]) for r in sc)
@@ -197,13 +283,26 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
             return (f"{n1}(DTYPE-DRIFT {t1} vs {t2} — pin the oracle "
                     "with CAST)")
     sd = digest(con, spark_from, s_cols)
+    if drop_dump is not None and sd[0] > FALLBACK_ROWS:
+        print(f"  [{name}] spark digest captured {sd} — "
+              "dropping the dump before the oracle runs", flush=True)
+        shutil.rmtree(drop_dump, ignore_errors=True)
     # the SPARK side is a plain parquet glob — one streaming aggregate,
     # constant space — so only the ORACLE (whose joins/windows carry
-    # the memory) is ever bucketed
-    od = digest_bucketed(con, oracle_sql, o_cols, bucket_key,
-                         n_buckets) \
-        if n_buckets > 1 and bucket_key \
-        else digest(con, f"({oracle_sql})", o_cols)
+    # the memory) is ever bucketed. SPARK_GRAFT_ORACLE_MATERIALIZE=1
+    # additionally pre-materializes the oracle's CTE chain into temp
+    # tables so the corpus-synthesis joins are paid ONCE, not per pass.
+    created = []
+    try:
+        if os.environ.get("SPARK_GRAFT_ORACLE_MATERIALIZE") == "1":
+            oracle_sql, created = materialize_ctes(con, name, oracle_sql)
+        od = digest_bucketed(con, oracle_sql, o_cols, bucket_key,
+                             n_buckets) \
+            if n_buckets > 1 and bucket_key \
+            else digest(con, f"({oracle_sql})", o_cols)
+    finally:
+        for t in created:
+            con.execute(f'DROP TABLE IF EXISTS "{t}"')
     if sd[0] != od[0]:
         return f"ROWS {sd[0]} vs {od[0]}"
     if sd == od:
@@ -229,6 +328,10 @@ def main():
     # spills to disk instead of OOMing the box
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
     con.execute(f"SET memory_limit='{mem}'")
+    # order is irrelevant to an order-insensitive digest, and dropping
+    # insertion-order preservation lets DuckDB stream several of the
+    # big pipelines instead of materializing them
+    con.execute("SET preserve_insertion_order=false")
     tmp = ROOT / "duckdb-tmp"
     # an aborted earlier run can leave tens of GB of spill here —
     # start from an empty spill dir, and empty it again on exit
@@ -271,26 +374,29 @@ def main():
             if any(f.parent != OUT / name for f in files) \
             else f"read_parquet('{OUT / name}/*.parquet')"
         t0 = time.time()
+        # SPARK_GRAFT_DROP_AFTER_COMPARE=1: free each query's dump as
+        # soon as its SPARK-side digest is captured (inside cmp_digest,
+        # before the oracle runs) — at k=1000 a dump and the oracle's
+        # per-pass spill cannot coexist under the disk ceiling (the
+        # first r15 run lost both compares to exactly that ENOSPC)
+        drop = (OUT / name) \
+            if os.environ.get("SPARK_GRAFT_DROP_AFTER_COMPARE") == "1" \
+            else None
+        nrows = con.execute(
+            f"SELECT count(*) FROM {glob_sql}").fetchone()[0]
         try:
             r = cmp_digest(con, name, glob_sql, oracles[name],
                            bucket_key=bucket_keys.get(name),
-                           n_buckets=n_buckets)
+                           n_buckets=n_buckets, drop_dump=drop)
         except Exception as e:
             r = f"ORACLE/DIGEST ERROR: {str(e).splitlines()[0][:200]}"
         flag = "PASS" if r is None or r.startswith("OK") else "FAIL"
         if flag == "FAIL":
             n_fail += 1
-        nrows = con.execute(
-            f"SELECT count(*) FROM {glob_sql}").fetchone()[0]
         print(f"{flag} {name}: {r or f'OK ({nrows} rows, digest)'} "
               f"[compare {time.time() - t0:.1f} s]", flush=True)
-        # SPARK_GRAFT_DROP_AFTER_COMPARE=1: free each query's dump the
-        # moment its digest lands — at k=1000 the two fs dumps are
-        # ~34 GB that would otherwise sit under the NEXT query's oracle
-        # spill (the r15 run lost both compares to exactly that ENOSPC)
-        if os.environ.get("SPARK_GRAFT_DROP_AFTER_COMPARE") == "1" \
-                and flag == "PASS" and (OUT / name).is_dir():
-            shutil.rmtree(OUT / name, ignore_errors=True)
+        if drop is not None and flag == "PASS" and drop.is_dir():
+            shutil.rmtree(drop, ignore_errors=True)
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"== scalegate k={K}: {len(oracles) - n_fail}/{len(oracles)} "
           f"clean == (comparator peak RSS {rss_gb:.1f} GB)")
