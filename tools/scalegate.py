@@ -224,28 +224,83 @@ def split_ctes(sql):
             return ctes, s[k:]
 
 
-def materialize_ctes(con, name, oracle_sql):
-    """Materialize a WITH chain into temp tables, dependency-aware:
-    each CTE becomes a TEMP TABLE (later bodies resolve to it by name),
-    and a table is dropped the moment no remaining body or the final
-    SELECT references it — so peak disk is the live working set, not
-    the whole chain. Returns (final_select, created_tables).
+def strip_top_order(sql):
+    """Drop a TRAILING top-level ORDER BY from the oracle — the DuckDB
+    mirror of ScaleGate.stripTopSort: the digest is order-insensitive,
+    and at k=1000 the final sort materializes the full (or per-bucket)
+    output before the aggregate ever sees a row — tens of GB of spill
+    for nothing. Only strips when nothing but sort terms follow (an
+    ORDER BY feeding a LIMIT/OFFSET is semantics and stays). Quote- and
+    paren-aware; returns sql unchanged when unsure."""
+    import re as _re
+    s = sql.rstrip()
+    depth, inq, last = 0, False, -1
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if inq:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    inq = False
+        elif c == "'":
+            inq = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s[i:i + 8].upper() == "ORDER BY":
+            last = i
+        i += 1
+    if last < 0:
+        return sql
+    tail = s[last:]
+    if _re.search(r"(?i)\b(LIMIT|OFFSET|FETCH)\b", tail):
+        return sql
+    return s[:last].rstrip()
 
-    WHY: at k=1000 the heavy oracles' corpus-synthesis joins spill
-    BOTH sides (~60 GB+) and the digest's output-bucket predicate
-    cannot push below them, so every bucket pass re-paid the full
-    spill (three ENOSPC'd r15 runs). Materialized once, the bucket
-    passes are cheap scans of the final table. Exactness: CREATE TABLE
-    AS evaluates the identical CTE body; digests are unaffected."""
+
+def materialize_ctes(con, name, oracle_sql, only=None):
+    """Materialize (part of) a WITH chain into temp tables,
+    dependency-aware: a chosen CTE becomes a TEMP TABLE (later bodies
+    resolve to it by name), and a table is dropped the moment no
+    remaining body or the final SELECT references it — so peak disk is
+    the live working set, not the whole chain. CTEs NOT chosen stay
+    INLINE: each CREATE and the returned final select carry a WITH
+    prefix of the preceding un-materialized CTEs (DuckDB does not
+    execute unreferenced CTEs, so over-listing costs nothing).
+    Returns (final_sql, created_tables).
+
+    WHY `only`: at k=1000 DuckDB's per-use CTE inlining replicates the
+    corpus-synthesis join in EVERY consumer branch of one pass (the
+    EXPLAIN shows lineitem⋈orders built 4× concurrently — >60 GB of
+    spill, ENOSPC three times), while materializing EVERY corpus CTE
+    is its own disk blow-up (the linear fs_base→fs_named→fs_files
+    chain stored three corpus-sized tables). The fix is to materialize
+    exactly the SHARED/expensive nodes (`fs_files,fs_entries,...`) and
+    leave single-use chain links inline. Exactness: CREATE TABLE AS
+    evaluates the identical CTE body; digests are unaffected."""
     import re as _re
     ctes, final = split_ctes(oracle_sql)
     if not ctes:
         return oracle_sql, []
+    matset = {n for n, _ in ctes} if only is None else set(only)
     created = []
+
+    def prefix(upto):
+        keep = [(n, b) for n, b in ctes[:upto] if n not in matset]
+        if not keep:
+            return ""
+        return "WITH " + ", ".join(
+            f"{n} AS ({b})" for n, b in keep) + " "
+
     for idx, (nm, body) in enumerate(ctes):
+        if nm not in matset:
+            continue
         t0 = time.time()
-        con.execute(
-            f'CREATE OR REPLACE TEMPORARY TABLE "{nm}" AS {body}')
+        con.execute(f'CREATE OR REPLACE TEMPORARY TABLE "{nm}" AS '
+                    f"{prefix(idx)}{body}")
         created.append(nm)
         later = " ".join(b for _, b in ctes[idx + 1:]) + " " + final
         for t in list(created):
@@ -254,7 +309,7 @@ def materialize_ctes(con, name, oracle_sql):
                 created.remove(t)
         print(f"  [{name}] cte {nm} materialized in "
               f"{time.time() - t0:.1f} s (live: {created})", flush=True)
-    return final, created
+    return prefix(len(ctes)) + final, created
 
 
 def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
@@ -293,9 +348,19 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
     # additionally pre-materializes the oracle's CTE chain into temp
     # tables so the corpus-synthesis joins are paid ONCE, not per pass.
     created = []
+    oracle_sql0 = oracle_sql  # the untransformed SQL, for the fallback
     try:
-        if os.environ.get("SPARK_GRAFT_ORACLE_MATERIALIZE") == "1":
-            oracle_sql, created = materialize_ctes(con, name, oracle_sql)
+        # the digest never needs the oracle's trailing global sort —
+        # drop it (the DuckDB mirror of ScaleGate.stripTopSort; at
+        # k=1000 that sort materialized the full output under the
+        # aggregate, tens of GB of spill for nothing)
+        oracle_sql = strip_top_order(oracle_sql)
+        mat = os.environ.get("SPARK_GRAFT_ORACLE_MATERIALIZE")
+        if mat:  # "1" = every CTE; else a comma list of shared nodes
+            oracle_sql, created = materialize_ctes(
+                con, name, oracle_sql,
+                only=None if mat == "1"
+                else [t.strip() for t in mat.split(",") if t.strip()])
         od = digest_bucketed(con, oracle_sql, o_cols, bucket_key,
                              n_buckets) \
             if n_buckets > 1 and bucket_key \
@@ -310,7 +375,7 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
     # digests disagree: small frames get the pandas diagnosis
     if sd[0] <= FALLBACK_ROWS:
         spark_df = con.execute(f"SELECT * FROM {spark_from}").df()
-        oracle_df = con.execute(oracle_sql).df()
+        oracle_df = con.execute(oracle_sql0).df()
         return cmp_frames(name, spark_df, oracle_df) or \
             "DIGEST mismatch but pandas compare clean (hash-norm bug?)"
     return (f"DIGEST sum {sd[1]} vs {od[1]} / xor {sd[2]} vs {od[2]} "
