@@ -123,6 +123,26 @@ object ScaleGate {
     else PlanBridge.ofRows(df.sparkSession, stripped)
   }
 
+  /** Replica-identity guard for `SPARK_GRAFT_REUSE_REPLICA` (r15
+    * verdict #4): the replica carries its k in a `replica_k` marker
+    * written at materialize time, and reuse REFUSES a mismatch — for
+    * a correctness gate, silently hash-comparing a k=1000 dump against
+    * a k=10 replica is the one failure mode to design out. A replica
+    * without the marker predates it and is refused too
+    * (re-materialize rather than trust).
+    */
+  private[graft] def requireReplicaK(
+      data: java.nio.file.Path, k: Int): Unit = {
+    val m = data.resolve("replica_k")
+    val recorded =
+      if (Files.exists(m)) Files.readString(m).trim.toIntOption else None
+    require(recorded.contains(k),
+      s"SPARK_GRAFT_REUSE_REPLICA: existing replica at $data is " +
+        s"k=${recorded.getOrElse("(no replica_k marker)")}, this " +
+        s"invocation is k=$k — refusing to compare against the wrong " +
+        "corpus; unset the flag to wipe and re-materialize")
+  }
+
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
     val src =
@@ -163,18 +183,24 @@ object ScaleGate {
     // hold BOTH heavy fs dumps beside the oracle's spill, so one query
     // is dumped+compared+dropped at a time against the replica a
     // previous pass already materialized (a fresh wipe would delete
-    // the sibling's not-yet-compared dump with it). The k sanity-check
-    // is on the caller: reuse with a different k silently compares
-    // against the old replica.
+    // the sibling's not-yet-compared dump with it). The replica
+    // carries its k in a marker file (`replica_k`, written at
+    // materialize time) and reuse REFUSES a mismatch — for a
+    // correctness gate, silently hash-comparing a k=1000 dump against
+    // a k=10 replica is the one failure mode to design out (r15
+    // verdict #4); a replica without the marker predates it and is
+    // refused too (re-materialize rather than trust).
     val reuse = sys.env.get("SPARK_GRAFT_REUSE_REPLICA").contains("1") &&
       (Files.exists(data.resolve("lineitem.parquet")) ||
         Files.isSymbolicLink(data.resolve("lineitem.parquet")))
+    if (reuse) requireReplicaK(data, k)
     if (firstPass && !reuse)
       Bench.rm(root) // NOFOLLOW-safe: symlinked source tables survive
     Files.createDirectories(data)
     if (firstPass && !reuse) {
       val t0 = System.nanoTime()
       ScaleProbe.materialize(spark, src, k, data)
+      Files.writeString(data.resolve("replica_k"), k.toString)
       System.err.println(
         f"[scalegate] k=$k replica of $src in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
@@ -237,24 +263,43 @@ object ScaleGate {
     if (!firstPass) { spark.stop(); return }
     def q(s: String): String =
       "\"" + graft.functions.JsonText.esc(s) + "\""
+    // MERGE the gate record across reuse invocations (r15 advice): the
+    // disk-constrained recovery path runs one query per invocation
+    // against the shared replica, and each invocation overwriting
+    // oracle_sql.json/gate_meta.json with only its own subset left a
+    // preserved sibling dump with no gate record. Under reuse, the
+    // recorded set is the union of this invocation's subset and
+    // whatever earlier passes recorded (all content re-derived from
+    // SparkEntry/bucketKeys, so stale text can't survive a rename).
+    val metaPath = out.resolve("gate_meta.json")
+    val recorded: Seq[String] =
+      if (reuse && Files.exists(metaPath)) {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(metaPath))
+        Option(node.get("gated")).map(_.elements().asScala
+          .map(_.asText()).toSeq).getOrElse(Seq.empty)
+      } else Seq.empty
+    val cover = (recorded ++ run).distinct.filter(gated.contains)
     val json = SparkEntry.oracleSql
-      .filter { case (n, _) => run.contains(n) }
+      .filter { case (n, _) => cover.contains(n) }
       .map { case (n, v) => s"${q(n)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(out.resolve("oracle_sql.json"), json)
-    // record what this artifact actually covers: k, the active subset,
-    // and whether an override narrowed it — downstream checks can tell
-    // a 3-row k=100 run from the full gate without inference
+    // record what this artifact actually covers: k, the covered subset
+    // (merged across reuse passes), and whether it falls short of the
+    // full gate — downstream checks can tell a 3-row k=100 run from
+    // the full gate without inference
     val meta = Seq(
       s"${q("k")}: $k",
-      s"${q("override")}: ${sys.env.contains("SPARK_GRAFT_GATED")}",
-      s"${q("gated")}: [${run.map(q).mkString(", ")}]",
+      s"${q("override")}: ${cover.toSet != gated.toSet}",
+      s"${q("gated")}: [${cover.map(q).mkString(", ")}]",
       s"${q("gate_full")}: [${gated.map(q).mkString(", ")}]",
       s"${q("bucket_keys")}: ${
-        bucketKeys.filter { case (n, _) => run.contains(n) }
+        bucketKeys.filter { case (n, _) => cover.contains(n) }
           .map { case (n, c) => s"${q(n)}: ${q(c)}" }
           .mkString("{", ", ", "}")}")
       .mkString("{", ", ", "}")
-    Files.writeString(out.resolve("gate_meta.json"), meta)
+    Files.writeString(metaPath, meta)
     spark.stop()
   }
 }

@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   *    -wins — the batch row always replaces on key conflict
   *    (`batchWinsTies = true`).
   *
-  * Implementation: union + ONE hash AGGREGATE on the merge key —
-  * `max_by(row, (ts, tie))` picks each key's winner. Strictly better
-  * than the row_number-window form it replaced: the aggregate
-  * partial-combines map-side (each partition collapses to one candidate
-  * row per key BEFORE the exchange, where a window shuffles and sorts
-  * every input row), and the reconcile flag (`max(tag)`) rides the same
-  * pass. At 100 TB both inputs would be bucketed by the key so even the
-  * one exchange disappears.
+  * Implementation: ONE null-safe (`<=>`) shuffled-hash OUTER join of
+  * the two key-unique sides with a per-row winner pick (full-outer for
+  * merge, right-outer for reconcile) — see [[winners]] for the full
+  * story, including WHY the earlier union+`max_by` aggregate form was
+  * replaced (a struct-typed agg buffer plans as SortAggregate, which
+  * sorted the full 2×corpus union on both sides of the exchange).
+  * Row presence on each side rides explicit boolean marker columns
+  * rather than key nullability, so an unmatched null-key batch row
+  * emits itself instead of an all-null projection. Zero sorts, one
+  * exchange per side; at 100 TB both inputs would be bucketed by the
+  * key so even those exchanges disappear.
   */
 object Merge {
 

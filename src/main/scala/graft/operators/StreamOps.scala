@@ -742,9 +742,30 @@ object StreamOps {
     * the fixture seeds snap-b0). Only `_SUCCESS`-committed snapshots
     * count.
     */
-  private def morFoldedThrough(spark: SparkSession, root: String): Long =
-    numberedDirs(spark, root, "snap-b", committedOnly = true)
-      .map(_._1).foldLeft(-1L)(math.max)
+  private def morFoldedThrough(spark: SparkSession, root: String): Long = {
+    val committed = numberedDirs(spark, root, "snap-b",
+      committedOnly = true).map(_._1)
+    if (committed.isEmpty) {
+      // distinguish "no store here" (caller's problem, path error)
+      // from "snapshots exist but NONE carry _SUCCESS" — the latter is
+      // almost always a writer with
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common
+      // on object stores), under which every snapshot looks torn and
+      // this would otherwise surface as a cryptic path-not-found on
+      // snap-b-1
+      val all = numberedDirs(spark, root, "snap-b",
+        committedOnly = false)
+      if (all.nonEmpty) sys.error(
+        s"rollup MOR store at $root has ${all.size} snapshot dir(s) " +
+          "but none carries the committer's _SUCCESS marker — if the " +
+          "writer ran with " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs=false, " +
+          "re-enable it (committed-generation discovery keys on the " +
+          "marker to keep torn snapshots invisible); otherwise every " +
+          "snapshot here is a torn write")
+    }
+    committed.foldLeft(-1L)(math.max)
+  }
 
   /** Committed log batches ≥ `after`, fold order. A torn (un-committed)
     * batch dir is invisible to readers — streaming's retry overwrites

@@ -380,6 +380,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // shared pre-state below). Outermost distinct dirs only.
     val dirs = dirs0.distinct.filterNot(d =>
       dirs0.exists(o => o != d && d.startsWith(o + "/")))
+    // an event-driven caller's debounced batch can drain to empty —
+    // nothing changed, so nothing to refresh (and the shared pre-state
+    // predicate below is a reduce over `dirs`, which must not be built
+    // over an empty scope)
+    if (dirs.isEmpty) return 0L
     // ONE shared pre-state for the whole call: the surviving dirs are
     // pairwise key-disjoint, so refreshing one never moves another's
     // pre-rows — each iteration just filters its slice out of this
@@ -584,6 +589,27 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       .localCheckpoint(true)
     publishDelta(spark, idx, prevRows,
       _.join(touched, Seq("relative_path"), "left_semi"), t0)
+  }
+
+  /** OPERATOR BOOTSTRAP for the ES-published watermark: a store last
+    * published before the watermark existed — or one that lost the
+    * token in [[writeToken]]'s delete→rename crash window — has no
+    * `_es_published`, so [[publishScoped]] refuses and
+    * [[publishCatchUp]] demands a full republish even when ES is in
+    * fact current. This stamps the CURRENT corpus token as published,
+    * on the operator's authority alone (nothing is sent to or checked
+    * against ES). Use ONLY when you know ES holds the store's resolved
+    * view in full; if it does not, the scoped publishes this unblocks
+    * will drift exactly the way the watermark exists to prevent.
+    * Returns the stamped token.
+    */
+  def assertPublished(spark: SparkSession): String = {
+    val idx = store()
+    require(idx.currentId.isDefined,
+      "assertPublished: no base snapshot — nothing to stamp")
+    val t = Indexer.corpusToken(idx)
+    writeEsWatermark(spark, t)
+    t
   }
 
   /** Shared delta-publish tail of [[publishScoped]] and

@@ -88,6 +88,27 @@ class ScaleGateSpec extends SparkSpecBase {
         s"bucket key for $n names a non-gated query"))
   }
 
+  test("replica reuse refuses a k mismatch (and a markerless replica)") {
+    val dir = java.nio.file.Files.createTempDirectory("replica-k")
+    try {
+      // markerless (pre-r16) replica: refused — can't verify identity
+      val e0 = intercept[IllegalArgumentException] {
+        ScaleGate.requireReplicaK(dir, 1000)
+      }
+      assert(e0.getMessage.contains("no replica_k marker"))
+      java.nio.file.Files.writeString(dir.resolve("replica_k"), "10\n")
+      ScaleGate.requireReplicaK(dir, 10) // matching k: fine
+      val e1 = intercept[IllegalArgumentException] {
+        ScaleGate.requireReplicaK(dir, 1000)
+      }
+      assert(e1.getMessage.contains("k=10") &&
+        e1.getMessage.contains("k=1000"))
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("replica_k"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("bucket keys are real output columns of their query") {
     // resolved at sf0.001 (cheap schemas; no query executes — schema
     // derivation is lazy)

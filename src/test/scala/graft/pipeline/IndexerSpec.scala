@@ -231,6 +231,46 @@ class IndexerSpec extends SparkSpecBase {
     assert(TransportProbe.calls.asScala.flatten.isEmpty)
   }
 
+  test("runScoped with an empty (or drained) scope list is a zero-entry " +
+      "no-op, not a crash") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxempty").toString
+    val cfg = IndexerConfig(root.toString, idxRoot, mode = "index-only")
+    val indexer = new Indexer(cfg, None)
+    indexer.run(spark)
+    // an event-driven caller's debounced batch can drain to empty —
+    // pre-r16 this threw (reduce over an empty predicate list) when
+    // the rollup token was current, which it is right after run()
+    assert(indexer.runScoped(spark, Seq.empty) == 0L)
+    // the store is untouched
+    val snap = new graft.sinks.ParquetIndex(idxRoot).read(spark).get
+    assert(snap.count() == 4)
+  }
+
+  test("assertPublished bootstraps a missing watermark so scoped " +
+      "publishes run without a forced full republish") {
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxboot").toString
+    val cfg = IndexerConfig(root.toString, idxRoot,
+      getDirectLinks = false)
+    val indexer = new Indexer(cfg, Some(TransportProbe.transport))
+    TransportProbe.reset()
+    indexer.run(spark)
+    // simulate a store published before the watermark existed: the
+    // token file is simply absent
+    val wm = java.nio.file.Paths.get(idxRoot, "_es_published")
+    Files.delete(wm)
+    Files.writeString(root.resolve("proj/sub/b.log"), "bbbb")
+    intercept[IllegalArgumentException] {
+      indexer.publishScoped(spark, Seq("proj/sub"))
+    }
+    // the operator knows ES is in fact current → stamp and proceed
+    val stamped = indexer.assertPublished(spark)
+    assert(Files.readString(wm).trim == stamped)
+    val rep = indexer.publishScoped(spark, Seq("proj/sub"))
+    assert(rep.esFailed == 0 && rep.indexed > 0)
+  }
+
   test("watermark survives a MOR fold: checkpointScoped migrates it, " +
       "publishScoped still runs") {
     val root = mkTree()

@@ -127,4 +127,22 @@ class RollupMorStreamSpec extends SparkSpecBase {
     assert(rows(StreamOps.rollupMorRead(spark, root)) == served)
     assert(new java.io.File(torn, "_SUCCESS").exists())
   }
+
+  test("a store whose snapshots ALL lack _SUCCESS fails fast with the " +
+    "marksuccessfuljobs diagnosis, not a cryptic snap-b-1 read") {
+    // the r15 advice hole: with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common
+    // on object stores) every snapshot looks torn — discovery must say
+    // so instead of reading a nonexistent snap-b-1 path
+    val root = Files.createTempDirectory("rollupmor_nosucc").toString
+    val snap = new java.io.File(s"$root/snap-b0")
+    assert(snap.mkdirs())
+    java.nio.file.Files.write(snap.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val e = intercept[RuntimeException] {
+      StreamOps.rollupMorRead(spark, root)
+    }
+    assert(e.getMessage.contains("marksuccessfuljobs"),
+      s"got: ${e.getMessage}")
+  }
 }

@@ -302,7 +302,17 @@ def materialize_ctes(con, name, oracle_sql, only=None):
         con.execute(f'CREATE OR REPLACE TEMPORARY TABLE "{nm}" AS '
                     f"{prefix(idx)}{body}")
         created.append(nm)
-        later = " ".join(b for _, b in ctes[idx + 1:]) + " " + final
+        # liveness must count kept (INLINE) CTEs already passed, not
+        # just remaining bodies: prefix() re-inlines every kept body
+        # into each later CREATE and into the final select, so a kept
+        # CTE that references a materialized table keeps that table
+        # live for the whole chain. (r15 advice: ctes [A(mat),
+        # B(inline, refs A), C(mat)], final refs B — dropping A at C's
+        # step made the final's re-inlined 'WITH B AS (...)' fail with
+        # table-not-found, and under DROP_AFTER_COMPARE the spark dump
+        # was already gone, so the spurious FAIL cost a full re-dump.)
+        later = " ".join(b for n2, b in ctes if n2 not in matset) + \
+            " " + " ".join(b for _, b in ctes[idx + 1:]) + " " + final
         for t in list(created):
             if not _re.search(rf"\b{_re.escape(t)}\b", later):
                 con.execute(f'DROP TABLE IF EXISTS "{t}"')
@@ -426,8 +436,23 @@ def main():
     if n_buckets > 1:
         print(f"oracle digests bucketed x{n_buckets} on: "
               f"{bucket_keys or '(no keys — single pass)'}")
+    # oracle_sql.json / gate_meta.json are MERGED across reuse
+    # invocations (the full record of what the artifact covers), but
+    # THIS invocation only compares the queries it was asked to gate —
+    # a recorded sibling compared-and-dropped by an earlier pass must
+    # not re-fail here as NO SPARK OUTPUT
+    subset = os.environ.get("SPARK_GRAFT_GATED")
+    names = sorted(oracles)
+    if subset:
+        asked = [n.strip() for n in subset.split(",") if n.strip()]
+        skipped = [n for n in names if n not in asked]
+        names = [n for n in names if n in asked]
+        if skipped:
+            print("comparing this invocation's subset "
+                  f"{names}; recorded siblings {skipped} keep their "
+                  "earlier verdicts")
     n_fail = 0
-    for name in sorted(oracles):
+    for name in names:
         # rglob: sharded dumps nest shard-i/ dirs under the query dir
         files = list((OUT / name).rglob("*.parquet")) \
             if (OUT / name).is_dir() else []
@@ -463,7 +488,7 @@ def main():
         if drop is not None and flag == "PASS" and drop.is_dir():
             shutil.rmtree(drop, ignore_errors=True)
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    print(f"== scalegate k={K}: {len(oracles) - n_fail}/{len(oracles)} "
+    print(f"== scalegate k={K}: {len(names) - n_fail}/{len(names)} "
           f"clean == (comparator peak RSS {rss_gb:.1f} GB)")
     con.close()
     if tmp.exists():  # drop any leftover spill before exiting
