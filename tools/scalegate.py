@@ -286,6 +286,28 @@ def materialize_ctes(con, name, oracle_sql, only=None):
     if not ctes:
         return oracle_sql, []
     matset = {n for n, _ in ctes} if only is None else set(only)
+    # prune the chosen set to CTEs actually REACHABLE from the final
+    # select: the oracles share a common CTE prelude (fs_dirs/
+    # fs_entries/fs_links exist in every fs oracle's text), so a
+    # caller-chosen shared node can be dead code for one query — and
+    # materializing a dead CTE at k=1000 is corpus-scale disk and
+    # compute for nothing (DuckDB never executes unreferenced inline
+    # CTEs; keep that property under materialization)
+    bodies = dict(ctes)
+    live_names = set()
+    frontier = [final]
+    while frontier:
+        t = frontier.pop()
+        for n in bodies:
+            if n not in live_names and \
+                    _re.search(rf"\b{_re.escape(n)}\b", t):
+                live_names.add(n)
+                frontier.append(bodies[n])
+    dead = sorted(matset - live_names)
+    if dead:
+        print(f"  [{name}] skipping dead CTE(s) {dead} — not reachable "
+              "from this oracle's final select", flush=True)
+        matset &= live_names
     created = []
 
     def prefix(upto):
@@ -299,7 +321,12 @@ def materialize_ctes(con, name, oracle_sql, only=None):
         if nm not in matset:
             continue
         t0 = time.time()
-        con.execute(f'CREATE OR REPLACE TEMPORARY TABLE "{nm}" AS '
+        # a plain (file-backed) table, NOT a temp table: the connection
+        # is opened on ROOT/oracle-mat.db, so the stored chain gets
+        # DuckDB's real columnar compression (~20 B/row on the fs_base
+        # corpus vs ~4x that in temp-storage blocks) — at k=1000 that
+        # is the difference between ~16 GB and ~60 GB of held disk
+        con.execute(f'CREATE OR REPLACE TABLE "{nm}" AS '
                     f"{prefix(idx)}{body}")
         created.append(nm)
         # liveness must count kept (INLINE) CTEs already passed, not
@@ -313,12 +340,28 @@ def materialize_ctes(con, name, oracle_sql, only=None):
         # was already gone, so the spurious FAIL cost a full re-dump.)
         later = " ".join(b for n2, b in ctes if n2 not in matset) + \
             " " + " ".join(b for _, b in ctes[idx + 1:]) + " " + final
+        dropped = False
         for t in list(created):
             if not _re.search(rf"\b{_re.escape(t)}\b", later):
                 con.execute(f'DROP TABLE IF EXISTS "{t}"')
                 created.remove(t)
+                dropped = True
+        if dropped:
+            # reclaim the dropped tables' blocks now (file-backed db):
+            # without the checkpoint the freed blocks stay pinned by
+            # the WAL until some later auto-checkpoint — exactly the
+            # window the drop exists to shrink
+            con.execute("CHECKPOINT")
+        tmp = ROOT / "duckdb-tmp"
+        tmp_gb = sum(f.stat().st_size for f in tmp.glob("*")
+                     if f.is_file()) / 1e9 if tmp.exists() else 0.0
+        db_gb = sum(os.path.getsize(p) for p in
+                    [ROOT / "oracle-mat.db",
+                     ROOT / "oracle-mat.db.wal"] if p.exists()) / 1e9
         print(f"  [{name}] cte {nm} materialized in "
-              f"{time.time() - t0:.1f} s (live: {created})", flush=True)
+              f"{time.time() - t0:.1f} s (live: {created}, "
+              f"db {db_gb:.1f} GB, temp-dir {tmp_gb:.1f} GB)",
+              flush=True)
     return prefix(len(ctes)) + final, created
 
 
@@ -378,6 +421,8 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
     finally:
         for t in created:
             con.execute(f'DROP TABLE IF EXISTS "{t}"')
+        if created:  # reclaim their blocks before the next query runs
+            con.execute("CHECKPOINT")
     if sd[0] != od[0]:
         return f"ROWS {sd[0]} vs {od[0]}"
     if sd == od:
@@ -396,7 +441,14 @@ def main():
     if "--skip-dump" not in sys.argv:
         print(f"running graft.ScaleGate k={K} ...")
         run_dump()
-    con = duckdb.connect()
+    # file-backed connection: SPARK_GRAFT_ORACLE_MATERIALIZE stores its
+    # CTE chain as plain tables here, getting DuckDB's columnar
+    # compression instead of temp-storage blocks (see materialize_ctes)
+    # — always started fresh and removed on exit; an in-memory default
+    # would silently fall back to temp tables
+    matdb = ROOT / "oracle-mat.db"
+    matdb.unlink(missing_ok=True)
+    con = duckdb.connect(str(matdb))
     # the digest comparator is constant-space, but the ORACLE queries
     # themselves build hash joins/windows over the k-replica (33 GB
     # observed at k=100 unbounded) — cap DuckDB so the k=1000 decade
@@ -491,6 +543,8 @@ def main():
     print(f"== scalegate k={K}: {len(names) - n_fail}/{len(names)} "
           f"clean == (comparator peak RSS {rss_gb:.1f} GB)")
     con.close()
+    matdb.unlink(missing_ok=True)
+    Path(str(matdb) + ".wal").unlink(missing_ok=True)
     if tmp.exists():  # drop any leftover spill before exiting
         shutil.rmtree(tmp, ignore_errors=True)
     sys.exit(1 if n_fail else 0)
