@@ -24,10 +24,22 @@ import graft.sinks.EsSink
   */
 object PublishProbe {
 
-  private final class CountingTransport extends EsSink.Transport {
+  /** JVM-static line counter: the transport closure is SERIALIZED into
+    * the sink's foreachPartition task, so instance state would count
+    * on a deserialized copy (always zero back on the driver, local
+    * mode included); a singleton's field resolves to the one true
+    * object in this JVM — the same trick the specs' TransportProbe
+    * uses. Measurement-only; production transports carry no state.
+    */
+  private object CountingTransport {
     val lines = new java.util.concurrent.atomic.AtomicLong
+  }
+
+  private final class CountingTransport extends EsSink.Transport {
+    def lines: java.util.concurrent.atomic.AtomicLong =
+      CountingTransport.lines
     def apply(batch: Seq[String]): Seq[Int] = {
-      lines.addAndGet(batch.size): Unit
+      CountingTransport.lines.addAndGet(batch.size): Unit
       batch.filter(l => l.startsWith("{\"index\":") ||
         l.startsWith("{\"delete\":")).map(_ => 200)
     }
@@ -86,13 +98,32 @@ object PublishProbe {
         Files.writeString(dir2.resolve(f"new$i%02d.dat"), "z" * 77): Unit)
       t.lines.set(0)
       val (fullRep, fullSec) = timed(indexer.run(spark))
+      // third, disjoint delta, indexed WITHOUT publishing (the bare
+      // runScoped interlude) — publishCatchUp then replays exactly
+      // that churn from the MOR log suffix; its cost column proves
+      // repair traffic ∝ the unpublished churn, never the corpus
+      val dir3 = root.resolve("top02/d00002")
+      (0 until 10).foreach(i =>
+        Files.delete(dir3.resolve(f"f$i%03d.dat")))
+      (10 until 20).foreach(i =>
+        Files.writeString(dir3.resolve(f"f$i%03d.dat"), "y" * 500): Unit)
+      (0 until 10).foreach(i =>
+        Files.writeString(dir3.resolve(f"new$i%02d.dat"), "z" * 77): Unit)
+      indexer.runScoped(spark, Seq("top02/d00002"))
+      t.lines.set(0)
+      val (cuRep, cuSec) = timed(indexer.publishCatchUp(spark))
+      val cuLines = t.lines.get()
       println(s"""{"files":$n,"scoped_sec":${f"$scopedSec%.2f"},""" +
         s""""full_sec":${f"$fullSec%.2f"},""" +
+        s""""catchup_sec":${f"$cuSec%.2f"},""" +
         s""""scoped_docs":${scopedRep.indexed},""" +
         s""""full_docs":${fullRep.indexed},""" +
+        s""""catchup_docs":${cuRep.indexed},""" +
         s""""scoped_bulk_lines":$scopedLines,""" +
+        s""""catchup_bulk_lines":$cuLines,""" +
         s""""scoped_removed":${scopedRep.removed},""" +
-        s""""full_removed":${fullRep.removed}}""")
+        s""""full_removed":${fullRep.removed},""" +
+        s""""catchup_removed":${cuRep.removed}}""")
       Bench.rm(root)
       Bench.rm(java.nio.file.Paths.get(idxRoot))
     }

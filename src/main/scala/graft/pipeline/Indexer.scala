@@ -766,7 +766,12 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // (scanner.py:232-244: ON CONFLICT DO UPDATE ... WHERE
     // excluded.modified_time > files.modified_time — an unchanged file
     // keeps its stored row, including last_seen).
-    val snapId = idx.write(previous match {
+    // writeKeepingLog, not write: `previous` (a readMor over the old
+    // base + its pending event-driven log) is ALSO the input of the
+    // deletion anti-join and the rollup maintainer's diff below —
+    // both lazy — so the consumed log's files must outlive them; the
+    // sweep runs at the end of this method.
+    val snapId = idx.writeKeepingLog(previous match {
       case None => entries
       case Some(prev) =>
         Merge.mergeReconcile(prev, entries, "relative_path",
@@ -845,6 +850,10 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       case _ => (0L, 0L, 0L) // index-only
     }
 
+    // every frame derived from the pre-write resolve (deletion
+    // anti-join, rollup diff, publish) has executed — the superseded
+    // MOR log is now safe to drop (see writeKeepingLog above)
+    idx.sweepConsumedLogs()
     val elapsed = (System.nanoTime() - t0) / 1e9
     RunReport(RunStats.collect(obs, elapsed), indexed, esFailed,
       removedCount, snapId, linksRefreshed)

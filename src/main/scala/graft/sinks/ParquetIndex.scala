@@ -226,13 +226,47 @@ final class ParquetIndex(root: String, keep: Int = 2,
     * can never silently re-attach to a later base.
     */
   def write(df: DataFrame): String = {
-    val prevBase = currentId
-    val id = writeSnapshotDir(df)
-    val committed = commit(id)
+    val committed = writeKeepingLog(df)
     // after the swap: the plan that produced df has fully executed, so
-    // dropping the old base's log can't pull files out from under it
-    prevBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
+    // dropping consumed logs can't pull files out from under it
+    sweepConsumedLogs()
     committed
+  }
+
+  /** [[write]] MINUS the consumed-log sweep — for a caller (the full
+    * pipeline run) that still holds OTHER lazy frames over the
+    * pre-write `readMor` resolve: the deletion anti-join and the
+    * rollup maintainer's prev-vs-current diff execute after the
+    * commit, and a sweep here would delete the old base's log files
+    * out from under them (FAILED_READ_FILE mid-run — found by
+    * PublishProbe's scoped-then-full sequence). The caller must
+    * [[sweepConsumedLogs]] once those frames have executed; a crash
+    * before that leaves an orphan log dir, removed by the next sweep
+    * (every plain [[write]] sweeps).
+    */
+  def writeKeepingLog(df: DataFrame): String = {
+    val id = writeSnapshotDir(df)
+    commit(id)
+  }
+
+  /** Delete every MOR log dir NOT keyed to the current base — consumed
+    * logs (the committed base superseded or folded them) and crash
+    * orphans alike. Readers resolve the log strictly by current base
+    * id ([[morRoot]]), so a non-current log dir is unreachable garbage
+    * by construction.
+    */
+  def sweepConsumedLogs(): Unit = {
+    val cur = currentId
+    val rootP = Paths.get(root)
+    if (Files.isDirectory(rootP)) {
+      val s = Files.list(rootP)
+      try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("mor-"))
+        .filterNot(p =>
+          cur.contains(p.getFileName.toString.stripPrefix("mor-")))
+        .foreach(deleteRec)
+      finally s.close()
+    }
   }
 
   /** Write `df`'s snapshot DIRECTORY (data + schema sidecar +
@@ -313,8 +347,9 @@ final class ParquetIndex(root: String, keep: Int = 2,
     } else {
       // post-commit cleanup only: the old base's consumed MOR log is
       // orphan garbage once the pointer moved — an IO failure here
-      // leaks a directory (re-deletable later), never the commit
-      try expectedBase.filter(_ != id).foreach(p => deleteRec(morRoot(p)))
+      // leaks a directory (re-deletable by the next sweep), never the
+      // commit
+      try sweepConsumedLogs()
       catch { case scala.util.control.NonFatal(_) => () }
       Some(id)
     }

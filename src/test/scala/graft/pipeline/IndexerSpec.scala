@@ -231,6 +231,47 @@ class IndexerSpec extends SparkSpecBase {
     assert(TransportProbe.calls.asScala.flatten.isEmpty)
   }
 
+  test("a full run AFTER a scoped interlude folds the pending MOR log " +
+      "and must not read it out from under its own lazy frames") {
+    import scala.jdk.CollectionConverters._
+    // the PublishProbe crash (r16): run() consumed (deleted) the old
+    // base's MOR log at commit, while the deletion anti-join and the
+    // rollup maintainer still lazily referenced the pre-write readMor
+    // resolve — FAILED_READ_FILE mid-run. The log sweep now waits for
+    // the end of run().
+    val root = mkTree()
+    val idxRoot = Files.createTempDirectory("idxral").toString
+    val cfg = IndexerConfig(root.toString, idxRoot,
+      getDirectLinks = false)
+    val indexer = new Indexer(cfg, Some(TransportProbe.transport))
+    indexer.run(spark)
+    // scoped interlude: the store moves through the MOR log
+    Files.delete(root.resolve("proj/sub/b.log"))
+    Files.writeString(root.resolve("proj/sub/n.txt"), "nn")
+    indexer.runScoped(spark, Seq("proj/sub"))
+    // full re-run over a further-mutated tree: pre-fix this threw
+    // FAILED_READ_FILE on the consumed log's delete batch
+    Files.writeString(root.resolve("proj/a.txt"), "aaaaaaaa")
+    TransportProbe.reset()
+    val rep = indexer.run(spark)
+    assert(rep.esFailed == 0)
+    val state = esState(TransportProbe.calls.asScala.toSeq)
+    // parity: a fresh pipeline over the same final tree
+    TransportProbe.reset()
+    val refRoot = Files.createTempDirectory("idxralref").toString
+    new Indexer(IndexerConfig(root.toString, refRoot,
+      getDirectLinks = false), Some(TransportProbe.transport)).run(spark)
+    assert(state == esState(TransportProbe.calls.asScala.toSeq),
+      "run-after-scoped diverged from a from-scratch pipeline")
+    // and the superseded log was swept by the end of the run
+    val morDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(idxRoot)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("mor-")).toList
+    val cur = new graft.sinks.ParquetIndex(idxRoot).currentId.get
+    assert(morDirs.forall(_ == s"mor-$cur"),
+      s"orphan MOR logs survived the sweep: $morDirs")
+  }
+
   test("runScoped with an empty (or drained) scope list is a zero-entry " +
       "no-op, not a crash") {
     val root = mkTree()
