@@ -82,6 +82,26 @@ object ScaleGate {
     "docs_curriculum_order_ranged" -> "doc_id",
     "events_sessionize" -> "user_id")
 
+  /** Bucket-slice INJECTION SITES (r16): an output-level
+    * `WHERE hash(key) % B = i` pushes through joins and GROUP BYs on
+    * the key, but DuckDB does NOT push it below a WINDOW — measured at
+    * k=1000, each fs_merge_upsert bucket pass re-materialized the full
+    * 1.2B-row row_number window (~80 GB of spill × 8 passes, ENOSPC).
+    * For such queries this map names the CTE where the comparator may
+    * inject the slice instead (`site AS (SELECT * FROM (body) WHERE
+    * hash(key) % B = i)`), which is EXACT iff the site is
+    * partition-aligned: the site exposes the bucket key, and every
+    * final output row derives only from site rows sharing its key —
+    * fs_merge_upsert's window partitions by exactly `relative_path`,
+    * so whole-partition slices of `unioned` commute with it (the same
+    * argument [[graft.operators.FsOps.mergeUpsertShard]] makes for
+    * the Spark-side sharded dump). The failure mode is LOUD: an
+    * overlapping or leaky slice changes the digest's row count/sum
+    * and the compare FAILs — it can never silently pass.
+    */
+  val bucketSites: Map[String, String] = Map(
+    "fs_merge_upsert" -> "unioned")
+
   /** Key-bucket SHARDED dump forms (r14): the comparator digests are
     * abelian, so a query whose result can be sliced into exact
     * per-key buckets may be dumped in `SPARK_GRAFT_SHARDS` separate
@@ -296,6 +316,10 @@ object ScaleGate {
       s"${q("gate_full")}: [${gated.map(q).mkString(", ")}]",
       s"${q("bucket_keys")}: ${
         bucketKeys.filter { case (n, _) => cover.contains(n) }
+          .map { case (n, c) => s"${q(n)}: ${q(c)}" }
+          .mkString("{", ", ", "}")}",
+      s"${q("bucket_sites")}: ${
+        bucketSites.filter { case (n, _) => cover.contains(n) }
           .map { case (n, c) => s"${q(n)}: ${q(c)}" }
           .mkString("{", ", ", "}")}")
       .mkString("{", ", ", "}")

@@ -156,20 +156,51 @@ def digest(con, from_sql, cols_types):
     return row
 
 
-def digest_bucketed(con, oracle_sql, cols_types, key, nb):
+def slice_at_site(sql, site, key, nb, i):
+    """Rewrite `sql` so the bucket slice lands INSIDE the named CTE
+    (`site AS (SELECT * FROM (body) WHERE hash(key) % nb = i)`) rather
+    than above the whole query. Needed for window-topped oracles:
+    DuckDB pushes an output-level hash-slice through joins and GROUP
+    BYs on the key but NOT below a WINDOW, so each fs_merge_upsert
+    bucket pass re-materialized the full 1.2B-row row_number window
+    (~80 GB spill x 8 passes — the r16 ENOSPC). Exactness is declared
+    per query in ScaleGate.bucketSites (the site must be
+    partition-aligned with the key); the failure mode is loud — an
+    overlapping or leaky slice changes the digest count/sum and the
+    compare FAILs. Returns None when the site CTE is not present in
+    `sql` (e.g. it was materialized away) — caller falls back to the
+    output-level slice."""
+    ctes, final = split_ctes(sql)
+    if not any(n == site for n, _ in ctes):
+        return None
+    out = []
+    for n, b in ctes:
+        if n == site:
+            b = (f'SELECT * FROM ({b}) '
+                 f'WHERE hash("{key}") % {nb} = {i}')
+        out.append(f"{n} AS ({b})")
+    return "WITH " + ", ".join(out) + " " + final
+
+
+def digest_bucketed(con, oracle_sql, cols_types, key, nb, site=None):
     """The oracle digest computed bucket-by-bucket and combined —
     digests are abelian (count/sum add, xor xors), so slicing the
     oracle's OUTPUT rows on `hash(key) % nb` is exact for ANY column,
-    while a key that is the query's final window/group key lets DuckDB
+    while a key that is the query's final join/group key lets DuckDB
     push the slice through that operator and bound its state to ~1/nb
     of the frame per pass (the r13 verdict's key-range-bucketed
     compare: the 600-747M-row joins at k=1000 never materialize in one
-    hash table). Inputs are re-scanned nb times — scan bandwidth traded
-    for a fixed memory cap, on a once-per-round tool."""
+    hash table). For window-topped queries the slice is instead
+    injected at the declared partition-aligned CTE (`site`, from
+    ScaleGate.bucketSites — see slice_at_site). Inputs are re-scanned
+    nb times — scan bandwidth traded for a fixed memory cap, on a
+    once-per-round tool."""
     tot_n, tot_sum, tot_xor = 0, 0, 0
     for i in range(nb):
-        sliced = (f'SELECT * FROM ({oracle_sql}) '
-                  f'WHERE hash("{key}") % {nb} = {i}')
+        sliced = site and slice_at_site(oracle_sql, site, key, nb, i)
+        if sliced is None:
+            sliced = (f'SELECT * FROM ({oracle_sql}) '
+                      f'WHERE hash("{key}") % {nb} = {i}')
         n, s, x = digest(con, f"({sliced})", cols_types)
         tot_n += n
         tot_sum += s or 0
@@ -366,7 +397,7 @@ def materialize_ctes(con, name, oracle_sql, only=None):
 
 
 def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
-               n_buckets=1, drop_dump=None):
+               n_buckets=1, drop_dump=None, bucket_site=None):
     """DuckDB-side streaming compare; returns None on match, else a
     message (FAIL unless it starts with OK).
 
@@ -415,7 +446,7 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
                 only=None if mat == "1"
                 else [t.strip() for t in mat.split(",") if t.strip()])
         od = digest_bucketed(con, oracle_sql, o_cols, bucket_key,
-                             n_buckets) \
+                             n_buckets, site=bucket_site) \
             if n_buckets > 1 and bucket_key \
             else digest(con, f"({oracle_sql})", o_cols)
     finally:
@@ -481,6 +512,7 @@ def main():
         print(f"gate_meta: k={meta.get('k')} {tag}: "
               f"{', '.join(meta.get('gated', []))}")
         bucket_keys = meta.get("bucket_keys", {})
+        bucket_sites = meta.get("bucket_sites", {})
     # SPARK_GRAFT_ORACLE_BUCKETS=B (default 1 = single pass) slices
     # each oracle's digest into B hash-range passes over its declared
     # bucket key — the memory-capped mode for the k=1000 decade
@@ -529,7 +561,8 @@ def main():
         try:
             r = cmp_digest(con, name, glob_sql, oracles[name],
                            bucket_key=bucket_keys.get(name),
-                           n_buckets=n_buckets, drop_dump=drop)
+                           n_buckets=n_buckets, drop_dump=drop,
+                           bucket_site=bucket_sites.get(name))
         except Exception as e:
             r = f"ORACLE/DIGEST ERROR: {str(e).splitlines()[0][:200]}"
         flag = "PASS" if r is None or r.startswith("OK") else "FAIL"
