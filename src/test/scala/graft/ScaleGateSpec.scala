@@ -88,6 +88,22 @@ class ScaleGateSpec extends SparkSpecBase {
         s"bucket key for $n names a non-gated query"))
   }
 
+  test("bucket injection sites name a real CTE of a gated, bucketed " +
+      "query's oracle") {
+    ScaleGate.bucketSites.foreach { case (q, site) =>
+      assert(ScaleGate.gated.contains(q),
+        s"bucket site for $q names a non-gated query")
+      assert(ScaleGate.bucketKeys.contains(q),
+        s"bucket site for $q has no bucket key to inject")
+      val sql = SparkEntry.oracleSql(q)
+      // the comparator rewrites `site AS (` textually — the CTE must
+      // exist under exactly that name or the injection silently falls
+      // back to the output-level slice (correct but window-unpushed)
+      assert(sql.matches(s"(?s).*\\b$site\\s+AS\\s*\\(.*"),
+        s"$q: oracle has no CTE named $site")
+    }
+  }
+
   test("replica reuse refuses a k mismatch (and a markerless replica)") {
     val dir = java.nio.file.Files.createTempDirectory("replica-k")
     try {
