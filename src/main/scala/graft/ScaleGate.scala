@@ -100,7 +100,12 @@ object ScaleGate {
     * and the compare FAILs — it can never silently pass.
     */
   val bucketSites: Map[String, String] = Map(
-    "fs_merge_upsert" -> "unioned")
+    "fs_merge_upsert" -> "unioned",
+    // the islands window partitions by (doc_a, doc_b, diag) and the
+    // final GROUP BY starts with doc_a — slicing the pre-window
+    // self-join `p` on doc_a (= x.doc_id, the join's left side) is
+    // whole-partition for both
+    "docs_exact_substrings" -> "p")
 
   /** Key-bucket SHARDED dump forms (r14): the comparator digests are
     * abelian, so a query whose result can be sliced into exact
