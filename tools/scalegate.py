@@ -41,6 +41,13 @@ OUT = ROOT / "verify"
 # for the per-column diagnosis; above it the digest verdict stands
 FALLBACK_ROWS = 5_000_000
 
+# replica-reuse mode (see ScaleGate.scala): the materialized-oracle db
+# rides the replica's lifetime — kept and reused across reuse
+# invocations (a CTE whose effective SQL hash matches its registry
+# entry is not rebuilt; at k=1000 the es_docs rollup alone is ~19 min),
+# wiped with the replica on any fresh run
+REUSE = os.environ.get("SPARK_GRAFT_REUSE_REPLICA") == "1"
+
 
 def run_dump():
     # SPARK_GRAFT_SHARDS=S (>1) drives S sequential CHILD JVM passes:
@@ -348,17 +355,42 @@ def materialize_ctes(con, name, oracle_sql, only=None):
         return "WITH " + ", ".join(
             f"{n} AS ({b})" for n, b in keep) + " "
 
+    import hashlib
+    con.execute("CREATE TABLE IF NOT EXISTS _mat_registry"
+                "(name VARCHAR, hash VARCHAR)")
     for idx, (nm, body) in enumerate(ctes):
         if nm not in matset:
             continue
+        # cross-invocation reuse (REUSE mode): a stored table is valid
+        # iff its EFFECTIVE SQL (inline prefix + body — two oracles
+        # can declare different CTEs under one name, e.g. the two
+        # `roll` variants) hashes to its registry entry; a mismatch
+        # rebuilds under the same name
+        eff = f"{prefix(idx)}{body}"
+        h = hashlib.md5(eff.encode()).hexdigest()
+        if REUSE:
+            reg = con.execute(
+                "SELECT hash FROM _mat_registry WHERE name = ?",
+                [nm]).fetchone()
+            have = con.execute(
+                "SELECT count(*) FROM duckdb_tables() "
+                "WHERE table_name = ?", [nm]).fetchone()[0]
+            if reg and reg[0] == h and have:
+                created.append(nm)
+                print(f"  [{name}] cte {nm} reused from a previous "
+                      "invocation (effective-SQL hash match)",
+                      flush=True)
+                continue
         t0 = time.time()
         # a plain (file-backed) table, NOT a temp table: the connection
         # is opened on ROOT/oracle-mat.db, so the stored chain gets
         # DuckDB's real columnar compression (~20 B/row on the fs_base
         # corpus vs ~4x that in temp-storage blocks) — at k=1000 that
         # is the difference between ~16 GB and ~60 GB of held disk
-        con.execute(f'CREATE OR REPLACE TABLE "{nm}" AS '
-                    f"{prefix(idx)}{body}")
+        con.execute(f'DROP TABLE IF EXISTS "{nm}"')
+        con.execute("DELETE FROM _mat_registry WHERE name = ?", [nm])
+        con.execute(f'CREATE TABLE "{nm}" AS {eff}')
+        con.execute("INSERT INTO _mat_registry VALUES (?, ?)", [nm, h])
         created.append(nm)
         # liveness must count kept (INLINE) CTEs already passed, not
         # just remaining bodies: prefix() re-inlines every kept body
@@ -372,9 +404,14 @@ def materialize_ctes(con, name, oracle_sql, only=None):
         later = " ".join(b for n2, b in ctes if n2 not in matset) + \
             " " + " ".join(b for _, b in ctes[idx + 1:]) + " " + final
         dropped = False
-        for t in list(created):
+        # under REUSE, keep dead-chain tables too: a later invocation
+        # against the same replica may reuse them, and the db is wiped
+        # with the replica anyway
+        for t in ([] if REUSE else list(created)):
             if not _re.search(rf"\b{_re.escape(t)}\b", later):
                 con.execute(f'DROP TABLE IF EXISTS "{t}"')
+                con.execute(
+                    "DELETE FROM _mat_registry WHERE name = ?", [t])
                 created.remove(t)
                 dropped = True
         if dropped:
@@ -450,9 +487,12 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
             if n_buckets > 1 and bucket_key \
             else digest(con, f"({oracle_sql})", o_cols)
     finally:
-        for t in created:
+        # REUSE keeps the materialized chain for later invocations
+        # against the same replica (wiped with it on any fresh run)
+        for t in ([] if REUSE else created):
             con.execute(f'DROP TABLE IF EXISTS "{t}"')
-        if created:  # reclaim their blocks before the next query runs
+            con.execute("DELETE FROM _mat_registry WHERE name = ?", [t])
+        if created and not REUSE:  # reclaim blocks for the next query
             con.execute("CHECKPOINT")
     if sd[0] != od[0]:
         return f"ROWS {sd[0]} vs {od[0]}"
@@ -478,7 +518,9 @@ def main():
     # — always started fresh and removed on exit; an in-memory default
     # would silently fall back to temp tables
     matdb = ROOT / "oracle-mat.db"
-    matdb.unlink(missing_ok=True)
+    if not REUSE:  # the mat db rides the replica's lifetime
+        matdb.unlink(missing_ok=True)
+        Path(str(matdb) + ".wal").unlink(missing_ok=True)
     con = duckdb.connect(str(matdb))
     # the digest comparator is constant-space, but the ORACLE queries
     # themselves build hash joins/windows over the k-replica (33 GB
@@ -576,8 +618,9 @@ def main():
     print(f"== scalegate k={K}: {len(names) - n_fail}/{len(names)} "
           f"clean == (comparator peak RSS {rss_gb:.1f} GB)")
     con.close()
-    matdb.unlink(missing_ok=True)
-    Path(str(matdb) + ".wal").unlink(missing_ok=True)
+    if not REUSE:
+        matdb.unlink(missing_ok=True)
+        Path(str(matdb) + ".wal").unlink(missing_ok=True)
     if tmp.exists():  # drop any leftover spill before exiting
         shutil.rmtree(tmp, ignore_errors=True)
     sys.exit(1 if n_fail else 0)
