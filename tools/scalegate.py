@@ -544,7 +544,8 @@ def main():
         src = ROOT / "data" / f"{t}.parquet"
         glob = f"{src}/*.parquet" if src.is_dir() else str(src)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{glob}')")
     oracles = json.loads((OUT / "oracle_sql.json").read_text())
     meta_p = OUT / "gate_meta.json"
     bucket_keys = {}
