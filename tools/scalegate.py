@@ -348,8 +348,30 @@ def materialize_ctes(con, name, oracle_sql, only=None):
         matset &= live_names
     created = []
 
-    def prefix(upto):
+    def prefix(upto, target):
+        """WITH-prefix of kept (inline) CTEs for `target` (a CREATE
+        body or the final select) — restricted to CTEs the target
+        actually reaches, walking kept bodies only (a materialized
+        name resolves to its table and stops the walk). The pruning is
+        LOAD-BEARING, not cosmetic: DuckDB auto-materializes a CTE
+        referenced more than once, so a DEAD prefix entry that
+        re-references a live one (es_docs: `anc` references
+        `fs_entries` after `roll` is materialized) double-counts the
+        reference and DuckDB materialized the 747M-row fs_entries —
+        ~40 GB of temp and the second r16 ENOSPC."""
         keep = [(n, b) for n, b in ctes[:upto] if n not in matset]
+        if not keep:
+            return ""
+        kb = dict(keep)
+        need, frontier = set(), [target]
+        while frontier:
+            t = frontier.pop()
+            for n2, b2 in kb.items():
+                if n2 not in need and \
+                        _re.search(rf"\b{_re.escape(n2)}\b", t):
+                    need.add(n2)
+                    frontier.append(b2)
+        keep = [(n, b) for n, b in keep if n in need]
         if not keep:
             return ""
         return "WITH " + ", ".join(
@@ -366,7 +388,7 @@ def materialize_ctes(con, name, oracle_sql, only=None):
         # can declare different CTEs under one name, e.g. the two
         # `roll` variants) hashes to its registry entry; a mismatch
         # rebuilds under the same name
-        eff = f"{prefix(idx)}{body}"
+        eff = f"{prefix(idx, body)}{body}"
         h = hashlib.md5(eff.encode()).hexdigest()
         if REUSE:
             reg = con.execute(
@@ -430,11 +452,12 @@ def materialize_ctes(con, name, oracle_sql, only=None):
               f"{time.time() - t0:.1f} s (live: {created}, "
               f"db {db_gb:.1f} GB, temp-dir {tmp_gb:.1f} GB)",
               flush=True)
-    return prefix(len(ctes)) + final, created
+    return prefix(len(ctes), final) + final, created
 
 
 def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
-               n_buckets=1, drop_dump=None, bucket_site=None):
+               n_buckets=1, drop_dump=None, bucket_site=None,
+               recorded=None):
     """DuckDB-side streaming compare; returns None on match, else a
     message (FAIL unless it starts with OK).
 
@@ -444,9 +467,17 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
     the output-bucket predicate) and the dump cannot coexist under the
     k=1000 disk ceiling. Only taken for frames too large for the
     pandas fallback anyway (the fallback re-reads the dump)."""
-    sc = con.execute(f"DESCRIBE SELECT * FROM {spark_from}").fetchall()
+    # `recorded`: a sidecar digest persisted by a previous invocation
+    # whose ORACLE leg failed after DROP_AFTER_COMPARE deleted the dump
+    # — the spark side was already read and digested by this same tool,
+    # so a retry must not cost a multi-hundred-GB re-dump
+    if recorded is not None:
+        s_cols = sorted((c, t) for c, t in recorded["cols"])
+    else:
+        sc = con.execute(
+            f"DESCRIBE SELECT * FROM {spark_from}").fetchall()
+        s_cols = sorted((r[0], r[1]) for r in sc)
     oc = con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
-    s_cols = sorted((r[0], r[1]) for r in sc)
     o_cols = sorted((r[0], r[1]) for r in oc)
     if [c for c, _ in s_cols] != [c for c, _ in o_cols]:
         return (f"SCHEMA cols {[c for c, _ in s_cols]} vs "
@@ -458,10 +489,22 @@ def cmp_digest(con, name, spark_from, oracle_sql, bucket_key=None,
             # typed hash even when values match — fail it here too
             return (f"{n1}(DTYPE-DRIFT {t1} vs {t2} — pin the oracle "
                     "with CAST)")
-    sd = digest(con, spark_from, s_cols)
-    if drop_dump is not None and sd[0] > FALLBACK_ROWS:
+    if recorded is not None:
+        sd = (recorded["rows"], int(recorded["sum"]),
+              int(recorded["xor"]))
+        print(f"  [{name}] spark digest from sidecar {sd}", flush=True)
+    else:
+        sd = digest(con, spark_from, s_cols)
+    if recorded is None and drop_dump is not None \
+            and sd[0] > FALLBACK_ROWS:
+        # persist the digest BEFORE deleting the dump: a failed oracle
+        # leg can then retry with --skip-dump against the sidecar
+        (OUT / f"{name}.sparkdigest.json").write_text(json.dumps(
+            {"rows": sd[0], "sum": str(sd[1]), "xor": str(sd[2]),
+             "cols": s_cols}))
         print(f"  [{name}] spark digest captured {sd} — "
-              "dropping the dump before the oracle runs", flush=True)
+              "dropping the dump before the oracle runs "
+              "(digest persisted to sidecar)", flush=True)
         shutil.rmtree(drop_dump, ignore_errors=True)
     # the SPARK side is a plain parquet glob — one streaming aggregate,
     # constant space — so only the ORACLE (whose joins/windows carry
@@ -583,7 +626,13 @@ def main():
         # rglob: sharded dumps nest shard-i/ dirs under the query dir
         files = list((OUT / name).rglob("*.parquet")) \
             if (OUT / name).is_dir() else []
-        if not files:
+        sidecar = OUT / f"{name}.sparkdigest.json"
+        recorded = None
+        if not files and sidecar.exists():
+            recorded = json.loads(sidecar.read_text())
+            print(f"  [{name}] no dump on disk — retrying against the "
+                  f"persisted spark digest ({recorded['rows']} rows)")
+        elif not files:
             print(f"FAIL {name}: NO SPARK OUTPUT")
             n_fail += 1
             continue
@@ -599,13 +648,14 @@ def main():
         drop = (OUT / name) \
             if os.environ.get("SPARK_GRAFT_DROP_AFTER_COMPARE") == "1" \
             else None
-        nrows = con.execute(
+        nrows = recorded["rows"] if recorded else con.execute(
             f"SELECT count(*) FROM {glob_sql}").fetchone()[0]
         try:
             r = cmp_digest(con, name, glob_sql, oracles[name],
                            bucket_key=bucket_keys.get(name),
                            n_buckets=n_buckets, drop_dump=drop,
-                           bucket_site=bucket_sites.get(name))
+                           bucket_site=bucket_sites.get(name),
+                           recorded=recorded)
         except Exception as e:
             r = f"ORACLE/DIGEST ERROR: {str(e).splitlines()[0][:200]}"
         flag = "PASS" if r is None or r.startswith("OK") else "FAIL"
@@ -615,6 +665,8 @@ def main():
               f"[compare {time.time() - t0:.1f} s]", flush=True)
         if drop is not None and flag == "PASS" and drop.is_dir():
             shutil.rmtree(drop, ignore_errors=True)
+        if flag == "PASS":
+            sidecar.unlink(missing_ok=True)
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"== scalegate k={K}: {len(names) - n_fail}/{len(names)} "
           f"clean == (comparator peak RSS {rss_gb:.1f} GB)")
