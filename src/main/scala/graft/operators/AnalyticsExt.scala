@@ -487,26 +487,39 @@ object AnalyticsExt {
     * triple in the driver schema).
     */
   def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE pass over lineitem⋈orders instead of two (guide §1.2 "remove
+    // unnecessary passes"; the old shape joined lineitem to F-orders
+    // once for the per-order stats and AGAIN for the R-line probe side,
+    // then joined the two — three corpus-keyed exchanges). The EXISTS /
+    // NOT-EXISTS pair collapses into the same per-order aggregate that
+    // already computes nsupp: an order qualifies iff it has ≥2 distinct
+    // suppliers and EXACTLY ONE distinct supplier among its R lines —
+    // `min == max` over the R-line supplier keys (null-safe: no R lines
+    // → both null → the === filter rejects, one Expand branch cheaper
+    // than a second countDistinct). All of that order's R lines then
+    // belong to that single supplier, so numwait per supplier is the
+    // SUM of qualifying orders' R-line counts — no join back to the
+    // line level at all.
     val fLines = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
       .join(Tables(spark, sfDir, "orders")
           .filter(col("o_orderstatus") === "F").select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"))
-    val orderStats = fLines
-      .groupBy(col("l_orderkey").as("st_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("nsupp_r"))
+    val rSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
     fLines
-      .filter(col("l_returnflag") === "R")
-      .join(orderStats, col("l_orderkey") === col("st_orderkey"))
-      .filter(col("nsupp") >= 2 && col("nsupp_r") === 1)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        min(rSupp).as("r_min"), max(rSupp).as("r_max"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("r_lines"))
+      .filter(col("nsupp") >= 2 && col("r_min") === col("r_max"))
       .join(Tables(spark, sfDir, "supplier"),
-        col("l_suppkey") === col("s_suppkey"))
+        col("r_max") === col("s_suppkey"))
       .join(broadcast(Tables(spark, sfDir, "nation")
           .filter(col("n_name") === "NATION_13")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("r_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

@@ -212,6 +212,37 @@ object FsOps {
     * DuckDB's generate_series(2, 1) is empty (same trap as
     * TextOps.shingles).
     */
+  /** Scale-adaptive join-strategy pick for a BUILD side that is derived
+    * from the corpus (guide §3.1 "pick the strategy deliberately"): a
+    * links table or per-directory rollup grows with the corpus, so a
+    * fixed strategy is wrong at one end or the other — broadcast blows
+    * memory at the 100 TB gate, while a hinted shuffle pays two corpus
+    * exchanges at bench scale for a build side of a few MB. Decide from
+    * the INPUT size (one driver-side metadata call on the scale
+    * factor's lineitem table, the corpus anchor every derived frame is
+    * proportional to): inputs under `spark.graft.broadcast.inputBytesMax`
+    * (default 64 MB of parquet ≈ sf 0.5, build sides well under the
+    * 8 GB broadcast cap) broadcast and every corpus-sized exchange on
+    * the probe side disappears; anything larger — and anything whose
+    * size cannot be read — keeps the shuffle_hash plan the k=1000 gate
+    * dumps validated (SHJ streams the probe unsorted; SMJ sorted the
+    * corpus twice there). Never cached: the decision re-reads the
+    * actual input each planning, so a grown corpus flips strategy by
+    * itself.
+    */
+  private def adaptiveBuild(spark: SparkSession, sfDir: String)(
+      build: DataFrame): DataFrame = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue }
+    val max = spark.conf
+      .get("spark.graft.broadcast.inputBytesMax", (64L << 20).toString)
+      .toLong
+    if (bytes <= max) broadcast(build) else build.hint("shuffle_hash")
+  }
+
   private[graft] def ancestorSizePairs(files: DataFrame): DataFrame = {
     val depth = length(col("filepath")) -
       length(regexp_replace(col("filepath"), "/", ""))
@@ -226,13 +257,15 @@ object FsOps {
 
   def dirRollupExplode(spark: SparkSession, sfDir: String): DataFrame = {
     val e = SyntheticFs.entries(spark, sfDir)
-    val perDir = ancestorSizePairs(e.filter(col("type") === "file"))
-      .groupBy("directory_path")
-      .agg(sum("size_bytes").as("sz"), count(lit(1)).as("fc"))
+    val perDir = rollupOf(e.filter(col("type") === "file"))
     e.filter(col("type") === "directory")
       .select(col("filepath").as("directory_path"))
       // shuffle_hash: the rollup aggregate is the narrow build side;
-      // the dir frame streams unsorted (SMJ sorted both at k=1000)
+      // the dir frame streams unsorted (SMJ sorted both at k=1000).
+      // NOT adaptive-broadcast like esDocs' enrichment joins: the probe
+      // side here is the dir frame itself (~2.7 MB at sf0.1), so a
+      // broadcast saves one tiny exchange and pays a driver collect of
+      // the |dirs|-row aggregate — measured a wash-to-loss at sf0.1.
       .join(perDir.hint("shuffle_hash"), Seq("directory_path"), "left")
       .select(col("directory_path"),
         coalesce(col("sz"), lit(0L)).cast("long").as("total_size"),
@@ -371,6 +404,18 @@ object FsOps {
     * the from-scratch form of the snapshot the incremental folds
     * maintain. Shared by the synthetic fixtures and the pipeline's
     * stored dirSizes ([[graft.pipeline.Indexer]]).
+    *
+    * MEASURED NEGATIVE (r16): a two-phase variant — collapse to one
+    * (leaf dir, sum, count) row first, explode only the per-leaf
+    * aggregates up the ancestor chain — cut the aggregate's exchange
+    * 20.9 → 13.7 MB at sf0.1 but COST more CPU than it saved (leaf
+    * extraction 17.3 vs 9.6 CPU-s for the one-phase explode+partial-agg
+    * stage; query wall 1.10 → 1.34 s, and the indexer's publish leg
+    * slowed with it). The partial aggregation already bounds the
+    * exchange at O(dirs-per-task × depth) rows, so the explode factor
+    * never reaches the wire — only per-row CPU was at stake, and the
+    * one-phase chain (explode + substring_index, whole-stage codegen)
+    * is the cheaper per-row program. Kept one-phase on that evidence.
     */
   private[graft] def rollupOf(files: DataFrame): DataFrame =
     ancestorSizePairs(files)
@@ -458,16 +503,34 @@ object FsOps {
       // so the BNLJ's O(dirs × entries) predicate does no per-pair concat
       .select(col("filepath").as("dpath"),
         concat(col("filepath"), lit("/")).as("dslash"))
-    val f = e.select(col("filepath").as("fpath"), col("type").as("ftype"),
-      col("size_bytes").as("fsize"))
+    // PRE-AGGREGATE below the theta join (guide §2.3 "aggregate before
+    // you shuffle", applied to a join): the conditional SUM/COUNT only
+    // depend on each entry's depth-1 prefix, so collapse the corpus to
+    // one partial row per (depth-1 prefix) FIRST — a map-side-combinable
+    // hash aggregate — and feed the 25-row theta join ~25 aggregated
+    // rows instead of every entry. The raw form evaluated the
+    // O(dirs × entries) BNLJ predicate 25 × 780k times (measured 80
+    // CPU-s at sf0.1 — the most expensive stage in the headline set);
+    // this form pays one corpus pass + a 25×25 BNLJ, keeping the
+    // reference's LEFT-theta-join shape (and its unmatched-dir → 0
+    // semantics) bit-identically: every entry's depth-1 prefix either
+    // equals a d1 path (the dpath self-match row contributes its own
+    // dir row: type≠'file' → both aggregates ignore it, exactly as
+    // before) or prefix-matches it, and no entry matches two d1 rows.
+    val f = e.select(
+        expr("substring_index(filepath, '/', 2)").as("fprefix"),
+        col("type").as("ftype"), col("size_bytes").as("fsize"))
+      .groupBy("fprefix")
+      .agg(
+        sum(when(col("ftype") === "file", col("fsize"))).as("psize"),
+        sum(when(col("ftype") === "file", 1L).otherwise(0L)).as("pcount"))
     broadcast(d1)
-      .join(f, col("fpath") === col("dpath") ||
-        col("fpath").startsWith(col("dslash")), "left")
+      .join(f, col("fprefix") === col("dpath") ||
+        col("fprefix").startsWith(col("dslash")), "left")
       .groupBy(col("dpath"))
       .agg(
-        coalesce(sum(when(col("ftype") === "file", col("fsize"))), lit(0L))
-          .cast("long").as("total_size"),
-        sum(when(col("ftype") === "file", 1L).otherwise(0L)).as("file_count"))
+        coalesce(sum(col("psize")), lit(0L)).cast("long").as("total_size"),
+        coalesce(sum(col("pcount")), lit(0L)).as("file_count"))
       .select(col("dpath").as("directory_path"), col("total_size"),
         col("file_count"))
       .orderBy("directory_path")
@@ -687,7 +750,11 @@ object FsOps {
     val indexed = SyntheticFs.files(spark, sfDir)
     val current = indexed.filter(col("l_orderkey") % 11 =!= 0)
       .select("relative_path")
-    indexed.join(current, Seq("relative_path"), "left_anti")
+    // the current-scan key set is the anti-join's build side: broadcast
+    // at bench scale (one exchange saved on each side), hashed shuffle
+    // at gate scale where the key set is corpus-sized
+    indexed.join(adaptiveBuild(spark, sfDir)(current),
+        Seq("relative_path"), "left_anti")
       .select("relative_path")
       .orderBy("relative_path")
   }
@@ -954,19 +1021,30 @@ object FsOps {
         col("modified_time"))
     val links = SyntheticFs.directLinks(spark, sfDir)
       .select(col("file_id"), col("direct_link").as("dl"))
-    val sizes = dirRollupExplode(spark, sfDir)
-      .select(col("directory_path"), col("total_size"))
-    // shuffle_hash on the BUILD sides: both enrichment joins planned
-    // SortMergeJoin by default, which sorts the corpus-sized probe
-    // side TWICE on the publish path (the r14 k=1000 dumps spill
-    // exactly there). The build sides are narrow — links (file_id,
-    // dl) and the per-directory rollup — so a per-task hash table is
-    // tens of MB at gate partitioning while the probe side streams
-    // unsorted. At 100 TB the same join keys are the store's bucket
-    // columns and the exchanges drop out entirely.
-    e.join(links.hint("shuffle_hash"),
+    // per-directory totals straight from the two-phase rollup core —
+    // the dirRollupExplode QUERY additionally left-joins the dir
+    // universe to emit 0-rows for dirs with no rollup entry, but this
+    // join's own LEFT + the post-join coalesce(total_size, 0) below
+    // already give exactly that, so going through it paid one join and
+    // an exchange for nothing
+    val sizes = rollupOf(
+        SyntheticFs.entries(spark, sfDir).filter(col("type") === "file"))
+      .select(col("directory_path"), col("sz").as("total_size"))
+    // BUILD-side strategy is scale-adaptive ([[adaptiveBuild]]): both
+    // enrichment joins planned SortMergeJoin by default, which sorts
+    // the corpus-sized probe side TWICE on the publish path (the r14
+    // k=1000 dumps spill exactly there). The build sides are narrow —
+    // links (file_id, dl) and the per-directory rollup — so at bench
+    // scale they BROADCAST (zero probe-side exchange; the r16 probe
+    // measured 80.6 of this query's 82.7 shuffle MB on these two
+    // joins), while at gate scale they keep the shuffle_hash plan the
+    // k=1000 dumps validated (per-task hash tables of tens of MB, the
+    // probe streams unsorted). At 100 TB the same join keys are the
+    // store's bucket columns and the exchanges drop out entirely.
+    val build = adaptiveBuild(spark, sfDir) _
+    e.join(build(links),
         sha2(col("filepath"), 256) === col("file_id"), "left")
-      .join(sizes.hint("shuffle_hash"),
+      .join(build(sizes),
         col("filepath") === col("directory_path"), "left")
       .select(
         expr("substring(filepath, 2)").as("relative_path"),
@@ -1018,12 +1096,30 @@ object FsOps {
     * sort.
     */
   def staleLinks(spark: SparkSession, sfDir: String): DataFrame = {
+    // project the probe side to the three columns the page needs BEFORE
+    // the join (guide §2.3 — the cached files frame is 14 columns wide;
+    // the unprojected join exchanged 58.7 MB at sf0.1 where ~15 MB of
+    // key+page columns suffice)
     val f = SyntheticFs.files(spark, sfDir)
+      .select("id", "relative_path", "modified_time")
     val links = SyntheticFs.directLinks(spark, sfDir)
       .select("file_id", "last_updated")
     val w = Window.orderBy(col("modified_time").desc, col("relative_path"))
-    f.join(links, col("id") === col("file_id"), "left")
+    // links is the corpus-proportional build side: broadcast at bench
+    // scale (drops the probe-side exchange), shuffle at gate scale
+    f.join(adaptiveBuild(spark, sfDir)(links),
+        col("id") === col("file_id"), "left")
       .filter(col("file_id").isNull || col("last_updated") < col("modified_time"))
+      // page rows 101-200 of a UNIQUE total order (relative_path breaks
+      // ties): the first 200 rows are exactly rows 1-200, so take them
+      // with a top-k heap (TakeOrderedAndProject — per-partition heaps,
+      // one tiny driver merge) and row-number only those 200, instead
+      // of single-task-sorting every pending row through a global
+      // window (guide §2.4: an orderBy used only to number rows the
+      // query then drops). The LIMIT/OFFSET pagination *semantics* are
+      // unchanged — this is the same page the reference serves.
+      .orderBy(col("modified_time").desc, col("relative_path"))
+      .limit(200)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 100 && col("rn") <= 200)
       .select(col("relative_path"), col("modified_time"),
@@ -1051,10 +1147,12 @@ object FsOps {
     */
   def staleLinksKeyset(spark: SparkSession, sfDir: String): DataFrame = {
     val f = SyntheticFs.files(spark, sfDir)
+      .select("id", "relative_path", "modified_time")
     val links = SyntheticFs.directLinks(spark, sfDir)
       .select("file_id", "last_updated")
     val cursorTs = lit("1997-06-01 00:00:00").cast("timestamp")
-    f.join(links, col("id") === col("file_id"), "left")
+    f.join(adaptiveBuild(spark, sfDir)(links),
+        col("id") === col("file_id"), "left")
       .filter(col("file_id").isNull ||
         col("last_updated") < col("modified_time"))
       .filter(col("modified_time") < cursorTs)

@@ -881,9 +881,17 @@ object TextOps {
     // eager localCheckpoint: every contraction round's plan embeds
     // `edges`, so a cache would drag the ENTIRE minhash-pipeline
     // logical plan through analysis once per round — checkpointing
-    // pins just the rows
-    val edges = pairs
-      .union(pairs.select(col("b_id"), col("a_id")))
+    // pins just the rows.
+    // Checkpoint the PAIR set BEFORE the symmetric union: the two
+    // union branches are otherwise two whole copies of the upstream
+    // pair pipeline (only the shingle frame is cached, not the band
+    // join / jaccard verify), so one action evaluated the banded
+    // MinHash pipeline TWICE — measured 33.5 vs 14.3 CPU-s on the
+    // docs_neardup_clusters probe before/after (guide §2.4: remove
+    // duplicated subtrees before removing shuffles).
+    val p = pairs.localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .localCheckpoint(true)
     // The checkpoint materialized the edge set, so its size is known for
@@ -906,8 +914,11 @@ object TextOps {
     * bounds logarithmically.
     */
   private[graft] def componentsFixpoint(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("b_id"), col("a_id")))
+    // same single-evaluation discipline as [[components]]: checkpoint
+    // the pair set before the symmetric union doubles its plan
+    val p = pairs.localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
       .localCheckpoint(true)
     // Iterate to FULL convergence: labels are monotonically decreasing,
