@@ -231,9 +231,19 @@ object FsOps {
     * itself.
     */
   private def adaptiveBuild(spark: SparkSession, sfDir: String)(
-      build: DataFrame): DataFrame = {
+      build: DataFrame): DataFrame =
+    adaptiveBuildBy(spark, s"$sfDir/lineitem.parquet")(build)
+
+  /** [[adaptiveBuild]] keyed on an arbitrary corpus-anchor path (the
+    * pipeline uses its snapshot-store root): broadcast when the anchor's
+    * on-disk bytes are under `spark.graft.broadcast.inputBytesMax`
+    * (64 MB default), hinted shuffle_hash otherwise or when the size
+    * cannot be read.
+    */
+  private[graft] def adaptiveBuildBy(spark: SparkSession,
+      anchorPath: String)(build: DataFrame): DataFrame = {
     val bytes = try {
-      val p = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+      val p = new org.apache.hadoop.fs.Path(anchorPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
     } catch { case _: Throwable => Long.MaxValue }

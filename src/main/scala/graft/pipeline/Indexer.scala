@@ -291,14 +291,17 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
   private def buildDocs(current: DataFrame, sizes: DataFrame,
       links: DataFrame): DataFrame = {
     val iso = "yyyy-MM-dd'T'HH:mm:ss"
+    // scale-adaptive build sides (rollup totals, link columns), anchored
+    // on the snapshot store's on-disk size: broadcast under the
+    // threshold (the doc stream then pays ZERO exchanges before the
+    // sink), hinted shuffle_hash above it — the corpus-sized doc stream
+    // must never be sorted on the publish path, same plan discipline as
+    // FsOps.esDocs
+    val build = graft.operators.FsOps
+      .adaptiveBuildBy(current.sparkSession, cfg.indexRoot) _
     current
-      // shuffle_hash build on the narrow sides (rollup totals, link
-      // columns): the corpus-sized doc stream must never be sorted on
-      // the publish path — same plan discipline as FsOps.esDocs
-      .join(sizes.hint("shuffle_hash"),
-        col("filepath") === col("dp"), "left")
-      .join(links.hint("shuffle_hash"),
-        col("id") === col("file_id"), "left") // J8
+      .join(build(sizes), col("filepath") === col("dp"), "left")
+      .join(build(links), col("id") === col("file_id"), "left") // J8
       .select(
         col("id"), col("relative_path"), col("filepath"), col("name"),
         col("type"), col("extension"), col("checksum"),
@@ -731,6 +734,17 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     r
   }
 
+  /** Label the jobs of one pipeline step (optimization guide §1.5 —
+    * job descriptions are thread-local, so concurrent steps label
+    * correctly); always restored so callers' own labels survive.
+    */
+  private def step[T](spark: SparkSession, name: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"indexer: $name")
+    try body finally sc.setJobDescription(prev)
+  }
+
   def run(spark: SparkSession): RunReport = {
     val t0 = System.nanoTime()
     val listing = FsListing.list(spark, cfg.rootPath, cfg.skipPatterns,
@@ -771,12 +785,14 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // deletion anti-join and the rollup maintainer's diff below —
     // both lazy — so the consumed log's files must outlive them; the
     // sweep runs at the end of this method.
-    val snapId = idx.writeKeepingLog(previous match {
-      case None => entries
-      case Some(prev) =>
-        Merge.mergeReconcile(prev, entries, "relative_path",
-          "modified_time")
-    })
+    val snapId = step(spark, "scan + merge + snapshot write") {
+      idx.writeKeepingLog(previous match {
+        case None => entries
+        case Some(prev) =>
+          Merge.mergeReconcile(prev, entries, "relative_path",
+            "modified_time")
+      })
+    }
     // Deletion set AFTER the write, for two reasons: (a) the write is
     // then the FIRST action on the observed scan, so the run counters
     // report real values even when AQE prunes the scan out of an
@@ -785,8 +801,10 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // the lazy plan's lineage before those files are eventually pruned
     // (deltas are small; cheap even at scale).
     val removedIds: Option[DataFrame] = previous.map(prev =>
-      prev.join(entries, Seq("relative_path"), "left_anti").select("id")
-        .localCheckpoint(true))
+      step(spark, "deletion reconcile") {
+        prev.join(entries, Seq("relative_path"), "left_anti").select("id")
+          .localCheckpoint(true)
+      })
     val removedCount = removedIds.map(_.count()).getOrElse(0L)
 
     // ES publish (elasticsearch mode): direct-link refresh (the
@@ -810,36 +828,61 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         // instead of rewriting the snapshot — write cost ∝ stale set,
         // not links-store size (LinkRefreshSpec pins equivalence with
         // the copy-on-write twin)
-        val nLinks = (cfg.getDirectLinks, linkFetch) match {
-          case (true, Some(fetch)) =>
-            LinkRefresh.refreshIndexMor(spark,
-              current.filter(col("type") === "file"), linksIdx, fetch,
-              skipPatterns = cfg.skipPatterns)
-          case _ => 0L
+        // Link refresh and rollup maintenance are INDEPENDENT (disjoint
+        // stores; both only read `current`), so their jobs run
+        // concurrently from two driver threads (guide §2.6 "overlap
+        // independent jobs"): the scheduler back-fills one step's
+        // straggler tail with the other's tasks. Job labels stay
+        // correct — `step` sets the THREAD-local description inside
+        // each future. Await rethrows the first failure, preserving
+        // the sequential error contract.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val linksF = Future {
+          val n = (cfg.getDirectLinks, linkFetch) match {
+            case (true, Some(fetch)) => step(spark, "link refresh") {
+              LinkRefresh.refreshIndexMor(spark,
+                current.filter(col("type") === "file"), linksIdx, fetch,
+                skipPatterns = cfg.skipPatterns)
+            }
+            case _ => 0L
+          }
+          // manifest snapshot AFTER the refresh's append, inside the
+          // same future — the read must see this run's batch
+          val frame = LinkRefresh.align(
+            LinkRefresh.readLinksMor(spark, linksIdx).getOrElse(
+              LinkRefresh.emptyLinks(spark)))
+            .select(col("file_id"), col("direct_link").as("dl"),
+              col("fsentry_id").as("fse"),
+              col("api_creation_time").as("act"),
+              col("api_modified_time").as("amt"))
+          (n, frame)
         }
-        val links = LinkRefresh.align(
-          LinkRefresh.readLinksMor(spark, linksIdx).getOrElse(
-            LinkRefresh.emptyLinks(spark)))
-          .select(col("file_id"), col("direct_link").as("dl"),
-            col("fsentry_id").as("fse"),
-            col("api_creation_time").as("act"),
-            col("api_modified_time").as("amt"))
         // sizes from the MAINTAINED rollup snapshot: incremental fold
         // of the merge's own change feed when valid, recompute
         // otherwise — never the per-run ancestor explode by default
-        val sizes = dirSizesMaintained(spark, idx, previous, current,
-            prevCorpusToken)
-          .select(col("directory_path").as("dp"),
+        val sizesF = Future {
+          step(spark, "dirSizes rollup maintenance") {
+            dirSizesMaintained(spark, idx, previous, current,
+              prevCorpusToken)
+          }.select(col("directory_path").as("dp"),
             col("sz").as("total_size"))
+        }
+        val (nLinks, links) = Await.result(linksF, Duration.Inf)
+        val sizes = Await.result(sizesF, Duration.Inf)
         val docs = buildDocs(current, sizes, links)
-        val s = sink.bulkIndex(docs, cfg.esIndex, "id")
+        val s = step(spark, "publish: bulk index") {
+          sink.bulkIndex(docs, cfg.esIndex, "id")
+        }
         // delete failures count toward esFailed — a rejected deletion
         // leaves a stale searchable document the next run's anti-join
         // will NOT retry, so it must be visible in the run report
         val delFailed =
           if (removedCount > 0)
-            removedIds.map(sink.bulkDelete(_, cfg.esIndex, "id").failed)
-              .getOrElse(0L)
+            removedIds.map(ids => step(spark, "publish: bulk delete") {
+              sink.bulkDelete(ids, cfg.esIndex, "id").failed
+            }).getOrElse(0L)
           else 0L
         // the full publish IS the watermark's definition — ES saw the
         // whole resolved corpus; advance only on a clean send so a
