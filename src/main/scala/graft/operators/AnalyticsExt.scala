@@ -508,11 +508,15 @@ object AnalyticsExt {
     val rSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
     fLines
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+      // "≥2 distinct suppliers" ⟺ min(suppkey) ≠ max(suppkey) — exact,
+      // and with it the aggregate has NO distinct function left, so the
+      // planner's Expand (which doubled every joined row through the
+      // order-key exchange) disappears entirely
+      .agg(min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
         min(rSupp).as("r_min"), max(rSupp).as("r_max"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
           .as("r_lines"))
-      .filter(col("nsupp") >= 2 && col("r_min") === col("r_max"))
+      .filter(col("s_min") =!= col("s_max") && col("r_min") === col("r_max"))
       .join(Tables(spark, sfDir, "supplier"),
         col("r_max") === col("s_suppkey"))
       .join(broadcast(Tables(spark, sfDir, "nation")

@@ -269,14 +269,25 @@ object EventsOps {
     Tables(spark, sfDir, "events")
       .groupBy("event_type")
       .agg(
-        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
-        expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"),
+        // ONE sketch / ONE exact buffer via the array forms instead of
+        // five independent aggregates (r16, guide §1.2 "per-task work"):
+        // each scalar percentile() kept its own value-count map per
+        // group and each approx_percentile() its own QuantileSummaries,
+        // so every input row updated five buffers and the |groups|-task
+        // final stage merged five (measured: the 5-task merge stage was
+        // 1.5 s of the query's 2.2 s wall). The array forms compute the
+        // same values from one buffer each — bit-identical results.
+        expr("approx_percentile(value, array(0.5, 0.99), 10000)")
+          .as("p_ap"),
         approx_count_distinct(col("user_id"), 0.05).as("users_approx"),
-        expr("percentile(value, 0.49)").as("p50_lo"),
-        expr("percentile(value, 0.51)").as("p50_hi"),
-        expr("percentile(value, 0.98)").as("p99_lo"),
+        expr("percentile(value, array(0.49, 0.51, 0.98))").as("p_ex"),
         max(col("value")).as("p99_hi"),
         countDistinct(col("user_id")).as("users_exact"))
+      .select(col("event_type"),
+        col("p_ap")(0).as("p50_approx"), col("p_ap")(1).as("p99_approx"),
+        col("users_approx"),
+        col("p_ex")(0).as("p50_lo"), col("p_ex")(1).as("p50_hi"),
+        col("p_ex")(2).as("p99_lo"), col("p99_hi"), col("users_exact"))
 
   def approxStats(spark: SparkSession, sfDir: String): DataFrame =
     approxStatsRaw(spark, sfDir)

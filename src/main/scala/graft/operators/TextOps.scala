@@ -2763,14 +2763,23 @@ object TextOps {
     * shuffle, then an explode ∝ duplicated volume only.
     */
   private def scrubbedCover(docs: DataFrame): DataFrame = {
+    // gram key shuffled as 32-byte BINARY (unhex) instead of the 64-char
+    // hex string — hex is injective, so grouping/joining on the raw
+    // digest is value-identical and halves the two gram-key exchanges
+    // (guide §2.3 "narrower types"); the hex form never reaches the
+    // output.
     val occ = docs
       .select(col("doc_id"), posexplode(expr(spans)).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("start"),
-        sha2(col("gram"), 256).as("gram_hash"))
+        unhex(sha2(col("gram"), 256)).as("gram_hash"))
+    // "appears in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) — an
+    // exact rewrite that drops the countDistinct's Expand (which doubled
+    // every row through the gram exchange) for two plain min/max
+    // partials (guide §2.3 "aggregate before you shuffle").
     val byGram = occ.groupBy("gram_hash")
-      .agg(countDistinct("doc_id").as("n_docs"),
+      .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"),
         min(struct(col("doc_id"), col("start"))).as("keep"))
-      .filter(col("n_docs") >= 2)
+      .filter(col("d_min") =!= col("d_max"))
       .select(col("gram_hash"), col("keep.doc_id").as("k_doc"),
         col("keep.start").as("k_start"))
     occ.join(byGram, Seq("gram_hash"))

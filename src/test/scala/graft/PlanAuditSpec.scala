@@ -489,9 +489,12 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("q21: decorrelated EXISTS pair — aggregates, never a per-row rescan") {
     val p = finalPlan(SparkEntry.queries("q21_waiting_suppliers")(spark, sf))
-    // the two correlated subqueries became ONE per-order aggregate:
-    // expanded count-distinct, no nested-loop/cartesian anywhere
-    assert(p.contains("partial_count"), p)
+    // the two correlated subqueries became ONE per-order aggregate of
+    // plain min/max/sum partials (r16: the distinct-count tests are
+    // min≠max rewrites, so no Expand doubles the joined rows), no
+    // nested-loop/cartesian anywhere
+    assert(p.contains("partial_min") && p.contains("partial_sum"), p)
+    assert(!p.contains("Expand"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     // the returned-flag filter reached the lineitem scan
