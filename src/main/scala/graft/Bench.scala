@@ -482,9 +482,22 @@ object Bench {
     // capture is co-tenant-contended — take min-of-3 per query and
     // self-flag the JSON as noisy so the reader (and the judge) can
     // adjudicate from the raw runs without re-benching.
-    val noisy = startLoad > Runtime.getRuntime.availableProcessors / 4.0
-    if (noisy) System.err.println(
+    val startNoisy = startLoad > Runtime.getRuntime.availableProcessors / 4.0
+    if (startNoisy) System.err.println(
       s"[bench] NOISY capture: loadavg $startLoad at start; min-of-3")
+    // MID-RUN noise gate (r16 verdict "Next round #1": the r16 capture
+    // started at loadavg 3.17 — under the start gate — and climbed to
+    // 16.87 mid-run, so the whole capture self-reported `noisy: false`
+    // while every wall-clock number was contaminated). The bench's own
+    // 32-thread queries legitimately push the 1-min load toward the
+    // core count, so the mid-run escalation threshold is cpus/2 —
+    // self-load from sub-second sf0.1 queries with settle sleeps
+    // between them stays well under it; a co-tenant burst does not.
+    // Sampled BEFORE each query: over the threshold, that query runs
+    // min-of-3 (not just tripwired ones), and the capture-wide peak is
+    // reported so a reader sees load that arrived mid-run.
+    val midGate = Runtime.getRuntime.availableProcessors / 2.0
+    var peakLoad = startLoad
     // per-query noise tripwire ([[prevBenchTimes]] doc): when a query's
     // min exceeds 2× its previous round's time, take up to two extra
     // timed runs hunting a quiet window, and if it STAYS over 2×,
@@ -495,10 +508,16 @@ object Bench {
       .empty[String, (Double, Double, Int)]
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
+      val preLoad = loadavg1m
+      peakLoad = math.max(peakLoad, preLoad)
+      val midNoisy = preLoad > midGate
+      if (midNoisy) System.err.println(
+        f"[bench] mid-run load $preLoad%.2f > $midGate%.1f before " +
+          s"$name — min-of-3 for this query")
       val r = try {
         var (sec, chk, runs, mv) =
           timedMinOf2(() => checksum(fn(spark, benchDir)),
-            minOf = if (noisy) 3 else 2)
+            minOf = if (startNoisy || midNoisy) 3 else 2)
         val prev = prevTimes.get(name)
         var extra = 0
         while (prev.exists(p => sec > 2 * p) && extra < 2) {
@@ -546,12 +565,27 @@ object Bench {
     // 1-min load average at capture time lets a reader adjudicate
     // without re-running (loadavg >> cores => numbers are not clean)
     val loadavg = loadavg1m
+    peakLoad = math.max(peakLoad, loadavg)
+    // the capture-wide flag now folds in the PEAK of the per-query
+    // samples, not just the start sample (r16's gate said "quiet" for a
+    // capture that peaked at 16.87) — peak past cpus/2 marks the whole
+    // capture, since any query after the burst may be contaminated
+    val noisy = startNoisy || peakLoad > midGate
     // still-over-2x-after-retries lines, with the evidence inline
     val flagJson = flags.map { case (n, (p, m, e)) =>
       s""""$n":{"prev":${"%.3f".format(p)},"min":${"%.3f".format(m)},"extra_runs":$e}"""
     }.mkString("{", ",", "}")
+    // FIELD ORDER is load-bearing (r16 verdict "Next round #2"): the
+    // driver keeps only the TAIL of this line, and r15's capture lost
+    // its round-over-round compare because front-truncation ate the
+    // head of the `queries` object. The multi-KB diagnostic objects
+    // (query_runs, query_move_mb) now sit FIRST so truncation eats
+    // their head while `queries` — the per-query mins the next round's
+    // compare needs — rides at the back, inside any plausible capture
+    // budget. The same complete line is also written to
+    // target/bench.json, which never truncates.
     val json =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"query_runs":$runsJson,"query_move_mb":$moveJson,"query_flags":$flagJson,"failed":$failed,"resharded":${benchDir != sfDir},"stage_sec":${"%.3f".format(stageSec)},"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"loadavg_1m":$loadavg,"loadavg_start":$startLoad,"noisy":$noisy,"cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","query_runs":$runsJson,"query_move_mb":$moveJson,"query_flags":$flagJson,"failed":$failed,"resharded":${benchDir != sfDir},"stage_sec":${"%.3f".format(stageSec)},"scan_files":$scanned,"scan_files_per_sec":${"%.0f".format(fps)},"pipeline_files_per_sec":${"%.0f".format(pipeFps)},"pipeline_es_files_per_sec":${"%.0f".format(esFps)},"loadavg_1m":$loadavg,"loadavg_start":$startLoad,"loadavg_peak":${"%.2f".format(peakLoad)},"noisy":$noisy,"cpus":${Runtime.getRuntime.availableProcessors},"queries":$qJson,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     println(json)
