@@ -790,16 +790,37 @@ object EventsOps {
   // -------------------------------------------------------------------- //
 
   def userQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val totals = Tables(spark, sfDir, "events")
       .groupBy("user_id")
       .agg(round(sum(col("value").cast("decimal(12,2)")), 2).cast("double")
         .as("total"))
-    val w = Window.orderBy(col("total").desc, col("user_id"))
-    totals
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+    // r17 (guide §2): the global ntile/percent_rank/cume_dist window —
+    // a single-partition sort of the per-user frame — is replaced by
+    // the range-exchange position core. Over the UNIQUE total order
+    // (total DESC, user_id) every row is its own peer group, so rank =
+    // row position and all three window functions are pure arithmetic
+    // in (pos, N), bit-identical to the window forms:
+    //   ntile(k): the first (N mod k) tiles hold ceil(N/k) rows, the
+    //   rest floor(N/k) — exactly Spark's NTile split;
+    //   percent_rank = (pos-1)/(N-1), defined 0.0 at N=1;
+    //   cume_dist   = pos/N.
+    // N rides along from the core's own per-partition counts collect.
+    val (pos, n) = TextOps.rangedPositionsCols(spark, totals,
+      parts = spark.sessionState.conf.numShufflePartitions,
+      sortCols = Seq(col("total").desc, col("user_id")), posCol = "__pos")
+    val q = n / 4
+    val r = n % 4
+    val quartile =
+      if (q == 0L) col("__pos").cast("int") // N < 4: every row its own tile
+      else expr(s"cast(if(__pos <= ${(q + 1) * r}, " +
+        s"(__pos - 1) div ${q + 1} + 1, " +
+        s"$r + (__pos - ${(q + 1) * r} - 1) div $q + 1) as int)")
+    pos.select(col("user_id"), col("total"),
+        quartile.as("quartile"),
+        round((col("__pos") - 1).cast("double") /
+          lit(math.max(n - 1, 1L)), 6).as("pct_rank"),
+        round(col("__pos").cast("double") /
+          lit(math.max(n, 1L)), 6).as("cume"))
       .orderBy(col("total").desc, col("user_id"))
   }
 

@@ -2074,12 +2074,17 @@ object TextOps {
   // -------------------------------------------------------------------- //
 
   def tokenPacking(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, sfDir, "documents")
+    // r17: the global running-sum window (single-partition sort of the
+    // corpus) is replaced by [[rangedCumSumOn]] — one range exchange +
+    // per-partition streaming sums + a ≤parts-row offsets collect
+    // (guide §2); `cum` is value-identical because doc_id is a unique
+    // total order and long addition is associative across the
+    // partition bounds.
+    val base = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), expr(s"size($toks)").cast("long").as("nt"))
-      .withColumn("cum", sum("nt").over(w))
+    rangedCumSumOn(spark, base,
+        parts = spark.sessionState.conf.numShufflePartitions,
+        keys = Seq("doc_id"), valCol = "nt", cumCol = "cum")
       .withColumn("bin", expr("(cum - nt) div 2048"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"))
@@ -2117,12 +2122,15 @@ object TextOps {
   def packSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = 2048L
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byPack = Window.partitionBy("pack_id").orderBy("doc_id")
-    Tables(spark, sfDir, "documents")
+    // r17: global running-sum window → [[rangedCumSumOn]] (same rewrite
+    // and identical-output argument as [[tokenPacking]]); the per-pack
+    // seg_idx window below stays — it is PARTITIONED (bounded state).
+    val base = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), expr(s"size($toks)").cast("long").as("nt"))
-      .withColumn("e", sum("nt").over(w))
+    rangedCumSumOn(spark, base,
+        parts = spark.sessionState.conf.numShufflePartitions,
+        keys = Seq("doc_id"), valCol = "nt", cumCol = "e")
       .withColumn("s", col("e") - col("nt"))
       // nt > 0 guard BEFORE the explode (the byteHistogram discipline):
       // split() always yields ≥1 token today, but if any upstream ever
@@ -3740,8 +3748,17 @@ object TextOps {
   // trivial (shard = prefix of the key space).                          //
   // -------------------------------------------------------------------- //
 
+  /** The declared row now runs the RANGE-EXCHANGE core (r17: guide §2 —
+    * the global `row_number()` window was a single-partition sort of
+    * the whole corpus; positions are invariant to the partitioning, so
+    * the ranged core's output is value-identical and the oracle is
+    * unchanged). [[trainOrderGlobalOn]] is kept as the reference shape
+    * `graft.OrderProbe` measures the crossover against. Partition count
+    * follows the session's shuffle parallelism, not a constant.
+    */
   def trainOrder(spark: SparkSession, sfDir: String): DataFrame =
-    trainOrderGlobalOn(docsKeyed(spark, sfDir))
+    trainOrderRangedOn(spark, docsKeyed(spark, sfDir),
+      parts = spark.sessionState.conf.numShufflePartitions)
 
   private def docsKeyed(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
@@ -3782,13 +3799,16 @@ object TextOps {
     * applies unchanged with (band, shuffle_key) as the range key —
     * `graft.OrderProbe` measured that crossover.
     */
-  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    curriculumBanded(spark, sfDir)
-      .withColumn("curriculum_pos", row_number().over(
-        Window.orderBy("band", "shuffle_key", "doc_id")))
-      .orderBy("curriculum_pos")
-  }
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame =
+    // r17: the declared row runs the range-exchange core (guide §2) —
+    // same rewrite as [[trainOrder]]; the former global row_number
+    // window single-partition-sorted the whole banded corpus. Output is
+    // value-identical (positions are determined by the total order
+    // (band, shuffle_key, doc_id), not the partitioning).
+    rangedPositionsOn(spark, curriculumBanded(spark, sfDir),
+      parts = spark.sessionState.conf.numShufflePartitions,
+      keys = Seq("band", "shuffle_key", "doc_id"),
+      posCol = "curriculum_pos")
 
   /** The shared banding stage: (doc_id, band, shuffle_key) — quality
     * decile via ONE bounded-state percentile broadcast.
@@ -3892,13 +3912,26 @@ object TextOps {
     */
   private[graft] def rangedPositionsOn(spark: SparkSession,
       keyed: DataFrame, parts: Int, keys: Seq[String],
-      posCol: String, base: Long = 0L): DataFrame = {
+      posCol: String, base: Long = 0L): DataFrame =
+    rangedPositionsCols(spark, keyed, parts, keys.map(col), posCol, base)._1
+
+  /** Column-keyed core of [[rangedPositionsOn]] — sort-direction-aware
+    * (pass `col(...).desc` for descending keys, as the rank-window
+    * rewrites over score orders need) — that ALSO returns the total row
+    * count: it is already on the driver from the per-partition counts
+    * collect, so rank-arithmetic callers (ntile / percent_rank /
+    * cume_dist, which are pure functions of (position, N) when the
+    * order is a unique total order) don't pay a second aggregate for N.
+    */
+  private[graft] def rangedPositionsCols(spark: SparkSession,
+      keyed: DataFrame, parts: Int, sortCols: Seq[Column],
+      posCol: String, base: Long = 0L): (DataFrame, Long) = {
     val outCols = keyed.columns.toSeq
     // checkpoint AFTER the id projection: the per-partition counts job
     // and the final output must see identical row/partition placement
     val mid = keyed
-      .repartitionByRange(parts, keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .select(outCols.map(col) ++ Seq(
         spark_partition_id().as("__pid"),
         monotonically_increasing_id()
@@ -3915,11 +3948,61 @@ object TextOps {
       import spark.implicits._
       offByPid.toSeq.toDF("__pid", "__off")
     }
-    mid.join(broadcast(offDf), Seq("__pid"))
+    val out = mid.join(broadcast(offDf), Seq("__pid"))
       .select(outCols.map(col) :+
         ((col("__off") + col("__loc") + lit(1L) + lit(base))
           .as(posCol)): _*)
       .orderBy(posCol)
+    (out, counts.map(_._2).sum)
+  }
+
+  /** Range-exchange running-SUM core — [[rangedPositionsCols]]'s shape
+    * with a weighted position: range-partition on `keys`, sort within
+    * partitions, lift per-partition running sums of `valCol` (one
+    * streaming O(1)-state pass per partition — no per-pid re-shuffle,
+    * no window buffer) to the global running sum via cumulative
+    * per-partition totals (a ≤`parts`-row collect). Emits every column
+    * of `df` plus `cumCol` = the INCLUSIVE prefix sum of `valCol` in
+    * the total `keys` order — value-identical to
+    * `sum(valCol).over(Window.orderBy(keys).rowsBetween(unboundedPreceding,
+    * currentRow))` when `keys` is a unique total order (exact long
+    * arithmetic, associative regardless of where the partition bounds
+    * fall), with no single-partition window anywhere. `valCol` must be
+    * LONG — the token/byte-count shapes this serves.
+    */
+  private[graft] def rangedCumSumOn(spark: SparkSession, df: DataFrame,
+      parts: Int, keys: Seq[String], valCol: String,
+      cumCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outCols = df.columns.toSeq
+    // checkpoint pins row/partition placement, so the totals job and
+    // the running-sum pass see the same split (rangedPositionsCols doc)
+    val mid = df
+      .repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .select(outCols.map(col) :+ spark_partition_id().as("__pid"): _*)
+      .localCheckpoint(true)
+    val totals = mid.groupBy("__pid")
+      .agg(coalesce(sum(col(valCol)), lit(0L)).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offByPid: Map[Int, Long] = totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2)).toMap
+    val vIdx = mid.columns.indexOf(valCol)
+    val pIdx = mid.columns.indexOf("__pid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      mid.schema.fields :+ org.apache.spark.sql.types.StructField(
+        cumCol, org.apache.spark.sql.types.LongType, nullable = false))
+    mid.mapPartitions { it =>
+      var off = 0L
+      var acc = 0L
+      var first = true
+      it.map { r =>
+        if (first) { off = offByPid.getOrElse(r.getInt(pIdx), 0L); first = false }
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ (off + acc))
+      }
+    }(Encoders.row(outSchema))
+      .select((outCols :+ cumCol).map(col): _*)
   }
 
   // -------------------------------------------------------------------- //

@@ -1453,21 +1453,28 @@ object VectorOps {
   // -------------------------------------------------------------------- //
 
   def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     withVecFns(spark)
-    val text = TextOps.bm25ScoresOf(Tables(spark, sfDir, "documents"))
-      .withColumn("r_text", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
-      .select("doc_id", "r_text")
+    // r17 (guide §2): both legs' corpus-sized global rank windows
+    // (row_number over every document / every embedding — each a
+    // single-partition sort) now run the range-exchange position core;
+    // ranks are determined by the unique total order (score DESC, id),
+    // not the partitioning, so the fused output is value-identical.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val (textPos, _) = TextOps.rangedPositionsCols(spark,
+      TextOps.bm25ScoresOf(Tables(spark, sfDir, "documents")),
+      parts, Seq(col("score").desc, col("doc_id")), "__r")
+    val text = textPos
+      .select(col("doc_id"), col("__r").cast("int").as("r_text"))
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
-    val vec = emb.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id").as("doc_id"), cosine.as("cos_sim"))
-      .withColumn("r_vec", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("int"))
-      .select("doc_id", "r_vec")
+    val (vecPos, _) = TextOps.rangedPositionsCols(spark,
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"), cosine.as("cos_sim")),
+      parts, Seq(col("cos_sim").desc, col("doc_id")), "__r")
+    val vec = vecPos
+      .select(col("doc_id"), col("__r").cast("int").as("r_vec"))
     val rrf =
       coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))

@@ -19,39 +19,81 @@ class TextOpsSpec extends SparkSpecBase {
 
   test("range-partitioned train order reproduces the global window's " +
     "positions bit-for-bit") {
-    // the scale form's positions must be invariant to partitioning:
+    // the declared row now RUNS the ranged core (r17) — so the
+    // invariance check compares it against the kept reference shape
+    // [[TextOps.trainOrderGlobalOn]] (one global row_number window):
     // per-partition offsets + monotonic local ids == one global
-    // row_number — same rows, same keys, same positions
-    // the parity twin emits int row_number, the ranged form BIGINT
+    // row_number — same rows, same keys, same positions. The global
+    // reference emits int row_number, the ranged core BIGINT
     // (positions past 2^31 are its whole point) — compare as longs,
     // as the driver hash does across integer widths
-    val a = TextOps.trainOrder(spark, "/root/testdata/sf0.001")
+    val ranged = TextOps.trainOrder(spark, "/root/testdata/sf0.001")
+    val a = ranged.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val b = TextOps.trainOrderGlobalOn(ranged.drop("shuffle_pos"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
       .toSeq
-    val b = TextOps.trainOrderRanged(spark, "/root/testdata/sf0.001")
+    assert(a == b)
+    // and the declared twin stays in lockstep with the ranged form
+    val c = TextOps.trainOrderRanged(spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSeq
-    assert(a == b)
+    assert(a == c)
   }
 
   test("range-partitioned curriculum order reproduces the global " +
     "window's positions bit-for-bit") {
     // same invariance with the banded (band, shuffle_key, doc_id)
-    // range key: the curriculum's scale form must agree with the
-    // parity window on every row
-    val a = TextOps.curriculumOrder(spark, "/root/testdata/sf0.001")
+    // range key: the declared row (ranged core since r17) must agree
+    // on every row with a directly-computed global row_number window
+    // over the same banded rows
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val ranged = TextOps.curriculumOrder(spark, "/root/testdata/sf0.001")
+    val a = ranged.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+      .toSeq
+    val b = ranged.drop("curriculum_pos")
+      .withColumn("curriculum_pos", row_number().over(
+        Window.orderBy("band", "shuffle_key", "doc_id")))
+      .orderBy("curriculum_pos")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
         r.getInt(3).toLong))
       .toSeq
-    val b = TextOps.curriculumOrderRanged(spark, "/root/testdata/sf0.001")
+    assert(a == b)
+    val c = TextOps.curriculumOrderRanged(spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
         r.getLong(3)))
       .toSeq
-    assert(a == b)
+    assert(a == c)
+  }
+
+  test("range-partitioned running sum reproduces the global window's " +
+    "cumulative sums bit-for-bit") {
+    // the r17 tokenPacking/packSegments core: per-partition streaming
+    // sums + prefix offsets must equal one global running-sum window
+    // on every row (unique doc_id total order, exact long arithmetic)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.sum
+    val base = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val ranged = TextOps.rangedCumSumOn(spark, base, parts = 7,
+        keys = Seq("doc_id"), valCol = "nt", cumCol = "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = base.withColumn("cum", sum("nt").over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(ranged == global)
   }
 
   test("length batching: buckets partition the corpus, waste is the " +
