@@ -598,9 +598,44 @@ object FsOps {
 
   private def mergeWith(spark: SparkSession, sfDir: String,
       batchWinsTies: Boolean): DataFrame = {
-    val existing = SyntheticFs.files(spark, sfDir)
-      .select("relative_path", "size_bytes", "modified_time")
-    val batch = rescanBatch(spark, sfDir)
+    // ONE key exchange for both merge sides (r17, guide §2.4 "two
+    // operations keyed the same way can share one exchange"): existing
+    // and batch both derive ROW-WISE from the same files frame, so the
+    // shared projection is partitioned by the join's exact hash keys —
+    // Merge's null-safe join clusters on (coalesce(key,''), isnull(key))
+    // — BEFORE the per-side column edits, and materialized with an
+    // eager localCheckpoint (LogicalRDD keeps the partitioning), so the
+    // corpus crosses the wire ONCE instead of once per side. A bare
+    // shared repartition is NOT enough: per-side column pruning pushes
+    // below it (existing doesn't read l_orderkey) and the two exchange
+    // subtrees stop canonicalizing equal, defeating ReuseExchange. The
+    // per-side projections are maps above the checkpoint, so
+    // alias-aware co-partitioning carries into the SHJ with no further
+    // exchange; the merge itself (outer SHJ + winner pick) is
+    // unchanged. This is the same plan a relative_path-bucketed
+    // snapshot store gives the pipeline's merge for free.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ck = SyntheticFs.files(spark, sfDir)
+      .select("relative_path", "size_bytes", "modified_time",
+        "l_orderkey")
+      .repartition(parts, coalesce(col("relative_path"), lit("")),
+        isnull(col("relative_path")))
+      .localCheckpoint(true)
+    // the checkpoint reports UnknownPartitioning (AQE wrapper), which
+    // would re-exchange BOTH sides — rewrap it with the partitioning
+    // the repartition just established (PlanBridge doc has the proof)
+    val src = org.apache.spark.sql.graft.PlanBridge
+      .checkpointedWithNullSafeKeyPartitioning(spark, ck,
+        Seq("relative_path"), parts)
+    val existing = src.select("relative_path", "size_bytes",
+      "modified_time")
+    val batch = src.select(
+      col("relative_path"),
+      when(col("l_orderkey") % 7 === 0, col("size_bytes") + 777)
+        .otherwise(col("size_bytes")).as("size_bytes"),
+      when(col("l_orderkey") % 7 === 0,
+        col("modified_time") + expr("INTERVAL 5 DAYS"))
+        .otherwise(col("modified_time")).as("modified_time"))
     Merge.merge(existing, batch, "relative_path", "modified_time",
         batchWinsTies)
       .orderBy("relative_path")
