@@ -578,6 +578,15 @@ object TextOps {
     val sigs = hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("m0"),
         (1 until nSeeds).map(s => min(col(s"h$s")).as(s"m$s")): _*)
+      // r17 (guide §2.4 duplicated subtrees — the neardupClusters r16
+      // treatment applied one level down): the signature pipeline
+      // (one sha256 per shingle occurrence + the 12-way per-doc min)
+      // feeds BOTH sides of the band self-join below, so every
+      // evaluation ran it twice (StageProbe: 2 × ~4 CPU-s of the
+      // query's ~12 at sf0.1). The per-doc signature frame is tiny —
+      // 13 narrow columns per document — so materialize it once and
+      // let both join sides read the checkpointed rows.
+      .localCheckpoint(true)
     // 4 bands × 3 rows; candidates meet only through the band-key
     // equi-join. Shingle arrays are re-joined by id AFTER banding so the
     // wide arrays never shuffle through the band join (the shape that

@@ -63,21 +63,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("merge upsert: sort-free outer hash join, exchanges only on " +
-      "the merge key") {
+  test("merge upsert: sort-free outer hash join over ONE shared key " +
+      "exchange — the join itself re-exchanges nothing") {
     val p = finalPlan(SparkEntry.queries("fs_merge_upsert")(spark, sf))
-    // r14 shape: each side exchanges ONCE on the merge key (prefixed
-    // __e_/__b_ inside the join; r15's null-safe join wraps it in
-    // coalesce(key,'')+isnull(key) — same distribution) and meets in a
-    // ShuffledHashJoin — no aggregate, no sort anywhere. The old
-    // union+max_by form planned SortAggregate and sorted the 2×corpus
-    // union twice.
-    val hashEx =
-      "Exchange hashpartitioning\\((?:coalesce\\()?(?:__[eb]_)?([a-z_]+)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(hashEx.nonEmpty && hashEx.forall(_ == "relative_path"),
-      s"exchanges on: $hashEx\n$p")
+    // r17 shape: both sides read the ONE key-partitioned checkpointed
+    // frame (mergeWith staged it on the null-safe join's exact keys
+    // and PlanBridge restored the partitioning fact), so the visible
+    // plan has NO hash exchange at all — the SHJ consumes the two
+    // co-partitioned projections directly. r14's shape was one
+    // exchange per side; the old union+max_by form planned
+    // SortAggregate and sorted the 2×corpus union twice.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"join re-exchanged a side:\n$p")
     assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // the shared staged frame
     assert(!p.contains("SortAggregate") && !p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -617,20 +616,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
-  test("train order: the ranged form has NO single-partition exchange; " +
-    "the global-window form is pinned as the parity shape it replaces") {
-    // the scale form: positions from per-partition offsets over a range
-    // exchange — a SinglePartition exchange here would mean someone
+  test("train order: NEITHER declared form has a single-partition " +
+    "exchange — both run the range-exchange positions core since r17") {
+    // a SinglePartition exchange in either would mean someone
     // reintroduced the global-window serialization point
     val p = finalPlan(
       SparkEntry.queries("docs_train_order_ranged")(spark, sf))
     assert(!p.contains("SinglePartition"), p)
     // the ≤parts-row offset frame joins back as a broadcast
     assert(p.contains("BroadcastHashJoin"), p)
-    // the parity twin IS the single-partition window — pinned so the
-    // two shapes can't silently swap
     val g = finalPlan(SparkEntry.queries("docs_train_order")(spark, sf))
-    assert(g.contains("SinglePartition"), g)
+    assert(!g.contains("SinglePartition"), g)
+    assert(g.contains("BroadcastHashJoin"), g)
   }
 
 }

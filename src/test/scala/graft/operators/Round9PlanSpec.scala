@@ -27,12 +27,22 @@ class Round9PlanSpec extends SparkSpecBase {
       s"single-partition exchange in:\n$plan")
   }
 
-  test("packSegments (global parity shape) really is the documented " +
-    "single-partition window — the contrast that makes the sharded " +
-    "form the scale path") {
+  test("packSegments: the r17 ranged running-sum core left NO " +
+    "single-partition exchange — the global cumsum window is gone " +
+    "and only the partitioned per-pack window remains") {
     val plan = TextOps.packSegments(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Exchange SinglePartition"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in:\n$plan")
+    // the per-pack seg_idx window survives, PARTITIONED by pack_id
+    // (bounded state), never an empty partition spec
+    assert(plan.contains("windowspecdefinition(pack_id"),
+      s"no per-pack window in:\n$plan")
+    // the running sum itself rode the ranged core's checkpointed
+    // frame (its range exchange ran eagerly at construction, so the
+    // visible plan starts from the materialized scan)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"no checkpointed ranged frame in:\n$plan")
   }
 
   test("exactSubstrings: anchors meet through the gram-hash equi-join," +
