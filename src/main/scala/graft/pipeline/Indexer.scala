@@ -800,12 +800,22 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
     // previous snapshot's files still exist here. localCheckpoint cuts
     // the lazy plan's lineage before those files are eventually pruned
     // (deltas are small; cheap even at scale).
-    val removedIds: Option[DataFrame] = previous.map(prev =>
-      step(spark, "deletion reconcile") {
-        prev.join(entries, Seq("relative_path"), "left_anti").select("id")
-          .localCheckpoint(true)
-      })
-    val removedCount = removedIds.map(_.count()).getOrElse(0L)
+    // r17: launched as a THIRD concurrent leg (guide §2.6) — the
+    // anti-join reads only (previous, entries), disjoint from the link
+    // refresh and rollup maintenance below, so its jobs back-fill
+    // their straggler tails instead of running serially before them.
+    // Awaited before anything consumes it (bulk delete / the report),
+    // and before sweepConsumedLogs — the error contract is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val removedIdsF: Future[Option[DataFrame]] = Future {
+      previous.map(prev =>
+        step(spark, "deletion reconcile") {
+          prev.join(entries, Seq("relative_path"), "left_anti")
+            .select("id").localCheckpoint(true)
+        })
+    }
 
     // ES publish (elasticsearch mode): direct-link refresh (the
     // reference's DirectLinkManager step, main.py:190-192) then the
@@ -836,9 +846,6 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         // correct — `step` sets the THREAD-local description inside
         // each future. Await rethrows the first failure, preserving
         // the sequential error contract.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
         val linksF = Future {
           val n = (cfg.getDirectLinks, linkFetch) match {
             case (true, Some(fetch)) => step(spark, "link refresh") {
@@ -878,12 +885,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
         // delete failures count toward esFailed — a rejected deletion
         // leaves a stale searchable document the next run's anti-join
         // will NOT retry, so it must be visible in the run report
-        val delFailed =
-          if (removedCount > 0)
-            removedIds.map(ids => step(spark, "publish: bulk delete") {
-              sink.bulkDelete(ids, cfg.esIndex, "id").failed
-            }).getOrElse(0L)
-          else 0L
+        val delFailed = Await.result(removedIdsF, Duration.Inf)
+          .filter(_.count() > 0)
+          .map(ids => step(spark, "publish: bulk delete") {
+            sink.bulkDelete(ids, cfg.esIndex, "id").failed
+          }).getOrElse(0L)
         // the full publish IS the watermark's definition — ES saw the
         // whole resolved corpus; advance only on a clean send so a
         // failed batch keeps catch-up/scoped publishes honest
@@ -893,6 +899,11 @@ final class Indexer(cfg: IndexerConfig, transport: Option[EsSink.Transport],
       case _ => (0L, 0L, 0L) // index-only
     }
 
+    // the await pins the deletion anti-join's execution BEFORE the log
+    // sweep below (futures memoize, so the ES branch's earlier await
+    // and this one see the same checkpointed frame)
+    val removedCount = Await.result(removedIdsF, Duration.Inf)
+      .map(_.count()).getOrElse(0L)
     // every frame derived from the pre-write resolve (deletion
     // anti-join, rollup diff, publish) has executed — the superseded
     // MOR log is now safe to drop (see writeKeepingLog above)
